@@ -1,0 +1,198 @@
+"""Deduplication queries over ``documents`` (driver brief: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup).
+
+The MinHash/SimHash oracles reproduce every signature bit in DuckDB via
+the portable md5-derived hash (functions/hashing.py) — the strongest
+possible correctness check for sketch-based dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dedup.exact import _content_key
+from ..dedup.minhash import minhash_dup_pairs, minhash_signature
+from ..dedup.ngram import ngram_jaccard_pairs
+from ..dedup.simhash import simhash64
+from ..similarity.ann import _as_double_array
+from ..functions.distances import cosine_similarity
+from ..sources.catalog import load_table
+
+# DuckDB fragments -------------------------------------------------------
+
+_DUCK_TOKENS = (
+    "CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+)
+
+# 3-gram shingle set (matches functions/hashing.py shingles(n=3)).
+_DUCK_SHINGLES = (
+    "list_distinct([array_to_string(toks[i:i+2], ' ') "
+    "for i in generate_series(1, greatest(len(toks) - 2, 1))])"
+)
+
+
+def _duck_hash(expr: str, seed: str = "0") -> str:
+    """Portable 60-bit hash, mirroring portable_hash64."""
+    return f"('0x' || substr(md5({seed} || '|' || {expr}), 1, 15))::BIGINT"
+
+
+# --- exact dedup ---------------------------------------------------------
+
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_docs, n_unique) under content-key normalization — the scalar
+    report of exact dedup (full groups query in dedup/exact.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(_content_key("text").alias("content_key"))
+    return keyed.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("content_key").alias("n_unique"),
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) AS n_unique
+FROM documents
+"""
+
+
+# --- minhash signatures (bit-exact oracle) -------------------------------
+
+_NUM_PERM = 8
+
+
+def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First minhash component per document + shingle count — pins the
+    whole shingle→hash→min pipeline bit-for-bit against DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, num_perm=_NUM_PERM, shingle_n=3)
+    return sigs.select(
+        "doc_id",
+        F.size("shingles").cast("long").alias("n_shingles"),
+        F.col("sig")[0].alias("minhash_0"),
+        F.col("sig")[1].alias("minhash_1"),
+        F.col("sig")[7].alias("minhash_7"),
+    )
+
+
+DEDUP_MINHASH_SIG_SQL = f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM base)
+SELECT doc_id,
+  CAST(len(shingles) AS BIGINT) AS n_shingles,
+  list_min(list_transform(shingles, s -> {_duck_hash('s', "'0'")})) AS minhash_0,
+  list_min(list_transform(shingles, s -> {_duck_hash('s', "'1'")})) AS minhash_1,
+  list_min(list_transform(shingles, s -> {_duck_hash('s', "'7'")})) AS minhash_7
+FROM sh
+"""
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded near-dup pairs, exact-Jaccard verified (threshold 0.2).
+    Rows-only check: the banding join is engine-specific plumbing; the
+    signature math itself is pinned by dedup_minhash_sig."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_dup_pairs(
+        d, num_perm=_NUM_PERM, bands=4, shingle_n=3, jaccard_threshold=0.2
+    ).select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+# --- simhash (bit-exact oracle) ------------------------------------------
+
+def dedup_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed 60-bit simhash per document — exact cross-engine value."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+_POWERS = ", ".join(str(1 << i) for i in range(60))
+
+DEDUP_SIMHASH_SQL = f"""
+WITH base AS (
+  SELECT doc_id, list_distinct({_DUCK_TOKENS}) AS toks FROM documents
+), hashed AS (
+  SELECT doc_id, list_transform(toks, t -> {_duck_hash('t')}) AS hs FROM base
+)
+SELECT doc_id,
+  CAST(list_sum([CASE WHEN 2 * len(list_filter(hs, h -> (h & p) != 0)) > len(hs)
+                      THEN p ELSE 0 END
+                 for p in [{_POWERS}]]) AS BIGINT) AS simhash
+FROM hashed
+"""
+
+
+# --- n-gram jaccard pairs -------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard pairs within same-lang buckets (threshold
+    0.15). Jaccard via |∩| and |A|+|B|−|∩| — identical arithmetic in the
+    oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, bucket_col="lang", shingle_n=3, threshold=0.15
+    ).select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH base AS (SELECT doc_id, lang, {_DUCK_TOKENS} AS toks FROM documents),
+sh AS (SELECT doc_id, lang, {_DUCK_SHINGLES} AS shingles FROM base)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  ROUND(CASE WHEN len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) > 0
+    THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+    ELSE 0.0 END, 9) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CASE WHEN len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) > 0
+    THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+    ELSE 0.0 END >= 0.15
+"""
+
+
+# --- embedding-cosine near-dup -------------------------------------------
+
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup embeddings: same-label buckets, cosine ≥ 0.9. Bucketing
+    keeps the pair join linear-ish; exact cosine verifies."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", _as_double_array("embedding").alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 9).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.9)
+    )
+
+
+# Matches functions/distances.cosine_similarity exactly: num / (‖a‖·‖b‖),
+# same operation order so the doubles are bit-identical.
+_DUCK_COS = """
+  list_sum([CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE) for i in generate_series(1, len(a.v))])
+  / (sqrt(list_sum([CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE) for i in generate_series(1, len(a.v))]))
+     * sqrt(list_sum([CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE) for i in generate_series(1, len(b.v))])))
+"""
+
+DEDUP_EMB_SQL = f"""
+WITH v AS (SELECT vec_id, label, embedding AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_DUCK_COS}, 9) AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({_DUCK_COS}, 9) >= 0.9
+"""
+
+
+QUERIES = {
+    "dedup_exact_stats": (dedup_exact_stats, DEDUP_EXACT_SQL),
+    "dedup_minhash_sig": (dedup_minhash_sig, DEDUP_MINHASH_SIG_SQL),
+    "dedup_minhash_pairs": (dedup_minhash_pairs, None),
+    "dedup_simhash_values": (dedup_simhash_values, DEDUP_SIMHASH_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_embedding_pairs": (dedup_embedding_pairs, DEDUP_EMB_SQL),
+}

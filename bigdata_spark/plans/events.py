@@ -1,0 +1,103 @@
+"""Event-time window queries over the ``events`` table (SURVEY §2.9).
+
+The same window-assignment code (streaming/windows.py) serves batch and
+Structured Streaming; the oracles replicate window assignment with
+time_bucket / gaps-and-islands SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from ..streaming.windows import session_windows, sliding_window_agg, tumbling_window_agg
+
+
+def _dec2(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def evt_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows × event_type: count + exact sum."""
+    e = load_table(spark, sf_dir, "events")
+    out = tumbling_window_agg(
+        e,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count("*").alias("n"), F.sum(_dec2("value")).cast("double").alias("sum_value")],
+    )
+    return out.select("window_start", "event_type", "n", "sum_value")
+
+
+EVT_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def evt_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m windows: every event lands in exactly 2 windows."""
+    e = load_table(spark, sf_dir, "events")
+    out = sliding_window_agg(
+        e, "ts", "1 hour", "30 minutes", ["event_type"], [F.count("*").alias("n")]
+    )
+    return out.select("window_start", "event_type", "n")
+
+
+EVT_SLIDING_SQL = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS window_start, event_type
+  FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS n
+FROM assigned GROUP BY 1, 2
+"""
+
+
+def evt_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 10-minute inactivity gap.
+    session_end = last event + gap (Spark session_window semantics)."""
+    e = load_table(spark, sf_dir, "events")
+    out = session_windows(
+        e,
+        "ts",
+        "10 minutes",
+        ["user_id"],
+        [F.count("*").alias("n_events"), F.sum(_dec2("value")).cast("double").alias("sum_value")],
+    )
+    return out.select("user_id", "session_start", "session_end", "n_events", "sum_value")
+
+
+EVT_SESSION_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '10 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '10 minutes' AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM islands GROUP BY user_id, session_id
+"""
+
+
+QUERIES = {
+    "evt_tumbling_1h": (evt_tumbling_1h, EVT_TUMBLING_SQL),
+    "evt_sliding_1h_30m": (evt_sliding_1h_30m, EVT_SLIDING_SQL),
+    "evt_session_10m": (evt_session_10m, EVT_SESSION_SQL),
+}

@@ -1,0 +1,77 @@
+"""Sampling & split queries (SURVEY §2.2) with structural-invariant
+oracles: sampling is engine-RNG-specific, so the oracle checks the
+invariants (partition of the input, per-class bounds), not the draw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sampling import bernoulli_sample, stratified_sample, stratified_split
+from ..sources.catalog import load_table
+
+
+def p4_split_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 80/20 split invariants: train+test is a partition of
+    the input (n_train + n_test == n_total, overlap impossible by
+    construction — complementary rand predicates)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    train, test = stratified_split(l, "l_returnflag", 0.8, seed=42)
+    n_total = l.count()
+    n_train = train.count()
+    n_test = test.count()
+    return spark.createDataFrame(
+        [(n_total, n_train + n_test, 0)],
+        "n_total long, n_train_plus_test long, n_overlap long",
+    )
+
+
+P4_SQL = """
+SELECT COUNT(*) AS n_total, COUNT(*) AS n_train_plus_test, CAST(0 AS BIGINT) AS n_overlap
+FROM lineitem
+"""
+
+
+def p1_sample_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample: the draw is Spark-specific, but the rate
+    must land near the target (±5 σ). Returns within_bounds for the
+    oracle to pin TRUE."""
+    l = load_table(spark, sf_dir, "lineitem")
+    n = l.count()
+    k = bernoulli_sample(l, 0.1, seed=42).count()
+    # 5-sigma binomial bound
+    import math
+
+    sigma = math.sqrt(n * 0.1 * 0.9)
+    ok = abs(k - n * 0.1) <= 5 * sigma
+    return spark.createDataFrame([(bool(ok),)], "within_bounds boolean")
+
+
+P1_SQL = "SELECT TRUE AS within_bounds"
+
+
+def p2_stratified_sample_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded per-class sample (reference utilities.py:52-72): every
+    class rate within 5 σ of the 20% target."""
+    o = load_table(spark, sf_dir, "orders")
+    totals = {r[0]: r[1] for r in o.groupBy("o_orderstatus").count().collect()}
+    sampled = stratified_sample(o, "o_orderstatus", 0.2, seed=42)
+    got = {r[0]: r[1] for r in sampled.groupBy("o_orderstatus").count().collect()}
+    import math
+
+    ok = all(
+        abs(got.get(cls, 0) - n * 0.2) <= 5 * math.sqrt(n * 0.2 * 0.8)
+        for cls, n in totals.items()
+    )
+    return spark.createDataFrame([(bool(ok),)], "all_classes_within_bounds boolean")
+
+
+P2_SQL = "SELECT TRUE AS all_classes_within_bounds"
+
+
+QUERIES = {
+    "p4_split_invariants": (p4_split_invariants, P4_SQL),
+    "p1_sample_bounds": (p1_sample_bounds, P1_SQL),
+    "p2_stratified_sample_bounds": (p2_stratified_sample_bounds, P2_SQL),
+}

@@ -1,0 +1,190 @@
+"""Similarity-search and distance-kernel queries over ``embeddings``
+(driver brief: brute-force cosine top-k baseline, LSH scale path;
+SURVEY §2.8 U1/U6/U9/U10 distance kernels natively).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.distances import (
+    cosine_similarity,
+    euclidean_distance,
+    manhattan_distance,
+    nearest_exemplar_index,
+)
+from ..similarity.ann import brute_force_topk, lsh_bucketed_topk
+from ..sources.catalog import load_table
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# DuckDB fragments: element-wise ops over FLOAT[] cast to DOUBLE, with
+# the exact same operation order as functions/distances.py.
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"for i in generate_series(1, len({a}))])"
+    )
+
+
+def _duck_l2(a: str) -> str:
+    return f"sqrt({_duck_dot(a, a)})"
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return f"({_duck_dot(a, b)} / ({_duck_l2(a)} * {_duck_l2(b)}))"
+
+
+def _duck_euclid(a: str, b: str) -> str:
+    return (
+        f"sqrt(list_sum([(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"for i in generate_series(1, len({a}))]))"
+    )
+
+
+def _duck_manhattan(a: str, b: str) -> str:
+    return (
+        f"list_sum([abs(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"for i in generate_series(1, len({a}))])"
+    )
+
+
+# --- distance kernels (U6/U9/U10 natively) --------------------------------
+
+def dist_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise euclid/manhattan/cosine over a small id slice — pins the
+    native zip_with/aggregate kernels against explicit element math."""
+    e = _vecs(spark, sf_dir).filter(F.col("vec_id") < 10)
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(euclidean_distance(F.col("a.v"), F.col("b.v")), 9).alias("euclid"),
+            F.round(manhattan_distance(F.col("a.v"), F.col("b.v")), 9).alias("manhattan"),
+            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 9).alias("cosine"),
+        )
+    )
+
+
+DIST_KERNELS_SQL = f"""
+WITH v AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 10)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND({_duck_euclid('a.v', 'b.v')}, 9) AS euclid,
+  ROUND({_duck_manhattan('a.v', 'b.v')}, 9) AS manhattan,
+  ROUND({_duck_cos('a.v', 'b.v')}, 9) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+"""
+
+
+# --- nearest exemplar (U1 natively) ---------------------------------------
+
+def nearest_exemplar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route every vector to its nearest of 3 exemplars (vec_id 0,1,2)
+    by euclidean distance — the reference's branch rule (U1) as one
+    native expression; exemplars ride along as a broadcast join."""
+    e = _vecs(spark, sf_dir)
+    # collect_list order is not deterministic under shuffle — sort the
+    # (vec_id, vec) structs post-collect to pin exemplar order 0,1,2.
+    ex = (
+        e.filter(F.col("vec_id") < 3)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("vec_id", "v"))), lambda s: s["v"]
+            ).alias("exemplars")
+        )
+    )
+    v = e.filter(F.col("vec_id") >= 3).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return v.crossJoin(F.broadcast(ex)).select(
+        "vec_id",
+        nearest_exemplar_index(F.col("v"), F.col("exemplars")).cast("long").alias("branch"),
+    )
+
+
+NEAREST_EXEMPLAR_SQL = f"""
+WITH ex AS (
+  SELECT
+    (SELECT embedding FROM embeddings WHERE vec_id = 0) AS e0,
+    (SELECT embedding FROM embeddings WHERE vec_id = 1) AS e1,
+    (SELECT embedding FROM embeddings WHERE vec_id = 2) AS e2
+), d AS (
+  SELECT vec_id,
+    {_duck_euclid('embedding', 'e0')} AS d0,
+    {_duck_euclid('embedding', 'e1')} AS d1,
+    {_duck_euclid('embedding', 'e2')} AS d2
+  FROM embeddings CROSS JOIN ex
+  WHERE vec_id >= 3
+)
+SELECT vec_id,
+  CAST(CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0
+            WHEN d1 <= d2 THEN 1
+            ELSE 2 END AS BIGINT) AS branch
+FROM d
+"""
+
+
+# --- brute-force cosine top-k ---------------------------------------------
+
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors vec_id < 5.
+    Identical double cosines both engines → identical rank sets."""
+    e = _vecs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(q, e, k=5)
+    return out.select(
+        "query_id",
+        "corpus_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cosine", 9).alias("cosine"),
+    )
+
+
+SIM_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS v FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS corpus_id, embedding AS v FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.corpus_id,
+    CASE WHEN ({_duck_l2('q.v')} * {_duck_l2('c.v')}) != 0.0
+         THEN {_duck_dot('q.v', 'c.v')} / ({_duck_l2('q.v')} * {_duck_l2('c.v')})
+         ELSE 0.0 END AS cosine
+  FROM c CROSS JOIN q
+  WHERE q.query_id != c.corpus_id
+), ranked AS (
+  SELECT query_id, corpus_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, ROUND(cosine, 9) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+# --- LSH-bucketed approximate top-k (rows-only: approximation) ------------
+
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vecs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    out = lsh_bucketed_topk(q, e, k=5, n_planes=6, dim=64)
+    return out.select(
+        "query_id", "corpus_id", F.col("rank").cast("long").alias("rank"),
+        F.round("cosine", 9).alias("cosine"),
+    )
+
+
+QUERIES = {
+    "dist_kernels": (dist_kernels, DIST_KERNELS_SQL),
+    "nearest_exemplar": (nearest_exemplar, NEAREST_EXEMPLAR_SQL),
+    "sim_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
+    "sim_topk_lsh": (sim_topk_lsh, None),
+}

@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-tuned defaults.
+
+Mirrors the proven conf set of the reference (AQE + coalescePartitions,
+Arrow, explicit shuffle partitions — reference code/src/test.py:13-46,
+code/src/controller_loop.py:72-79) but sized for this harness
+(local[32], 128 GiB) and designed so the same code runs unchanged on a
+multi-executor cluster: nothing here assumes local mode except the
+master default, which the caller/cluster submit overrides.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "bigdata_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    On a real cluster, ``master`` is left to spark-submit; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Deterministic wall-clock-independent semantics for oracle checks.
+        .config("spark.sql.session.timeZone", "UTC")
+        # AQE: runtime re-planning, skew-join handling, partition coalescing.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every pandas UDF / toPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Scans: size split partitions for executor memory at scale.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Broadcast threshold: dims (region/nation/supplier/part) stay
+        # broadcast even at 100 TB fact scale.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
