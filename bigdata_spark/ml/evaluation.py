@@ -1,0 +1,85 @@
+"""Evaluation layer (SURVEY §2.5 A10-A13; reference evaluation.py).
+
+Metrics over a predictions DataFrame (label, prediction):
+- accuracy / weighted precision / recall / F1 via MLlib's
+  MulticlassClassificationEvaluator (A10),
+- balanced accuracy as the reference's DataFrame DAG: per-class actual
+  counts ⟕ TP counts, fillna, conditional recall, mean (A11,
+  evaluation.py:119-151),
+- confusion matrix as a groupBy count pivot (A12) — no RDD hop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def classification_metrics(
+    preds: DataFrame, label_col: str = "label", pred_col: str = "prediction"
+) -> dict[str, float]:
+    """A10 — MLlib evaluator passes (reference evaluation.py:102-117)."""
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    typed = preds.select(
+        F.col(label_col).cast("double").alias("label"),
+        F.col(pred_col).cast("double").alias("prediction"),
+    )
+    out = {}
+    for metric in ("accuracy", "weightedPrecision", "weightedRecall", "f1"):
+        ev = MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName=metric
+        )
+        out[metric] = float(ev.evaluate(typed))
+    return out
+
+
+def balanced_accuracy(
+    preds: DataFrame, label_col: str = "label", pred_col: str = "prediction"
+) -> float:
+    """A11 — mean per-class recall (reference evaluation.py:119-151):
+    actual counts ⟕ TP counts on label, fillna(0), when-guarded ratio."""
+    actual = preds.groupBy(label_col).agg(F.count("*").alias("actual_total"))
+    tp = (
+        preds.filter(F.col(label_col) == F.col(pred_col))
+        .groupBy(label_col)
+        .agg(F.count("*").alias("tp"))
+    )
+    per_class = (
+        actual.join(tp, label_col, "left_outer")
+        .fillna(0, subset=["tp"])
+        .select(
+            F.when(
+                F.col("actual_total") > 0, F.col("tp") / F.col("actual_total")
+            )
+            .otherwise(0.0)
+            .alias("recall")
+        )
+    )
+    return float(per_class.agg(F.avg("recall")).first()[0])
+
+
+def confusion_matrix(
+    preds: DataFrame, label_col: str = "label", pred_col: str = "prediction"
+) -> DataFrame:
+    """A12 — (label, prediction, n) counts; pivot driver-side if a
+    dense matrix is wanted (counts table scales, dense matrix doesn't)."""
+    return (
+        preds.groupBy(F.col(label_col).alias("label"), F.col(pred_col).alias("prediction"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def evaluation_report(
+    preds: DataFrame, label_col: str = "label", pred_col: str = "prediction"
+) -> dict:
+    """Full report dict (shape parity with reference evaluation.py:313-347)."""
+    metrics = classification_metrics(preds, label_col, pred_col)
+    metrics["balanced_accuracy"] = balanced_accuracy(preds, label_col, pred_col)
+    cm = confusion_matrix(preds, label_col, pred_col).collect()
+    return {
+        "performance": metrics,
+        "confusion_matrix": [
+            {"label": r["label"], "prediction": r["prediction"], "n": r["n"]} for r in cm
+        ],
+    }

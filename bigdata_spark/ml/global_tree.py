@@ -1,0 +1,357 @@
+"""Global proximity tree as Spark DataFrame dataflow (SURVEY §3.2;
+reference global_model_manager.py:168-402).
+
+The reference's BFS level loop costs O(k·open_nodes) Spark actions per
+level (one weighted-Gini job per candidate split — the reason its
+global training takes 1,900-5,300 s). This implementation keeps the
+same semantics but batches ALL candidate splits of ALL open nodes into
+TWO jobs per level (SURVEY §7 Phase 4):
+
+  1. stats job    — groupBy(node_id, label).count()            (collect: O(nodes·classes))
+  2. gini job     — one projection computes every candidate's branch
+                    assignment natively (nearest_exemplar_index — no
+                    Python UDF), stack-unpivots to (candidate, branch),
+                    groupBy counts; weighted Gini finishes on the
+                    driver over the tiny count table.
+
+plus one exemplar-sampling job (window top-k, collects only
+k·nodes·classes rows — the reference's own "P2" lesson) and one routing
+projection (pure column expression, no shuffle).
+
+Prediction broadcasts the plain-dict tree and traverses it in one
+Arrow-batched pandas UDF pass (U3 parity; reference :405-483).
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+from ..functions.distances import nearest_exemplar_index
+
+
+@dataclass
+class TreeNode:
+    """Driver-side tree IR (reference global_model_manager.py:55-57)."""
+
+    node_id: int
+    parent_id: int | None = None
+    is_leaf: bool = False
+    prediction: int | None = None
+    exemplar_labels: list[int] = field(default_factory=list)
+    exemplars: list[list[float]] = field(default_factory=list)
+    children: dict[int, int] = field(default_factory=dict)  # branch ix → child node_id
+
+
+class GlobalProximityTree:
+    def __init__(
+        self,
+        n_splitters: int = 5,
+        max_depth: int = 15,
+        min_samples_split: int = 4,
+        exemplar_pool_k: int = 3,
+        seed: int = 42,
+    ) -> None:
+        self.n_splitters = n_splitters
+        self.max_depth = max_depth
+        self.min_samples_split = min_samples_split
+        self.exemplar_pool_k = exemplar_pool_k
+        self.seed = seed
+        self.nodes: dict[int, TreeNode] = {}
+        self.majority_class: int | None = None
+
+    # ------------------------------------------------------------------ fit
+
+    def fit(self, df: DataFrame, label_col: str = "label", features_col: str = "features") -> "GlobalProximityTree":
+        rng = random.Random(self.seed)
+        assign = df.select(
+            F.col(label_col).cast("int").alias("label"),
+            F.col(features_col).cast("array<double>").alias("features"),
+            F.lit(0).alias("node_id"),
+        ).persist()
+        assign.count()
+
+        # global majority for the null-prediction fallback (reference :182-184)
+        top = assign.groupBy("label").count().orderBy(F.desc("count"), F.asc("label")).first()
+        self.majority_class = int(top["label"])
+        self.nodes = {0: TreeNode(0)}
+        next_id = 1
+        open_nodes = [0]
+        depth = 0
+
+        while open_nodes and depth < self.max_depth:
+            # job 1: per-(node,label) stats, reused for every leaf decision
+            stats_rows = (
+                assign.filter(F.col("node_id").isin(open_nodes))
+                .groupBy("node_id", "label")
+                .count()
+                .collect()
+            )
+            stats: dict[int, dict[int, int]] = {}
+            for r in stats_rows:
+                stats.setdefault(r["node_id"], {})[r["label"]] = r["count"]
+
+            # leaf checks on the driver (reference :248-253)
+            split_nodes = []
+            for nid in open_nodes:
+                node_stats = stats.get(nid, {})
+                total = sum(node_stats.values())
+                if total < self.min_samples_split or len(node_stats) <= 1:
+                    self._make_leaf(nid, node_stats)
+                else:
+                    split_nodes.append(nid)
+            if not split_nodes:
+                break
+
+            # job 2: bounded exemplar pool — k random rows per (node,label)
+            w = Window.partitionBy("node_id", "label").orderBy(F.rand(self.seed + depth))
+            pool_rows = (
+                assign.filter(F.col("node_id").isin(split_nodes))
+                .withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= self.exemplar_pool_k)
+                .select("node_id", "label", "features")
+                .collect()
+            )
+            pool: dict[int, dict[int, list[list[float]]]] = {}
+            for r in pool_rows:
+                pool.setdefault(r["node_id"], {}).setdefault(r["label"], []).append(
+                    list(r["features"])
+                )
+
+            # candidate splits: per node, n_splitters random exemplar sets
+            candidates: dict[int, list[tuple[list[int], list[list[float]]]]] = {}
+            for nid in split_nodes:
+                node_pool = pool.get(nid, {})
+                labels = sorted(node_pool)
+                if len(labels) < 2:
+                    self._make_leaf(nid, stats.get(nid, {}))
+                    continue
+                cands = []
+                for _ in range(self.n_splitters):
+                    exemplars = [rng.choice(node_pool[lbl]) for lbl in labels]
+                    cands.append((labels, exemplars))
+                candidates[nid] = cands
+            if not candidates:
+                break
+
+            # job 3: ONE batched gini job for all (node, candidate) pairs.
+            # branch_c = CASE node_id ... nearest_exemplar_index(features, exemplars_c)
+            branch_cols = []
+            for c in range(self.n_splitters):
+                expr = F.lit(-1)
+                for nid, cands in candidates.items():
+                    _, exemplars = cands[c]
+                    ex_lit = F.array(*[
+                        F.array(*[F.lit(float(v)) for v in ex]) for ex in exemplars
+                    ])
+                    expr = (
+                        F.when(
+                            F.col("node_id") == nid,
+                            nearest_exemplar_index(F.col("features"), ex_lit),
+                        )
+                        .otherwise(expr)
+                    )
+                branch_cols.append(expr.alias(f"branch_{c}"))
+
+            stacked = (
+                assign.filter(F.col("node_id").isin(list(candidates)))
+                .select("node_id", "label", *branch_cols)
+                .select(
+                    "node_id",
+                    "label",
+                    F.explode(
+                        F.array(*[
+                            F.struct(
+                                F.lit(c).alias("cand"), F.col(f"branch_{c}").alias("branch")
+                            )
+                            for c in range(self.n_splitters)
+                        ])
+                    ).alias("cb"),
+                )
+                .select("node_id", "label", F.col("cb.cand"), F.col("cb.branch"))
+                .groupBy("node_id", "cand", "branch", "label")
+                .count()
+                .collect()
+            )
+
+            # driver-side weighted Gini over the tiny count table
+            agg: dict[tuple[int, int], dict[int, dict[int, int]]] = {}
+            for r in stacked:
+                agg.setdefault((r["node_id"], r["cand"]), {}).setdefault(r["branch"], {})[
+                    r["label"]
+                ] = r["count"]
+            best: dict[int, tuple[float, int]] = {}
+            for (nid, cand), branches in agg.items():
+                total = sum(sum(b.values()) for b in branches.values())
+                if len(branches) < 2:
+                    gini = 1.0  # degenerate: routes everything one way
+                else:
+                    gini = 0.0
+                    for bcounts in branches.values():
+                        bt = sum(bcounts.values())
+                        p2 = sum((c / bt) ** 2 for c in bcounts.values())
+                        gini += (bt / total) * (1.0 - p2)
+                if nid not in best or gini < best[nid][0]:
+                    best[nid] = (gini, cand)
+
+            # materialize winners into the tree; build the routing expression
+            route = F.col("node_id")
+            routed_any = False
+            for nid, (gini, cand) in best.items():
+                labels, exemplars = candidates[nid][cand]
+                if gini >= 1.0:
+                    self._make_leaf(nid, stats.get(nid, {}))
+                    continue
+                node = self.nodes[nid]
+                node.exemplar_labels = labels
+                node.exemplars = exemplars
+                child_ids = []
+                for _ in labels:
+                    self.nodes[next_id] = TreeNode(next_id, parent_id=nid)
+                    child_ids.append(next_id)
+                    next_id += 1
+                node.children = dict(enumerate(child_ids))
+                ex_lit = F.array(*[
+                    F.array(*[F.lit(float(v)) for v in ex]) for ex in exemplars
+                ])
+                child_map = F.array(*[F.lit(cid) for cid in child_ids])
+                route = F.when(
+                    F.col("node_id") == nid,
+                    F.element_at(child_map, nearest_exemplar_index(F.col("features"), ex_lit) + 1),
+                ).otherwise(route)
+                routed_any = True
+
+            if not routed_any:
+                break
+
+            new_assign = assign.select(
+                "label", "features", route.cast("int").alias("node_id")
+            ).persist()
+            new_assign.count()
+            assign.unpersist()
+            assign = new_assign
+            open_nodes = [
+                nid for nid, n in self.nodes.items() if not n.is_leaf and not n.children
+            ]
+            depth += 1
+
+        # dangling-node sweep (reference :384-398): anything still open → leaf
+        if open_nodes:
+            stats_rows = (
+                assign.filter(F.col("node_id").isin(open_nodes))
+                .groupBy("node_id", "label")
+                .count()
+                .collect()
+            )
+            stats = {}
+            for r in stats_rows:
+                stats.setdefault(r["node_id"], {})[r["label"]] = r["count"]
+            for nid in open_nodes:
+                self._make_leaf(nid, stats.get(nid, {}))
+        assign.unpersist()
+        return self
+
+    def _make_leaf(self, nid: int, node_stats: dict[int, int]) -> None:
+        node = self.nodes[nid]
+        node.is_leaf = True
+        if node_stats:
+            # majority; ties to smallest label (deterministic)
+            node.prediction = max(sorted(node_stats), key=lambda k: node_stats[k])
+        else:
+            node.prediction = self.majority_class
+
+    # -------------------------------------------------------------- predict
+
+    def predict(self, df: DataFrame, features_col: str = "features") -> DataFrame:
+        """Broadcast-tree pandas UDF traversal (reference :405-483):
+        single distributed pass, no shuffle; null-safe fallback to the
+        majority class via coalesce (reference :475)."""
+        spark = df.sparkSession
+        state = self.to_state()
+        bc = spark.sparkContext.broadcast(state)
+        majority = self.majority_class
+
+        @F.pandas_udf(IntegerType())
+        def traverse(features: pd.Series) -> pd.Series:
+            nodes = bc.value["nodes"]
+            out = []
+            for ts in features:
+                x = np.asarray(ts, dtype=np.float64)
+                node = nodes["0"]
+                hops = 0
+                while not node["is_leaf"] and hops < 50:
+                    ex = np.asarray(node["exemplars"], dtype=np.float64)
+                    ix = int(np.argmin(((ex - x) ** 2).sum(axis=1)))
+                    node = nodes[str(node["children"][str(ix)])]
+                    hops += 1
+                out.append(node["prediction"] if node["is_leaf"] else None)
+            return pd.Series(out, dtype="Int32")
+
+        return df.withColumn(
+            "prediction",
+            F.coalesce(
+                traverse(F.col(features_col).cast("array<double>")), F.lit(majority)
+            ).cast("int"),
+        )
+
+    # ---------------------------------------------------------- persistence
+
+    def to_state(self) -> dict:
+        return {
+            "majority_class": self.majority_class,
+            "params": {
+                "n_splitters": self.n_splitters,
+                "max_depth": self.max_depth,
+                "min_samples_split": self.min_samples_split,
+                "exemplar_pool_k": self.exemplar_pool_k,
+                "seed": self.seed,
+            },
+            "nodes": {
+                str(nid): {
+                    "is_leaf": n.is_leaf,
+                    "prediction": n.prediction,
+                    "exemplar_labels": n.exemplar_labels,
+                    "exemplars": n.exemplars,
+                    "children": {str(k): v for k, v in n.children.items()},
+                }
+                for nid, n in self.nodes.items()
+            },
+        }
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_state(), f)
+
+    @classmethod
+    def load(cls, path: str) -> "GlobalProximityTree":
+        with open(path) as f:
+            state = json.load(f)
+        t = cls(**state["params"])
+        t.majority_class = state["majority_class"]
+        for nid, nd in state["nodes"].items():
+            t.nodes[int(nid)] = TreeNode(
+                node_id=int(nid),
+                is_leaf=nd["is_leaf"],
+                prediction=nd["prediction"],
+                exemplar_labels=nd["exemplar_labels"],
+                exemplars=nd["exemplars"],
+                children={int(k): v for k, v in nd["children"].items()},
+            )
+        return t
+
+    @property
+    def depth(self) -> int:
+        def node_depth(nid: int) -> int:
+            n = self.nodes[nid]
+            if not n.children:
+                return 1
+            return 1 + max(node_depth(c) for c in n.children.values())
+
+        return node_depth(0) if self.nodes else 0

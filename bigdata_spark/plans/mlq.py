@@ -1,0 +1,93 @@
+"""ML-layer queries (SURVEY §3.2/§3.3 training dataflows, §2.8 DTW).
+
+Genuinely non-SQL-expressible (iterative training, DP distance), so
+these are rows-only checks — but fully seeded/deterministic, and the
+evaluation metrics they emit are checked structurally (bounded [0,1]).
+The ``embeddings`` table doubles as the fixed-length-series table
+(64-d vectors, 10 classes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml.dtw import dtw_pairwise_udf
+from ..ml.evaluation import balanced_accuracy, classification_metrics
+from ..ml.global_tree import GlobalProximityTree
+from ..ml.local_forest import LocalProximityForest
+from ..operators.sampling import stratified_split
+from ..sources.catalog import load_table
+
+
+def _series_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("int").alias("label"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+
+
+def ml_local_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition forest: stratified 80/20 split, train 4 trees via
+    applyInPandas, broadcast-predict, report metrics (reference
+    pipeline §3.3 end-to-end, Spark-idiomatic)."""
+    df = _series_df(spark, sf_dir)
+    train, test = stratified_split(df, "label", 0.8, seed=42)
+    forest = LocalProximityForest(num_partitions=4, n_splitters=3, max_depth=10, seed=42).fit(train)
+    preds = forest.predict(test)
+    m = classification_metrics(preds)
+    ba = balanced_accuracy(preds)
+    return spark.createDataFrame(
+        [
+            (
+                len(forest.trees),
+                round(m["accuracy"], 6),
+                round(m["f1"], 6),
+                round(ba, 6),
+            )
+        ],
+        "n_trees long, accuracy double, f1 double, balanced_accuracy double",
+    )
+
+
+def ml_global_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-native global proximity tree (§3.2, batched-candidate
+    variant): train, predict, report depth + metrics."""
+    df = _series_df(spark, sf_dir)
+    train, test = stratified_split(df, "label", 0.8, seed=42)
+    tree = GlobalProximityTree(n_splitters=3, max_depth=6, min_samples_split=8, seed=42).fit(train)
+    preds = tree.predict(test)
+    m = classification_metrics(preds)
+    return spark.createDataFrame(
+        [(tree.depth, len(tree.nodes), round(m["accuracy"], 6))],
+        "depth long, n_nodes long, accuracy double",
+    )
+
+
+def ml_dtw_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW (banded) vs euclidean upper bound for a small pair slice —
+    U7/U8 surface through the Arrow-batched pandas UDF."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 6)
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.col("a.v").alias("va"),
+        F.col("b.v").alias("vb"),
+    )
+    from ..functions.distances import euclidean_distance
+
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(dtw_pairwise_udf(window=8)(F.col("va"), F.col("vb")), 6).alias("dtw"),
+        F.round(euclidean_distance("va", "vb"), 6).alias("euclid_ub"),
+    )
+
+
+QUERIES = {
+    "ml_local_forest": (ml_local_forest, None),
+    "ml_global_tree": (ml_global_tree, None),
+    "ml_dtw_distances": (ml_dtw_distances, None),
+}

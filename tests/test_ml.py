@@ -1,0 +1,97 @@
+"""ML-layer tests: proximity tree/forest on separable clusters
+(FIXTURES.md §4; reference code/src/test.py:58-122), DTW kernels,
+evaluation metrics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_spark.ml.dtw import dtw_distance, dtw_pairwise_udf, dtw_upper_bound
+from bigdata_spark.ml.evaluation import balanced_accuracy, classification_metrics, confusion_matrix
+from bigdata_spark.ml.global_tree import GlobalProximityTree
+from bigdata_spark.ml.local_forest import LocalProximityForest
+from bigdata_spark.ml.proximity import ProximityTree
+
+
+def _clusters2d(spark, train=True, seed=0):
+    # FIXTURES §4: 15 train rows per class around (0,0), (5,5), (10,10) ± 0.6
+    rng = np.random.default_rng(seed)
+    rows = []
+    centers = {1: (0.0, 0.0), 2: (5.0, 5.0), 3: (10.0, 10.0)}
+    if train:
+        for label, (cx, cy) in centers.items():
+            for _ in range(15):
+                rows.append((label, [cx + rng.uniform(-0.6, 0.6), cy + rng.uniform(-0.6, 0.6)]))
+    else:
+        for label, (cx, cy) in centers.items():
+            for _ in range(4):
+                rows.append((label, [cx + rng.uniform(-0.6, 0.6), cy + rng.uniform(-0.6, 0.6)]))
+    return spark.createDataFrame(rows, "label int, features array<double>")
+
+
+def test_numpy_proximity_tree():
+    rng = np.random.default_rng(1)
+    X = np.vstack([rng.normal(c, 0.3, (20, 2)) for c in (0.0, 5.0, 10.0)])
+    y = np.repeat([1, 2, 3], 20)
+    tree = ProximityTree(n_splitters=3, seed=7).fit(X, y)
+    assert (tree.predict(X) == y).mean() == 1.0
+    # round-trip through portable state
+    clone = ProximityTree.from_state(tree.to_state())
+    assert (clone.predict(X) == y).mean() == 1.0
+
+
+def test_local_forest_end_to_end(spark, tmp_path):
+    train, test = _clusters2d(spark, True), _clusters2d(spark, False, seed=9)
+    forest = LocalProximityForest(num_partitions=3, n_splitters=3, seed=5).fit(train)
+    assert len(forest.trees) == 3
+    preds = forest.predict(test)
+    acc = preds.filter(F.col("label") == F.col("prediction")).count() / preds.count()
+    assert acc == 1.0  # well-separated clusters
+    # JSON persistence round-trip (S5/S6)
+    p = str(tmp_path / "forest.json")
+    forest.save(p)
+    reloaded = LocalProximityForest.load(p)
+    preds2 = reloaded.predict(test)
+    assert preds2.filter(F.col("label") == F.col("prediction")).count() == preds.count()
+
+
+def test_global_tree_end_to_end(spark, tmp_path):
+    train, test = _clusters2d(spark, True), _clusters2d(spark, False, seed=11)
+    tree = GlobalProximityTree(n_splitters=3, max_depth=6, seed=3).fit(train)
+    assert tree.depth >= 2
+    preds = tree.predict(test)
+    acc = preds.filter(F.col("label") == F.col("prediction")).count() / preds.count()
+    assert acc == 1.0
+    p = str(tmp_path / "tree.json")
+    tree.save(p)
+    reloaded = GlobalProximityTree.load(p)
+    preds2 = reloaded.predict(test)
+    assert preds2.filter(F.col("label") == F.col("prediction")).count() == preds.count()
+
+
+def test_dtw_kernels(spark):
+    a = [0.0, 1.0, 2.0, 3.0]
+    b = [0.0, 1.0, 2.0, 3.0]
+    assert dtw_distance(a, b) == 0.0
+    shifted = [1.0, 2.0, 3.0, 3.0]
+    # DTW warps the shift away; euclidean bound cannot
+    assert dtw_distance(a, shifted) <= dtw_upper_bound(a, shifted)
+    # banded variant still exact for identical series
+    assert dtw_distance(a, b, window=1) == 0.0
+    df = spark.createDataFrame([(a, shifted)], "a array<double>, b array<double>")
+    got = df.select(dtw_pairwise_udf()(F.col("a"), F.col("b")).alias("d")).first()["d"]
+    assert got == pytest.approx(dtw_distance(a, shifted))
+
+
+def test_evaluation_metrics(spark):
+    # FIXTURES §7: known confusion layout incl. a zero-TP class
+    rows = [(1, 1)] * 4 + [(1, 2)] + [(2, 2)] * 3 + [(3, 1)] * 2  # class 3: 0 TP
+    preds = spark.createDataFrame(rows, "label int, prediction int")
+    m = classification_metrics(preds)
+    assert m["accuracy"] == pytest.approx(7 / 10)
+    ba = balanced_accuracy(preds)
+    assert ba == pytest.approx((4 / 5 + 3 / 3 + 0.0) / 3)
+    cm = {(r["label"], r["prediction"]): r["n"] for r in confusion_matrix(preds).collect()}
+    assert cm[(1, 1)] == 4 and cm[(3, 1)] == 2 and (3, 3) not in cm
