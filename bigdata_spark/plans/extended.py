@@ -1,0 +1,306 @@
+"""Extended relational surface beyond the reference (SURVEY §2.5/§2.7
+"not present" lists — free in Spark, covered here so a reference user
+gains them when switching): set ops, rollup/cube grouping sets,
+distinct aggregates, approx sketches, pivots, semi joins, exists
+subqueries, range join, as-of join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+
+def _dec2(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+# --- union / intersect ----------------------------------------------------
+
+def set_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + INTERSECT over key projections, with counts."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    u = c.unionAll(s).agg(F.count("*").alias("n")).select(F.lit("union_all").alias("op"), "n")
+    i = (
+        c.distinct()
+        .intersect(s.distinct())
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect").alias("op"), "n")
+    )
+    return u.unionAll(i)
+
+
+SET_UNION_SQL = """
+SELECT 'union_all' AS op, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'intersect' AS op, COUNT(*) AS n FROM (
+  SELECT DISTINCT c_nationkey AS k FROM customer
+  INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+"""
+
+
+# --- rollup (grouping sets) -----------------------------------------------
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(returnflag, linestatus) with exact decimal sums; NULL
+    grouping-set markers normalized to 'ALL' for engine-neutral rows."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(_dec2("l_extendedprice")).cast("double").alias("revenue"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+# --- cube -----------------------------------------------------------------
+
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+# --- distinct aggregate ----------------------------------------------------
+
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n"),
+    )
+
+
+DISTINCT_AGG_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+# --- approximate sketches (HLL / quantiles) — bounds-checked ---------------
+
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) and approx median vs exact values:
+    sketches are engine-specific, so the query emits within-tolerance
+    booleans the oracle pins TRUE (same pattern as sampling checks)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    row = l.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+    ).first()
+    hll_ok = abs(row["approx_orders"] - row["exact_orders"]) <= 0.1 * row["exact_orders"]
+    med_ok = abs(row["approx_median"] - row["exact_median"]) <= 0.05 * row["exact_median"]
+    return spark.createDataFrame(
+        [(bool(hll_ok), bool(med_ok))], "hll_within_10pct boolean, median_within_5pct boolean"
+    )
+
+
+APPROX_SQL = "SELECT TRUE AS hll_within_10pct, TRUE AS median_within_5pct"
+
+
+# --- pivot -----------------------------------------------------------------
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+  COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS n_f,
+  COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS n_o,
+  COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS n_p
+FROM orders GROUP BY 1
+"""
+
+
+# --- left-semi join --------------------------------------------------------
+
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having at least one urgent order — left-semi (the dual
+    of the reference's left-anti J1)."""
+    c = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+SEMI_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+# --- scalar subquery / correlated exists -----------------------------------
+
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average total price (scalar subquery →
+    computed once, broadcast as a literal-like join)."""
+    o = load_table(spark, sf_dir, "orders")
+    avg_price = o.agg(F.avg(_dec2("o_totalprice")).cast("double").alias("a"))
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("a"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ABOVE_AVG_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n FROM orders
+WHERE o_totalprice > (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders)
+GROUP BY 1
+"""
+
+
+# --- range join (interval containment) -------------------------------------
+
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join of orders into literal price bands — the range-join
+    shape (broadcast the tiny band table so the fact side never
+    shuffles; at 100 TB this is the only sane plan for interval joins)."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("band_0_100k", 0.0, 100000.0), ("band_100k_300k", 100000.0, 300000.0),
+         ("band_300k_up", 300000.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), F.sum(_dec2("o_totalprice")).cast("double").alias("total"))
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH bands(band, lo, hi) AS (VALUES
+  ('band_0_100k', 0.0, 100000.0), ('band_100k_300k', 100000.0, 300000.0),
+  ('band_300k_up', 300000.0, 1e12))
+SELECT band, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY 1
+"""
+
+
+# --- as-of join (nearest-preceding event) ----------------------------------
+
+def asof_join_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each user's first 3 events, the latest preceding
+    event of type 'signup' for that user — expressed as a windowed
+    last_value over a union (the scalable as-of pattern: one shuffle on
+    the key, no per-row subquery). Returns per-user match counts."""
+    e = load_table(spark, sf_dir, "events")
+    probes = e.filter(F.col("event_type") != "signup").select("user_id", "ts", "event_id")
+    anchors = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("anchor_ts")
+    )
+    tagged = probes.select(
+        "user_id", "ts", F.lit(None).cast("timestamp").alias("anchor_ts"), "event_id"
+    ).unionByName(
+        anchors.select(
+            "user_id", F.col("anchor_ts").alias("ts"), F.col("anchor_ts"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    # tie-break: anchors sort before probes at an identical timestamp so
+    # a same-instant signup is visible to the probe (both engines agree)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("event_id").isNotNull().cast("int"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    asof = (
+        tagged.withColumn("last_anchor", F.last("anchor_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_id").isNotNull())
+    )
+    return asof.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count("last_anchor").alias("n_with_prior_signup"),
+    )
+
+
+ASOF_SQL = """
+WITH tagged AS (
+  SELECT user_id, ts, CAST(NULL AS TIMESTAMP) AS anchor_ts, event_id
+  FROM events WHERE event_type != 'signup'
+  UNION ALL
+  SELECT user_id, ts, ts AS anchor_ts, CAST(NULL AS BIGINT) AS event_id
+  FROM events WHERE event_type = 'signup'
+), asof_m AS (
+  SELECT user_id, event_id,
+         LAST_VALUE(anchor_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, CAST(event_id IS NOT NULL AS INT), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_anchor
+  FROM tagged
+)
+SELECT user_id, COUNT(*) AS n_events, COUNT(last_anchor) AS n_with_prior_signup
+FROM asof_m WHERE event_id IS NOT NULL
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "set_union_intersect": (set_union_intersect, SET_UNION_SQL),
+    "rollup_revenue": (rollup_revenue, ROLLUP_SQL),
+    "cube_counts": (cube_counts, CUBE_SQL),
+    "distinct_agg": (distinct_agg, DISTINCT_AGG_SQL),
+    "approx_sketches": (approx_sketches, APPROX_SQL),
+    "pivot_status_by_priority": (pivot_status_by_priority, PIVOT_SQL),
+    "semi_join": (semi_join, SEMI_SQL),
+    "above_avg_orders": (above_avg_orders, ABOVE_AVG_SQL),
+    "range_join_price_bands": (range_join_price_bands, RANGE_JOIN_SQL),
+    "asof_join_orders_events": (asof_join_orders_events, ASOF_SQL),
+}
