@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "dedup_minhash_pairs",
     "dedup_simhash_values",
     "sim_topk_bruteforce",
+    # ML pipeline (per-partition forest train+predict+evaluate)
+    "ml_local_forest",
 ]
 
 
@@ -54,23 +56,31 @@ def main() -> None:
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Two passes per query: the first pays one-time plan/codegen/JIT
+    # cost (irrelevant at scale — it amortizes over TB of input); the
+    # second measures steady-state execution. Both are reported.
+    cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn, _sql = registry[name]
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "bench_total_wall",
+                "metric": "bench_total_wall_warm",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "cold_queries": cold,
+                "cold_total": round(sum(cold.values()), 3),
             }
         )
     )

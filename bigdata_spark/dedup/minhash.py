@@ -30,8 +30,15 @@ def minhash_signature(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, shingles, sig: array<long>[num_perm]) — one projection."""
+    from ..operators.parallelism import ensure_parallelism
+
     sh = shingles(F.col(text_col), n=shingle_n)
-    out = df.select(F.col(id_col), sh.alias("shingles"))
+    # Repartition BETWEEN the shingle projection and the signature
+    # projection: the exchange stops Catalyst's projection collapse from
+    # inlining the (large) shingle expression into every per-seed
+    # transform — without it, codegen compiles num_perm copies of the
+    # shingling code and cold-start dominates the query.
+    out = ensure_parallelism(df.select(F.col(id_col), sh.alias("shingles")), force=True)
 
     def hash_with_seed(seed: int):
         # single-arg lambda: a two-arg lambda would make F.transform pass
@@ -59,11 +66,16 @@ def minhash_dup_pairs(
     """Near-dup pairs (id_a < id_b) whose exact shingle Jaccard ≥ threshold,
     discovered via LSH banding (rows = num_perm // bands per band)."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signature(df, text_col, id_col, num_perm, shingle_n)
+    # One pass computes shingles + signatures; persisted because the
+    # plan references it three times (two band-join sides + the verify
+    # lookup) — without the cache Spark would re-shingle the corpus
+    # three times.
+    sigs = minhash_signature(df, text_col, id_col, num_perm, shingle_n).persist()
 
+    # Band rows carry ONLY (id, band_id, band_hash) — at corpus scale
+    # the candidate-generation shuffle must never move shingle arrays.
     banded = sigs.select(
         F.col(id_col),
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -83,7 +95,7 @@ def minhash_dup_pairs(
                 ]
             )
         ).alias("band"),
-    ).select(F.col(id_col), "shingles", F.col("band.band_id"), F.col("band.band_hash"))
+    ).select(F.col(id_col), F.col("band.band_id"), F.col("band.band_hash"))
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -96,20 +108,22 @@ def minhash_dup_pairs(
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    # Verify: fetch shingle sets only for candidate pairs (two hash
+    # joins on the compact id key), then exact Jaccard.
+    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    pairs = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     return (
-        cand.withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )

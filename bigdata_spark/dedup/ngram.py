@@ -46,7 +46,9 @@ def ngram_jaccard_pairs(
         F.col("b.sh").alias("sh_b"),
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    # |A ∪ B| = |A| + |B| − |A ∩ B| (shingle arrays are sets) — avoids
+    # materializing the union array per pair
+    union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     return (
         pairs.withColumn("jaccard", jac)

@@ -103,7 +103,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed 60-bit simhash per document — exact cross-engine value."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..operators.parallelism import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
 
 

@@ -39,7 +39,9 @@ FROM documents
 
 
 def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from ..operators.parallelism import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     q = quality_features("text")
     return d.select(
         "doc_id",

@@ -1,0 +1,86 @@
+"""Physical-plan audit: assert the scale-critical plan properties that
+.explain() exposes — filter pushdown into the parquet scan, column
+pruning (ReadSchema), broadcast joins for dim tables, and whole-stage
+codegen coverage.
+
+Usage: python tools/explain_audit.py [sf_dir]
+Exit 1 if any assertion fails. This is the "is this the plan you'd
+want at 100 TB" gate, complementing the value-correctness gate.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# query → list of (description, regex that must appear in the formatted plan)
+AUDITS: dict[str, list[tuple[str, str]]] = {
+    "s1_scan_project": [
+        ("filter pushed to parquet", r"PushedFilters: \[.*GreaterThanOrEqual\(l_discount"),
+        ("schema pruned to 4 cols", r"ReadSchema: [^\n]*l_orderkey[^\n]*l_discount"),
+        ("no extra columns read", r"ReadSchema: (?![^\n]*l_extendedprice)"),
+    ],
+    "tpch_q1": [
+        ("shipdate filter pushed", r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate"),
+        ("map-side partial aggregation before the shuffle", r"partial_sum"),
+        ("exact decimal sums in the aggregate", r"partial_sum\(cast\(l_quantity#\d+ as decimal"),
+        ("shipdate pruned after filter (not carried through agg)", r"\(3\) Project[^(]*Output \[6\]"),
+    ],
+    "tpch_q3": [
+        ("mktsegment filter pushed", r"PushedFilters: \[.*EqualTo\(c_mktsegment,BUILDING\)"),
+        ("broadcast join chosen", r"BroadcastHashJoin|BroadcastExchange"),
+        ("lineitem date filter pushed", r"PushedFilters: \[.*GreaterThan\(l_shipdate"),
+    ],
+    "tpch_q5": [
+        ("broadcast join for dims", r"BroadcastHashJoin"),
+        ("region filter pushed", r"PushedFilters: \[.*EqualTo\(r_name,EUROPE\)"),
+    ],
+    "tpch_q6": [
+        ("all filters pushed", r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate"),
+        ("quantity filter pushed", r"LessThan\(l_quantity,24"),
+    ],
+    "j1_anti_join": [
+        ("anti join strategy", r"LeftAnti"),
+    ],
+    "f2_minmax_normalize": [
+        ("normalization constant-folded into projection", r"\(\(l_quantity#\d+ - [\d.]+\) / [\d.]+\)"),
+        ("single codegen stage (scan→project fused)", r"codegen id : 1"),
+        ("only needed columns read", r"ReadSchema: (?![^\n]*l_returnflag)"),
+    ],
+    "range_join_price_bands": [
+        ("bands broadcast (fact side never shuffles for the join)", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+    ],
+    "sim_topk_bruteforce": [
+        ("query side broadcast", r"BroadcastExchange|BroadcastNestedLoopJoin"),
+        ("vec_id filter pushed", r"PushedFilters: \[.*LessThan\(vec_id,5\)"),
+    ],
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from bigdata_spark.plans import all_queries
+    from bigdata_spark.session import get_spark
+
+    spark = get_spark("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+    failures = 0
+    for name, checks in AUDITS.items():
+        fn, _ = registry[name]
+        df = fn(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        for desc, pattern in checks:
+            if re.search(pattern, plan):
+                print(f"ok   {name}: {desc}")
+            else:
+                failures += 1
+                print(f"FAIL {name}: {desc}  (pattern {pattern!r} not found)")
+    print(f"\n{failures} plan-audit failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
