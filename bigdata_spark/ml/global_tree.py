@@ -142,41 +142,31 @@ class GlobalProximityTree:
                 break
 
             # job 3: ONE batched gini job for all (node, candidate) pairs.
-            # branch_c = CASE node_id ... nearest_exemplar_index(features, exemplars_c)
-            branch_cols = []
-            for c in range(self.n_splitters):
-                expr = F.lit(-1)
-                for nid, cands in candidates.items():
-                    _, exemplars = cands[c]
-                    ex_lit = F.array(*[
-                        F.array(*[F.lit(float(v)) for v in ex]) for ex in exemplars
-                    ])
-                    expr = (
-                        F.when(
-                            F.col("node_id") == nid,
-                            nearest_exemplar_index(F.col("features"), ex_lit),
-                        )
-                        .otherwise(expr)
-                    )
-                branch_cols.append(expr.alias(f"branch_{c}"))
-
+            # Candidate exemplars travel as a broadcast-joined table, NOT
+            # as per-exemplar literal expressions: a literal plan grows
+            # O(nodes·k·dims) and Catalyst analysis/codegen time dominates
+            # the level (measured 400+ s at sf0.01); the joined plan is
+            # constant-size regardless of how many nodes are open.
+            spark = assign.sparkSession
+            cand_rows = [
+                (nid, c, cands[c][1])
+                for nid, cands in candidates.items()
+                for c in range(self.n_splitters)
+            ]
+            cand_df = spark.createDataFrame(
+                cand_rows, "node_id int, cand int, exemplars array<array<double>>"
+            )
             stacked = (
                 assign.filter(F.col("node_id").isin(list(candidates)))
-                .select("node_id", "label", *branch_cols)
-                .select(
+                .join(F.broadcast(cand_df), "node_id")
+                .groupBy(
                     "node_id",
+                    "cand",
+                    nearest_exemplar_index(F.col("features"), F.col("exemplars")).alias(
+                        "branch"
+                    ),
                     "label",
-                    F.explode(
-                        F.array(*[
-                            F.struct(
-                                F.lit(c).alias("cand"), F.col(f"branch_{c}").alias("branch")
-                            )
-                            for c in range(self.n_splitters)
-                        ])
-                    ).alias("cb"),
                 )
-                .select("node_id", "label", F.col("cb.cand"), F.col("cb.branch"))
-                .groupBy("node_id", "cand", "branch", "label")
                 .count()
                 .collect()
             )
@@ -201,9 +191,9 @@ class GlobalProximityTree:
                 if nid not in best or gini < best[nid][0]:
                     best[nid] = (gini, cand)
 
-            # materialize winners into the tree; build the routing expression
-            route = F.col("node_id")
-            routed_any = False
+            # materialize winners into the tree; routing goes through the
+            # same broadcast-join pattern (constant-size plan per level)
+            route_rows: list[tuple[int, list[list[float]], list[int]]] = []
             for nid, (gini, cand) in best.items():
                 labels, exemplars = candidates[nid][cand]
                 if gini >= 1.0:
@@ -218,22 +208,34 @@ class GlobalProximityTree:
                     child_ids.append(next_id)
                     next_id += 1
                 node.children = dict(enumerate(child_ids))
-                ex_lit = F.array(*[
-                    F.array(*[F.lit(float(v)) for v in ex]) for ex in exemplars
-                ])
-                child_map = F.array(*[F.lit(cid) for cid in child_ids])
-                route = F.when(
-                    F.col("node_id") == nid,
-                    F.element_at(child_map, nearest_exemplar_index(F.col("features"), ex_lit) + 1),
-                ).otherwise(route)
-                routed_any = True
+                route_rows.append((nid, exemplars, child_ids))
 
-            if not routed_any:
+            if not route_rows:
                 break
 
-            new_assign = assign.select(
-                "label", "features", route.cast("int").alias("node_id")
-            ).persist()
+            route_df = spark.createDataFrame(
+                route_rows,
+                "node_id int, exemplars array<array<double>>, child_map array<int>",
+            )
+            new_assign = (
+                assign.join(F.broadcast(route_df), "node_id", "left")
+                .select(
+                    "label",
+                    "features",
+                    F.when(
+                        F.col("exemplars").isNotNull(),
+                        F.element_at(
+                            F.col("child_map"),
+                            nearest_exemplar_index(F.col("features"), F.col("exemplars"))
+                            + 1,
+                        ),
+                    )
+                    .otherwise(F.col("node_id"))
+                    .cast("int")
+                    .alias("node_id"),
+                )
+                .persist()
+            )
             new_assign.count()
             assign.unpersist()
             assign = new_assign

@@ -24,10 +24,32 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
-    from . import dedupq, events, extended, mlq, multimodalq, relational, samplingq, simq, textq
+    from . import (
+        coverage,
+        dedupq,
+        events,
+        extended,
+        mlq,
+        multimodalq,
+        relational,
+        samplingq,
+        simq,
+        textq,
+    )
 
     out: dict[str, tuple[QueryFn, str | None]] = {}
-    for mod in (relational, extended, events, textq, dedupq, simq, samplingq, mlq, multimodalq):
+    for mod in (
+        relational,
+        coverage,
+        extended,
+        events,
+        textq,
+        dedupq,
+        simq,
+        samplingq,
+        mlq,
+        multimodalq,
+    ):
         overlap = set(out) & set(mod.QUERIES)
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

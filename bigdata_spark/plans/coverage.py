@@ -1,0 +1,491 @@
+"""Coverage queries closing the SURVEY §2 inventory gaps that had no
+named ``queries()`` entry yet: F1/F5 null handling, F6/F8 array pack +
+casts, F7 synthetic-id invariants, A6 global scalar agg, A8
+collect_list, A13 per-class precision/recall/F1, O2/O3 repartition
+invariants, S2/S3 TSV + in-memory source round-trip, and three more
+TPC-H-shaped star-schema queries (Q10/Q14/Q18) for join/agg breadth.
+
+Scale notes: every query here is either a single-shuffle aggregate, a
+broadcast-dim join, or a structural-invariant probe whose data volume
+is bounded by construction (booleans / per-group counts), so each
+survives a 1000× scale-up without plan change.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+
+def _dec2(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+# --- TPC-H Q10: returned-item reporting (reference join shapes J2/J3 at
+# star-schema scale; SURVEY §2.4) --------------------------------------------
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem(returnflag='R') ⋈ nation, top 20 by
+    revenue. nation is broadcast (25 rows at any sf); the fact-side
+    joins shuffle on their keys and AQE broadcasts the filtered
+    customer side when it fits."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+TPCH_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- TPC-H Q14: promo revenue ratio (broadcast dim join + conditional
+# aggregate F4 over a fact scan) ---------------------------------------------
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ part with part broadcast; conditional revenue ratio.
+    The testdata's p_type domain has no 'PROMO%', so 'ECONOMY' plays
+    the promo class — same shape, same plan."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-09-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-10-01")))
+    )
+    p = load_table(spark, sf_dir, "part")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "ECONOMY", revenue).otherwise(F.lit(0).cast("decimal(18,6)"))).cast("double")
+            / F.sum(revenue).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+TPCH_Q14_SQL = """
+SELECT 100.0
+  * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+            THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+            ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+  AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+# --- TPC-H Q18: large-volume orders (agg → self-semi-join on agg result) ----
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds a threshold: grouped-HAVING
+    subquery joined back to orders/customer. One shuffle for the
+    quantity agg (map-side partials), then key-joins; the HAVING
+    filter shrinks the build side so AQE broadcasts it."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec2("l_quantity")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 180)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+TPCH_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_dec
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# --- F1 + F5: null creation → dropna / fillna / coalesce repair -------------
+
+def f1_null_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's null handling (dropna how='all' —
+    preprocessing.py:24-26; fillna/coalesce — evaluation.py:130,
+    global_model_manager.py:475). Testdata has no nulls, so nulls are
+    minted deterministically with nullif, then repaired both ways."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") < 50, None).otherwise(F.col("value")).alias("v_hi"),
+        F.when(F.col("event_type") == "click", None)
+        .otherwise(F.col("event_type"))
+        .alias("et_nonclick"),
+    )
+    # drop rows where BOTH minted columns are null (how='all' over the subset)
+    kept = e.dropna(how="all", subset=["v_hi", "et_nonclick"])
+    return kept.select(
+        "event_id",
+        F.coalesce("v_hi", F.lit(-1.0)).alias("v_filled"),
+        F.coalesce("et_nonclick", F.lit("none")).alias("et_filled"),
+    )
+
+
+F1_NULL_SQL = """
+WITH minted AS (
+  SELECT event_id,
+         CASE WHEN value < 50 THEN NULL ELSE value END AS v_hi,
+         CASE WHEN event_type = 'click' THEN NULL ELSE event_type END AS et_nonclick
+  FROM events
+)
+SELECT event_id,
+       COALESCE(v_hi, -1.0) AS v_filled,
+       COALESCE(et_nonclick, 'none') AS et_filled
+FROM minted
+WHERE v_hi IS NOT NULL OR et_nonclick IS NOT NULL
+"""
+
+
+# --- F6 + F8: array pack, rename, drop, cast tour ---------------------------
+
+def f6_array_pack_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-pack numeric columns (reference
+    global_model_manager.py:156), rename, drop, and the cast
+    coercions of SURVEY §1.2 — double→decimal→double, long→int→string,
+    timestamp→date string."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    packed = l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array(
+            F.col("l_quantity").cast("double"),
+            F.col("l_extendedprice").cast("double"),
+            F.col("l_discount").cast("double"),
+        ).alias("features"),
+        F.col("l_quantity").cast("decimal(18,2)").cast("double").alias("qty_roundtrip"),
+        F.col("l_orderkey").cast("int").cast("string").alias("key_str"),
+        F.date_format(F.col("l_shipdate"), "yyyy-MM-dd").alias("ship_day"),
+    ).withColumnRenamed("l_linenumber", "line_no")
+    return packed.drop("l_shipdate")
+
+
+F6_ARRAY_SQL = """
+SELECT l_orderkey,
+       l_linenumber AS line_no,
+       [CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE), CAST(l_discount AS DOUBLE)] AS features,
+       CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty_roundtrip,
+       CAST(CAST(l_orderkey AS INTEGER) AS VARCHAR) AS key_str,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+FROM lineitem WHERE l_orderkey <= 1000
+"""
+
+
+# --- F7: synthetic ids — structural invariants ------------------------------
+
+def f7_id_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """monotonically_increasing_id (reference
+    global_model_manager.py:132-136): values are engine-specific, so
+    the oracle pins the *invariants* — one distinct id per row, ids
+    non-negative, LongType."""
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "row_id", F.monotonically_increasing_id()
+    )
+    row = c.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("row_id").alias("n_ids"),
+        F.min("row_id").alias("min_id"),
+    ).first()
+    return spark.createDataFrame(
+        [(bool(row["n"] == row["n_ids"]), bool(row["min_id"] >= 0))],
+        "ids_unique boolean, ids_nonnegative boolean",
+    )
+
+
+F7_ID_SQL = "SELECT TRUE AS ids_unique, TRUE AS ids_nonnegative"
+
+
+# --- A6: global scalar aggregate --------------------------------------------
+
+def a6_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table scalar accuracy-style avg (reference test.py:119-122)
+    — exact DECIMAL sum / count so the double is engine-identical."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        (F.sum(_dec2("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+A6_SQL = """
+SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+"""
+
+
+# --- A8: grouped collect_list (deterministic via sort_array) ----------------
+
+def a8_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exemplar-pooling shape (reference main.ipynb cell 7:
+    collect_list of time_series per group). collect_list order is
+    partition-dependent, so the result is sort_array'd — deterministic
+    and oracle-comparable. Bounded per group by construction (≤7
+    linenumbers per order)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return l.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.sort_array(F.collect_list(_dec2("l_quantity").cast("double"))).alias("quantities"),
+    )
+
+
+A8_SQL = """
+SELECT l_orderkey,
+       list_sort(list(l_linenumber)) AS line_numbers,
+       list_sort(list(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE))) AS quantities
+FROM lineitem WHERE l_orderkey <= 500
+GROUP BY l_orderkey
+"""
+
+
+# --- A13: per-class precision / recall / F1 ---------------------------------
+
+_PRED13 = (
+    "CASE WHEN o_totalprice < 100000 THEN 'F' "
+    "WHEN o_totalprice < 300000 THEN 'O' ELSE 'P' END"
+)
+
+
+def a13_per_class_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 (reference evaluation.py:556-620,
+    MulticlassMetrics) as pure DataFrame aggs over the deterministic
+    synthetic classifier: one grouped count per (label, prediction),
+    then class-level ratios — single shuffle, exact int arithmetic."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("label"), F.expr(_PRED13).alias("prediction")
+    )
+    cm = o.groupBy("label", "prediction").agg(F.count("*").alias("n"))
+    actual = cm.groupBy("label").agg(F.sum("n").alias("actual_total"))
+    pred = cm.groupBy("prediction").agg(F.sum("n").alias("pred_total"))
+    tp = cm.filter(F.col("label") == F.col("prediction")).select(
+        "label", F.col("n").alias("tp")
+    )
+    base = (
+        actual.join(pred, actual.label == pred.prediction, "full_outer")
+        .select(
+            F.coalesce("label", "prediction").alias("cls"),
+            F.coalesce("actual_total", F.lit(0)).alias("actual_total"),
+            F.coalesce("pred_total", F.lit(0)).alias("pred_total"),
+        )
+        .join(tp.withColumnRenamed("label", "cls"), "cls", "left_outer")
+        .fillna(0, subset=["tp"])
+    )
+    precision = F.when(
+        F.col("pred_total") > 0, F.col("tp").cast("double") / F.col("pred_total")
+    ).otherwise(F.lit(0.0))
+    recall = F.when(
+        F.col("actual_total") > 0, F.col("tp").cast("double") / F.col("actual_total")
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "cls",
+        F.round(precision, 9).alias("precision"),
+        F.round(recall, 9).alias("recall"),
+        F.round(
+            F.when(
+                precision + recall > 0, 2 * precision * recall / (precision + recall)
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("f1"),
+    )
+
+
+A13_SQL = f"""
+WITH preds AS (SELECT o_orderstatus AS label, {_PRED13} AS prediction FROM orders),
+cm AS (SELECT label, prediction, COUNT(*) AS n FROM preds GROUP BY 1, 2),
+actual AS (SELECT label, SUM(n) AS actual_total FROM cm GROUP BY 1),
+pred AS (SELECT prediction, SUM(n) AS pred_total FROM cm GROUP BY 1),
+tp AS (SELECT label AS cls, n AS tp FROM cm WHERE label = prediction),
+base AS (
+  SELECT COALESCE(actual.label, pred.prediction) AS cls,
+         COALESCE(actual_total, 0) AS actual_total,
+         COALESCE(pred_total, 0) AS pred_total,
+         COALESCE(tp, 0) AS tp
+  FROM actual FULL OUTER JOIN pred ON actual.label = pred.prediction
+  LEFT JOIN tp ON COALESCE(actual.label, pred.prediction) = tp.cls
+),
+ratios AS (
+  SELECT cls,
+    CASE WHEN pred_total > 0 THEN CAST(tp AS DOUBLE) / pred_total ELSE 0.0 END AS p,
+    CASE WHEN actual_total > 0 THEN CAST(tp AS DOUBLE) / actual_total ELSE 0.0 END AS r
+  FROM base
+)
+SELECT cls, ROUND(p, 9) AS precision, ROUND(r, 9) AS recall,
+       ROUND(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END, 9) AS f1
+FROM ratios
+"""
+
+
+# --- W5: analytic window suite ----------------------------------------------
+
+def w5_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / percent_rank / cume_dist over parts
+    by brand — the analytic-frame surface the reference lacks (SURVEY
+    §2.6 'frames come free'). Deterministic ordering via unique
+    p_partkey tie-break."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+W5_SQL = """
+SELECT p_partkey, p_brand,
+  RANK() OVER w AS rnk,
+  DENSE_RANK() OVER w AS drnk,
+  NTILE(4) OVER w AS quartile,
+  ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+  ROUND(CUME_DIST() OVER w, 9) AS cume
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+"""
+
+
+# --- O2/O3: repartition invariants ------------------------------------------
+
+def o2_repartition_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin repartition(n) (reference preprocessing.py:50-55)
+    and hash repartition(n, col) (preprocessing.py:57-86). Physical
+    placement is engine-specific, so the oracle pins the invariants:
+    exact partition count, no row loss, and — for the hash path —
+    every key confined to one partition."""
+    n_parts = 8
+    c = load_table(spark, sf_dir, "customer")
+    total = c.count()
+
+    rr = c.repartition(n_parts)
+    rr_stats = rr.groupBy(F.spark_partition_id().alias("pid")).count()
+    rr_row = rr_stats.agg(
+        F.countDistinct("pid").alias("n_parts"), F.sum("count").alias("n_rows")
+    ).first()
+
+    hashed = c.repartition(n_parts, F.col("c_nationkey")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    spread = (
+        hashed.groupBy("c_nationkey")
+        .agg(F.countDistinct("pid").alias("spread"))
+        .agg(F.max("spread").alias("max_spread"))
+        .first()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                bool(rr_row["n_parts"] == n_parts),
+                bool(rr_row["n_rows"] == total),
+                bool(spread["max_spread"] == 1),
+            )
+        ],
+        "roundrobin_exact_parts boolean, no_row_loss boolean, hash_key_colocated boolean",
+    )
+
+
+O2_SQL = (
+    "SELECT TRUE AS roundrobin_exact_parts, TRUE AS no_row_loss, "
+    "TRUE AS hash_key_colocated"
+)
+
+
+# --- S2/S3: in-memory source → TSV sink → TSV scan round-trip ---------------
+
+def s2_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 in-memory source (reference test.py:90-91) written through a
+    TSV sink and re-read with an explicit schema (reference S2 —
+    ECG5000 .tsv alternative, data_ingestion.py:45-59 schema'd CSV
+    scan with sep override). The oracle pins the round-trip
+    invariants; scratch lives under the repo and is removed."""
+    scratch = "/root/repo/.scratch/tsv_roundtrip"
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(os.path.dirname(scratch), exist_ok=True)
+
+    src = load_table(spark, sf_dir, "nation")
+    rows = [(int(r["n_nationkey"]), str(r["n_name"]), int(r["n_regionkey"])) for r in src.collect()]
+    mem = spark.createDataFrame(rows, "n_nationkey long, n_name string, n_regionkey long")
+    mem.coalesce(1).write.mode("overwrite").options(sep="\t", header=True).csv(scratch)
+
+    back = spark.read.options(sep="\t", header=True).schema(
+        "n_nationkey long, n_name string, n_regionkey long"
+    ).csv(scratch)
+    diff = back.exceptAll(mem).count() + mem.exceptAll(back).count()
+    n_back = back.count()
+    n_src = len(rows)
+    shutil.rmtree("/root/repo/.scratch", ignore_errors=True)
+    return spark.createDataFrame(
+        [(bool(n_back == n_src), bool(diff == 0))],
+        "rowcount_preserved boolean, values_roundtrip boolean",
+    )
+
+
+S2_SQL = "SELECT TRUE AS rowcount_preserved, TRUE AS values_roundtrip"
+
+
+QUERIES = {
+    "tpch_q10": (tpch_q10, TPCH_Q10_SQL),
+    "tpch_q14": (tpch_q14, TPCH_Q14_SQL),
+    "tpch_q18": (tpch_q18, TPCH_Q18_SQL),
+    "f1_null_repair": (f1_null_repair, F1_NULL_SQL),
+    "f6_array_pack_casts": (f6_array_pack_casts, F6_ARRAY_SQL),
+    "f7_id_invariants": (f7_id_invariants, F7_ID_SQL),
+    "a6_scalar_avg": (a6_scalar_avg, A6_SQL),
+    "a8_collect_list": (a8_collect_list, A8_SQL),
+    "a13_per_class_prf": (a13_per_class_prf, A13_SQL),
+    "w5_analytic_suite": (w5_analytic_suite, W5_SQL),
+    "o2_repartition_invariants": (o2_repartition_invariants, O2_SQL),
+    "s2_tsv_roundtrip": (s2_tsv_roundtrip, S2_SQL),
+}

@@ -16,7 +16,6 @@ from ..dedup.minhash import minhash_dup_pairs, minhash_signature
 from ..dedup.ngram import ngram_jaccard_pairs
 from ..dedup.simhash import simhash64
 from ..similarity.ann import _as_double_array
-from ..functions.distances import cosine_similarity
 from ..sources.catalog import load_table
 
 # DuckDB fragments -------------------------------------------------------
@@ -157,19 +156,41 @@ WHERE CASE WHEN len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingle
 
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup embeddings: same-label buckets, cosine ≥ 0.9. Bucketing
-    keeps the pair join linear-ish; exact cosine verifies."""
+    keeps the pair join linear-ish; exact cosine verifies.
+
+    Norms are precomputed per row (not per pair): cosine becomes one
+    dot-product fold + a division with the identical IEEE operation
+    order as the naive formula (sqrt(Σa²)·sqrt(Σb²) is the same value
+    whether computed before or after the join), so the oracle still
+    matches bit-for-bit while the pair stage does 3× less work."""
+    from ..functions.distances import dot_product, l2_norm
+    from ..operators.parallelism import ensure_parallelism
+
     e = load_table(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", "label", _as_double_array("embedding").alias("v"))
+    v = ensure_parallelism(
+        e.select("vec_id", "label", _as_double_array("embedding").alias("v")).withColumn(
+            "nrm", l2_norm(F.col("v"))
+        ),
+        force=True,
+    )
     a, b = v.alias("a"), v.alias("b")
-    cos = cosine_similarity(F.col("a.v"), F.col("b.v"))
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(cos, 9).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.9)
+    den = F.col("a.nrm") * F.col("b.nrm")
+    cos = F.when(den != 0.0, dot_product(F.col("a.v"), F.col("b.v")) / den).otherwise(
+        F.lit(0.0)
+    )
+    # threshold in the ON clause after the cheap id check — same
+    # pushdown-ordering trap as ngram_jaccard_pairs
+    return a.join(
+        b,
+        on=[
+            F.col("a.label") == F.col("b.label"),
+            F.col("a.vec_id") < F.col("b.vec_id"),
+            F.round(cos, 9) >= 0.9,
+        ],
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(cos, 9).alias("cosine"),
     )
 
 

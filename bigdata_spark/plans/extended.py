@@ -119,12 +119,20 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches are engine-specific, so the query emits within-tolerance
     booleans the oracle pins TRUE (same pattern as sampling checks)."""
     l = load_table(spark, sf_dir, "lineitem")
-    row = l.agg(
+    # Two separate single-pass aggregates instead of one mixed agg:
+    # distinct aggs + percentiles in a single .agg() force an Expand
+    # (input ×4) feeding an interpreted sort-based aggregate — ~80 s at
+    # sf0.01 and quadratically worse at scale. Split, each stays a
+    # partial-agg hash plan; the 1-row results cross-join for free.
+    counts = l.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    medians = l.agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
-    ).first()
+    )
+    row = counts.crossJoin(medians).first()
     hll_ok = abs(row["approx_orders"] - row["exact_orders"]) <= 0.1 * row["exact_orders"]
     med_ok = abs(row["approx_median"] - row["exact_median"]) <= 0.05 * row["exact_median"]
     return spark.createDataFrame(
