@@ -475,7 +475,104 @@ def s2_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 S2_SQL = "SELECT TRUE AS rowcount_preserved, TRUE AS values_roundtrip"
 
 
+# --- TPC-H Q7: volume shipping between two nations --------------------------
+
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-national shipping volume: lineitem ⋈ supplier ⋈ nation (supp
+    side) and ⋈ orders ⋈ customer ⋈ nation (cust side), grouped by
+    nation pair × ship year. Both nation joins broadcast; the only
+    fact-scale shuffles are the orderkey join and the final group."""
+    n1, n2 = "NATION_1", "NATION_2"
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    supp_n = nat.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    cust_n = nat.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    joined = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(volume).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+TPCH_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- P6: partition-local sample via mapPartitionsWithIndex ------------------
+
+def p6_partition_local_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition k-row sample through the RDD mapPartitionsWithIndex
+    hop (reference global.ipynb cells 10,14 — the one imperative
+    per-partition pattern in the reference). Placement is
+    engine-specific, so the oracle pins the invariants: ≤ k rows per
+    partition, ≤ n_parts partitions emitted."""
+    import itertools
+
+    n_parts, k = 8, 3
+    c = load_table(spark, sf_dir, "customer").repartition(n_parts, F.col("c_nationkey"))
+
+    def sample_part(ix: int, it):
+        for r in itertools.islice(it, k):
+            yield (ix, r["c_custkey"])
+
+    samp = spark.createDataFrame(
+        c.rdd.mapPartitionsWithIndex(sample_part), "pid int, c_custkey long"
+    )
+    row = (
+        samp.groupBy("pid")
+        .count()
+        .agg(F.max("count").alias("max_per_pid"), F.count("*").alias("n_pids"))
+        .first()
+    )
+    return spark.createDataFrame(
+        [(bool(row["max_per_pid"] <= k), bool(row["n_pids"] <= n_parts))],
+        "at_most_k_per_partition boolean, bounded_partitions boolean",
+    )
+
+
+P6_SQL = "SELECT TRUE AS at_most_k_per_partition, TRUE AS bounded_partitions"
+
+
 QUERIES = {
+    "tpch_q7": (tpch_q7, TPCH_Q7_SQL),
     "tpch_q10": (tpch_q10, TPCH_Q10_SQL),
     "tpch_q14": (tpch_q14, TPCH_Q14_SQL),
     "tpch_q18": (tpch_q18, TPCH_Q18_SQL),
@@ -488,4 +585,5 @@ QUERIES = {
     "w5_analytic_suite": (w5_analytic_suite, W5_SQL),
     "o2_repartition_invariants": (o2_repartition_invariants, O2_SQL),
     "s2_tsv_roundtrip": (s2_tsv_roundtrip, S2_SQL),
+    "p6_partition_local_sample": (p6_partition_local_sample, P6_SQL),
 }

@@ -96,8 +96,62 @@ FROM islands GROUP BY user_id, session_id
 """
 
 
+def evt_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming path: ``readStream`` file source →
+    watermarked tumbling counts (streaming/windows.py
+    stream_tumbling_counts) → memory sink, availableNow trigger.
+
+    All rows arrive in one micro-batch here, so the 30-minute watermark
+    drops nothing and the result equals the batch tumbling aggregation —
+    which is exactly the oracle below. At scale the same query runs on a
+    live source with bounded state (late rows beyond the watermark are
+    evicted)."""
+    import uuid
+
+    from ..streaming.windows import stream_tumbling_counts
+
+    # events.ts is parquet TIMESTAMP(NANOS) — same long→µs decode as the
+    # batch reader (sources/catalog.load_table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # the streaming file source wants a directory: scan sf_dir with a
+    # glob filter that admits only the events table
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    windowed = stream_tumbling_counts(
+        stream, "ts", "1 hour", ["event_type"], watermark="30 minutes"
+    )
+    qname = "evt_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        F.col("window.start").alias("window_start"), "event_type", "n_events"
+    )
+
+
+EVT_STREAM_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "evt_tumbling_1h": (evt_tumbling_1h, EVT_TUMBLING_SQL),
     "evt_sliding_1h_30m": (evt_sliding_1h_30m, EVT_SLIDING_SQL),
     "evt_session_10m": (evt_session_10m, EVT_SESSION_SQL),
+    "evt_stream_tumbling": (evt_stream_tumbling, EVT_STREAM_SQL),
 }
