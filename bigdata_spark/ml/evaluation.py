@@ -24,14 +24,20 @@ def classification_metrics(
     typed = preds.select(
         F.col(label_col).cast("double").alias("label"),
         F.col(pred_col).cast("double").alias("prediction"),
-    )
-    out = {}
-    for metric in ("accuracy", "weightedPrecision", "weightedRecall", "f1"):
-        ev = MulticlassClassificationEvaluator(
-            labelCol="label", predictionCol="prediction", metricName=metric
-        )
-        out[metric] = float(ev.evaluate(typed))
-    return out
+    ).persist()
+    # persist before the evaluator loop: each evaluate() is its own
+    # action, and without the cache all four re-run the full upstream
+    # DAG (predict UDF included)
+    try:
+        out = {}
+        for metric in ("accuracy", "weightedPrecision", "weightedRecall", "f1"):
+            ev = MulticlassClassificationEvaluator(
+                labelCol="label", predictionCol="prediction", metricName=metric
+            )
+            out[metric] = float(ev.evaluate(typed))
+        return out
+    finally:
+        typed.unpersist()
 
 
 def balanced_accuracy(

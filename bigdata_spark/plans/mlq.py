@@ -34,9 +34,11 @@ def ml_local_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _series_df(spark, sf_dir)
     train, test = stratified_split(df, "label", 0.8, seed=42)
     forest = LocalProximityForest(num_partitions=4, n_splitters=3, max_depth=10, seed=42).fit(train)
-    preds = forest.predict(test)
+    # persist: metrics + balanced accuracy are several actions over preds
+    preds = forest.predict(test).persist()
     m = classification_metrics(preds)
     ba = balanced_accuracy(preds)
+    preds.unpersist()
     return spark.createDataFrame(
         [
             (
@@ -56,8 +58,9 @@ def ml_global_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _series_df(spark, sf_dir)
     train, test = stratified_split(df, "label", 0.8, seed=42)
     tree = GlobalProximityTree(n_splitters=3, max_depth=6, min_samples_split=8, seed=42).fit(train)
-    preds = tree.predict(test)
+    preds = tree.predict(test).persist()
     m = classification_metrics(preds)
+    preds.unpersist()
     return spark.createDataFrame(
         [(tree.depth, len(tree.nodes), round(m["accuracy"], 6))],
         "depth long, n_nodes long, accuracy double",
