@@ -1,0 +1,75 @@
+"""Scale-operator tests: bucketed shuffle-free joins, skew salting.
+
+The assertions check the *plan property* each operator exists for —
+zero Exchange for co-bucketed joins, result parity for salting — not
+just output values."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_spark.operators.skew import salted_agg, salted_join
+from bigdata_spark.sources.bucketing import bucketed_join, exchange_count, write_bucketed
+
+
+def test_bucketed_join_no_shuffle(spark):
+    # managed tables land in the session's default warehouse dir
+    # (spark.sql.warehouse.dir is static config); DROP TABLE below
+    # removes the files again
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("a")
+    )
+    right = spark.range(0, 1000, 2).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("b")
+    )
+    write_bucketed(left, "t_left_b", "k", 4, sort_col="k")
+    write_bucketed(right, "t_right_b", "k", 4, sort_col="k")
+    # force the sort-merge path: at this toy size the planner would
+    # rightly broadcast instead, which never exercises bucketing
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_left_b", "t_right_b", "k")
+        assert joined.count() == 500
+        # the whole point: co-bucketed equi-join plans with NO shuffle
+        assert exchange_count(joined) == 0
+        # same join on plain (unbucketed) data shuffles both sides
+        plain = left.join(right, "k")
+        plain.count()
+        assert exchange_count(plain) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_left_b")
+        spark.sql("DROP TABLE IF EXISTS t_right_b")
+
+
+def test_salted_join_matches_plain(spark):
+    # one hot key (0) with 5k rows, a long tail of singletons
+    large = spark.range(0, 5000).select(
+        F.when(F.col("id") < 4000, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [(0, "hot"), (4200, "cold"), (4500, "cold")], "k long, tag string"
+    )
+    got = salted_join(large, small, "k", n_salts=4)
+    want = large.join(small, "k")
+    assert got.count() == want.count() == 4002
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.range(0, 10000).select(
+        F.when(F.col("id") < 9000, 0).otherwise(F.col("id") % 13).alias("k"),
+        F.col("id").alias("v"),
+    )
+    got = salted_agg(
+        df, "k", {"n": F.count("*"), "sum_v": F.sum("v")}, n_salts=8
+    ).orderBy("k")
+    want = (
+        df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"))
+        .orderBy("k")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
