@@ -56,6 +56,19 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("query side broadcast", r"BroadcastExchange|BroadcastNestedLoopJoin"),
         ("vec_id filter pushed", r"PushedFilters: \[.*LessThan\(vec_id,5\)"),
     ],
+    "tpch_q7": [
+        ("nation dims broadcast", r"BroadcastHashJoin"),
+        ("returnflag-free scan pruned to join+agg columns", r"ReadSchema: (?![^\n]*l_returnflag)"),
+    ],
+    "tpch_q10": [
+        ("returnflag filter pushed", r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)"),
+        ("orderdate range pushed", r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate"),
+        ("nation broadcast", r"BroadcastHashJoin"),
+    ],
+    "tpch_q18": [
+        ("map-side partial quantity sum", r"partial_sum\(cast\(l_quantity"),
+        ("having filter applied before the joins", r"sum_qty_dec#\d+ > 180"),
+    ],
 }
 
 
