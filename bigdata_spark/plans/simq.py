@@ -182,9 +182,40 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (similarity/ann.ivf_topk) vs the exact
+    brute-force top-k: emits per-run recall@5 invariants the oracle
+    pins TRUE. KMeans is seeded, so the result is deterministic; the
+    quantizer itself is not SQL-expressible, hence the invariant-style
+    oracle (same pattern as sampling/sketch checks)."""
+    from ..similarity.ann import brute_force_topk, ivf_topk
+
+    e = _vecs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    approx = ivf_topk(q, e, k=5, n_lists=16, n_probe=4, seed=42).persist()
+    exact = brute_force_topk(q, e, k=5)
+    hits = approx.join(exact, ["query_id", "corpus_id"], "left_semi").count()
+    n_approx = approx.count()
+    max_rank = approx.agg(F.max("rank").alias("m")).first()["m"]
+    n_exact = exact.count()
+    approx.unpersist()
+    recall = hits / n_exact if n_exact else 0.0
+    return spark.createDataFrame(
+        [(bool(recall >= 0.5), bool(n_approx <= n_exact), bool(max_rank <= 5))],
+        "recall_at_least_half boolean, bounded_candidates boolean, rank_bounded boolean",
+    )
+
+
+SIM_IVF_SQL = (
+    "SELECT TRUE AS recall_at_least_half, TRUE AS bounded_candidates, "
+    "TRUE AS rank_bounded"
+)
+
+
 QUERIES = {
     "dist_kernels": (dist_kernels, DIST_KERNELS_SQL),
     "nearest_exemplar": (nearest_exemplar, NEAREST_EXEMPLAR_SQL),
     "sim_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
     "sim_topk_lsh": (sim_topk_lsh, None),
+    "sim_topk_ivf": (sim_topk_ivf, SIM_IVF_SQL),
 }

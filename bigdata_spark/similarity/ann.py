@@ -131,3 +131,92 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other standard ANN
+    scale path next to LSH:
+
+    1. train an n_lists coarse quantizer (MLlib KMeans, seeded),
+    2. assign every corpus vector to its nearest centroid — a native
+       ``nearest_exemplar_index`` over a broadcast centroid table (the
+       inverted lists; the assignment is the ONLY full-corpus pass),
+    3. each query probes its ``n_probe`` nearest lists and scores
+       exactly (cosine) within them: candidates shrink
+       ~n_lists/n_probe-fold.
+
+    Deterministic for fixed seed. Recall < 1 by design; raise n_probe
+    to trade speed back for recall."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..functions.distances import euclidean_distance, nearest_exemplar_index
+
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double_array(vec_col).alias("c_vec")
+    )
+    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(
+        c.select(array_to_vector(F.col("c_vec")).alias("features"))
+    )
+    centroids = [[float(x) for x in cc] for cc in km.clusterCenters()]
+    # centroid table travels as a broadcast-joined 1-row DF, not as
+    # literal expressions (constant-size plan — see ml/global_tree.py)
+    cents = spark.createDataFrame([(centroids,)], "cents array<array<double>>")
+
+    lists = c.crossJoin(F.broadcast(cents)).withColumn(
+        "list_id", nearest_exemplar_index(F.col("c_vec"), F.col("cents"))
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("q_vec")
+    )
+    # n_probe nearest lists per query: sort (distance, index) structs —
+    # array_sort orders by field position, ties to the lower index
+    probe_ids = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    F.col("cents"),
+                    lambda cc, i: F.struct(
+                        euclidean_distance(F.col("q_vec"), cc).alias("d"),
+                        i.alias("i"),
+                    ),
+                )
+            ),
+            lambda s: s["i"],
+        ),
+        1,
+        n_probe,
+    )
+    q_probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("list_id", F.explode(probe_ids))
+        .select("query_id", "q_vec", "list_id")
+    )
+
+    scored = (
+        lists.join(F.broadcast(q_probed), "list_id")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
