@@ -89,8 +89,69 @@ def ml_dtw_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6 model sink+source: fit, JSON-save, load, and verify the
+    reloaded model predicts identically (reference pickle sink
+    global_model_manager.py:508-552, re-expressed as engine-portable
+    JSON state). Oracle pins the invariants."""
+    import os
+    import shutil
+
+    scratch = "/root/repo/.scratch/models"
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        df = _series_df(spark, sf_dir)
+        train, test = stratified_split(df, "label", 0.8, seed=42)
+        forest = LocalProximityForest(
+            num_partitions=2, n_splitters=2, max_depth=6, seed=42
+        ).fit(train)
+        path = f"{scratch}/forest.json"
+        forest.save(path)
+        reloaded = LocalProximityForest.load(path)
+        p1 = forest.predict(test).select("prediction")
+        p2 = reloaded.predict(test).select("prediction")
+        same = p1.exceptAll(p2).count() == 0 and p2.exceptAll(p1).count() == 0
+        return spark.createDataFrame(
+            [(bool(len(reloaded.trees) == len(forest.trees)), bool(same))],
+            "trees_preserved boolean, predictions_identical boolean",
+        )
+    finally:
+        shutil.rmtree("/root/repo/.scratch", ignore_errors=True)
+
+
+ML_ROUNDTRIP_SQL = "SELECT TRUE AS trees_preserved, TRUE AS predictions_identical"
+
+
+def ml_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 report sink / §3.1 experiment pipeline end-to-end: ingest →
+    split → train → predict → evaluate → report dict (shape parity with
+    reference evaluation.py:313-347). Oracle pins the report
+    invariants: all sections present, metrics in [0,1], rows conserved."""
+    from .pipeline import run_pipeline
+
+    df = _series_df(spark, sf_dir)
+    rep = run_pipeline(df, model="local", num_partitions=2, n_splitters=2, max_depth=6)
+    perf = rep["performance"]
+    metrics_bounded = all(0.0 <= v <= 1.0 for v in perf.values())
+    sections = all(k in rep for k in ("performance", "timing", "complexity", "rows"))
+    rows_conserved = rep["rows"]["train"] + rep["rows"]["test"] == rep["rows"]["total"]
+    return spark.createDataFrame(
+        [(bool(sections), bool(metrics_bounded), bool(rows_conserved))],
+        "report_complete boolean, metrics_bounded boolean, rows_conserved boolean",
+    )
+
+
+ML_REPORT_SQL = (
+    "SELECT TRUE AS report_complete, TRUE AS metrics_bounded, "
+    "TRUE AS rows_conserved"
+)
+
+
 QUERIES = {
     "ml_local_forest": (ml_local_forest, None),
     "ml_global_tree": (ml_global_tree, None),
     "ml_dtw_distances": (ml_dtw_distances, None),
+    "ml_model_roundtrip": (ml_model_roundtrip, ML_ROUNDTRIP_SQL),
+    "ml_pipeline_report": (ml_pipeline_report, ML_REPORT_SQL),
 }
