@@ -23,22 +23,33 @@ BENCH_QUERIES = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q18",
     "a5_weighted_gini",
     "w1_ranked_partition",
     "w4_moving_avg",
+    "w5_analytic_suite",
     "f2_minmax_normalize",
     # events / windows
     "evt_tumbling_1h",
+    "evt_sliding_1h_30m",
     "evt_session_10m",
     # text / dedup / similarity
     "txt_quality",
+    "txt_langid",
     "txt_fingerprint",
     "dedup_exact_stats",
+    # dedup_ngram_jaccard is deliberately absent: exact pairwise Jaccard
+    # is the quadratic verify path; MinHash banding is the scale path
+    # and is what belongs in a throughput benchmark.
     "dedup_minhash_pairs",
     "dedup_simhash_values",
     "sim_topk_bruteforce",
-    # ML pipeline (per-partition forest train+predict+evaluate)
+    "sim_topk_ivf",
+    # ML pipeline (train+predict+evaluate; forest per-partition, tree BFS)
     "ml_local_forest",
+    "ml_global_tree",
 ]
 
 

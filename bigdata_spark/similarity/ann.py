@@ -166,9 +166,16 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), _as_double_array(vec_col).alias("c_vec")
     )
-    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(
-        c.select(array_to_vector(F.col("c_vec")).alias("features"))
-    )
+    # Coarse-quantizer training is bounded regardless of corpus size:
+    # standard IVF practice trains on a sample (~64 vectors per list
+    # suffices for a COARSE quantizer), coalesced to a few partitions so
+    # the many small KMeans iteration jobs don't pay 32-way scheduling
+    # overhead. k-means|| init is kept — random init produces degenerate
+    # lists on weakly-clustered data and recall collapses.
+    train_cap = max(n_lists * 64, 2048)
+    train = c.select(array_to_vector(F.col("c_vec")).alias("features"))
+    sample = train.limit(train_cap).coalesce(4)
+    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(sample)
     centroids = [[float(x) for x in cc] for cc in km.clusterCenters()]
     # centroid table travels as a broadcast-joined 1-row DF, not as
     # literal expressions (constant-size plan — see ml/global_tree.py)
