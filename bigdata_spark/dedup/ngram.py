@@ -54,11 +54,18 @@ def ngram_jaccard_pairs(
     # AHEAD of the cheap id check (measured 50× slower — array_intersect
     # ran for every same-bucket ordered pair); stating the conjunction
     # explicitly keeps the short-circuit order cheap-first.
+    # Length bound before the intersect: jaccard(A,B) ≤ min|A|,|B| /
+    # max|A|,|B|, so pairs whose size ratio can't reach the threshold
+    # are rejected by two integer comparisons instead of an
+    # array_intersect. No-op on uniform-length corpora; big on mixed.
+    sa, sb = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
     pairs = a.join(
         b,
         on=[
             F.col("a._bucket") == F.col("b._bucket"),
             F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            sa.cast("double") >= threshold * sb,
+            sb.cast("double") >= threshold * sa,
             jac_of(F.col("a.sh"), F.col("b.sh")) >= threshold,
         ],
     )
