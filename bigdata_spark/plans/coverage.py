@@ -195,13 +195,23 @@ def f6_array_pack_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     coercions of SURVEY §1.2 — double→decimal→double, long→int→string,
     timestamp→date string."""
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    # The packed array stays an array op in the plan, but the *output*
+    # column is a comma-joined decimal string: the driver's pandas
+    # canonicalizer can't hash list cells, and decimal formatting is
+    # engine-identical where float repr is not.
     packed = l.select(
         "l_orderkey",
         "l_linenumber",
-        F.array(
-            F.col("l_quantity").cast("double"),
-            F.col("l_extendedprice").cast("double"),
-            F.col("l_discount").cast("double"),
+        F.array_join(
+            F.transform(
+                F.array(
+                    F.col("l_quantity").cast("double"),
+                    F.col("l_extendedprice").cast("double"),
+                    F.col("l_discount").cast("double"),
+                ),
+                lambda x: x.cast("decimal(18,2)").cast("string"),
+            ),
+            ",",
         ).alias("features"),
         F.col("l_quantity").cast("decimal(18,2)").cast("double").alias("qty_roundtrip"),
         F.col("l_orderkey").cast("int").cast("string").alias("key_str"),
@@ -213,7 +223,11 @@ def f6_array_pack_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
 F6_ARRAY_SQL = """
 SELECT l_orderkey,
        l_linenumber AS line_no,
-       [CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE), CAST(l_discount AS DOUBLE)] AS features,
+       array_to_string(
+         list_transform(
+           [CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE), CAST(l_discount AS DOUBLE)],
+           x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)),
+         ',') AS features,
        CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty_roundtrip,
        CAST(CAST(l_orderkey AS INTEGER) AS VARCHAR) AS key_str,
        strftime(l_shipdate, '%Y-%m-%d') AS ship_day
@@ -273,16 +287,30 @@ def a8_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     and oracle-comparable. Bounded per group by construction (≤7
     linenumbers per order)."""
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    # collect_list + sort_array stay in the plan; the output columns are
+    # comma-joined strings because the driver's canonicalizer can't hash
+    # list cells. Sort numerically first, then stringify.
     return l.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
-        F.sort_array(F.collect_list(_dec2("l_quantity").cast("double"))).alias("quantities"),
+        F.array_join(
+            F.sort_array(F.collect_list("l_linenumber")).cast("array<string>"), ","
+        ).alias("line_numbers"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(_dec2("l_quantity"))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("quantities"),
     )
 
 
 A8_SQL = """
 SELECT l_orderkey,
-       list_sort(list(l_linenumber)) AS line_numbers,
-       list_sort(list(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE))) AS quantities
+       array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
+       array_to_string(
+         list_transform(list_sort(list(CAST(l_quantity AS DECIMAL(18,2)))),
+                        x -> CAST(x AS VARCHAR)),
+         ',') AS quantities
 FROM lineitem WHERE l_orderkey <= 500
 GROUP BY l_orderkey
 """

@@ -588,7 +588,8 @@ def json_props_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JSON_SQL = """
-SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n
 FROM events GROUP BY 1
 """

@@ -8,6 +8,7 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 import time
@@ -15,23 +16,72 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
-    """Sort columns by name, then rows; stringify floats with rounding
-    fuzz so -0.0 == 0.0 and 1e-17 noise doesn't flip the comparison."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def _norm_val(v):
+    """Tag each cell with a type class so int vs float of equal value do
+    NOT compare equal — the driver hashes pandas frames bit-exactly, so
+    DuckDB HUGEINT sums landing as float64 must mismatch Spark int64."""
+    import datetime as _dt
 
-    def norm_val(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "nan"
-            if v == 0:
-                return "0.0"
-            return f"{v:.12g}"
-        if isinstance(v, (list, tuple)):
-            return tuple(norm_val(x) for x in v)
-        return str(v)
+    import numpy as np
 
-    return sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
+    if v is None or v is pd_NA() or (isinstance(v, float) and math.isnan(v)):
+        return ("n", "")
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", str(bool(v)))
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
+        if v == 0:
+            return ("f", "0.0")
+        return ("f", f"{v:.12g}")
+    if isinstance(v, (int, np.integer)):
+        return ("i", str(int(v)))
+    if isinstance(v, decimal.Decimal):
+        return ("d", str(v.normalize()))
+    if isinstance(v, _dt.datetime):
+        return ("t", v.isoformat())
+    if isinstance(v, _dt.date):
+        return ("t", _dt.datetime(v.year, v.month, v.day).isoformat())
+    if isinstance(v, (list, tuple, np.ndarray, dict)):
+        if isinstance(v, dict):
+            return ("a", tuple(sorted((k, _norm_val(x)) for k, x in v.items())))
+        return ("a", tuple(_norm_val(x) for x in v))
+    return ("s", str(v))
+
+
+def pd_NA():
+    import pandas as pd
+
+    return pd.NA
+
+
+def normalize(df) -> list[tuple]:
+    """Canonicalize a pandas DataFrame the way the driver does: sort
+    columns by name, normalize cells dtype-faithfully, sort rows."""
+    import pandas as pd
+
+    df = df[sorted(df.columns)]
+    cols = []
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            cols.append([("n", "") if pd.isna(v) else ("t", v.isoformat()) for v in s])
+        else:
+            cols.append([_norm_val(v) for v in s])
+    return sorted(zip(*cols)) if cols else []
+
+
+def has_array_output(df) -> bool:
+    """The driver's pandas canonicalizer crashes on list-typed cells
+    (unhashable type: 'list'); oracle-bearing queries must not emit
+    raw array columns — wrap them in to_json instead."""
+    import numpy as np
+
+    for c in df.columns:
+        if df[c].dtype == object:
+            for v in df[c].head(50):
+                if isinstance(v, (list, tuple, dict, np.ndarray)):
+                    return True
+    return False
 
 
 def main() -> int:
@@ -60,29 +110,30 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spd = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error: {type(exc).__name__}: {exc}")
             continue
         if name not in oracles:
-            print(f"ok(rows-only) {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]")
+            print(f"ok(rows-only) {name}: {len(spd)} rows  [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpd = con.execute(oracles[name]).fetchdf()
+            dcols = list(dpd.columns)
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {type(exc).__name__}: {exc}")
             continue
         problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if has_array_output(spd):
+            problems.append("array-typed output column (driver canonicalizer can't hash it; wrap in to_json)")
+        if len(spd) != len(dpd):
+            problems.append(f"rowcount spark={len(spd)} duck={len(dpd)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"schema spark={sorted(scols)} duck={sorted(dcols)}")
         if not problems:
-            ns, nd = normalize(srows, scols), normalize(drows, dcols)
+            ns, nd = normalize(spd), normalize(dpd)
             if ns != nd:
                 diff = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diff}")
@@ -90,7 +141,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
-            print(f"ok {name}: {len(srows)} rows match  [{time.time()-t0:.1f}s]")
+            print(f"ok {name}: {len(spd)} rows match  [{time.time()-t0:.1f}s]")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
