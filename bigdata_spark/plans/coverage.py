@@ -477,10 +477,11 @@ def s2_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     TSV sink and re-read with an explicit schema (reference S2 —
     ECG5000 .tsv alternative, data_ingestion.py:45-59 schema'd CSV
     scan with sep override). The oracle pins the round-trip
-    invariants; scratch lives under the repo and is removed."""
-    scratch = "/root/repo/.scratch/tsv_roundtrip"
-    shutil.rmtree(scratch, ignore_errors=True)
-    os.makedirs(os.path.dirname(scratch), exist_ok=True)
+    invariants; scratch is a per-run tempdir, removed afterwards."""
+    import tempfile
+
+    scratch_root = tempfile.mkdtemp(prefix="bigdata_spark_tsv_")
+    scratch = os.path.join(scratch_root, "tsv_roundtrip")
 
     src = load_table(spark, sf_dir, "nation")
     rows = [(int(r["n_nationkey"]), str(r["n_name"]), int(r["n_regionkey"])) for r in src.collect()]
@@ -490,10 +491,21 @@ def s2_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.options(sep="\t", header=True).schema(
         "n_nationkey long, n_name string, n_regionkey long"
     ).csv(scratch)
-    diff = back.exceptAll(mem).count() + mem.exceptAll(back).count()
-    n_back = back.count()
+    # one job for both symmetric differences + the count
+    diff_df = back.exceptAll(mem).unionAll(mem.exceptAll(back))
+    counts = back.unionAll(
+        diff_df.select(
+            F.lit(None).cast("long"),
+            F.lit(None).cast("string"),
+            F.lit(None).cast("long"),
+        )
+    ).agg(
+        F.count("*").alias("total"), F.count("n_nationkey").alias("n_back")
+    ).first()
+    n_back = counts["n_back"]
+    diff = counts["total"] - n_back
     n_src = len(rows)
-    shutil.rmtree("/root/repo/.scratch", ignore_errors=True)
+    shutil.rmtree(scratch_root, ignore_errors=True)
     return spark.createDataFrame(
         [(bool(n_back == n_src), bool(diff == 0))],
         "rowcount_preserved boolean, values_roundtrip boolean",

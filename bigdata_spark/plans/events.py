@@ -136,7 +136,13 @@ def evt_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "evt_stream_tumbling: availableNow stream did not finish in 300s; "
+            "refusing to return partial window counts"
+        )
     return spark.table(qname).select(
         F.col("window.start").alias("window_start"), "event_type", "n_events"
     )

@@ -94,12 +94,10 @@ def ml_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     reloaded model predicts identically (reference pickle sink
     global_model_manager.py:508-552, re-expressed as engine-portable
     JSON state). Oracle pins the invariants."""
-    import os
     import shutil
+    import tempfile
 
-    scratch = "/root/repo/.scratch/models"
-    shutil.rmtree(scratch, ignore_errors=True)
-    os.makedirs(scratch, exist_ok=True)
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_models_")
     try:
         df = _series_df(spark, sf_dir)
         train, test = stratified_split(df, "label", 0.8, seed=42)
@@ -117,7 +115,7 @@ def ml_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trees_preserved boolean, predictions_identical boolean",
         )
     finally:
-        shutil.rmtree("/root/repo/.scratch", ignore_errors=True)
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 ML_ROUNDTRIP_SQL = "SELECT TRUE AS trees_preserved, TRUE AS predictions_identical"

@@ -43,6 +43,9 @@ def bucketed_join(
 def exchange_count(df: DataFrame) -> int:
     """Number of SHUFFLE Exchange operators in the executed plan — the
     thing bucketing is supposed to drive to zero. BroadcastExchange is
-    excluded: it moves a small build side, not the fact table."""
+    excluded (it moves a small build side, not the fact table), and so
+    is ReusedExchange (AQE reuse of an already-counted shuffle)."""
+    import re
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("Exchange") - plan.count("BroadcastExchange")
+    return len(re.findall(r"(?<![A-Za-z])Exchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)", plan))

@@ -65,14 +65,35 @@ def test_salted_agg_matches_plain(spark):
         F.col("id").alias("v"),
     )
     got = salted_agg(
-        df, "k", {"n": F.count("*"), "sum_v": F.sum("v")}, n_salts=8
+        df,
+        "k",
+        {
+            "n": F.count("*"),
+            "sum_v": F.sum("v"),
+            "min_v": (F.min("v"), F.min),
+            "max_v": (F.max("v"), F.max),
+        },
+        n_salts=8,
     ).orderBy("k")
     want = (
         df.groupBy("k")
-        .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
         .orderBy("k")
     )
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    df = spark.range(2).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, "k", how="full_outer")
 
 
 def test_ivf_topk_recall_on_separated_clusters(spark):
