@@ -2,10 +2,10 @@
 confusion-matrix heatmap + per-class metric bars to PNG/PDF).
 
 The data preparation (dense confusion grid, per-class metric table) is
-real Spark→driver code and unit-tested; the actual rendering is gated
-behind an import-try because matplotlib is not available in every
-deployment — callers get the prepared arrays either way and a clear
-error only if they ask for pixels without the library."""
+real Spark→driver code and unit-tested. Rendering uses matplotlib when
+installed; otherwise it falls back to the in-repo pure-stdlib raster
+backend (ml/png.py), so the sink produces an actual PNG artifact in
+every deployment."""
 
 from __future__ import annotations
 
@@ -47,10 +47,7 @@ def plot_confusion_heatmap(
     """Confusion-matrix heatmap → PNG (reference visualization.py:6-39)."""
     classes, grid = confusion_grid(preds, label_col, pred_col)
     if not HAVE_MPL:
-        raise NotImplementedError(
-            "matplotlib not installed — confusion_grid() gives the data; "
-            "install matplotlib for rendering"
-        )
+        return _native_heatmap(classes, grid, out_path)
     fig, ax = plt.subplots(figsize=(6, 5))
     im = ax.imshow(grid, cmap="viridis")
     ax.set_xticks(range(len(classes)), labels=[str(c) for c in classes])
@@ -62,6 +59,52 @@ def plot_confusion_heatmap(
     fig.savefig(out_path)
     plt.close(fig)
     return out_path
+
+
+_CELL = 24  # heatmap cell edge, px
+_BAR_COLORS = {"precision": (31, 119, 180), "recall": (255, 127, 14), "f1": (44, 160, 44)}
+
+
+def _native_heatmap(classes: list, grid: list[list[int]], out_path: str) -> str:
+    """Stdlib raster fallback: viridis-mapped cells, 1px gridlines, and
+    a vertical colorbar strip on the right."""
+    from .png import Canvas, viridis
+
+    n = len(classes)
+    vmax = max((v for row in grid for v in row), default=0) or 1
+    bar_w, gap = 10, 6
+    cv = Canvas(n * _CELL + 1 + gap + bar_w, n * _CELL + 1, bg=(255, 255, 255))
+    for i in range(n):  # label rows
+        for j in range(n):  # prediction cols
+            cv.rect(
+                j * _CELL + 1, i * _CELL + 1, _CELL - 1, _CELL - 1,
+                viridis(grid[i][j] / vmax),
+            )
+    h = n * _CELL + 1
+    for y in range(h):  # colorbar: vmax at top
+        cv.rect(n * _CELL + 1 + gap, y, bar_w, 1, viridis(1.0 - y / max(1, h - 1)))
+    return cv.save(out_path)
+
+
+def _native_bars(table: list[dict], out_path: str) -> str:
+    """Stdlib raster fallback: grouped P/R/F1 bars per class on a
+    [0, 1] y-axis with a 1px baseline."""
+    from .png import Canvas
+
+    bar_w, gap, group_gap, height, margin = 8, 2, 12, 120, 4
+    group_w = 3 * bar_w + 2 * gap
+    w = margin * 2 + len(table) * group_w + max(0, len(table) - 1) * group_gap
+    cv = Canvas(w, height + margin * 2, bg=(255, 255, 255))
+    for gi, t in enumerate(table):
+        x = margin + gi * (group_w + group_gap)
+        for mi, metric in enumerate(("precision", "recall", "f1")):
+            bh = round(min(1.0, max(0.0, t[metric])) * height)
+            cv.rect(
+                x + mi * (bar_w + gap), margin + height - bh, bar_w, bh,
+                _BAR_COLORS[metric],
+            )
+    cv.rect(0, margin + height, w, 1, (0, 0, 0))
+    return cv.save(out_path)
 
 
 def per_class_metric_table(
@@ -95,9 +138,7 @@ def plot_per_class_bars(
     """Per-class P/R/F1 grouped bars → PNG (reference :41-81)."""
     table = per_class_metric_table(preds, label_col, pred_col)
     if not HAVE_MPL:
-        raise NotImplementedError(
-            "matplotlib not installed — per_class_metric_table() gives the data"
-        )
+        return _native_bars(table, out_path)
     fig, ax = plt.subplots(figsize=(8, 4))
     xs = range(len(table))
     w = 0.27

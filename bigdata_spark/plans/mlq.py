@@ -146,10 +146,55 @@ ML_REPORT_SQL = (
 )
 
 
+def ml_plot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 plot sink end-to-end (reference visualization.py:6-81):
+    render the confusion heatmap and per-class metric bars to real PNG
+    files — via the stdlib raster backend when matplotlib is absent —
+    and pin the artifact invariants. The prediction frame is a cheap
+    deterministic rule over orders (same shape as a13), not a trained
+    model, so this stays in the gate's fast block."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..ml.visualization import plot_confusion_heatmap, plot_per_class_bars
+
+    o = load_table(spark, sf_dir, "orders")
+    preds = o.select(
+        F.when(F.col("o_orderstatus") == "F", 0)
+        .when(F.col("o_orderstatus") == "O", 1)
+        .otherwise(2)
+        .alias("label"),
+        F.when(F.col("o_totalprice") < 100000, 0)
+        .when(F.col("o_totalprice") < 300000, 1)
+        .otherwise(2)
+        .alias("prediction"),
+    )
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_plots_")
+    try:
+        hm = plot_confusion_heatmap(preds, os.path.join(scratch, "cm.png"))
+        bars = plot_per_class_bars(preds, os.path.join(scratch, "bars.png"))
+        sig = b"\x89PNG\r\n\x1a\n"
+        with open(hm, "rb") as f:
+            hm_ok = f.read(8) == sig and os.path.getsize(hm) > 100
+        with open(bars, "rb") as f:
+            bars_ok = f.read(8) == sig and os.path.getsize(bars) > 100
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        [(bool(hm_ok), bool(bars_ok))],
+        "heatmap_png_valid boolean, bars_png_valid boolean",
+    )
+
+
+ML_PLOT_SQL = "SELECT TRUE AS heatmap_png_valid, TRUE AS bars_png_valid"
+
+
 QUERIES = {
     "ml_local_forest": (ml_local_forest, None),
     "ml_global_tree": (ml_global_tree, None),
     "ml_dtw_distances": (ml_dtw_distances, None),
     "ml_model_roundtrip": (ml_model_roundtrip, ML_ROUNDTRIP_SQL),
     "ml_pipeline_report": (ml_pipeline_report, ML_REPORT_SQL),
+    "ml_plot_sink": (ml_plot_sink, ML_PLOT_SQL),
 }

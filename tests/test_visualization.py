@@ -1,6 +1,6 @@
 """Plot-sink data prep (S8): dense confusion grid and per-class metric
-table from the scalable counts DataFrame; rendering is gated on
-matplotlib and skipped when absent."""
+table from the scalable counts DataFrame; rendering runs end-to-end on
+the stdlib PNG backend when matplotlib is absent."""
 
 from __future__ import annotations
 
@@ -8,11 +8,12 @@ import math
 
 import pytest
 
+from bigdata_spark.ml.png import read_png, viridis, write_png
 from bigdata_spark.ml.visualization import (
-    HAVE_MPL,
     confusion_grid,
     per_class_metric_table,
     plot_confusion_heatmap,
+    plot_per_class_bars,
 )
 
 
@@ -41,10 +42,32 @@ def test_per_class_metrics(preds):
     assert math.isclose(table[2]["recall"], 2 / 3)
 
 
-def test_render_gated(preds, tmp_path):
+def test_png_roundtrip(tmp_path):
+    pixels = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (17, 34, 51)]]
+    path = str(tmp_path / "rt.png")
+    write_png(path, pixels)
+    assert read_png(path) == pixels
+
+
+def test_heatmap_renders_real_png(preds, tmp_path):
     out = str(tmp_path / "cm.png")
-    if HAVE_MPL:
-        assert plot_confusion_heatmap(preds, out) == out
-    else:
-        with pytest.raises(NotImplementedError):
-            plot_confusion_heatmap(preds, out)
+    assert plot_confusion_heatmap(preds, out) == out
+    pix = read_png(out)
+    assert len(pix) > 0 and len(pix[0]) > 0
+    # grid = [[2,1,0],[1,3,0],[1,0,2]], vmax=3: cell (1,1) holds the max
+    # → viridis(1.0); cell (0,2) holds 0 → viridis(0.0). Cells are 24px
+    # with a 1px gridline, so sample cell centers.
+    assert pix[1 * 24 + 12][1 * 24 + 12] == viridis(1.0)
+    assert pix[0 * 24 + 12][2 * 24 + 12] == viridis(0.0)
+
+
+def test_bars_render_real_png(preds, tmp_path):
+    out = str(tmp_path / "bars.png")
+    assert plot_per_class_bars(preds, out) == out
+    pix = read_png(out)
+    h = len(pix)
+    # class 1 precision = 3/4: its bar (second group, first bar) should
+    # be filled at 3/4 height and empty above
+    x = 4 + 1 * (3 * 8 + 2 * 2 + 12) + 4  # margin + one group + mid-bar
+    assert pix[h - 4 - 1 - 10][x] == (31, 119, 180)  # just above baseline
+    assert pix[4 + 5][x] == (255, 255, 255)  # near top, above 75%
