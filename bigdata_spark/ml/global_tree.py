@@ -58,14 +58,31 @@ class GlobalProximityTree:
         min_samples_split: int = 4,
         exemplar_pool_k: int = 3,
         seed: int = 42,
+        metric: str = "euclidean",
+        dtw_window: int | None = None,
     ) -> None:
+        if metric not in ("euclidean", "dtw"):
+            raise ValueError(f"metric must be 'euclidean' or 'dtw', got {metric!r}")
         self.n_splitters = n_splitters
         self.max_depth = max_depth
         self.min_samples_split = min_samples_split
         self.exemplar_pool_k = exemplar_pool_k
         self.seed = seed
+        self.metric = metric
+        self.dtw_window = dtw_window
         self.nodes: dict[int, TreeNode] = {}
         self.majority_class: int | None = None
+
+    def _branch_ix(self, features: F.Column, exemplars: F.Column) -> F.Column:
+        """0-based nearest-exemplar index under the configured kernel:
+        the native codegen expression for euclidean, an Arrow-batched
+        pandas UDF for DTW (inherently iterative — reference
+        distance_measures.py:16-52)."""
+        if self.metric == "euclidean":
+            return nearest_exemplar_index(features, exemplars)
+        from .dtw import nearest_dtw_index_udf
+
+        return nearest_dtw_index_udf(self.dtw_window)(features, exemplars)
 
     # ------------------------------------------------------------------ fit
 
@@ -162,7 +179,7 @@ class GlobalProximityTree:
                 .groupBy(
                     "node_id",
                     "cand",
-                    nearest_exemplar_index(F.col("features"), F.col("exemplars")).alias(
+                    self._branch_ix(F.col("features"), F.col("exemplars")).alias(
                         "branch"
                     ),
                     "label",
@@ -226,8 +243,7 @@ class GlobalProximityTree:
                         F.col("exemplars").isNotNull(),
                         F.element_at(
                             F.col("child_map"),
-                            nearest_exemplar_index(F.col("features"), F.col("exemplars"))
-                            + 1,
+                            self._branch_ix(F.col("features"), F.col("exemplars")) + 1,
                         ),
                     )
                     .otherwise(F.col("node_id"))
@@ -282,7 +298,12 @@ class GlobalProximityTree:
 
         @F.pandas_udf(IntegerType())
         def traverse(features: pd.Series) -> pd.Series:
-            nodes = bc.value["nodes"]
+            from bigdata_spark.ml.dtw import dtw_distance
+
+            state = bc.value
+            nodes = state["nodes"]
+            metric = state["params"].get("metric", "euclidean")
+            window = state["params"].get("dtw_window")
             out = []
             for ts in features:
                 x = np.asarray(ts, dtype=np.float64)
@@ -290,7 +311,12 @@ class GlobalProximityTree:
                 hops = 0
                 while not node["is_leaf"] and hops < 50:
                     ex = np.asarray(node["exemplars"], dtype=np.float64)
-                    ix = int(np.argmin(((ex - x) ** 2).sum(axis=1)))
+                    if metric == "euclidean":
+                        ix = int(np.argmin(((ex - x) ** 2).sum(axis=1)))
+                    else:
+                        ix = int(
+                            np.argmin([dtw_distance(x, e, window=window) for e in ex])
+                        )
                     node = nodes[str(node["children"][str(ix)])]
                     hops += 1
                 out.append(node["prediction"] if node["is_leaf"] else None)
@@ -314,6 +340,8 @@ class GlobalProximityTree:
                 "min_samples_split": self.min_samples_split,
                 "exemplar_pool_k": self.exemplar_pool_k,
                 "seed": self.seed,
+                "metric": self.metric,
+                "dtw_window": self.dtw_window,
             },
             "nodes": {
                 str(nid): {

@@ -40,12 +40,16 @@ class LocalProximityForest:
         max_depth: int = 20,
         use_weighting: bool = False,
         seed: int = 42,
+        metric: str = "euclidean",
+        dtw_window: int | None = None,
     ) -> None:
         self.num_partitions = num_partitions
         self.n_splitters = n_splitters
         self.max_depth = max_depth
         self.use_weighting = use_weighting
         self.seed = seed
+        self.metric = metric
+        self.dtw_window = dtw_window
         self.trees: list[ProximityTree] = []
         self.weights: list[float] = []
 
@@ -67,6 +71,8 @@ class LocalProximityForest:
         max_depth = self.max_depth
         use_weighting = self.use_weighting
         seed = self.seed
+        metric = self.metric
+        dtw_window = self.dtw_window
         schema = StructType(
             [
                 StructField("partition_id", IntegerType()),
@@ -87,9 +93,15 @@ class LocalProximityForest:
                 ix = rng.permutation(len(y))
                 cut = int(len(y) * 0.8)
                 tr, va = ix[:cut], ix[cut:]
-                t = ProximityTree(n_splitters, max_depth, seed=seed + pid).fit(X[tr], y[tr])
+                t = ProximityTree(
+                    n_splitters, max_depth, seed=seed + pid,
+                    metric=metric, dtw_window=dtw_window,
+                ).fit(X[tr], y[tr])
                 oob = float((t.predict(X[va]) == y[va]).mean()) if len(va) else 1.0
-            tree = ProximityTree(n_splitters, max_depth, seed=seed + pid).fit(X, y)
+            tree = ProximityTree(
+                n_splitters, max_depth, seed=seed + pid,
+                metric=metric, dtw_window=dtw_window,
+            ).fit(X, y)
             return pd.DataFrame(
                 [{"partition_id": pid, "tree_json": json.dumps(tree.to_state()), "oob_score": oob}]
             )

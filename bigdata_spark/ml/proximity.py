@@ -4,8 +4,10 @@ local_model_manager.py:176-186; aeon is not in this container so the
 algorithm is implemented directly).
 
 A proximity tree splits each node by choosing one exemplar per class
-and routing every sample to its nearest exemplar (euclidean); the best
-of ``n_splitters`` random candidate splits (by weighted Gini) wins.
+and routing every sample to its nearest exemplar under a configurable
+distance kernel (euclidean, or banded DTW — reference
+distance_measures.py:16-52); the best of ``n_splitters`` random
+candidate splits (by weighted Gini) wins.
 """
 
 from __future__ import annotations
@@ -48,13 +50,31 @@ class ProximityTree:
         max_depth: int = 20,
         min_samples_split: int = 2,
         seed: int = 42,
+        metric: str = "euclidean",
+        dtw_window: int | None = None,
     ) -> None:
+        if metric not in ("euclidean", "dtw"):
+            raise ValueError(f"metric must be 'euclidean' or 'dtw', got {metric!r}")
         self.n_splitters = n_splitters
         self.max_depth = max_depth
         self.min_samples_split = min_samples_split
         self.seed = seed
+        self.metric = metric
+        self.dtw_window = dtw_window
         self.nodes: dict[int, _Node] = {}
         self.classes_: np.ndarray | None = None
+
+    def _pairwise(self, X: np.ndarray, exemplars: np.ndarray) -> np.ndarray:
+        """(n, k) distance matrix under the configured kernel. Euclidean
+        stays a vectorized squared-distance; DTW (banded) is the
+        reference's other split measure (distance_measures.py:16-52)."""
+        if self.metric == "euclidean":
+            return ((X[:, None, :] - exemplars[None, :, :]) ** 2).sum(axis=2)
+        from .dtw import dtw_distance
+
+        return np.asarray(
+            [[dtw_distance(x, e, window=self.dtw_window) for e in exemplars] for x in X]
+        )
 
     # -- fit ---------------------------------------------------------------
 
@@ -89,8 +109,8 @@ class ProximityTree:
         for _ in range(self.n_splitters):
             ex_rows = [rng.choice(np.flatnonzero(y == lbl)) for lbl in labels]
             exemplars = X[ex_rows]  # (k, d)
-            # vectorized nearest-exemplar assignment
-            d2 = ((X[:, None, :] - exemplars[None, :, :]) ** 2).sum(axis=2)
+            # nearest-exemplar assignment under the configured kernel
+            d2 = self._pairwise(X, exemplars)
             assign = np.argmin(d2, axis=1)
             gini = _weighted_gini([y[assign == i] for i in range(len(labels))])
             if best is None or gini < best[0]:
@@ -125,7 +145,7 @@ class ProximityTree:
             node = self.nodes[0]
             hops = 0
             while not node.is_leaf and hops < 100:
-                d2 = ((node.exemplars - x) ** 2).sum(axis=1)
+                d2 = self._pairwise(x[None, :], node.exemplars)[0]
                 node = self.nodes[node.children[int(np.argmin(d2))]]
                 hops += 1
             out[i] = node.prediction if node.prediction is not None else -1
@@ -139,6 +159,8 @@ class ProximityTree:
             "max_depth": self.max_depth,
             "min_samples_split": self.min_samples_split,
             "seed": self.seed,
+            "metric": self.metric,
+            "dtw_window": self.dtw_window,
             "classes": self.classes_.tolist() if self.classes_ is not None else None,
             "nodes": {
                 str(nid): {
@@ -159,6 +181,8 @@ class ProximityTree:
             max_depth=state["max_depth"],
             min_samples_split=state["min_samples_split"],
             seed=state["seed"],
+            metric=state.get("metric", "euclidean"),
+            dtw_window=state.get("dtw_window"),
         )
         t.classes_ = None if state["classes"] is None else np.asarray(state["classes"])
         t.nodes = {}

@@ -68,8 +68,12 @@ def ml_global_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ml_dtw_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DTW (banded) vs euclidean upper bound for a small pair slice —
-    U7/U8 surface through the Arrow-batched pandas UDF."""
+    """Exact (full DP), banded, approximate (FastDTW coarsening — the
+    reference's fastdtw path, distance_measures.py:12) and the euclidean
+    upper bound for a small pair slice — U7/U8 surface through
+    Arrow-batched pandas UDFs. ``approx_ge_exact`` pins the FastDTW
+    error-bound invariant per pair: a restricted warp path can only
+    cost ≥ the optimal one."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 6)
     v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     a, b = v.alias("a"), v.alias("b")
@@ -80,11 +84,17 @@ def ml_dtw_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.v").alias("vb"),
     )
     from ..functions.distances import euclidean_distance
+    from ..ml.dtw import fast_dtw_pairwise_udf
 
+    exact = dtw_pairwise_udf(window=None)(F.col("va"), F.col("vb"))
+    approx = fast_dtw_pairwise_udf(radius=2)(F.col("va"), F.col("vb"))
     return pairs.select(
         "id_a",
         "id_b",
-        F.round(dtw_pairwise_udf(window=8)(F.col("va"), F.col("vb")), 6).alias("dtw"),
+        F.round(dtw_pairwise_udf(window=8)(F.col("va"), F.col("vb")), 6).alias("dtw_banded"),
+        F.round(exact, 6).alias("dtw_exact"),
+        F.round(approx, 6).alias("dtw_fast"),
+        (F.round(approx, 9) >= F.round(exact, 9)).alias("approx_ge_exact"),
         F.round(euclidean_distance("va", "vb"), 6).alias("euclid_ub"),
     )
 

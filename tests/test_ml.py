@@ -85,6 +85,78 @@ def test_dtw_kernels(spark):
     assert got == pytest.approx(dtw_distance(a, shifted))
 
 
+def test_fast_dtw_error_bound(spark):
+    import numpy as np
+
+    from bigdata_spark.ml.dtw import fast_dtw, fast_dtw_pairwise_udf
+
+    rng = np.random.RandomState(3)
+    for _ in range(10):
+        a, b = np.cumsum(rng.randn(64)), np.cumsum(rng.randn(64))
+        exact = dtw_distance(a, b)
+        approx = fast_dtw(a, b, radius=2)
+        # restricted path ⇒ approx ≥ exact, and the coarsening keeps it close
+        assert approx >= exact - 1e-9
+        assert approx <= exact * 1.5 + 1e-9
+    # identical series: zero under any radius
+    assert fast_dtw(np.arange(50.0), np.arange(50.0)) == 0.0
+    # unequal lengths supported
+    assert fast_dtw(np.arange(33.0), np.arange(50.0)) >= dtw_distance(
+        np.arange(33.0), np.arange(50.0)
+    ) - 1e-9
+    a, b = np.cumsum(rng.randn(32)).tolist(), np.cumsum(rng.randn(32)).tolist()
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(fast_dtw_pairwise_udf(radius=2)(F.col("a"), F.col("b")).alias("d")).first()["d"]
+    assert got == pytest.approx(fast_dtw(a, b, radius=2))
+
+
+def test_dtw_split_trees_deterministic(spark):
+    """DTW-kernel proximity trees (local + global) train and predict
+    deterministically for a fixed seed — reference parity with its
+    multi-measure distance layer (distance_measures.py:16-88)."""
+    import numpy as np
+
+    from bigdata_spark.ml.global_tree import GlobalProximityTree
+    from bigdata_spark.ml.proximity import ProximityTree
+
+    rng = np.random.RandomState(11)
+    # two phase-shifted waveform classes — DTW separates, euclid struggles
+    rows = []
+    for i in range(40):
+        shift = rng.randint(0, 3)
+        base = np.sin(np.linspace(0, 4 * np.pi, 32) + shift * 0.2)
+        if i % 2:
+            rows.append((1, (base + rng.randn(32) * 0.05).tolist()))
+        else:
+            rows.append((0, (-base + rng.randn(32) * 0.05).tolist()))
+    X = np.array([r[1] for r in rows])
+    y = np.array([r[0] for r in rows])
+
+    t1 = ProximityTree(n_splitters=2, max_depth=5, seed=7, metric="dtw", dtw_window=4).fit(X, y)
+    t2 = ProximityTree(n_splitters=2, max_depth=5, seed=7, metric="dtw", dtw_window=4).fit(X, y)
+    assert (t1.predict(X) == t2.predict(X)).all()
+    assert (t1.predict(X) == y).mean() >= 0.9  # separable by design
+    # state roundtrip preserves the kernel
+    rt = ProximityTree.from_state(t1.to_state())
+    assert rt.metric == "dtw" and rt.dtw_window == 4
+    assert (rt.predict(X) == t1.predict(X)).all()
+
+    df = spark.createDataFrame(rows, "label int, features array<double>")
+    g1 = GlobalProximityTree(
+        n_splitters=2, max_depth=4, min_samples_split=4, seed=7,
+        metric="dtw", dtw_window=4,
+    ).fit(df)
+    g2 = GlobalProximityTree(
+        n_splitters=2, max_depth=4, min_samples_split=4, seed=7,
+        metric="dtw", dtw_window=4,
+    ).fit(df)
+    p1 = [tuple(r) for r in g1.predict(df).select("label", "prediction").orderBy("label", "prediction").collect()]
+    p2 = [tuple(r) for r in g2.predict(df).select("label", "prediction").orderBy("label", "prediction").collect()]
+    assert p1 == p2
+    acc = sum(1 for l, p in p1 if l == p) / len(p1)
+    assert acc >= 0.85
+
+
 def test_evaluation_metrics(spark):
     # FIXTURES §7: known confusion layout incl. a zero-TP class
     rows = [(1, 1)] * 4 + [(1, 2)] + [(2, 2)] * 3 + [(3, 1)] * 2  # class 3: 0 TP
