@@ -2,12 +2,13 @@
 with typed struct metadata (driver brief, SURVEY §2.9).
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shapes,
-mapInPandas signatures — is real and tested. The actual codec step is
-STUBBED: this container has no image/audio libraries, so decode is a
-deterministic fake (derived from the payload bytes) behind
-``_decode_stub``, and the real-codec path raises NotImplementedError
-with a clear marker. Swapping in PIL/torchaudio/ffmpeg is a one-
-function change that does not touch any distributed plumbing.
+mapInPandas signatures — is real and tested. Decode is REAL for the
+pure-numpy-parseable containers (binary PPM images, PCM16 WAV audio —
+codecs.py): actual pixel/sample statistics, actual nearest-neighbor
+resize. Compressed formats (png/jpeg/mp4) still go through the
+deterministic ``_decode_stub`` because this container ships no
+PIL/torchaudio/ffmpeg; swapping those in is a one-function change
+(``_decode_real``) that does not touch any distributed plumbing.
 
 Scale notes:
 - payloads stay in executors end-to-end (no collect; feature columns
@@ -60,23 +61,45 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
+# Formats decodable with the in-repo pure-numpy codecs (codecs.py).
+REAL_FORMATS = {"ppm", "wav"}
 REAL_CODECS_AVAILABLE = False  # flip when PIL/torchaudio/ffmpeg are installed
 
 
 def _decode_stub(payload: bytes, n_features: int = 8) -> np.ndarray:
-    """Deterministic fake decode: md5-seeded feature vector. Stands in
-    for pixel/spectrogram statistics so the distributed plumbing (batch
-    shapes, schemas, dtypes) is exercised honestly."""
+    """Deterministic fake decode for formats we cannot really parse
+    (png/jpeg/mp4 — no codec libs in this container): md5-seeded
+    feature vector, standing in for pixel/spectrogram statistics so the
+    distributed plumbing (batch shapes, schemas, dtypes) is exercised
+    honestly."""
     if payload is None:
         return np.zeros(n_features)
     h = hashlib.md5(payload).digest()
     return np.frombuffer(h[: n_features * 2], dtype=np.uint8)[:n_features].astype(np.float64) / 255.0
 
 
+def _decode_payload(payload: bytes, fmt: str | None, n_features: int = 8) -> np.ndarray:
+    """Real statistics for ppm/wav via codecs.py; compressed formats go
+    through the stub (or _decode_real once codec libs exist)."""
+    from .codecs import audio_features, image_features
+
+    if payload is None:
+        return np.zeros(n_features)
+    if fmt == "ppm":
+        return image_features(bytes(payload))
+    if fmt == "wav":
+        return audio_features(bytes(payload))
+    if REAL_CODECS_AVAILABLE:
+        return _decode_real(bytes(payload), {"format": fmt})
+    return _decode_stub(payload, n_features)
+
+
 def _decode_real(payload: bytes, meta: dict) -> np.ndarray:
     raise NotImplementedError(
-        "STUB: real image/audio decode needs PIL/torchaudio, not present "
-        "in this container. Wire it here; the Spark plumbing is complete."
+        "STUB: compressed-format decode (png/jpeg/mp4) needs "
+        "PIL/torchaudio, not present in this container. Wire it here; "
+        "the Spark plumbing is complete. ppm/wav decode IS real — "
+        "see codecs.py."
     )
 
 
@@ -108,21 +131,27 @@ def decode_image_features(df: DataFrame, n_features: int = 8) -> DataFrame:
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode_stub(p, n_features).tolist() if p is not None else None
-                for p in pdf["payload"]
+                _decode_payload(p, f, n_features).tolist() if p is not None else None
+                for p, f in zip(pdf["payload"], pdf["format"])
             ]
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
-    return df.select("media_id", "payload").mapInPandas(decode_batches, out_schema)
+    return (
+        df.select("media_id", "payload", F.col("meta.format").alias("format"))
+        .mapInPandas(decode_batches, out_schema)
+    )
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: passes payloads through the stub transform and
-    rewrites the meta struct with the new dimensions. Real resize drops
-    into ``_transform``."""
+    """Resize: REAL nearest-neighbor pixel resample for PPM payloads
+    (codecs.resize_ppm); other formats pass through unchanged (their
+    decode is stubbed). The meta struct is rewritten with the new
+    dimensions either way."""
+    from .codecs import resize_ppm
 
-    def _transform(payload: bytes) -> bytes:
-        # STUB: identity transform; real path would re-encode pixels.
+    def _transform(payload: bytes, fmt: str | None) -> bytes:
+        if fmt == "ppm":
+            return resize_ppm(bytes(payload), width, height)
         return payload
 
     out_schema = MEDIA_SCHEMA
@@ -130,7 +159,11 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["payload"] = [None if p is None else _transform(p) for p in pdf["payload"]]
+            fmts = [None if m is None else m.get("format") for m in pdf["meta"]]
+            pdf["payload"] = [
+                None if p is None else _transform(p, f)
+                for p, f in zip(pdf["payload"], fmts)
+            ]
             pdf["meta"] = [
                 None
                 if m is None
@@ -159,23 +192,50 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table for tests/queries (no binary
-    fixtures ship with the testdata)."""
+    fixtures ship with the testdata). Image rows are REAL binary PPMs
+    and audio rows REAL PCM16 WAVs (decodable by codecs.py); video rows
+    stay opaque fake mp4 bytes (the stubbed path)."""
+    from .codecs import encode_ppm, encode_wav
+
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(str(i).encode()).digest() * 4  # 128 opaque bytes
+        if kind == "image":
+            w, h = 64 + (i % 4) * 32, 64 + (i % 3) * 32
+            yy, xx = np.mgrid[0:h, 0:w]
+            pix = np.stack(
+                [
+                    (xx * 255 // max(1, w - 1)).astype(np.uint8),
+                    (yy * 255 // max(1, h - 1)).astype(np.uint8),
+                    np.full((h, w), i % 256, dtype=np.uint8),
+                ],
+                axis=2,
+            )
+            payload, fmt = encode_ppm(pix), "ppm"
+            duration, rate = None, None
+        elif kind == "audio":
+            rate, duration = 16000, 1000 * (1 + i % 5)
+            t = np.arange(rate * duration // 1000, dtype=np.float64)
+            freq = 110.0 * (1 + i % 8)
+            samples = (np.sin(2 * np.pi * freq * t / rate) * 12000).astype(np.int16)
+            payload, fmt = encode_wav(samples, rate), "wav"
+            w = h = None
+        else:
+            payload, fmt = hashlib.sha256(str(i).encode()).digest() * 4, "mp4"
+            w = h = rate = None
+            duration = 1000 * (1 + i % 5)
         rows.append(
             (
                 i,
                 bytearray(payload),
                 {
                     "kind": kind,
-                    "format": {"image": "png", "audio": "wav", "video": "mp4"}[kind],
-                    "width": 64 + (i % 4) * 32 if kind == "image" else None,
-                    "height": 64 + (i % 3) * 32 if kind == "image" else None,
-                    "duration_ms": 1000 * (1 + i % 5) if kind != "image" else None,
-                    "sample_rate": 16000 if kind == "audio" else None,
+                    "format": fmt,
+                    "width": w,
+                    "height": h,
+                    "duration_ms": duration,
+                    "sample_rate": rate,
                 },
             )
         )

@@ -39,7 +39,52 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_decode_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-decode invariants (codecs.py): the synthetic PPMs are x/y
+    gradients, so decoded red/green channel means sit at ~0.5; the
+    synthetic WAVs are pure sines of amplitude 12000/32768, so decoded
+    mean ~0 and RMS ~amp/sqrt(2). These fail if the decode were a hash
+    fake — they pin actual pixel and sample statistics."""
+    media = synthetic_media_df(spark, n=64)
+    kinds = media.select("media_id", F.col("meta.kind").alias("kind"))
+    feats = decode_image_features(media, n_features=8).join(kinds, "media_id")
+    amp_rms = (12000.0 / 32768.0) / (2.0**0.5)
+    row = feats.agg(
+        F.max(
+            F.when(F.col("kind") == "image", F.abs(F.element_at("features", 1) - 0.5))
+        ).alias("img_red_dev"),
+        F.max(
+            F.when(F.col("kind") == "image", F.abs(F.element_at("features", 2) - 0.5))
+        ).alias("img_green_dev"),
+        F.max(
+            F.when(F.col("kind") == "audio", F.abs(F.element_at("features", 1)))
+        ).alias("audio_mean_dev"),
+        F.max(
+            F.when(F.col("kind") == "audio", F.abs(F.element_at("features", 5) - amp_rms))
+        ).alias("audio_rms_dev"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                bool(row["img_red_dev"] < 0.01),
+                bool(row["img_green_dev"] < 0.01),
+                bool(row["audio_mean_dev"] < 0.001),
+                bool(row["audio_rms_dev"] < 0.01),
+            )
+        ],
+        "img_red_mean_ok boolean, img_green_mean_ok boolean, "
+        "audio_mean_ok boolean, audio_rms_ok boolean",
+    )
+
+
+MM_DECODE_SQL = (
+    "SELECT TRUE AS img_red_mean_ok, TRUE AS img_green_mean_ok, "
+    "TRUE AS audio_mean_ok, TRUE AS audio_rms_ok"
+)
+
+
 QUERIES = {
+    "mm_decode_invariants": (mm_decode_invariants, MM_DECODE_SQL),
     "mm_metadata": (mm_metadata, None),
     "mm_decode_features": (mm_decode_features, None),
     "mm_frame_sample": (mm_frame_sample, None),

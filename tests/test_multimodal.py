@@ -1,11 +1,21 @@
-"""Multimodal column plumbing tests (driver brief: binary payloads +
-typed metadata; decode stubbed, Spark plumbing real)."""
+"""Multimodal column tests: binary payloads + typed metadata; decode is
+REAL for ppm/wav (pure-numpy codecs), stubbed for compressed formats."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from bigdata_spark.multimodal.codecs import (
+    audio_features,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
+    image_features,
+    resize_ppm,
+)
 from bigdata_spark.multimodal.media import (
     MEDIA_SCHEMA,
     decode_image_features,
@@ -30,7 +40,7 @@ def test_metadata_projection_prunes_payload(media):
     out = media_metadata(media)
     rows = out.collect()
     assert {r["kind"] for r in rows} == {"image", "audio", "video"}
-    assert all(r["payload_bytes"] == 128 for r in rows)
+    assert all(r["payload_bytes"] > 0 for r in rows)
     # binary column is not in the output schema
     assert "payload" not in out.columns
 
@@ -40,7 +50,7 @@ def test_decode_features_batch_shape(media):
     rows = out.collect()
     assert len(rows) == 30
     assert all(len(r["features"]) == 8 for r in rows)
-    assert all(0.0 <= v <= 1.0 for r in rows for v in r["features"])
+    assert all(np.isfinite(v) for r in rows for v in r["features"])
     # deterministic: same payload → same features across runs
     again = decode_image_features(media, n_features=8).collect()
     assert {r["media_id"]: tuple(r["features"]) for r in rows} == {
@@ -48,13 +58,52 @@ def test_decode_features_batch_shape(media):
     }
 
 
-def test_resize_rewrites_meta(media):
+def test_ppm_codec_roundtrip_and_stats():
+    # solid-color 4×6 image: channel means are exactly the color
+    pix = np.zeros((4, 6, 3), dtype=np.uint8)
+    pix[:, :, 0], pix[:, :, 1], pix[:, :, 2] = 255, 128, 0
+    payload = encode_ppm(pix)
+    assert (decode_ppm(payload) == pix).all()
+    f = image_features(payload)
+    assert f[0] == pytest.approx(1.0)
+    assert f[1] == pytest.approx(128 / 255)
+    assert f[2] == pytest.approx(0.0)
+    assert f[3] == pytest.approx(0.0)  # solid → zero gray std
+    assert f[6] == pytest.approx(6 / 4)  # aspect w/h
+    # comment-bearing header also parses
+    with_comment = b"P6\n# crafted\n6 4\n255\n" + pix.tobytes()
+    assert (decode_ppm(with_comment) == pix).all()
+
+
+def test_wav_codec_roundtrip_and_stats():
+    rate = 8000
+    t = np.arange(rate, dtype=np.float64)  # 1 s
+    samples = (np.sin(2 * np.pi * 100 * t / rate) * 16384).astype(np.int16)
+    payload = encode_wav(samples, rate)
+    back, got_rate = decode_wav(payload)
+    assert got_rate == rate and len(back) == rate
+    assert np.allclose(back, samples / 32768.0)
+    f = audio_features(payload)
+    assert f[0] == pytest.approx(0.0, abs=1e-3)  # sine mean ~0
+    assert f[4] == pytest.approx(0.5 / np.sqrt(2), abs=1e-3)  # RMS of 0.5-amp sine
+    assert f[7] == pytest.approx(rate / 48000.0)
+
+
+def test_resize_rewrites_meta_and_pixels(media):
     out = resize_images(media, 32, 32)
     assert out.schema == MEDIA_SCHEMA
     imgs = out.filter(F.col("meta.kind") == "image").collect()
     assert all(r["meta"]["width"] == 32 and r["meta"]["height"] == 32 for r in imgs)
-    # payload passes through the (stub) transform unchanged
-    assert all(len(bytes(r["payload"])) == 128 for r in imgs)
+    # PPM payloads are REALLY resampled: decode proves 32×32 pixels
+    for r in imgs:
+        assert decode_ppm(bytes(r["payload"])).shape == (32, 32, 3)
+
+
+def test_resize_ppm_nearest_neighbor():
+    pix = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    small = decode_ppm(resize_ppm(encode_ppm(pix), 2, 2))
+    # nearest-neighbor with floor mapping keeps rows/cols 0 and 2
+    assert (small == pix[[0, 2]][:, [0, 2]]).all()
 
 
 def test_frame_sampling(media):
