@@ -1,0 +1,91 @@
+"""Connected components over candidate-pair edges — the cluster-
+resolution step a dedup pipeline needs after pair generation (MinHash /
+LSH / embedding pairs → duplicate CLUSTERS, keep one doc per cluster).
+
+Algorithm: iterative min-label propagation. Each vertex starts labeled
+with its own id; every round it takes the min label among itself and
+its neighbors; convergence in O(graph diameter) rounds. Near-dup
+graphs are unions of small cliques-ish components, so the diameter is
+tiny in practice (2-4 rounds).
+
+Scale notes (100 TB):
+- each round is one join + one groupBy — both shuffle on vertex id, so
+  partitioning is stable across rounds and AQE coalesces the tails;
+- ``localCheckpoint`` truncates the lineage every round (an iterative
+  loop otherwise re-plans an ever-growing DAG);
+- the early-exit change count is a cheap aggregate on the label table
+  (vertex-cardinality, far smaller than the edge table);
+- for pathological long-chain graphs, swap in the large-star/small-star
+  variant (Kiveris et al., "Connected Components in MapReduce") — same
+  join primitives, fewer rounds; not needed for dedup-shaped graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(src, dst) undirected edge list → (vertex, component) where
+    ``component`` is the minimum vertex id reachable from ``vertex``.
+    Deterministic; raises if not converged within ``max_iter`` rounds."""
+    # materialize the edge list ONCE — candidate-pair generation (LSH
+    # join, cosine verify) is the expensive part and must not re-execute
+    # on every propagation round
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.vertex)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.vertex == nbr_min.a, "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_cluster_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-component stats for dedup resolution: (vertex, component,
+    cluster_size, is_keeper) — keep the min-id document of every
+    duplicate cluster, drop the rest."""
+    cc = connected_components(edges, src, dst)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        "vertex",
+        "component",
+        "cluster_size",
+        (F.col("vertex") == F.col("component")).alias("is_keeper"),
+    )

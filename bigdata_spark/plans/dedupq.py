@@ -250,6 +250,40 @@ WHERE ROUND({_DUCK_COS}, 9) >= {_EMB_THRESHOLD}
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: LSH/cosine candidate pairs →
+    connected components (iterative min-label propagation,
+    operators/graph.py) → per-cluster keeper selection (min id). This
+    is the step that turns pairwise dedup output into the actual
+    keep/drop decision a training pipeline applies. The oracle
+    recomputes the same edges and closes them with a recursive CTE."""
+    from ..operators.graph import dedup_cluster_stats
+
+    pairs = dedup_embedding_pairs(spark, sf_dir).select("id_a", "id_b")
+    return dedup_cluster_stats(pairs, "id_a", "id_b")
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+v AS (SELECT vec_id, embedding AS v, {_duck_sig_expr()} AS sig FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.sig = b.sig AND a.vec_id < b.vec_id
+  WHERE ROUND({_DUCK_COS}, 9) >= {_EMB_THRESHOLD}
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+reach(vtx, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.vtx
+),
+labels AS (SELECT vtx AS vertex, MIN(r) AS component FROM reach GROUP BY vtx),
+sizes AS (SELECT component, COUNT(*) AS cluster_size FROM labels GROUP BY component)
+SELECT l.vertex, l.component, s.cluster_size, l.vertex = l.component AS is_keeper
+FROM labels l JOIN sizes s USING (component)
+"""
+
+
 QUERIES = {
     "dedup_exact_stats": (dedup_exact_stats, DEDUP_EXACT_SQL),
     "dedup_minhash_sig": (dedup_minhash_sig, DEDUP_MINHASH_SIG_SQL),
@@ -257,4 +291,5 @@ QUERIES = {
     "dedup_simhash_values": (dedup_simhash_values, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_embedding_pairs": (dedup_embedding_pairs, DEDUP_EMB_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
 }

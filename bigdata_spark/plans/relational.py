@@ -619,8 +619,84 @@ FROM orders GROUP BY 1, 2, 3
 """
 
 
+# --- TPC-H Q4/Q12 shapes, adapted to the testdata's columns ----------------
+# The synthetic tables lack l_commitdate/l_receiptdate/l_shipmode, so the
+# date-lag predicate uses l_shipdate vs o_orderdate — same EXISTS-semi-join
+# and lag-bucket × priority-class aggregation shapes as the originals.
+
+def tpch_q4_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: priority counts of orders having at least one lineitem
+    shipped >60 days after the order date (EXISTS → left-semi join; the
+    only fact-scale shuffle is the semi join on orderkey)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        on=[
+            o.o_orderkey == l.l_orderkey,
+            l.l_shipdate.cast("date") > F.date_add(o.o_orderdate.cast("date"), 60),
+        ],
+        how="left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+TPCH_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def tpch_q12_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: shipping-lag buckets × priority-class counts (CASE
+    aggregation over the orders⋈lineitem join)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(lag < 30, "fast").when(lag < 90, "medium").otherwise("slow")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+TPCH_Q12_SQL = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 30 THEN 'fast'
+            WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 90 THEN 'medium'
+            ELSE 'slow' END AS ship_bucket,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "s1_scan_project": (s1_scan_project, S1_SQL),
+    "tpch_q4_adapted": (tpch_q4_adapted, TPCH_Q4_SQL),
+    "tpch_q12_adapted": (tpch_q12_adapted, TPCH_Q12_SQL),
     "tpch_q1": (tpch_q1, TPCH_Q1_SQL),
     "tpch_q3": (tpch_q3, TPCH_Q3_SQL),
     "tpch_q5": (tpch_q5, TPCH_Q5_SQL),

@@ -88,6 +88,29 @@ def test_salted_agg_matches_plain(spark):
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
 
 
+def test_connected_components(spark):
+    from bigdata_spark.operators.graph import (
+        connected_components,
+        dedup_cluster_stats,
+    )
+
+    # two components: a 4-chain {1..4} (diameter > 1 forces iteration)
+    # and a pair {10, 11}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    got = {
+        r["vertex"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    stats = dedup_cluster_stats(edges).collect()
+    keepers = {r["vertex"] for r in stats if r["is_keeper"]}
+    assert keepers == {1, 10}
+    assert {r["vertex"]: r["cluster_size"] for r in stats} == {
+        1: 4, 2: 4, 3: 4, 4: 4, 10: 2, 11: 2,
+    }
+
+
 def test_salted_join_rejects_outer(spark):
     import pytest
 
