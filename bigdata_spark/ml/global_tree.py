@@ -7,16 +7,18 @@ global training takes 1,900-5,300 s). This implementation keeps the
 same semantics but batches ALL candidate splits of ALL open nodes into
 TWO jobs per level (SURVEY §7 Phase 4):
 
-  1. stats job    — groupBy(node_id, label).count()            (collect: O(nodes·classes))
+  1. pool+stats job — one window pass yields both the per-(node,label)
+                    counts (count window, same partitioning → no extra
+                    shuffle) and the bounded k-per-(node,label) exemplar
+                    pool (collect: O(k·nodes·classes) rows — the
+                    reference's own "P2" lesson)
   2. gini job     — one projection computes every candidate's branch
                     assignment natively (nearest_exemplar_index — no
                     Python UDF), stack-unpivots to (candidate, branch),
                     groupBy counts; weighted Gini finishes on the
                     driver over the tiny count table.
 
-plus one exemplar-sampling job (window top-k, collects only
-k·nodes·classes rows — the reference's own "P2" lesson) and one routing
-projection (pure column expression, no shuffle).
+plus one routing projection (pure column expression, no shuffle).
 
 Prediction broadcasts the plain-dict tree and traverses it in one
 Arrow-batched pandas UDF pass (U3 parity; reference :405-483).
@@ -104,16 +106,27 @@ class GlobalProximityTree:
         depth = 0
 
         while open_nodes and depth < self.max_depth:
-            # job 1: per-(node,label) stats, reused for every leaf decision
-            stats_rows = (
+            # job 1: ONE pass gets both the per-(node,label) stats (a
+            # count window over the same partitioning — no extra
+            # shuffle) and the bounded exemplar pool (k random rows per
+            # (node,label)). Collect is bounded by k·nodes·classes rows.
+            w = Window.partitionBy("node_id", "label").orderBy(F.rand(self.seed + depth))
+            cw = Window.partitionBy("node_id", "label")
+            pool_rows = (
                 assign.filter(F.col("node_id").isin(open_nodes))
-                .groupBy("node_id", "label")
-                .count()
+                .withColumn("_rk", F.row_number().over(w))
+                .withColumn("_cnt", F.count("*").over(cw))
+                .filter(F.col("_rk") <= self.exemplar_pool_k)
+                .select("node_id", "label", "features", "_cnt")
                 .collect()
             )
             stats: dict[int, dict[int, int]] = {}
-            for r in stats_rows:
-                stats.setdefault(r["node_id"], {})[r["label"]] = r["count"]
+            pool: dict[int, dict[int, list[list[float]]]] = {}
+            for r in pool_rows:
+                stats.setdefault(r["node_id"], {})[r["label"]] = r["_cnt"]
+                pool.setdefault(r["node_id"], {}).setdefault(r["label"], []).append(
+                    list(r["features"])
+                )
 
             # leaf checks on the driver (reference :248-253)
             split_nodes = []
@@ -126,21 +139,6 @@ class GlobalProximityTree:
                     split_nodes.append(nid)
             if not split_nodes:
                 break
-
-            # job 2: bounded exemplar pool — k random rows per (node,label)
-            w = Window.partitionBy("node_id", "label").orderBy(F.rand(self.seed + depth))
-            pool_rows = (
-                assign.filter(F.col("node_id").isin(split_nodes))
-                .withColumn("_rk", F.row_number().over(w))
-                .filter(F.col("_rk") <= self.exemplar_pool_k)
-                .select("node_id", "label", "features")
-                .collect()
-            )
-            pool: dict[int, dict[int, list[list[float]]]] = {}
-            for r in pool_rows:
-                pool.setdefault(r["node_id"], {}).setdefault(r["label"], []).append(
-                    list(r["features"])
-                )
 
             # candidate splits: per node, n_splitters random exemplar sets
             candidates: dict[int, list[tuple[list[int], list[list[float]]]]] = {}

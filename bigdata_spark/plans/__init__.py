@@ -65,6 +65,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         "ml_pipeline_report",
         "approx_sketches",
         "evt_stream_tumbling",
+        "dedup_stream_firstseen",
         "dedup_clusters",
         "dedup_ngram_jaccard",
         "sim_topk_ivf",

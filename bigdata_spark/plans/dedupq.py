@@ -284,8 +284,77 @@ FROM labels l JOIN sizes s USING (component)
 """
 
 
+def dedup_stream_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time exact dedup (streaming/stateful.stream_dedup):
+    first-seen wins across micro-batches, per-key drop counts in
+    GroupState. The stream appends a deterministic duplicated slice
+    (every 50th doc re-ingested under a shifted id) so the drop counter
+    is genuinely exercised — the synthetic corpus has no exact dups at
+    small SFs. The oracle is the batch equivalent: min id + count-1 per
+    content key over the same unioned input."""
+    import uuid
+
+    from ..streaming.stateful import stream_dedup
+
+    # the streaming file source wants a directory: scan sf_dir with a
+    # glob filter that admits only the documents table
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def with_dups(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            extra = pdf[pdf["doc_id"] % 50 == 0].copy()
+            extra["doc_id"] = extra["doc_id"] + 1000000
+            yield pd.concat([pdf, extra], ignore_index=True)
+
+    docs = raw.select("doc_id", "text").mapInPandas(
+        with_dups, "doc_id long, text string"
+    )
+    keyed = docs.select("doc_id", F.md5(F.col("text")).alias("content_key"))
+    out = stream_dedup(keyed, "content_key", "doc_id")
+    qname = "dedup_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("dedup_stream_firstseen: stream did not finish in 300s")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy(F.desc("dups_dropped"))
+    return (
+        spark.table(qname)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("key", "kept_id", "dups_dropped")
+    )
+
+
+DEDUP_STREAM_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+)
+SELECT md5(text) AS key, MIN(doc_id) AS kept_id,
+       CAST(COUNT(*) - 1 AS BIGINT) AS dups_dropped
+FROM all_docs GROUP BY 1
+"""
+
+
 QUERIES = {
     "dedup_exact_stats": (dedup_exact_stats, DEDUP_EXACT_SQL),
+    "dedup_stream_firstseen": (dedup_stream_firstseen, DEDUP_STREAM_SQL),
     "dedup_minhash_sig": (dedup_minhash_sig, DEDUP_MINHASH_SIG_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs, None),
     "dedup_simhash_values": (dedup_simhash_values, DEDUP_SIMHASH_SQL),

@@ -47,3 +47,55 @@ def running_totals_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup(
+    stream_df: DataFrame,
+    key_col: str = "content_key",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming first-seen exact dedup: the ingest-time guard a
+    training-data pipeline runs so a document is admitted once across
+    the whole stream history. Emits one row per NEW content key — the
+    minimum id among the key's first-batch occurrences (deterministic) —
+    and keeps a per-key duplicate counter in GroupState.
+
+    Spark's built-in ``dropDuplicates`` + watermark covers the
+    bounded-lateness case; this custom operator keeps unbounded
+    first-seen state (bounded by DISTINCT key cardinality, the same
+    asymptotics as the batch dedup's groupBy) and exposes the
+    drop count per key as observability output.
+
+    Output: (key string, kept_id long, dups_dropped long) in update
+    mode — the latest row per key carries the current drop count."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch_n = 0
+        batch_min_id = None
+        for pdf in pdfs:
+            batch_n += len(pdf)
+            if len(pdf):
+                m = int(pdf[id_col].min())
+                batch_min_id = m if batch_min_id is None else min(batch_min_id, m)
+        if state.exists:
+            kept_id, dups = state.get
+            dups += batch_n
+            state.update((kept_id, dups))
+            yield pd.DataFrame(
+                [{"key": key[0], "kept_id": kept_id, "dups_dropped": dups}]
+            )
+        else:
+            state.update((batch_min_id, batch_n - 1))
+            yield pd.DataFrame(
+                [{"key": key[0], "kept_id": batch_min_id, "dups_dropped": batch_n - 1}]
+            )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType="key string, kept_id long, dups_dropped long",
+        stateStructType="kept_id long, dups_dropped long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
