@@ -90,12 +90,55 @@ FROM sh
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-banded near-dup pairs, exact-Jaccard verified (threshold 0.2).
-    Rows-only check: the banding join is engine-specific plumbing; the
-    signature math itself is pinned by dedup_minhash_sig."""
+    Fully oracle-checked: the portable 60-bit hash makes the signatures
+    engine-identical, the band hash is md5 over the same comma-joined
+    signature slices, and the verify Jaccard is exact — so DuckDB
+    reproduces the entire band → bucket → verify pipeline."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_dup_pairs(
         d, num_perm=_NUM_PERM, bands=4, shingle_n=3, jaccard_threshold=0.2
     ).select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def _duck_minhash_pairs_sql() -> str:
+    rows_per_band = _NUM_PERM // 4
+    sig_items = ", ".join(
+        f"list_min(list_transform(shingles, s -> {_duck_hash('s', repr(str(i)))}))"
+        for i in range(_NUM_PERM)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5(concat_ws(',', {parts})) AS band_hash FROM sig".format(
+            b=b,
+            parts=", ".join(
+                f"CAST(sig[{b * rows_per_band + i + 1}] AS VARCHAR)"
+                for i in range(rows_per_band)
+            ),
+        )
+        for b in range(4)
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM base),
+sig AS (SELECT doc_id, shingles, [{sig_items}] AS sig FROM sh),
+banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+         len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS uni
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b,
+       ROUND(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END, 9) AS jaccard
+FROM pairs
+WHERE CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END >= 0.2
+"""
 
 
 # --- simhash (bit-exact oracle) ------------------------------------------
@@ -356,7 +399,7 @@ QUERIES = {
     "dedup_exact_stats": (dedup_exact_stats, DEDUP_EXACT_SQL),
     "dedup_stream_firstseen": (dedup_stream_firstseen, DEDUP_STREAM_SQL),
     "dedup_minhash_sig": (dedup_minhash_sig, DEDUP_MINHASH_SIG_SQL),
-    "dedup_minhash_pairs": (dedup_minhash_pairs, None),
+    "dedup_minhash_pairs": (dedup_minhash_pairs, _duck_minhash_pairs_sql()),
     "dedup_simhash_values": (dedup_simhash_values, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_embedding_pairs": (dedup_embedding_pairs, DEDUP_EMB_SQL),

@@ -33,10 +33,27 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan rollup. Oracle-checked from first
+    principles: the synthetic table's video rows are ids ≡ 2 (mod 3)
+    with duration 1000·(1 + id mod 5) ms, so the expected frame counts
+    are derivable in pure SQL — no golden literals."""
     media = synthetic_media_df(spark, n=64)
     return frame_sample_plan(media, every_ms=500).groupBy("media_id").agg(
         F.count("*").alias("n_frames"), F.max("frame_ts_ms").alias("last_ts_ms")
     )
+
+
+MM_FRAME_SQL = """
+WITH ids AS (SELECT UNNEST(range(64)) AS media_id),
+vids AS (
+  SELECT media_id, 1000 * (1 + media_id % 5) AS duration_ms
+  FROM ids WHERE media_id % 3 = 2
+)
+SELECT media_id,
+       CAST(greatest(duration_ms // 500, 1) AS BIGINT) AS n_frames,
+       CAST((greatest(duration_ms // 500, 1) - 1) * 500 AS BIGINT) AS last_ts_ms
+FROM vids
+"""
 
 
 def mm_decode_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,5 +104,5 @@ QUERIES = {
     "mm_decode_invariants": (mm_decode_invariants, MM_DECODE_SQL),
     "mm_metadata": (mm_metadata, None),
     "mm_decode_features": (mm_decode_features, None),
-    "mm_frame_sample": (mm_frame_sample, None),
+    "mm_frame_sample": (mm_frame_sample, MM_FRAME_SQL),
 }

@@ -170,16 +170,57 @@ FROM ranked WHERE rank <= 5
 """
 
 
-# --- LSH-bucketed approximate top-k (rows-only: approximation) ------------
+# --- LSH-bucketed approximate top-k ---------------------------------------
+# Fully oracle-checkable: the hyperplane signature is a deterministic
+# md5-derived recipe (similarity/ann._hyperplane), so DuckDB recomputes
+# the same buckets from inlined plane constants and the same exact
+# cosine within bucket.
+
+_LSH_PLANES, _LSH_DIM = 6, 64
+
 
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vecs(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 5)
-    out = lsh_bucketed_topk(q, e, k=5, n_planes=6, dim=64)
+    out = lsh_bucketed_topk(q, e, k=5, n_planes=_LSH_PLANES, dim=_LSH_DIM)
     return out.select(
         "query_id", "corpus_id", F.col("rank").cast("long").alias("rank"),
         F.round("cosine", 9).alias("cosine"),
     )
+
+
+def _duck_bucket_expr(col: str) -> str:
+    from ..similarity.ann import _hyperplane
+
+    terms = []
+    for p in range(_LSH_PLANES):
+        lit = "[" + ", ".join(repr(x) for x in _hyperplane(_LSH_DIM, p)) + "]"
+        dp = (
+            f"list_sum([CAST({col}[i] AS DOUBLE) * ({lit})[i] "
+            f"for i in generate_series(1, {_LSH_DIM})])"
+        )
+        terms.append(f"CASE WHEN {dp} >= 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+SIM_LSH_SQL = f"""
+WITH v AS (SELECT vec_id, embedding AS v, {_duck_bucket_expr('embedding')} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, v, bucket FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS corpus_id,
+    CASE WHEN ({_duck_l2('q.v')} * {_duck_l2('c.v')}) != 0.0
+         THEN {_duck_dot('q.v', 'c.v')} / ({_duck_l2('q.v')} * {_duck_l2('c.v')})
+         ELSE 0.0 END AS cosine
+  FROM v c JOIN q ON c.bucket = q.bucket
+  WHERE q.query_id != c.vec_id
+), ranked AS (
+  SELECT query_id, corpus_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, ROUND(cosine, 9) AS cosine
+FROM ranked WHERE rank <= 5
+"""
 
 
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,6 +259,6 @@ QUERIES = {
     "dist_kernels": (dist_kernels, DIST_KERNELS_SQL),
     "nearest_exemplar": (nearest_exemplar, NEAREST_EXEMPLAR_SQL),
     "sim_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
-    "sim_topk_lsh": (sim_topk_lsh, None),
+    "sim_topk_lsh": (sim_topk_lsh, SIM_LSH_SQL),
     "sim_topk_ivf": (sim_topk_ivf, SIM_IVF_SQL),
 }
