@@ -99,6 +99,38 @@ def ml_dtw_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_dtw_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-pinned DTW bound properties over the pair slice: the
+    euclidean upper bound dominates exact DTW (U8 semantics), and any
+    path-restricted variant (Sakoe-Chiba band, FastDTW window) can only
+    cost >= the exact optimum."""
+    d = ml_dtw_distances(spark, sf_dir)
+    row = d.agg(
+        F.min(F.col("euclid_ub") >= F.col("dtw_exact") - 1e-6).alias("ub_ok"),
+        F.min(F.col("dtw_banded") >= F.col("dtw_exact") - 1e-6).alias("banded_ok"),
+        F.min("approx_ge_exact").alias("approx_ok"),
+        F.count("*").alias("n"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                bool(row["ub_ok"]),
+                bool(row["banded_ok"]),
+                bool(row["approx_ok"]),
+                bool(row["n"] > 0),
+            )
+        ],
+        "euclid_dominates boolean, banded_ge_exact boolean, "
+        "fastdtw_ge_exact boolean, nonempty boolean",
+    )
+
+
+ML_DTW_INV_SQL = (
+    "SELECT TRUE AS euclid_dominates, TRUE AS banded_ge_exact, "
+    "TRUE AS fastdtw_ge_exact, TRUE AS nonempty"
+)
+
+
 def ml_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/S6 model sink+source: fit, JSON-save, load, and verify the
     reloaded model predicts identically (reference pickle sink
@@ -204,6 +236,7 @@ QUERIES = {
     "ml_local_forest": (ml_local_forest, None),
     "ml_global_tree": (ml_global_tree, None),
     "ml_dtw_distances": (ml_dtw_distances, None),
+    "ml_dtw_invariants": (ml_dtw_invariants, ML_DTW_INV_SQL),
     "ml_model_roundtrip": (ml_model_roundtrip, ML_ROUNDTRIP_SQL),
     "ml_pipeline_report": (ml_pipeline_report, ML_REPORT_SQL),
     "ml_plot_sink": (ml_plot_sink, ML_PLOT_SQL),
