@@ -31,14 +31,45 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(src, dst) undirected edge list → (vertex, component) where
     ``component`` is the minimum vertex id reachable from ``vertex``.
-    Deterministic; raises if not converged within ``max_iter`` rounds."""
+    Deterministic; raises if not converged within ``max_iter`` rounds.
+
+    Below ``driver_threshold`` edges, the COMPACT pair list (two longs
+    per edge — never payloads) is collected and closed with union-find
+    on the driver: one job instead of ~3 jobs × diameter rounds. Above
+    it, the distributed min-label propagation runs. Same hybrid shape
+    as the IVF coarse quantizer: the data that must be global is tiny,
+    so ship it to the driver while it is; the distributed path exists
+    for when it is not."""
     # materialize the edge list ONCE — candidate-pair generation (LSH
     # join, cosine verify) is the expensive part and must not re-execute
     # on every propagation round
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    n_edges = e.count()
+    if n_edges <= driver_threshold:
+        pairs = [(r["a"], r["b"]) for r in e.collect()]
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in pairs:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # union by min id keeps components deterministic
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        rows = [(v, find(v)) for v in parent]
+        return e.sparkSession.createDataFrame(rows, "vertex long, component long")
     sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         sym.select(F.col("a").alias("vertex"))

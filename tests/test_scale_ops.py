@@ -99,10 +99,18 @@ def test_connected_components(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # driver union-find path (default threshold)
     got = {
         r["vertex"]: r["component"] for r in connected_components(edges).collect()
     }
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert got == want
+    # distributed min-label propagation path (threshold forced to 0)
+    got_dist = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert got_dist == want
     stats = dedup_cluster_stats(edges).collect()
     keepers = {r["vertex"] for r in stats if r["is_keeper"]}
     assert keepers == {1, 10}

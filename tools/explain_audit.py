@@ -69,6 +69,22 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("map-side partial quantity sum", r"partial_sum\(cast\(l_quantity"),
         ("having filter applied before the joins", r"sum_qty_dec#\d+ > 180"),
     ],
+    # join strategy (broadcast vs sort-merge) is size-dependent and AQE
+    # re-picks it at scale, so these assert shape + pruning, not strategy
+    "tpch_q4_adapted": [
+        ("EXISTS compiled to a semi join", r"LeftSemi"),
+        ("lineitem scan pruned to 2 cols", r"ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp"),
+        ("orders scan pruned to 3 cols", r"ReadSchema: struct<o_orderkey:bigint,o_orderdate:timestamp[^,]*,o_orderpriority:string>"),
+    ],
+    "tpch_q12_adapted": [
+        ("map-side partial aggregation", r"partial_sum"),
+        ("lineitem scan pruned to 2 cols", r"ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp"),
+    ],
+    "sim_topk_lsh": [
+        ("query side broadcast", r"BroadcastExchange"),
+        ("per-query top-k became a group limit (no full sort of scores)", r"WindowGroupLimit"),
+        ("query filter pushed", r"PushedFilters: \[.*LessThan\(vec_id,5\)"),
+    ],
 }
 
 
