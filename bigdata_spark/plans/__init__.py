@@ -33,6 +33,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         multimodalq,
         relational,
         samplingq,
+        scaleq,
         simq,
         textq,
     )
@@ -47,6 +48,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         dedupq,
         simq,
         samplingq,
+        scaleq,
         mlq,
         multimodalq,
     ):

@@ -1,0 +1,195 @@
+"""Scale-surface queries: skew mitigation, partitioned sinks, JSON-lines
+source, and the SQL-string API — each with a DuckDB oracle.
+
+The skew operators' OUTPUTS are salt-invariant (salting only changes the
+shuffle layout), so plain GROUP BY / JOIN SQL is an exact oracle for
+them — the gate proves the two-phase plans compute the same answer as
+the direct ones."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the events table (event_type is
+    a few-key column — the worst-case agg skew shape). Salt-invariant
+    output: count/sum/min/max per key, so the oracle is the plain
+    GROUP BY."""
+    from ..operators.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,3)")
+    out = salted_agg(
+        e.select("event_type", dec.alias("v")),
+        "event_type",
+        {
+            "n": F.count("*"),
+            "sum_v": F.sum("v"),
+            "min_v": (F.min("v"), F.min),
+            "max_v": (F.max("v"), F.max),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.col("sum_v").cast("double").alias("sum_v"),
+        F.col("min_v").cast("double").alias("min_v"),
+        F.col("max_v").cast("double").alias("max_v"),
+    )
+
+
+SKEW_AGG_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_v,
+       CAST(MIN(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS min_v,
+       CAST(MAX(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS max_v
+FROM events GROUP BY 1
+"""
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join of the (skewed) events fact against a small
+    event-type dim, aggregated after the join. Salt-invariant output —
+    the oracle is the plain join + GROUP BY."""
+    from ..operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0)],
+        "event_type string, weight double",
+    )
+    joined = salted_join(e, dim, "event_type", n_salts=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("value").cast("decimal(18,3)") * F.col("weight").cast("decimal(8,1)"))
+            )
+            .cast("double")
+            .alias("weighted_sum"),
+        )
+    )
+
+
+SKEW_JOIN_SQL = """
+WITH dim(event_type, weight) AS (VALUES ('click', 1.0), ('view', 0.1), ('purchase', 10.0))
+SELECT e.event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,3)) * CAST(d.weight AS DECIMAL(8,1))) AS DOUBLE) AS weighted_sum
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY 1
+"""
+
+
+def s9_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + partition-pruned re-read — the
+    write-path layout that makes 100 TB scans cheap. Pins: rows
+    conserved through the sink, a one-partition filter reads only that
+    partition's files (input_file_name check), and the partition column
+    survives the roundtrip."""
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_psink_")
+    try:
+        l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+        cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"]
+        src = l.select(*cols)
+        n_src = src.count()
+        src.write.mode("overwrite").partitionBy("l_returnflag").parquet(scratch)
+
+        back = spark.read.parquet(scratch)
+        n_back = back.count()
+        one = back.filter(F.col("l_returnflag") == "R")
+        files = {
+            r["f"]
+            for r in one.select(F.input_file_name().alias("f")).distinct().collect()
+        }
+        pruned = all("l_returnflag=R" in f for f in files)
+        n_r_part = one.count()
+        n_r_src = src.filter(F.col("l_returnflag") == "R").count()
+        return spark.createDataFrame(
+            [(bool(n_back == n_src), bool(pruned), bool(n_r_part == n_r_src))],
+            "rows_conserved boolean, scan_pruned_to_partition boolean, "
+            "partition_values_roundtrip boolean",
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S9_SQL = (
+    "SELECT TRUE AS rows_conserved, TRUE AS scan_pruned_to_partition, "
+    "TRUE AS partition_values_roundtrip"
+)
+
+
+def s10_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema'd source roundtrip (the interchange
+    format most training-data pipelines ingest). Oracle pins the
+    roundtrip invariants."""
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_jsonl_")
+    try:
+        n = load_table(spark, sf_dir, "nation")
+        n.coalesce(1).write.mode("overwrite").json(scratch)
+        back = spark.read.schema(
+            "n_nationkey long, n_name string, n_regionkey long"
+        ).json(scratch)
+        diff = back.select("n_nationkey", "n_name", "n_regionkey").exceptAll(
+            n.select("n_nationkey", "n_name", "n_regionkey")
+        ).count()
+        n_back = back.count()
+        n_src = n.count()
+        return spark.createDataFrame(
+            [(bool(n_back == n_src), bool(diff == 0))],
+            "rowcount_preserved boolean, values_roundtrip boolean",
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S10_SQL = "SELECT TRUE AS rowcount_preserved, TRUE AS values_roundtrip"
+
+
+def sql_api_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string API surface: the same pricing-summary shape as
+    tpch_q1 expressed through spark.sql over a temp view — proves a
+    reference user can keep writing SQL text verbatim. The oracle is
+    the identical ANSI statement."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               COUNT(*) AS count_order
+        FROM lineitem_v
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+SQL_API_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+QUERIES = {
+    "skew_salted_agg": (skew_salted_agg, SKEW_AGG_SQL),
+    "skew_salted_join": (skew_salted_join, SKEW_JOIN_SQL),
+    "s9_partitioned_sink": (s9_partitioned_sink, S9_SQL),
+    "s10_jsonl_roundtrip": (s10_jsonl_roundtrip, S10_SQL),
+    "sql_api_q1": (sql_api_q1, SQL_API_SQL),
+}
