@@ -84,7 +84,10 @@ def _half(x: np.ndarray) -> np.ndarray:
 
 def _expand_window(path, n: int, m: int, radius: int) -> set:
     """Project a coarse warp path to the finer resolution and dilate by
-    ``radius`` (the FastDTW neighborhood)."""
+    ``radius`` (the FastDTW neighborhood). A diagonal staircase from the
+    last projected cell to the corner (and from (0,0) to the first)
+    keeps the window connected even for odd lengths / degenerate
+    projections, so the DP never hits an unreachable terminal."""
     cells = set()
     for i, j in path:
         for di in range(-radius, radius + 2):
@@ -92,9 +95,23 @@ def _expand_window(path, n: int, m: int, radius: int) -> set:
                 fi, fj = 2 * i + di, 2 * j + dj
                 if 0 <= fi < n and 0 <= fj < m:
                     cells.add((fi, fj))
-    # guarantee start/end are present even for degenerate projections
-    cells.add((0, 0))
-    cells.add((n - 1, m - 1))
+
+    def staircase(a, b):
+        (i0, j0), (i1, j1) = a, b
+        i, j = i0, j0
+        while (i, j) != (i1, j1):
+            cells.add((i, j))
+            if i < i1:
+                i += 1
+            if j < j1:
+                j += 1
+        cells.add((i1, j1))
+
+    if path:
+        staircase((0, 0), (min(2 * path[0][0], n - 1), min(2 * path[0][1], m - 1)))
+        staircase((min(2 * path[-1][0], n - 1), min(2 * path[-1][1], m - 1)), (n - 1, m - 1))
+    else:
+        staircase((0, 0), (n - 1, m - 1))
     return cells
 
 
@@ -120,8 +137,15 @@ def _fast_dtw_rec(a: np.ndarray, b: np.ndarray, radius: int):
     window = _expand_window(coarse_path, len(a), len(b), radius)
     try:
         return _dtw_path(a, b, window)
-    except KeyError:  # disconnected window (degenerate projection)
-        return _dtw_path(a, b, None)
+    except KeyError:
+        # Disconnected window (should not happen with the staircase, but
+        # never fall back to the O(n·m) dict DP): banded numpy DTW gives
+        # a valid ≥-exact cost, and a diagonal skeleton keeps the parent
+        # level's window sane.
+        n, m = len(a), len(b)
+        d = dtw_distance(a, b, window=radius + abs(n - m) + 2)
+        diag = [(min(i, n - 1), min(i, m - 1)) for i in range(max(n, m))]
+        return d * d, diag
 
 
 def fast_dtw_pairwise_udf(radius: int = 1):

@@ -78,19 +78,30 @@ def _decode_stub(payload: bytes, n_features: int = 8) -> np.ndarray:
     return np.frombuffer(h[: n_features * 2], dtype=np.uint8)[:n_features].astype(np.float64) / 255.0
 
 
+def _fit_length(v: np.ndarray, n_features: int) -> np.ndarray:
+    """Pad with zeros / truncate so every row of the feature column has
+    exactly n_features elements regardless of which codec produced it."""
+    if len(v) == n_features:
+        return v
+    if len(v) > n_features:
+        return v[:n_features]
+    return np.concatenate([v, np.zeros(n_features - len(v))])
+
+
 def _decode_payload(payload: bytes, fmt: str | None, n_features: int = 8) -> np.ndarray:
     """Real statistics for ppm/wav via codecs.py; compressed formats go
-    through the stub (or _decode_real once codec libs exist)."""
+    through the stub (or _decode_real once codec libs exist). All paths
+    emit exactly n_features values so the column is never ragged."""
     from .codecs import audio_features, image_features
 
     if payload is None:
         return np.zeros(n_features)
     if fmt == "ppm":
-        return image_features(bytes(payload))
+        return _fit_length(image_features(bytes(payload)), n_features)
     if fmt == "wav":
-        return audio_features(bytes(payload))
+        return _fit_length(audio_features(bytes(payload)), n_features)
     if REAL_CODECS_AVAILABLE:
-        return _decode_real(bytes(payload), {"format": fmt})
+        return _fit_length(_decode_real(bytes(payload), {"format": fmt}), n_features)
     return _decode_stub(payload, n_features)
 
 

@@ -46,10 +46,24 @@ def connected_components(
     for when it is not."""
     # materialize the edge list ONCE — candidate-pair generation (LSH
     # join, cosine verify) is the expensive part and must not re-execute
-    # on every propagation round
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    # on every propagation round. Null endpoints are dropped up front so
+    # both paths agree (the distributed equi-join would drop them too).
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .localCheckpoint()
+    )
     n_edges = e.count()
     if n_edges <= driver_threshold:
+        from pyspark.sql.types import StructField, StructType
+
+        vertex_type = e.schema["a"].dataType
+        out_schema = StructType(
+            [
+                StructField("vertex", vertex_type, False),
+                StructField("component", vertex_type, False),
+            ]
+        )
         pairs = [(r["a"], r["b"]) for r in e.collect()]
         parent: dict = {}
 
@@ -69,7 +83,7 @@ def connected_components(
                 lo, hi = min(ra, rb), max(ra, rb)
                 parent[hi] = lo
         rows = [(v, find(v)) for v in parent]
-        return e.sparkSession.createDataFrame(rows, "vertex long, component long")
+        return e.sparkSession.createDataFrame(rows, out_schema)
     sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         sym.select(F.col("a").alias("vertex"))

@@ -329,12 +329,14 @@ FROM labels l JOIN sizes s USING (component)
 
 def dedup_stream_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest-time exact dedup (streaming/stateful.stream_dedup):
-    first-seen wins across micro-batches, per-key drop counts in
-    GroupState. The stream appends a deterministic duplicated slice
-    (every 50th doc re-ingested under a shifted id) so the drop counter
-    is genuinely exercised — the synthetic corpus has no exact dups at
-    small SFs. The oracle is the batch equivalent: min id + count-1 per
-    content key over the same unioned input."""
+    one admission per content key across micro-batches with the min-id
+    canonical keeper (order-independent, so batching layout cannot
+    change the result), per-key drop counts in GroupState. The stream
+    appends a deterministic duplicated slice (every 50th doc re-ingested
+    under a shifted id) so the drop counter is genuinely exercised — the
+    synthetic corpus has no exact dups at small SFs. The oracle is the
+    batch equivalent: min id + count-1 per content key over the same
+    unioned input."""
     import uuid
 
     from ..streaming.stateful import stream_dedup

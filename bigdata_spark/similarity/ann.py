@@ -139,20 +139,29 @@ def _lloyd_numpy(X, k: int, seed: int, max_iter: int):
     The IVF coarse quantizer trains on a BOUNDED sample (a few thousand
     vectors, ~1 MB) no matter how big the corpus is, so driver-side
     training is scale-safe — and it replaces ~30 MLlib scheduler
-    round-trips with one deterministic loop."""
+    round-trips with one deterministic loop.
+
+    Memory discipline: no (n, k, d) tensors. The k-means++ init keeps a
+    running min-distance array updated only against the newest center
+    (O(k·n·d) total), and Lloyd assignment uses the ‖x‖²+‖c‖²−2x·c
+    expansion so the largest temporary is the (n, k) distance matrix."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
     n = X.shape[0]
     centers = [X[rng.randint(n)]]
+    d2 = ((X - centers[0]) ** 2).sum(1)
     for _ in range(1, k):
-        d2 = ((X[:, None, :] - np.asarray(centers)[None, :, :]) ** 2).sum(-1).min(1)
         tot = d2.sum()
         probs = d2 / tot if tot > 0 else np.full(n, 1.0 / n)
-        centers.append(X[rng.choice(n, p=probs)])
+        c = X[rng.choice(n, p=probs)]
+        centers.append(c)
+        d2 = np.minimum(d2, ((X - c) ** 2).sum(1))
     C = np.asarray(centers)
+    x2 = (X**2).sum(1)[:, None]
     for _ in range(max_iter):
-        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+        dist = x2 + (C**2).sum(1)[None, :] - 2.0 * (X @ C.T)
+        assign = dist.argmin(1)
         newC = np.stack(
             [X[assign == j].mean(0) if (assign == j).any() else C[j] for j in range(k)]
         )

@@ -44,8 +44,21 @@ def exchange_count(df: DataFrame) -> int:
     """Number of SHUFFLE Exchange operators in the executed plan — the
     thing bucketing is supposed to drive to zero. BroadcastExchange is
     excluded (it moves a small build side, not the fact table), and so
-    is ReusedExchange (AQE reuse of an already-counted shuffle)."""
+    is ReusedExchange (AQE reuse of an already-counted shuffle).
+
+    Two plan-string traps: an executed AdaptiveSparkPlan prints BOTH
+    '== Final Plan ==' and '== Initial Plan ==' sections (count only
+    the final one), and a ReusedExchange node prints its child's
+    description inline ('ReusedExchange [...], Exchange hash...'), so
+    Exchange must be matched at an operator position (start of line or
+    after the tree-branch '- '), not as a substring."""
     import re
 
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return len(re.findall(r"(?<![A-Za-z])Exchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)", plan))
+    plan = plan.split("== Initial Plan ==")[0]
+    return len(
+        re.findall(
+            r"(?m)(?:^|- )Exchange (?:hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)",
+            plan,
+        )
+    )

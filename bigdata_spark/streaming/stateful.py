@@ -54,20 +54,26 @@ def stream_dedup(
     key_col: str = "content_key",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Streaming first-seen exact dedup: the ingest-time guard a
-    training-data pipeline runs so a document is admitted once across
-    the whole stream history. Emits one row per NEW content key — the
-    minimum id among the key's first-batch occurrences (deterministic) —
-    and keeps a per-key duplicate counter in GroupState.
+    """Streaming exact dedup: the ingest-time guard a training-data
+    pipeline runs so a document is admitted once across the whole
+    stream history. Emits one row per content key carrying the current
+    canonical keeper — the MINIMUM id seen so far — and a duplicate
+    counter, both in GroupState.
+
+    Min-id (rather than literal arrival order) makes the keeper
+    order-independent: the same corpus produces the same keeper set no
+    matter how files split into micro-batches, so results are
+    reproducible under reprocessing and comparable to the batch
+    aggregate (MIN(id), COUNT(*)-1 per key).
 
     Spark's built-in ``dropDuplicates`` + watermark covers the
-    bounded-lateness case; this custom operator keeps unbounded
-    first-seen state (bounded by DISTINCT key cardinality, the same
-    asymptotics as the batch dedup's groupBy) and exposes the
-    drop count per key as observability output.
+    bounded-lateness case; this custom operator keeps unbounded state
+    (bounded by DISTINCT key cardinality, the same asymptotics as the
+    batch dedup's groupBy) and exposes the drop count as observability
+    output.
 
     Output: (key string, kept_id long, dups_dropped long) in update
-    mode — the latest row per key carries the current drop count."""
+    mode — the latest row per key carries the current state."""
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -79,18 +85,18 @@ def stream_dedup(
             if len(pdf):
                 m = int(pdf[id_col].min())
                 batch_min_id = m if batch_min_id is None else min(batch_min_id, m)
+        if batch_min_id is None:
+            return
         if state.exists:
             kept_id, dups = state.get
+            kept_id = min(kept_id, batch_min_id)
             dups += batch_n
-            state.update((kept_id, dups))
-            yield pd.DataFrame(
-                [{"key": key[0], "kept_id": kept_id, "dups_dropped": dups}]
-            )
         else:
-            state.update((batch_min_id, batch_n - 1))
-            yield pd.DataFrame(
-                [{"key": key[0], "kept_id": batch_min_id, "dups_dropped": batch_n - 1}]
-            )
+            kept_id, dups = batch_min_id, batch_n - 1
+        state.update((kept_id, dups))
+        yield pd.DataFrame(
+            [{"key": key[0], "kept_id": kept_id, "dups_dropped": dups}]
+        )
 
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update,

@@ -67,9 +67,10 @@ def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
 
     src = str(tmp_path / "dedup_src")
     # keys k0..k4; k0/k1 recur in batch 2 (cross-batch dups), k2 has an
-    # in-batch dup, k5 first appears in batch 2
-    b1 = [(0, "k0"), (1, "k1"), (2, "k2"), (3, "k2"), (4, "k3"), (5, "k4")]
-    b2 = [(6, "k0"), (7, "k0"), (8, "k1"), (9, "k5")]
+    # in-batch dup, k5 first appears in batch 2, and k7's SMALLER id
+    # arrives in the later batch (pins min-id, order-independent keeper)
+    b1 = [(0, "k0"), (1, "k1"), (2, "k2"), (3, "k2"), (4, "k3"), (5, "k4"), (20, "k7")]
+    b2 = [(6, "k0"), (7, "k0"), (8, "k1"), (9, "k5"), (10, "k7")]
     schema = "doc_id long, content_key string"
     spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/p1")
     spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/p2")
@@ -94,7 +95,8 @@ def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
         "WHERE dups_dropped = (SELECT MAX(dups_dropped) FROM stream_dedup b WHERE b.key = a.key)"
     ).collect()
     final = {r["key"]: (r["kept_id"], r["dups_dropped"]) for r in rows}
-    # kept id = first-seen min id per key; drops count every later copy
+    # kept id = min id across the whole history (order-independent);
+    # drops count every non-kept copy
     assert final == {
         "k0": (0, 2),
         "k1": (1, 1),
@@ -102,4 +104,5 @@ def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
         "k3": (4, 0),
         "k4": (5, 0),
         "k5": (9, 0),
+        "k7": (10, 1),
     }
