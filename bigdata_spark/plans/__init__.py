@@ -80,6 +80,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         "w4_moving_avg", "w5_analytic_suite",
     }
     back_of_line = [
+        "s11_compaction",
         "ml_model_roundtrip",
         "ml_pipeline_report",
         "approx_sketches",

@@ -186,10 +186,102 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def s11_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (sources/compaction.py): explode a slice of
+    lineitem into many tiny files, compact to a byte target, and pin
+    rows conserved + file count collapsed + values intact."""
+    import shutil
+    import tempfile
+
+    from ..sources.compaction import compact_parquet, parquet_file_count
+
+    root = tempfile.mkdtemp(prefix="bigdata_spark_compact_")
+    try:
+        src, dst = f"{root}/small", f"{root}/compacted"
+        l = load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_orderkey") <= 2000
+        ).select("l_orderkey", "l_linenumber", "l_quantity")
+        n_src = l.count()
+        l.repartition(64).write.mode("overwrite").parquet(src)  # the small-file mess
+        n_small = parquet_file_count(src)
+        n_out = compact_parquet(spark, src, dst, target_file_bytes=64 * 1024 * 1024)
+        back = spark.read.parquet(dst)
+        n_back = back.count()
+        diff = back.exceptAll(l).count()
+        return spark.createDataFrame(
+            [
+                (
+                    bool(n_small >= 32),
+                    bool(n_out < n_small),
+                    bool(n_back == n_src),
+                    bool(diff == 0),
+                )
+            ],
+            "many_small_files boolean, file_count_collapsed boolean, "
+            "rows_conserved boolean, values_intact boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+S11_SQL = (
+    "SELECT TRUE AS many_small_files, TRUE AS file_count_collapsed, "
+    "TRUE AS rows_conserved, TRUE AS values_intact"
+)
+
+
+def s12_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (mergeSchema): two parquet generations —
+    one with an added column — union into the superset schema with
+    null-fill for the missing column."""
+    import shutil
+    import tempfile
+
+    from ..sources.compaction import read_merged_schema
+
+    root = tempfile.mkdtemp(prefix="bigdata_spark_evolve_")
+    try:
+        n = load_table(spark, sf_dir, "nation")
+        v1 = n.select("n_nationkey", "n_name")
+        v2 = n.select(
+            "n_nationkey", "n_name", F.col("n_regionkey").alias("region_added")
+        )
+        v1.write.mode("overwrite").parquet(f"{root}/gen=1")
+        v2.write.mode("overwrite").parquet(f"{root}/gen=2")
+        merged = read_merged_schema(spark, f"{root}/gen=1", f"{root}/gen=2")
+        has_col = "region_added" in merged.columns
+        counts = merged.agg(
+            F.count("*").alias("total"),
+            F.count("region_added").alias("with_col"),
+        ).first()
+        n_src = v1.count()
+        return spark.createDataFrame(
+            [
+                (
+                    bool(has_col),
+                    bool(counts["total"] == 2 * n_src),
+                    bool(counts["with_col"] == n_src),
+                )
+            ],
+            "superset_schema boolean, all_rows_read boolean, "
+            "old_generation_nullfilled boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+S12_SQL = (
+    "SELECT TRUE AS superset_schema, TRUE AS all_rows_read, "
+    "TRUE AS old_generation_nullfilled"
+)
+
+
 QUERIES = {
     "skew_salted_agg": (skew_salted_agg, SKEW_AGG_SQL),
     "skew_salted_join": (skew_salted_join, SKEW_JOIN_SQL),
     "s9_partitioned_sink": (s9_partitioned_sink, S9_SQL),
     "s10_jsonl_roundtrip": (s10_jsonl_roundtrip, S10_SQL),
+    "s11_compaction": (s11_compaction, S11_SQL),
+    "s12_schema_evolution": (s12_schema_evolution, S12_SQL),
     "sql_api_q1": (sql_api_q1, SQL_API_SQL),
 }
