@@ -143,6 +143,33 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 APPROX_SQL = "SELECT TRUE AS hll_within_10pct, TRUE AS median_within_5pct"
 
 
+def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via DataFrame.freqItems (single-pass Karp-style
+    frequent-items sketch). The sketch guarantees a SUPERSET of every
+    item with frequency ≥ support; the query pins that guarantee — all
+    truly-frequent event types are found — plus a bounded false-positive
+    count, as oracle-checked booleans."""
+    support = 0.15
+    e = load_table(spark, sf_dir, "events").select("event_type")
+    found = set(e.freqItems(["event_type"], support=support).first()[0])
+    counts = e.groupBy("event_type").count().collect()
+    total = sum(r["count"] for r in counts)
+    truly_frequent = {r["event_type"] for r in counts if r["count"] / total >= support}
+    all_found = truly_frequent <= found
+    # sketch size (and thus FP count) is bounded by ~1/support items
+    fp_bounded = len(found) <= int(1 / support) + 1
+    return spark.createDataFrame(
+        [(bool(all_found), bool(fp_bounded), bool(len(truly_frequent) > 0))],
+        "all_frequent_found boolean, false_positives_bounded boolean, nonempty boolean",
+    )
+
+
+HEAVY_HITTERS_SQL = (
+    "SELECT TRUE AS all_frequent_found, TRUE AS false_positives_bounded, "
+    "TRUE AS nonempty"
+)
+
+
 # --- pivot -----------------------------------------------------------------
 
 def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,6 +333,7 @@ QUERIES = {
     "cube_counts": (cube_counts, CUBE_SQL),
     "distinct_agg": (distinct_agg, DISTINCT_AGG_SQL),
     "approx_sketches": (approx_sketches, APPROX_SQL),
+    "approx_heavy_hitters": (approx_heavy_hitters, HEAVY_HITTERS_SQL),
     "pivot_status_by_priority": (pivot_status_by_priority, PIVOT_SQL),
     "semi_join": (semi_join, SEMI_SQL),
     "above_avg_orders": (above_avg_orders, ABOVE_AVG_SQL),
