@@ -130,8 +130,49 @@ FROM documents
 """
 
 
+def txt_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance (Levenshtein) fuzzy matching over text prefixes —
+    the character-level near-dup kernel complementing shingle Jaccard.
+    Bucketed by lang and bounded to a doc-id slice so the pair count
+    stays linear-ish; at corpus scale the bucket key would be an LSH
+    signature (dedup_embedding_pairs pattern). Native JVM expression —
+    no Python in the pair loop."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", "lang", F.substring("text", 1, 40).alias("prefix"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return a.join(
+        b,
+        on=[
+            F.col("a.lang") == F.col("b.lang"),
+            F.col("a.doc_id") < F.col("b.doc_id"),
+            dist <= 29,
+        ],
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        dist.cast("long").alias("edit_dist"),
+    )
+
+
+TXT_EDIT_SQL = """
+WITH p AS (
+  SELECT doc_id, lang, substr(text, 1, 40) AS prefix
+  FROM documents WHERE doc_id < 30
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 29
+"""
+
+
 QUERIES = {
     "txt_token_stats": (txt_token_stats, TXT_TOKEN_SQL),
+    "txt_edit_distance": (txt_edit_distance, TXT_EDIT_SQL),
     "txt_quality": (txt_quality, TXT_QUALITY_SQL),
     "txt_langid": (txt_langid, TXT_LANGID_SQL),
     "txt_fingerprint": (txt_fingerprint, TXT_FINGERPRINT_SQL),
