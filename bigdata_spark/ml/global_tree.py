@@ -97,9 +97,11 @@ class GlobalProximityTree:
         ).persist()
         assign.count()
 
-        # global majority for the null-prediction fallback (reference :182-184)
-        top = assign.groupBy("label").count().orderBy(F.desc("count"), F.asc("label")).first()
-        self.majority_class = int(top["label"])
+        # global majority for the null-prediction fallback (reference
+        # :182-184) — derived from level 0's stats (node 0 holds every
+        # row), no separate job; computed directly only if the BFS loop
+        # never runs (max_depth == 0)
+        self.majority_class = None
         self.nodes = {0: TreeNode(0)}
         next_id = 1
         open_nodes = [0]
@@ -127,6 +129,10 @@ class GlobalProximityTree:
                 pool.setdefault(r["node_id"], {}).setdefault(r["label"], []).append(
                     list(r["features"])
                 )
+            if self.majority_class is None and 0 in stats:
+                # level 0: node 0's per-label counts ARE the global counts
+                s0 = stats[0]
+                self.majority_class = int(max(sorted(s0), key=lambda k: s0[k]))
 
             # leaf checks on the driver (reference :248-253)
             split_nodes = []
@@ -257,6 +263,12 @@ class GlobalProximityTree:
                 nid for nid, n in self.nodes.items() if not n.is_leaf and not n.children
             ]
             depth += 1
+
+        if self.majority_class is None:  # max_depth == 0: loop never ran
+            top = (
+                assign.groupBy("label").count().orderBy(F.desc("count"), F.asc("label")).first()
+            )
+            self.majority_class = int(top["label"])
 
         # dangling-node sweep (reference :384-398): anything still open → leaf
         if open_nodes:
