@@ -491,10 +491,10 @@ def s2_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.options(sep="\t", header=True).schema(
         "n_nationkey long, n_name string, n_regionkey long"
     ).csv(scratch)
-    # one job for both symmetric differences + the count
-    diff_df = back.exceptAll(mem).unionAll(mem.exceptAll(back))
+    # one exceptAll direction suffices: with |back| == |mem| verified
+    # below, back \ mem = ∅ (multiset) implies mem \ back = ∅ too
     counts = back.unionAll(
-        diff_df.select(
+        back.exceptAll(mem).select(
             F.lit(None).cast("long"),
             F.lit(None).cast("string"),
             F.lit(None).cast("long"),
