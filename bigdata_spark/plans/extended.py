@@ -153,7 +153,7 @@ def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("event_type")
     found = set(e.freqItems(["event_type"], support=support).first()[0])
     counts = e.groupBy("event_type").count().collect()
-    total = sum(r["count"] for r in counts)
+    total = sum(r["count"] for r in counts) or 1  # empty table → no frequent items
     truly_frequent = {r["event_type"] for r in counts if r["count"] / total >= support}
     all_found = truly_frequent <= found
     # sketch size (and thus FP count) is bounded by ~1/support items

@@ -200,7 +200,7 @@ def s11_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, dst = f"{root}/small", f"{root}/compacted"
         l = load_table(spark, sf_dir, "lineitem").filter(
             F.col("l_orderkey") <= 2000
-        ).select("l_orderkey", "l_linenumber", "l_quantity")
+        ).select("l_orderkey", "l_linenumber", "l_quantity").persist()
         n_src = l.count()
         l.repartition(64).write.mode("overwrite").parquet(src)  # the small-file mess
         n_small = parquet_file_count(src)
@@ -208,6 +208,7 @@ def s11_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         back = spark.read.parquet(dst)
         n_back = back.count()
         diff = back.exceptAll(l).count()
+        l.unpersist()
         return spark.createDataFrame(
             [
                 (
