@@ -22,6 +22,26 @@ from pyspark.sql import functions as F
 from ..functions.hashing import portable_hash64, shingles
 
 
+# Linear-permutation MinHash (standard universal-hash family): ONE
+# md5-derived base hash per shingle, then num_perm cheap (a·h + b) mod M
+# permutations of it. Cuts the dominant md5 cost num_perm-fold vs
+# hashing every shingle once per permutation. M = 2^31 - 1 keeps every
+# product a·h < 2^62 — no 64-bit overflow in either engine (DuckDB
+# BIGINT overflow errors rather than wrapping, so this bound matters).
+MINHASH_MOD = (1 << 31) - 1
+
+
+def perm_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for permutation i, derived from md5 so any
+    engine can reproduce them. a ∈ [1, M-1], b ∈ [0, M-1]."""
+    import hashlib
+
+    h = hashlib.md5(f"perm|{i}".encode()).hexdigest()
+    a = (int(h[:8], 16) % (MINHASH_MOD - 1)) + 1
+    b = int(h[8:16], 16) % MINHASH_MOD
+    return a, b
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -29,29 +49,35 @@ def minhash_signature(
     num_perm: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, shingles, sig: array<long>[num_perm]) — one projection."""
+    """(id, shingles, sig: array<long>[num_perm])."""
     from ..operators.parallelism import ensure_parallelism
 
     sh = shingles(F.col(text_col), n=shingle_n)
-    # Repartition BETWEEN the shingle projection and the signature
-    # projection: the exchange stops Catalyst's projection collapse from
-    # inlining the (large) shingle expression into every per-seed
-    # transform — without it, codegen compiles num_perm copies of the
-    # shingling code and cold-start dominates the query.
+    # Repartition barriers BETWEEN the projections: each exchange stops
+    # Catalyst's projection collapse from inlining the previous stage's
+    # expression into every downstream transform. Without them codegen
+    # compiles (and executes) the shingling num_perm times — or, if
+    # shingles and hashes share one projection, the shingle expression
+    # twice per row (measured slower). Shingle once → hash once →
+    # permute num_perm times.
     out = ensure_parallelism(df.select(F.col(id_col), sh.alias("shingles")), force=True)
-
-    def hash_with_seed(seed: int):
-        # single-arg lambda: a two-arg lambda would make F.transform pass
-        # the array index as the second argument, clobbering the seed
-        return lambda s: portable_hash64(s, seed=seed)
+    hashed = ensure_parallelism(
+        out.withColumn(
+            "_h",
+            F.transform(F.col("shingles"), lambda s: portable_hash64(s) % MINHASH_MOD),
+        ),
+        force=True,
+    )
+    def permute(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_MOD
 
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("shingles"), hash_with_seed(i)))
+            F.array_min(F.transform(F.col("_h"), permute(*perm_params(i))))
             for i in range(num_perm)
         ]
     )
-    return out.withColumn("sig", sig)
+    return hashed.withColumn("sig", sig).drop("_h")
 
 
 def minhash_dup_pairs(

@@ -76,15 +76,37 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_minhash_item(i: int) -> str:
+    """Permutation i of the base-hash list (mirrors dedup/minhash.py:
+    one md5 pass, then (a·h + b) mod M)."""
+    from ..dedup.minhash import MINHASH_MOD, perm_params
+
+    a, b = perm_params(i)
+    return (
+        f"list_min(list_transform(hashed, h -> ({a} * h + {b}) % {MINHASH_MOD}))"
+    )
+
+
+def _duck_hashed_cte() -> str:
+    from ..dedup.minhash import MINHASH_MOD
+
+    return (
+        f"SELECT doc_id, shingles, "
+        f"list_transform(shingles, s -> {_duck_hash('s', chr(39) + '0' + chr(39))} % {MINHASH_MOD}) AS hashed "
+        f"FROM sh"
+    )
+
+
 DEDUP_MINHASH_SIG_SQL = f"""
 WITH base AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
-sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM base)
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM base),
+hs AS ({_duck_hashed_cte()})
 SELECT doc_id,
   CAST(len(shingles) AS BIGINT) AS n_shingles,
-  list_min(list_transform(shingles, s -> {_duck_hash('s', "'0'")})) AS minhash_0,
-  list_min(list_transform(shingles, s -> {_duck_hash('s', "'1'")})) AS minhash_1,
-  list_min(list_transform(shingles, s -> {_duck_hash('s', "'7'")})) AS minhash_7
-FROM sh
+  {_duck_minhash_item(0)} AS minhash_0,
+  {_duck_minhash_item(1)} AS minhash_1,
+  {_duck_minhash_item(7)} AS minhash_7
+FROM hs
 """
 
 
@@ -102,10 +124,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_minhash_pairs_sql() -> str:
     rows_per_band = _NUM_PERM // 4
-    sig_items = ", ".join(
-        f"list_min(list_transform(shingles, s -> {_duck_hash('s', repr(str(i)))}))"
-        for i in range(_NUM_PERM)
-    )
+    sig_items = ", ".join(_duck_minhash_item(i) for i in range(_NUM_PERM))
     band_rows = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band_id, md5(concat_ws(',', {parts})) AS band_hash FROM sig".format(
             b=b,
@@ -119,7 +138,8 @@ def _duck_minhash_pairs_sql() -> str:
     return f"""
 WITH base AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
 sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM base),
-sig AS (SELECT doc_id, shingles, [{sig_items}] AS sig FROM sh),
+hs AS ({_duck_hashed_cte()}),
+sig AS (SELECT doc_id, shingles, [{sig_items}] AS sig FROM hs),
 banded AS ({band_rows}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
