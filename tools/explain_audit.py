@@ -85,6 +85,11 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("per-query top-k became a group limit (no full sort of scores)", r"WindowGroupLimit"),
         ("query filter pushed", r"PushedFilters: \[.*LessThan\(vec_id,5\)"),
     ],
+    "skew_salted_agg": [
+        ("phase 1 shuffles on (key, salt) — hot key spread over salts", r"hashpartitioning\(event_type#\d+, _salt#\d+"),
+        ("phase 2 merges per-key over the tiny partial table", r"hashpartitioning\(event_type#\d+, \d+\)"),
+        ("map-side partials before both shuffles", r"partial_sum"),
+    ],
 }
 
 
