@@ -6,6 +6,12 @@ ONE JSON line: {"metric": ..., "value": N, "unit": "sec", "queries":
 Each query is forced to full materialization via a count/collect-free
 ``write.format("noop")`` so timings measure execution, not driver
 transfer.
+
+Stdout carries a COMPACT summary line (the round-2 full per-query line
+grew past the driver's tail capture and failed to parse); the complete
+per-query warm/cold dicts go to ``bench_details.json`` next to this
+file.  Console progress bars are disabled for the session so no ``\\r``
+frames can interleave with the JSON line.
 """
 
 from __future__ import annotations
@@ -34,7 +40,9 @@ def main() -> None:
     from bigdata_spark.plans import all_queries
     from bigdata_spark.session import get_spark
 
-    spark = get_spark("bench")
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
 
@@ -57,17 +65,43 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    cold_total = round(sum(cold.values()), 3)
+    slowest5 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_details.json"
+    )
+    with open(details_path, "w") as f:
+        json.dump(
+            {
+                "sf": float(sf),
+                "warm_total": total,
+                "cold_total": cold_total,
+                "queries": timings,
+                "cold_queries": cold,
+                "excluded": EXCLUDED,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+
+    # ONE compact line on stdout — totals + slowest 5 only; the full
+    # per-query breakdown lives in bench_details.json.
+    sys.stdout.flush()
     print(
         json.dumps(
             {
                 "metric": "bench_total_wall_warm",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest5,
                 "sf": float(sf),
-                "cold_queries": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "excluded": EXCLUDED,
+                "n_queries": len(timings),
+                "cold_total": cold_total,
+                "details": "bench_details.json",
             }
         )
     )

@@ -112,16 +112,25 @@ class GlobalProximityTree:
             # count window over the same partitioning — no extra
             # shuffle) and the bounded exemplar pool (k random rows per
             # (node,label)). Collect is bounded by k·nodes·classes rows.
-            w = Window.partitionBy("node_id", "label").orderBy(F.rand(self.seed + depth))
+            # order key hashes row CONTENT (not partition-seeded rand):
+            # the sampled pool is identical on any cluster layout, so a
+            # seeded fit is reproducible across sessions/retries.
+            w = Window.partitionBy("node_id", "label").orderBy(
+                F.xxhash64(F.lit(self.seed + depth), "features")
+            )
             cw = Window.partitionBy("node_id", "label")
             pool_rows = (
                 assign.filter(F.col("node_id").isin(open_nodes))
                 .withColumn("_rk", F.row_number().over(w))
                 .withColumn("_cnt", F.count("*").over(cw))
                 .filter(F.col("_rk") <= self.exemplar_pool_k)
-                .select("node_id", "label", "features", "_cnt")
+                .select("node_id", "label", "features", "_cnt", "_rk")
                 .collect()
             )
+            # collect() row order follows task completion — sort so the
+            # driver-side pool lists (and rng.choice over them) are
+            # deterministic too
+            pool_rows.sort(key=lambda r: (r["node_id"], r["label"], r["_rk"]))
             stats: dict[int, dict[int, int]] = {}
             pool: dict[int, dict[int, list[list[float]]]] = {}
             for r in pool_rows:
@@ -198,16 +207,25 @@ class GlobalProximityTree:
                 agg.setdefault((r["node_id"], r["cand"]), {}).setdefault(r["branch"], {})[
                     r["label"]
                 ] = r["count"]
+            # sorted(): collect order is task-completion order; iterating
+            # sorted keys makes Gini tie-breaks (strict <, so the lowest
+            # cand id wins a tie) and child-id allocation deterministic
             best: dict[int, tuple[float, int]] = {}
-            for (nid, cand), branches in agg.items():
+            for (nid, cand), branches in sorted(agg.items()):
+                # integer sums are order-free, but the float Gini
+                # accumulation is NOT associative — iterate branches and
+                # labels in sorted order so the result doesn't inherit
+                # the collect()'s task-completion order (a near-tied
+                # candidate pair otherwise flips winners across layouts)
                 total = sum(sum(b.values()) for b in branches.values())
                 if len(branches) < 2:
                     gini = 1.0  # degenerate: routes everything one way
                 else:
                     gini = 0.0
-                    for bcounts in branches.values():
+                    for branch in sorted(branches):
+                        bcounts = branches[branch]
                         bt = sum(bcounts.values())
-                        p2 = sum((c / bt) ** 2 for c in bcounts.values())
+                        p2 = sum((bcounts[lbl] / bt) ** 2 for lbl in sorted(bcounts))
                         gini += (bt / total) * (1.0 - p2)
                 if nid not in best or gini < best[nid][0]:
                     best[nid] = (gini, cand)
@@ -215,7 +233,7 @@ class GlobalProximityTree:
             # materialize winners into the tree; routing goes through the
             # same broadcast-join pattern (constant-size plan per level)
             route_rows: list[tuple[int, list[list[float]], list[int]]] = []
-            for nid, (gini, cand) in best.items():
+            for nid, (gini, cand) in sorted(best.items()):
                 labels, exemplars = candidates[nid][cand]
                 if gini >= 1.0:
                     self._make_leaf(nid, stats.get(nid, {}))

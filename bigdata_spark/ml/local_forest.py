@@ -59,8 +59,15 @@ class LocalProximityForest:
         """df: (label int, features array<double>). Assigns balanced
         stratified partitions (W1+O3) then trains one tree per partition
         via applyInPandas."""
+        # _row_key: content hash carried into the pandas group so each
+        # partition's rows can be sorted deterministically before
+        # training — applyInPandas delivers rows in shuffle-fetch order,
+        # which varies run to run and would otherwise change the tree.
+        keyed = df.select(label_col, features_col).withColumn(
+            "_row_key", F.xxhash64(F.lit(self.seed), label_col, features_col)
+        )
         parted = balanced_stratified_repartition(
-            df.select(label_col, features_col),
+            keyed,
             label_col,
             self.num_partitions,
             seed=self.seed,
@@ -83,6 +90,7 @@ class LocalProximityForest:
 
         def train_partition(key, pdf):
             pid = int(key[0])
+            pdf = pdf.sort_values("_row_key", kind="mergesort")
             X = np.stack(pdf[features_col].to_numpy())
             y = pdf[label_col].to_numpy().astype(np.int64)
             oob = 1.0

@@ -65,14 +65,18 @@ def balanced_stratified_repartition(
     """W1+O3 — force exactly ``num_partitions`` balanced, label-stratified
     partitions (reference preprocessing.py:57-86).
 
-    row_number() OVER (PARTITION BY label ORDER BY rand(seed)) then
-    ``(rn-1) % n`` spreads each class round-robin across partitions;
-    hash-repartition on the computed id materializes the placement.
-    Costs two shuffles — the documented price of partition-quality-
-    sensitive local models (SURVEY §7 hard-point 4). Skew-safe: the
-    modulo distributes any label skew evenly by construction.
+    row_number() OVER (PARTITION BY label ORDER BY content-hash(seed))
+    then ``(rn-1) % n`` spreads each class round-robin across
+    partitions; hash-repartition on the computed id materializes the
+    placement. Costs two shuffles — the documented price of partition-
+    quality-sensitive local models (SURVEY §7 hard-point 4). Skew-safe:
+    the modulo distributes any label skew evenly by construction. The
+    order key hashes row CONTENT (not partition-seeded rand) so the
+    assignment is identical on any cluster layout or retry.
     """
-    w = Window.partitionBy(label_col).orderBy(F.rand(seed))
+    w = Window.partitionBy(label_col).orderBy(
+        F.xxhash64(F.lit(seed), *[F.col(c) for c in df.columns])
+    )
     with_pid = df.withColumn(
         "_partition_id",
         ((F.row_number().over(w) - F.lit(1)) % F.lit(num_partitions)).cast("int"),

@@ -13,8 +13,22 @@ every column at 100 TB) by splitting on a deterministic per-row hash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def content_uniform(cols: list[str], seed: int) -> Column:
+    """Deterministic pseudo-uniform in [0, 1) from row CONTENT.
+
+    ``F.rand(seed)`` is seeded per-PARTITION, so its draws depend on the
+    session's input splits and shuffle partition count — the same row
+    can land on different sides of a split across sessions, AQE
+    replans, or stage retries. Hashing the row content instead makes
+    every sampling/split operator a pure function of the data: byte-
+    identical results on any cluster layout, which is the only
+    reproducibility guarantee that survives a 1000-executor run."""
+    h = F.xxhash64(F.lit(seed), *[F.col(c) for c in cols])
+    return F.pmod(h, F.lit(1 << 30)).cast("double") / F.lit(float(1 << 30))
 
 
 def bernoulli_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
@@ -59,12 +73,15 @@ def stratified_split(
     The reference computes test = df ANTI-JOIN train ON *all* columns
     (utilities.py:74): correct on small data, but at 100 TB it shuffles
     every byte twice and breaks on duplicate rows. We instead stratify
-    on a seeded per-row rand: one pass, no join, exact complement,
-    duplicate-safe. Per-class fractions converge to ``train_fraction``
-    (law of large numbers at scale) and we preserve the per-class
-    threshold semantics of sampleBy.
+    on a deterministic per-row content hash (``content_uniform``): one
+    pass, no join, exact complement, duplicate-safe (copies of a row
+    stay together), and — unlike partition-seeded ``F.rand`` — the
+    same rows land on the same side on ANY cluster layout or retry.
+    Per-class fractions converge to ``train_fraction`` (law of large
+    numbers at scale) and we preserve the per-class threshold
+    semantics of sampleBy.
     """
-    with_rand = df.withColumn("_rand", F.rand(seed))
+    with_rand = df.withColumn("_rand", content_uniform(df.columns, seed))
     train = with_rand.filter(F.col("_rand") < train_fraction).drop("_rand")
     test = with_rand.filter(F.col("_rand") >= train_fraction).drop("_rand")
     return train, test
@@ -89,9 +106,15 @@ def group_topk_random_sample(
 
     Collecting only k·|groups| rows bounds the driver round-trip no
     matter the table size — this is the reference's own "P2" collect-
-    minimization lesson, kept as a first-class operator.
+    minimization lesson, kept as a first-class operator. The random
+    order key is a content hash (see ``content_uniform``) so the draw
+    is layout-independent.
     """
-    order = F.rand(seed) if order_col is None else F.col(order_col)
+    order = (
+        F.xxhash64(F.lit(seed), *[F.col(c) for c in df.columns])
+        if order_col is None
+        else F.col(order_col)
+    )
     w = Window.partitionBy(*group_cols).orderBy(order)
     return (
         df.withColumn("_rank", F.row_number().over(w))

@@ -65,3 +65,34 @@ def test_group_topk_random_sample_bounds(spark):
     out2 = group_topk_random_sample(df, ["label"], k=2, order_col="_c1")
     vals = sorted(r["_c1"] for r in out2.collect())
     assert vals == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_split_and_repartition_layout_invariant(spark):
+    """Content-hash determinism: the split membership and stratified
+    partition assignment must not depend on the input's physical
+    layout (partition count) — the property that makes seeded ML fits
+    reproducible across sessions, AQE replans, and task retries."""
+    from bigdata_spark.operators.preprocess import balanced_stratified_repartition
+
+    base = _wide(spark, 400)
+    for nparts in (1, 7):
+        df = base.repartition(nparts)
+        train, test = stratified_split(df, "label", 0.8, seed=42)
+        got = sorted(tuple(r) for r in train.collect())
+        parted = balanced_stratified_repartition(df, "label", 4, seed=42, keep_partition_col=True)
+        pids = sorted(tuple(r) for r in parted.collect())
+        if nparts == 1:
+            want_train, want_pids = got, pids
+        else:
+            assert got == want_train
+            assert pids == want_pids
+
+
+def test_group_topk_layout_invariant(spark):
+    base = _wide(spark, 200)
+    draws = []
+    for nparts in (1, 5):
+        got = group_topk_random_sample(base.repartition(nparts), ["label"], 3, seed=7)
+        draws.append(sorted(tuple(r) for r in got.collect()))
+    assert draws[0] == draws[1]
+    assert len(draws[0]) == 9

@@ -105,7 +105,7 @@ def test_connected_components(spark):
         r["vertex"]: r["component"] for r in connected_components(edges).collect()
     }
     assert got == want
-    # distributed min-label propagation path (threshold forced to 0)
+    # distributed large-star/small-star path (threshold forced to 0)
     got_dist = {
         r["vertex"]: r["component"]
         for r in connected_components(edges, driver_threshold=0).collect()
@@ -117,6 +117,57 @@ def test_connected_components(spark):
     assert {r["vertex"]: r["cluster_size"] for r in stats} == {
         1: 4, 2: 4, 3: 4, 4: 4, 10: 2, 11: 2,
     }
+
+
+def test_connected_components_high_diameter_chain(spark):
+    """The round-2 min-label loop raised after 25 rounds on any
+    component with diameter > 25; large-star/small-star must converge
+    in O(log^2 n) rounds on a 120-vertex chain (diameter 119)."""
+    from bigdata_spark.operators.graph import connected_components
+
+    n = 120
+    chain = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Distributed path agrees with the driver union-find on a random
+    multi-component graph (shuffled ids, duplicate + reversed edges)."""
+    import random
+
+    from bigdata_spark.operators.graph import connected_components
+
+    rng = random.Random(13)
+    ids = list(range(0, 900, 3))
+    rng.shuffle(ids)
+    edges = []
+    # 10 components of 30 shuffled vertices each, random spanning trees
+    # plus noise edges, some reversed/duplicated
+    for c in range(10):
+        comp = ids[c * 30 : (c + 1) * 30]
+        for i in range(1, len(comp)):
+            edges.append((comp[i], comp[rng.randrange(i)]))
+        for _ in range(10):
+            a, b = rng.choice(comp), rng.choice(comp)
+            if a != b:
+                edges.append((a, b))
+                edges.append((b, a))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df).collect()  # driver path
+    }
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert got == want
+    assert len(set(want.values())) == 10
 
 
 def test_salted_join_rejects_outer(spark):
