@@ -1,10 +1,11 @@
 """ML-layer queries (SURVEY §3.2/§3.3 training dataflows, §2.8 DTW).
 
-Genuinely non-SQL-expressible (iterative training, DP distance), so
-these are rows-only checks — but fully seeded/deterministic, and the
-evaluation metrics they emit are checked structurally (bounded [0,1]).
-The ``embeddings`` table doubles as the fixed-length-series table
-(64-d vectors, 10 classes).
+Genuinely non-SQL-expressible (iterative training, DP distance) — but
+fully seeded AND layout-independent (content-hash splits, sorted
+driver collects), so their exact outputs are pinned as literal-value
+DuckDB oracles (golden_sql.py / tools/pin_golden.py) and hash-checked
+like any relational query. The ``embeddings`` table doubles as the
+fixed-length-series table (64-d vectors, 10 classes).
 """
 
 from __future__ import annotations
@@ -232,10 +233,32 @@ def ml_plot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 ML_PLOT_SQL = "SELECT TRUE AS heatmap_png_valid, TRUE AS bars_png_valid"
 
 
+from .golden_sql import keyed_values_oracle
+
+# Pinned-literal oracles (VERDICT r2 next #2): these fits/distances are
+# seeded AND layout-independent (content-hash splits, sorted collects),
+# so their exact outputs are data — regenerate with tools/pin_golden.py
+# whenever the recipe changes.
+ML_FOREST_SQL = keyed_values_oracle(
+    "ml_local_forest",
+    [("n_trees", "bigint"), ("accuracy", "double"), ("f1", "double"),
+     ("balanced_accuracy", "double")],
+)
+ML_TREE_SQL = keyed_values_oracle(
+    "ml_global_tree",
+    [("depth", "bigint"), ("n_nodes", "bigint"), ("accuracy", "double")],
+)
+ML_DTW_SQL = keyed_values_oracle(
+    "ml_dtw_distances",
+    [("id_a", "bigint"), ("id_b", "bigint"), ("dtw_banded", "double"),
+     ("dtw_exact", "double"), ("dtw_fast", "double"),
+     ("approx_ge_exact", "boolean"), ("euclid_ub", "double")],
+)
+
 QUERIES = {
-    "ml_local_forest": (ml_local_forest, None),
-    "ml_global_tree": (ml_global_tree, None),
-    "ml_dtw_distances": (ml_dtw_distances, None),
+    "ml_local_forest": (ml_local_forest, ML_FOREST_SQL),
+    "ml_global_tree": (ml_global_tree, ML_TREE_SQL),
+    "ml_dtw_distances": (ml_dtw_distances, ML_DTW_SQL),
     "ml_dtw_invariants": (ml_dtw_invariants, ML_DTW_INV_SQL),
     "ml_model_roundtrip": (ml_model_roundtrip, ML_ROUNDTRIP_SQL),
     "ml_pipeline_report": (ml_pipeline_report, ML_REPORT_SQL),

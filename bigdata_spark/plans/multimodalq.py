@@ -1,7 +1,8 @@
 """Multimodal-column queries (driver brief). The media table is a
-deterministic synthetic (no binary fixtures in the testdata), so these
-are rows-only checks — the plumbing itself is pinned by
-tests/test_multimodal.py."""
+deterministic synthetic (no binary fixtures in the testdata), so every
+query output is a constant — pinned either from first principles
+(mm_frame_sample) or as literal-value oracles (golden_sql.py); the
+plumbing itself is also covered by tests/test_multimodal.py."""
 
 from __future__ import annotations
 
@@ -100,9 +101,21 @@ MM_DECODE_SQL = (
 )
 
 
+from .golden_sql import values_oracle
+
+# Pinned-literal oracles (VERDICT r2 next #2): the synthetic media
+# table is a deterministic function of n=64, so the metadata rollup and
+# the decoded-feature sums are constants — pinned via tools/pin_golden.py.
+MM_METADATA_SQL = values_oracle(
+    "mm_metadata", [("kind", "varchar"), ("n", "bigint"), ("total_bytes", "bigint")]
+)
+MM_FEATURES_SQL = values_oracle(
+    "mm_decode_features", [("media_id", "bigint"), ("feat_sum", "double")]
+)
+
 QUERIES = {
     "mm_decode_invariants": (mm_decode_invariants, MM_DECODE_SQL),
-    "mm_metadata": (mm_metadata, None),
-    "mm_decode_features": (mm_decode_features, None),
+    "mm_metadata": (mm_metadata, MM_METADATA_SQL),
+    "mm_decode_features": (mm_decode_features, MM_FEATURES_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SQL),
 }
