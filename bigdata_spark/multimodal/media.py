@@ -62,13 +62,13 @@ MEDIA_SCHEMA = StructType(
 )
 
 # Formats decodable with the in-repo pure-numpy codecs (codecs.py).
-REAL_FORMATS = {"ppm", "wav"}
+REAL_FORMATS = {"ppm", "wav", "png"}
 REAL_CODECS_AVAILABLE = False  # flip when PIL/torchaudio/ffmpeg are installed
 
 
 def _decode_stub(payload: bytes, n_features: int = 8) -> np.ndarray:
     """Deterministic fake decode for formats we cannot really parse
-    (png/jpeg/mp4 — no codec libs in this container): md5-seeded
+    (jpeg/mp4 — DCT/H.264, no stdlib path in this container): md5-seeded
     feature vector, standing in for pixel/spectrogram statistics so the
     distributed plumbing (batch shapes, schemas, dtypes) is exercised
     honestly."""
@@ -92,12 +92,14 @@ def _decode_payload(payload: bytes, fmt: str | None, n_features: int = 8) -> np.
     """Real statistics for ppm/wav via codecs.py; compressed formats go
     through the stub (or _decode_real once codec libs exist). All paths
     emit exactly n_features values so the column is never ragged."""
-    from .codecs import audio_features, image_features
+    from .codecs import audio_features, image_features, png_features
 
     if payload is None:
         return np.zeros(n_features)
     if fmt == "ppm":
         return _fit_length(image_features(bytes(payload)), n_features)
+    if fmt == "png":
+        return _fit_length(png_features(bytes(payload)), n_features)
     if fmt == "wav":
         return _fit_length(audio_features(bytes(payload)), n_features)
     if REAL_CODECS_AVAILABLE:
@@ -107,10 +109,9 @@ def _decode_payload(payload: bytes, fmt: str | None, n_features: int = 8) -> np.
 
 def _decode_real(payload: bytes, meta: dict) -> np.ndarray:
     raise NotImplementedError(
-        "STUB: compressed-format decode (png/jpeg/mp4) needs "
-        "PIL/torchaudio, not present in this container. Wire it here; "
-        "the Spark plumbing is complete. ppm/wav decode IS real — "
-        "see codecs.py."
+        "STUB: jpeg/mp4 decode needs PIL/ffmpeg, not present in this "
+        "container. Wire it here; the Spark plumbing is complete. "
+        "ppm/wav/png decode IS real — see codecs.py."
     )
 
 
@@ -154,15 +155,21 @@ def decode_image_features(df: DataFrame, n_features: int = 8) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize: REAL nearest-neighbor pixel resample for PPM payloads
-    (codecs.resize_ppm); other formats pass through unchanged (their
-    decode is stubbed). The meta struct is rewritten with the new
-    dimensions either way."""
-    from .codecs import resize_ppm
+    """Resize: REAL nearest-neighbor pixel resample for PPM and PNG
+    payloads (full decode → resample → re-encode for PNG); other
+    formats pass through unchanged (their decode is stubbed). The meta
+    struct is rewritten with the new dimensions either way."""
+    from .codecs import decode_png, encode_png, resize_ppm
 
     def _transform(payload: bytes, fmt: str | None) -> bytes:
         if fmt == "ppm":
             return resize_ppm(bytes(payload), width, height)
+        if fmt == "png":
+            pix = decode_png(bytes(payload))
+            h, w, _ = pix.shape
+            ys = (np.arange(height) * h // height).clip(0, h - 1)
+            xs = (np.arange(width) * w // width).clip(0, w - 1)
+            return encode_png(pix[ys][:, xs])
         return payload
 
     out_schema = MEDIA_SCHEMA
@@ -203,10 +210,12 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table for tests/queries (no binary
-    fixtures ship with the testdata). Image rows are REAL binary PPMs
-    and audio rows REAL PCM16 WAVs (decodable by codecs.py); video rows
-    stay opaque fake mp4 bytes (the stubbed path)."""
-    from .codecs import encode_ppm, encode_wav
+    fixtures ship with the testdata). Image rows alternate REAL binary
+    PPMs and REAL zlib-compressed PNGs (cycling through all five
+    scanline filters so every decoder branch runs); audio rows are REAL
+    PCM16 WAVs; video rows stay opaque fake mp4 bytes (the stubbed
+    path)."""
+    from .codecs import encode_png, encode_ppm, encode_wav
 
     rows = []
     kinds = ["image", "audio", "video"]
@@ -223,7 +232,10 @@ def synthetic_media_df(spark, n: int = 64) -> DataFrame:
                 ],
                 axis=2,
             )
-            payload, fmt = encode_ppm(pix), "ppm"
+            if (i // 3) % 2 == 0:
+                payload, fmt = encode_ppm(pix), "ppm"
+            else:
+                payload, fmt = encode_png(pix, filter_type=(i // 3) % 5), "png"
             duration, rate = None, None
         elif kind == "audio":
             rate, duration = 16000, 1000 * (1 + i % 5)

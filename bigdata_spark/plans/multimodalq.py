@@ -58,46 +58,60 @@ FROM vids
 
 
 def mm_decode_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL-decode invariants (codecs.py): the synthetic PPMs are x/y
-    gradients, so decoded red/green channel means sit at ~0.5; the
-    synthetic WAVs are pure sines of amplitude 12000/32768, so decoded
-    mean ~0 and RMS ~amp/sqrt(2). These fail if the decode were a hash
-    fake — they pin actual pixel and sample statistics."""
+    """REAL-decode invariants (codecs.py): the synthetic images are x/y
+    gradients, so decoded red/green channel means sit at ~0.5 — pinned
+    SEPARATELY for the raw-PPM rows and the zlib-compressed PNG rows
+    (the PNG half fails if the Deflate/scanline-filter decode were a
+    hash fake); the synthetic WAVs are pure sines of amplitude
+    12000/32768, so decoded mean ~0 and RMS ~amp/sqrt(2)."""
     media = synthetic_media_df(spark, n=64)
-    kinds = media.select("media_id", F.col("meta.kind").alias("kind"))
-    feats = decode_image_features(media, n_features=8).join(kinds, "media_id")
+    fmts = media.select(
+        "media_id",
+        F.col("meta.kind").alias("kind"),
+        F.col("meta.format").alias("format"),
+    )
+    feats = decode_image_features(media, n_features=8).join(fmts, "media_id")
     amp_rms = (12000.0 / 32768.0) / (2.0**0.5)
+
+    def _dev(fmt: str, feature_ix: int, center: float):
+        return F.max(
+            F.when(
+                F.col("format") == fmt,
+                F.abs(F.element_at("features", feature_ix) - center),
+            )
+        )
+
     row = feats.agg(
-        F.max(
-            F.when(F.col("kind") == "image", F.abs(F.element_at("features", 1) - 0.5))
-        ).alias("img_red_dev"),
-        F.max(
-            F.when(F.col("kind") == "image", F.abs(F.element_at("features", 2) - 0.5))
-        ).alias("img_green_dev"),
-        F.max(
-            F.when(F.col("kind") == "audio", F.abs(F.element_at("features", 1)))
-        ).alias("audio_mean_dev"),
-        F.max(
-            F.when(F.col("kind") == "audio", F.abs(F.element_at("features", 5) - amp_rms))
-        ).alias("audio_rms_dev"),
+        _dev("ppm", 1, 0.5).alias("ppm_red_dev"),
+        _dev("ppm", 2, 0.5).alias("ppm_green_dev"),
+        _dev("png", 1, 0.5).alias("png_red_dev"),
+        _dev("png", 2, 0.5).alias("png_green_dev"),
+        _dev("wav", 1, 0.0).alias("audio_mean_dev"),
+        _dev("wav", 5, amp_rms).alias("audio_rms_dev"),
+        F.count(F.when(F.col("format") == "png", 1)).alias("n_png"),
     ).first()
     return spark.createDataFrame(
         [
             (
-                bool(row["img_red_dev"] < 0.01),
-                bool(row["img_green_dev"] < 0.01),
+                bool(row["ppm_red_dev"] < 0.01),
+                bool(row["ppm_green_dev"] < 0.01),
+                bool(row["png_red_dev"] < 0.01),
+                bool(row["png_green_dev"] < 0.01),
                 bool(row["audio_mean_dev"] < 0.001),
                 bool(row["audio_rms_dev"] < 0.01),
+                bool(row["n_png"] > 0),
             )
         ],
-        "img_red_mean_ok boolean, img_green_mean_ok boolean, "
-        "audio_mean_ok boolean, audio_rms_ok boolean",
+        "ppm_red_mean_ok boolean, ppm_green_mean_ok boolean, "
+        "png_red_mean_ok boolean, png_green_mean_ok boolean, "
+        "audio_mean_ok boolean, audio_rms_ok boolean, png_rows_present boolean",
     )
 
 
 MM_DECODE_SQL = (
-    "SELECT TRUE AS img_red_mean_ok, TRUE AS img_green_mean_ok, "
-    "TRUE AS audio_mean_ok, TRUE AS audio_rms_ok"
+    "SELECT TRUE AS ppm_red_mean_ok, TRUE AS ppm_green_mean_ok, "
+    "TRUE AS png_red_mean_ok, TRUE AS png_green_mean_ok, "
+    "TRUE AS audio_mean_ok, TRUE AS audio_rms_ok, TRUE AS png_rows_present"
 )
 
 

@@ -109,3 +109,73 @@ def test_fast_dtw_identity_is_zero(n, seed):
     rng = np.random.RandomState(seed)
     a = np.cumsum(rng.randn(n))
     assert fast_dtw(a, a.copy(), radius=1) == 0.0
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    filter_type=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_payload_roundtrip_all_filters(w, h, filter_type, seed):
+    """Real zlib PNG codec: encode with each of the five scanline
+    filters, decode must reproduce the pixels bit-exactly."""
+    from bigdata_spark.multimodal.codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(seed)
+    pix = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(pix, filter_type=filter_type)) == pix).all()
+
+
+def test_png_decode_gray_and_alpha_color_types():
+    """Color types 0 (gray), 4 (gray+alpha), 6 (RGBA) decode to RGB:
+    hand-build minimal payloads per type."""
+    import struct
+    import zlib
+
+    from bigdata_spark.multimodal.codecs import _PNG_SIG, _png_chunk, decode_png
+
+    def build(w, h, ctype, samples):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        raw = b"".join(
+            b"\x00" + bytes(samples[y * w * ch : (y + 1) * w * ch]) for y in range(h)
+        )
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # 2x1 grayscale: values 10, 200
+    out = decode_png(build(2, 1, 0, [10, 200]))
+    assert out.tolist() == [[[10, 10, 10], [200, 200, 200]]]
+    # 1x1 gray+alpha: gray 77, alpha 255
+    out = decode_png(build(1, 1, 4, [77, 255]))
+    assert out.tolist() == [[[77, 77, 77]]]
+    # 1x2 RGBA: alpha dropped
+    out = decode_png(build(1, 2, 6, [1, 2, 3, 255, 9, 8, 7, 0]))
+    assert out.tolist() == [[[1, 2, 3]], [[9, 8, 7]]]
+
+
+def test_png_decode_rejects_unsupported():
+    import struct
+    import zlib
+
+    import pytest
+
+    from bigdata_spark.multimodal.codecs import _PNG_SIG, _png_chunk, decode_png
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF....")
+    # 16-bit depth must raise, not silently mis-decode
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    bad = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" + b"\x00" * 6))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(bad)

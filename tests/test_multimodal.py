@@ -1,5 +1,6 @@
 """Multimodal column tests: binary payloads + typed metadata; decode is
-REAL for ppm/wav (pure-numpy codecs), stubbed for compressed formats."""
+REAL for ppm/png/wav (pure-numpy + stdlib-zlib codecs), stubbed for
+jpeg/mp4."""
 
 from __future__ import annotations
 
@@ -9,6 +10,7 @@ from pyspark.sql import functions as F
 
 from bigdata_spark.multimodal.codecs import (
     audio_features,
+    decode_png,
     decode_ppm,
     decode_wav,
     encode_ppm,
@@ -94,9 +96,13 @@ def test_resize_rewrites_meta_and_pixels(media):
     assert out.schema == MEDIA_SCHEMA
     imgs = out.filter(F.col("meta.kind") == "image").collect()
     assert all(r["meta"]["width"] == 32 and r["meta"]["height"] == 32 for r in imgs)
-    # PPM payloads are REALLY resampled: decode proves 32×32 pixels
+    # image payloads are REALLY resampled in both codecs: decode proves
+    # 32×32 pixels (PNG goes through full decode → resample → re-encode)
+    formats = {r["media_id"]: r["meta"]["format"] for r in imgs}
+    assert set(formats.values()) == {"ppm", "png"}
     for r in imgs:
-        assert decode_ppm(bytes(r["payload"])).shape == (32, 32, 3)
+        dec = decode_ppm if r["meta"]["format"] == "ppm" else decode_png
+        assert dec(bytes(r["payload"])).shape == (32, 32, 3)
 
 
 def test_resize_ppm_nearest_neighbor():
