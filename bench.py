@@ -25,12 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # The bench enumerates the WHOLE query registry so a new operator cannot
 # silently skip the benchmark; exclusions are explicit and justified.
-EXCLUDED = {
-    # Exact pairwise n-gram Jaccard is the quadratic VERIFY path kept for
-    # oracle parity; MinHash banding (dedup_minhash_pairs, benched) is the
-    # scale path that belongs in a throughput benchmark.
-    "dedup_ngram_jaccard": "quadratic exact-verify path; minhash is the scale path",
-}
+# (dedup_ngram_jaccard left the list once its default bucketing became
+# lossless length-banding — the self-join is sub-quadratic now.)
+EXCLUDED: dict[str, str] = {}
 
 
 def main() -> None:

@@ -28,6 +28,15 @@ from ..functions.hashing import portable_hash64, shingles
 # hashing every shingle once per permutation. M = 2^31 - 1 keeps every
 # product a·h < 2^62 — no 64-bit overflow in either engine (DuckDB
 # BIGINT overflow errors rather than wrapping, so this bound matters).
+#
+# Collision regime: the shared 31-bit base hash means documents with
+# very large distinct-shingle sets (~2^15+, i.e. birthday bound of
+# sqrt(M)) see base-hash collisions that slightly bias the Jaccard
+# estimate upward — and ALL permutations share the same collisions, so
+# they don't average out. Fine for document-sized shingle sets (500-doc
+# corpus max here is ~10^3); a corpus of multi-MB documents should
+# widen the base hash (or rely on the exact-Jaccard verify step, which
+# bounds the damage either way).
 MINHASH_MOD = (1 << 31) - 1
 
 

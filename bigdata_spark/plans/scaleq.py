@@ -110,7 +110,9 @@ def s9_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             r["f"]
             for r in one.select(F.input_file_name().alias("f")).distinct().collect()
         }
-        pruned = all("l_returnflag=R" in f for f in files)
+        # nonempty guard: all() over an empty file set is vacuously
+        # true, which would claim pruning held without exercising it
+        pruned = len(files) > 0 and all("l_returnflag=R" in f for f in files)
         n_r_part = one.count()
         n_r_src = src.filter(F.col("l_returnflag") == "R").count()
         return spark.createDataFrame(
@@ -203,7 +205,7 @@ def s11_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("l_orderkey", "l_linenumber", "l_quantity").persist()
         n_src = l.count()
         l.repartition(64).write.mode("overwrite").parquet(src)  # the small-file mess
-        n_small = parquet_file_count(src)
+        n_small = parquet_file_count(spark, src)
         n_out = compact_parquet(spark, src, dst, target_file_bytes=64 * 1024 * 1024)
         back = spark.read.parquet(dst)
         n_back = back.count()

@@ -11,25 +11,24 @@ skew). The estimate is metadata + one count — no data collect."""
 from __future__ import annotations
 
 import math
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _dir_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
-    return total
+def _dataset_bytes(spark: SparkSession, path: str) -> int:
+    """On-disk bytes of a dataset via Hadoop's FileSystem API — resolves
+    any URI scheme Spark can read (file://, hdfs://, s3a://), unlike an
+    os.walk that silently returns 0 off the local filesystem."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(jpath).getLength()
 
 
-def parquet_file_count(path: str) -> int:
-    n = 0
-    for _root, _dirs, files in os.walk(path):
-        n += sum(1 for f in files if f.endswith(".parquet"))
-    return n
+def parquet_file_count(spark: SparkSession, path: str) -> int:
+    """Data-file count of a parquet dataset, from Spark's own file
+    listing (URI-scheme-agnostic; excludes _SUCCESS/metadata files)."""
+    return len(spark.read.parquet(path).inputFiles())
 
 
 def compact_parquet(
@@ -43,10 +42,14 @@ def compact_parquet(
     count. Compression ratios survive the rewrite (same codec family),
     so sizing on the source's on-disk bytes is the right estimate."""
     df = spark.read.parquet(src_path)
-    src_bytes = _dir_bytes(src_path)
+    src_bytes = _dataset_bytes(spark, src_path)
+    if src_bytes <= 0:
+        # a mistyped path or an empty dataset would degenerate to one
+        # giant output file with no error — fail loudly instead
+        raise ValueError(f"source dataset at {src_path!r} has 0 bytes")
     n_files = max(1, math.ceil(src_bytes / target_file_bytes))
     df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
-    return parquet_file_count(dst_path)
+    return parquet_file_count(spark, dst_path)
 
 
 def read_merged_schema(spark: SparkSession, *paths: str) -> DataFrame:

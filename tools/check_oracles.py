@@ -78,7 +78,9 @@ def has_array_output(df) -> bool:
 
     for c in df.columns:
         if df[c].dtype == object:
-            for v in df[c].head(50):
+            # sample the first 50 NON-NULL values — a null-heavy column
+            # whose first 50 cells are None could hide later list cells
+            for v in df[c].dropna().head(50):
                 if isinstance(v, (list, tuple, dict, np.ndarray)):
                     return True
     return False
