@@ -106,17 +106,19 @@ def evt_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly the oracle below. At scale the same query runs on a
     live source with bounded state (late rows beyond the watermark are
     evicted)."""
+    import os
     import uuid
+
+    from pyspark.sql.types import LongType
 
     from ..streaming.windows import stream_tumbling_counts
 
-    # events.ts is parquet TIMESTAMP(NANOS) — same long→µs decode as the
-    # batch reader (sources/catalog.load_table)
+    # events.ts has shipped as both TIMESTAMP(NANOS) (no native Spark
+    # type — read as long, truncate to µs) and plain TIMESTAMP(MICROS);
+    # probe the batch footer for the actual type, same branch as
+    # sources/catalog.load_table
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # the streaming file source wants a directory: scan sf_dir with a
     # glob filter that admits only the events table
     raw = (
@@ -124,7 +126,13 @@ def evt_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = raw
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # TIMESTAMP_NTZ vintage: watermarks demand TIMESTAMP (LTZ);
+        # with the session pinned to UTC the cast is value-preserving
+        stream = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     windowed = stream_tumbling_counts(
         stream, "ts", "1 hour", ["event_type"], watermark="30 minutes"
     )

@@ -26,14 +26,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
-        # type for: read nanos as long, truncate to µs (exactly what
-        # DuckDB/Arrow do when downcasting ns → µs timestamps).
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (no
+        # native Spark type — read nanos as long, truncate to µs exactly
+        # the way DuckDB/Arrow downcast ns → µs) and plain TIMESTAMP
+        # (MICROS). Branch on what the file actually contains rather
+        # than hard-coding one vintage of the generator.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(path)
 
 
