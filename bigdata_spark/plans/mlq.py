@@ -175,17 +175,25 @@ def ml_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = run_pipeline(df, model="local", num_partitions=2, n_splitters=2, max_depth=6)
     perf = rep["performance"]
     metrics_bounded = all(0.0 <= v <= 1.0 for v in perf.values())
-    sections = all(k in rep for k in ("performance", "timing", "complexity", "rows"))
+    sections = all(
+        k in rep for k in ("performance", "timing", "complexity", "rows", "memory")
+    )
     rows_conserved = rep["rows"]["train"] + rep["rows"]["test"] == rep["rows"]["total"]
+    mem = rep.get("memory", {})
+    memory_tracked = all(
+        snap.get("driver_peak_rss_mb", 0) > 0 and snap.get("n_executors", 0) >= 1
+        for snap in (mem.get("start", {}), mem.get("after_training", {}), mem.get("end", {}))
+    )
     return spark.createDataFrame(
-        [(bool(sections), bool(metrics_bounded), bool(rows_conserved))],
-        "report_complete boolean, metrics_bounded boolean, rows_conserved boolean",
+        [(bool(sections), bool(metrics_bounded), bool(rows_conserved), bool(memory_tracked))],
+        "report_complete boolean, metrics_bounded boolean, rows_conserved boolean, "
+        "memory_tracked boolean",
     )
 
 
 ML_REPORT_SQL = (
     "SELECT TRUE AS report_complete, TRUE AS metrics_bounded, "
-    "TRUE AS rows_conserved"
+    "TRUE AS rows_conserved, TRUE AS memory_tracked"
 )
 
 

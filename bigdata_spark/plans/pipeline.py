@@ -24,6 +24,47 @@ from ..operators.preprocess import drop_all_null_rows
 from ..operators.sampling import stratified_split
 
 
+def _memory_snapshot(spark: SparkSession) -> dict:
+    """Point-in-time memory reading (reference evaluation.py:313-347
+    samples psutil around each stage; same shape here without the hard
+    dependency): Python-driver RSS from stdlib ``resource`` (psutil's
+    current-RSS added when available) plus the JVM's own view of every
+    executor's block-manager storage memory — on local[*] that is one
+    entry; on a 1000-executor cluster the same call returns all of
+    them, so the report stays meaningful at scale."""
+    import resource
+
+    ru = resource.getrusage(resource.RUSAGE_SELF)
+    snap: dict = {
+        # ru_maxrss is KiB on Linux — peak, monotone over the process
+        "driver_peak_rss_mb": round(ru.ru_maxrss / 1024.0, 1),
+    }
+    try:
+        import psutil  # noqa: F401  (optional, parity with reference)
+
+        snap["driver_rss_mb"] = round(
+            psutil.Process().memory_info().rss / 2**20, 1
+        )
+    except ImportError:
+        pass
+    try:
+        status = spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
+        it = status.iterator()
+        max_mb = free_mb = 0.0
+        n = 0
+        while it.hasNext():
+            kv = it.next()
+            max_mb += kv._2()._1() / 2**20
+            free_mb += kv._2()._2() / 2**20
+            n += 1
+        snap["n_executors"] = n
+        snap["executor_storage_max_mb"] = round(max_mb, 1)
+        snap["executor_storage_used_mb"] = round(max_mb - free_mb, 1)
+    except Exception:  # py4j surface may shift across Spark versions
+        snap["n_executors"] = 0
+    return snap
+
+
 def run_pipeline(
     df: DataFrame,
     model: str = "local",
@@ -37,6 +78,8 @@ def run_pipeline(
 ) -> dict:
     """One experiment iteration; returns the report dict."""
     timings: dict[str, float] = {}
+    spark = df.sparkSession
+    mem_start = _memory_snapshot(spark)
 
     t0 = time.time()
     df = drop_all_null_rows(df)
@@ -65,6 +108,7 @@ def run_pipeline(
         complexity["depth"] = m.depth
         complexity["n_nodes"] = len(m.nodes)
     timings["training_time"] = time.time() - t0
+    mem_after_train = _memory_snapshot(spark)
 
     t0 = time.time()
     preds = m.predict(test, features_col).persist()
@@ -86,6 +130,13 @@ def run_pipeline(
         "performance": {k: round(v, 6) for k, v in performance.items()},
         "timing": {k: round(v, 3) for k, v in timings.items()},
         "complexity": complexity,
+        # reference evaluation.py:313-347 parity: memory sampled at the
+        # stage boundaries that matter (start, post-train, end)
+        "memory": {
+            "start": mem_start,
+            "after_training": mem_after_train,
+            "end": _memory_snapshot(spark),
+        },
     }
 
 
