@@ -4,21 +4,32 @@ reference global_model_manager.py:168-402).
 The reference's BFS level loop costs O(k·open_nodes) Spark actions per
 level (one weighted-Gini job per candidate split — the reason its
 global training takes 1,900-5,300 s). This implementation keeps the
-same semantics but batches ALL candidate splits of ALL open nodes into
-TWO jobs per level (SURVEY §7 Phase 4):
+same semantics but runs ONE fused Spark job per level (SURVEY §7
+Phase 4), plus one bootstrap job:
 
-  1. pool+stats job — one window pass yields both the per-(node,label)
-                    counts (count window, same partitioning → no extra
-                    shuffle) and the bounded k-per-(node,label) exemplar
-                    pool (collect: O(k·nodes·classes) rows — the
-                    reference's own "P2" lesson)
-  2. gini job     — one projection computes every candidate's branch
-                    assignment natively (nearest_exemplar_index — no
-                    Python UDF), stack-unpivots to (candidate, branch),
-                    groupBy counts; weighted Gini finishes on the
-                    driver over the tiny count table.
+  bootstrap — a window pass over the root yields the per-label counts
+              and the k-per-label exemplar pool (bounded collect —
+              the reference's own "P2" lesson).
+  level job — every candidate's branch assignment is computed natively
+              (nearest_exemplar_index — no Python UDF) over the
+              frontier joined with a broadcast candidate-exemplar
+              table; ONE window over (node, cand, branch, label)
+              yields BOTH the branch-label counts (the weighted-Gini
+              input, finished on the driver over the tiny table, and
+              the would-be children's label stats — so leaf checks run
+              at child creation with no stats job) AND the
+              k-per-group exemplar pool for the next level, ranked by
+              a content hash keyed to the next depth — bit-identical
+              to what a dedicated next-level sampling pass would draw
+              for the winning candidate's branches.
 
-plus one routing projection (pure column expression, no shuffle).
+The routing projection (broadcast join + column expressions, no
+shuffle; an inner join that drops rows bound for leaf children, so the
+frontier shrinks monotonically) is never materialized by its own
+action: the NEXT level's fused job is its first action and fills the
+cache, after which the parent level's cache is dropped. Net: 1 job per
+level (the reference: O(k·open_nodes)+3), and the last level's routing
+never executes at all.
 
 Prediction broadcasts the plain-dict tree and traverses it in one
 Arrow-batched pandas UDF pass (U3 parity; reference :405-483).
@@ -95,69 +106,68 @@ class GlobalProximityTree:
             F.col(features_col).cast("array<double>").alias("features"),
             F.lit(0).alias("node_id"),
         ).persist()
-        assign.count()
 
         # global majority for the null-prediction fallback (reference
-        # :182-184) — derived from level 0's stats (node 0 holds every
-        # row), no separate job; computed directly only if the BFS loop
-        # never runs (max_depth == 0)
+        # :182-184) — derived from the bootstrap stats (node 0 holds
+        # every row), no separate job
         self.majority_class = None
         self.nodes = {0: TreeNode(0)}
         next_id = 1
-        open_nodes = [0]
         depth = 0
+        # per-node label counts, accumulated across levels: the root
+        # from the bootstrap count window, every later node from its
+        # parent's winning gini branch counts — so leaf decisions and
+        # the final dangling-node sweep never need their own Spark job
+        stats: dict[int, dict[int, int]] = {}
+        prev_assign: DataFrame | None = None
+
+        # ---- bootstrap job: root pool + per-label counts, one pass.
+        # order key hashes row CONTENT (not partition-seeded rand): the
+        # sampled pool is identical on any cluster layout, so a seeded
+        # fit is reproducible across sessions/retries. Arrow boundary
+        # (toPandas), not .collect(): the pool is O(k·classes) rows of
+        # feature arrays and py4j Row materialization was the measured
+        # bottleneck on wide trees.
+        w0 = Window.partitionBy("node_id", "label").orderBy(
+            F.xxhash64(F.lit(self.seed), "features")
+        )
+        cw0 = Window.partitionBy("node_id", "label")
+        pool_pdf = (
+            assign.withColumn("_rk", F.row_number().over(w0))
+            .withColumn("_cnt", F.count("*").over(cw0))
+            .filter(F.col("_rk") <= self.exemplar_pool_k)
+            .select("node_id", "label", "features", "_cnt", "_rk")
+            .toPandas()
+            .sort_values(["node_id", "label", "_rk"])
+        )
+        pool: dict[int, dict[int, list[list[float]]]] = {}
+        for nid_, lbl_, feats_, cnt_ in zip(
+            pool_pdf["node_id"], pool_pdf["label"], pool_pdf["features"], pool_pdf["_cnt"]
+        ):
+            stats.setdefault(int(nid_), {})[int(lbl_)] = int(cnt_)
+            pool.setdefault(int(nid_), {}).setdefault(int(lbl_), []).append(
+                [float(x) for x in feats_]
+            )
+        s0 = stats.get(0, {})
+        if s0:
+            self.majority_class = int(max(sorted(s0), key=lambda k: s0[k]))
+        # root leaf check (reference :248-253); later levels run these
+        # at child creation from the fused job's branch counts
+        open_nodes = (
+            [0]
+            if sum(s0.values()) >= self.min_samples_split and len(s0) > 1
+            else []
+        )
+        if not open_nodes:
+            self._make_leaf(0, s0)
 
         while open_nodes and depth < self.max_depth:
-            # job 1: ONE pass gets both the per-(node,label) stats (a
-            # count window over the same partitioning — no extra
-            # shuffle) and the bounded exemplar pool (k random rows per
-            # (node,label)). Collect is bounded by k·nodes·classes rows.
-            # order key hashes row CONTENT (not partition-seeded rand):
-            # the sampled pool is identical on any cluster layout, so a
-            # seeded fit is reproducible across sessions/retries.
-            w = Window.partitionBy("node_id", "label").orderBy(
-                F.xxhash64(F.lit(self.seed + depth), "features")
-            )
-            cw = Window.partitionBy("node_id", "label")
-            pool_rows = (
-                assign.filter(F.col("node_id").isin(open_nodes))
-                .withColumn("_rk", F.row_number().over(w))
-                .withColumn("_cnt", F.count("*").over(cw))
-                .filter(F.col("_rk") <= self.exemplar_pool_k)
-                .select("node_id", "label", "features", "_cnt", "_rk")
-                .collect()
-            )
-            # collect() row order follows task completion — sort so the
-            # driver-side pool lists (and rng.choice over them) are
-            # deterministic too
-            pool_rows.sort(key=lambda r: (r["node_id"], r["label"], r["_rk"]))
-            stats: dict[int, dict[int, int]] = {}
-            pool: dict[int, dict[int, list[list[float]]]] = {}
-            for r in pool_rows:
-                stats.setdefault(r["node_id"], {})[r["label"]] = r["_cnt"]
-                pool.setdefault(r["node_id"], {}).setdefault(r["label"], []).append(
-                    list(r["features"])
-                )
-            if self.majority_class is None and 0 in stats:
-                # level 0: node 0's per-label counts ARE the global counts
-                s0 = stats[0]
-                self.majority_class = int(max(sorted(s0), key=lambda k: s0[k]))
-
-            # leaf checks on the driver (reference :248-253)
-            split_nodes = []
-            for nid in open_nodes:
-                node_stats = stats.get(nid, {})
-                total = sum(node_stats.values())
-                if total < self.min_samples_split or len(node_stats) <= 1:
-                    self._make_leaf(nid, node_stats)
-                else:
-                    split_nodes.append(nid)
-            if not split_nodes:
-                break
-
-            # candidate splits: per node, n_splitters random exemplar sets
+            # candidate splits: per node, n_splitters random exemplar
+            # sets drawn from the (winning-branch) pool of the previous
+            # level — iteration order is ascending node id, so the rng
+            # draw sequence is deterministic
             candidates: dict[int, list[tuple[list[int], list[list[float]]]]] = {}
-            for nid in split_nodes:
+            for nid in open_nodes:
                 node_pool = pool.get(nid, {})
                 labels = sorted(node_pool)
                 if len(labels) < 2:
@@ -171,42 +181,78 @@ class GlobalProximityTree:
             if not candidates:
                 break
 
-            # job 3: ONE batched gini job for all (node, candidate) pairs.
-            # Candidate exemplars travel as a broadcast-joined table, NOT
-            # as per-exemplar literal expressions: a literal plan grows
-            # O(nodes·k·dims) and Catalyst analysis/codegen time dominates
-            # the level (measured 400+ s at sf0.01); the joined plan is
-            # constant-size regardless of how many nodes are open.
+            # THE fused level job — the only Spark job per level. For
+            # every (node, candidate) pair it computes, in one window
+            # pass over the frontier stacked n_splitters times:
+            #   - the per-(branch,label) counts (_cnt — the gini input,
+            #     and the would-be child's label stats), and
+            #   - the k-per-(branch,label) exemplar pool for the NEXT
+            #     level, ranked by xxhash64(seed+depth+1, features) —
+            #     exactly the ranking a separate next-level pool pass
+            #     would use, so the winning candidate's branch pools are
+            #     bit-identical to a dedicated sampling job.
+            # Candidate exemplars travel as a broadcast-joined table,
+            # NOT per-exemplar literals: a literal plan grows
+            # O(nodes·k·dims) and Catalyst analysis/codegen dominates
+            # (measured 400+ s at sf0.01); the joined plan is
+            # constant-size however many nodes are open. The shuffle
+            # moves frontier×n_splitters full rows — at scale that is
+            # n_splitters× a plain pool pass, the price of running one
+            # job per level instead of three.
             spark = assign.sparkSession
-            cand_rows = [
-                (nid, c, cands[c][1])
-                for nid, cands in candidates.items()
-                for c in range(self.n_splitters)
-            ]
+            cand_pdf = pd.DataFrame(
+                [
+                    (nid, c, cands[c][1])
+                    for nid, cands in candidates.items()
+                    for c in range(self.n_splitters)
+                ],
+                columns=["node_id", "cand", "exemplars"],
+            )
             cand_df = spark.createDataFrame(
-                cand_rows, "node_id int, cand int, exemplars array<array<double>>"
+                cand_pdf, "node_id int, cand int, exemplars array<array<double>>"
             )
+            part = ("node_id", "cand", "branch", "label")
+            wp = Window.partitionBy(*part).orderBy(
+                F.xxhash64(F.lit(self.seed + depth + 1), "features")
+            )
+            cwp = Window.partitionBy(*part)
+            # inner join IS the node filter: every open node has
+            # candidate rows (depth>0 open nodes are split-worthy by
+            # construction; depth-0 degenerates drop out of the join)
             stacked = (
-                assign.filter(F.col("node_id").isin(list(candidates)))
-                .join(F.broadcast(cand_df), "node_id")
-                .groupBy(
-                    "node_id",
-                    "cand",
-                    self._branch_ix(F.col("features"), F.col("exemplars")).alias(
-                        "branch"
-                    ),
-                    "label",
+                assign.join(F.broadcast(cand_df), "node_id")
+                .withColumn(
+                    "branch", self._branch_ix(F.col("features"), F.col("exemplars"))
                 )
-                .count()
-                .collect()
+                .withColumn("_rk", F.row_number().over(wp))
+                .withColumn("_cnt", F.count("*").over(cwp))
+                .filter(F.col("_rk") <= self.exemplar_pool_k)
+                .select("node_id", "cand", "branch", "label", "features", "_cnt", "_rk")
+                .toPandas()  # O(nodes·cands·branches·labels·k) rows — Arrow, not py4j
             )
+            # this action is also the FIRST one over the previous
+            # level's routing projection — it just landed in the cache,
+            # so the parent level's cache can go now
+            if prev_assign is not None:
+                prev_assign.unpersist()
+                prev_assign = None
+            stacked = stacked.sort_values(["node_id", "cand", "branch", "label", "_rk"])
 
-            # driver-side weighted Gini over the tiny count table
+            # unpack: branch counts for gini, per-branch pools for the
+            # next level's candidate draws
             agg: dict[tuple[int, int], dict[int, dict[int, int]]] = {}
-            for r in stacked:
-                agg.setdefault((r["node_id"], r["cand"]), {}).setdefault(r["branch"], {})[
-                    r["label"]
-                ] = r["count"]
+            cand_pool: dict[tuple[int, int, int], dict[int, list[list[float]]]] = {}
+            for nid_, cand_, branch_, lbl_, feats_, cnt_, rk_ in zip(
+                stacked["node_id"], stacked["cand"], stacked["branch"],
+                stacked["label"], stacked["features"], stacked["_cnt"], stacked["_rk"],
+            ):
+                if int(rk_) == 1:
+                    agg.setdefault((int(nid_), int(cand_)), {}).setdefault(
+                        int(branch_), {}
+                    )[int(lbl_)] = int(cnt_)
+                cand_pool.setdefault((int(nid_), int(cand_), int(branch_)), {}).setdefault(
+                    int(lbl_), []
+                ).append([float(x) for x in feats_])
             # sorted(): collect order is task-completion order; iterating
             # sorted keys makes Gini tie-breaks (strict <, so the lowest
             # cand id wins a tie) and child-id allocation deterministic
@@ -231,8 +277,14 @@ class GlobalProximityTree:
                     best[nid] = (gini, cand)
 
             # materialize winners into the tree; routing goes through the
-            # same broadcast-join pattern (constant-size plan per level)
-            route_rows: list[tuple[int, list[list[float]], list[int]]] = []
+            # same broadcast-join pattern (constant-size plan per level).
+            # Each child's label counts are the winning candidate's
+            # per-branch gini counts — routing sends exactly those rows
+            # there — so leaf checks happen NOW, with no stats job next
+            # level, and the pool pass only scans split-worthy children.
+            route_rows: list[tuple[int, list[list[float]], list[int], list[bool]]] = []
+            new_open: list[int] = []
+            next_pool: dict[int, dict[int, list[list[float]]]] = {}
             for nid, (gini, cand) in sorted(best.items()):
                 labels, exemplars = candidates[nid][cand]
                 if gini >= 1.0:
@@ -242,65 +294,75 @@ class GlobalProximityTree:
                 node.exemplar_labels = labels
                 node.exemplars = exemplars
                 child_ids = []
-                for _ in labels:
+                child_open = []
+                branches = agg[(nid, cand)]
+                for b_ix in range(len(labels)):
                     self.nodes[next_id] = TreeNode(next_id, parent_id=nid)
                     child_ids.append(next_id)
+                    cstats = dict(branches.get(b_ix, {}))
+                    stats[next_id] = cstats
+                    total = sum(cstats.values())
+                    if total < self.min_samples_split or len(cstats) <= 1:
+                        self._make_leaf(next_id, cstats)
+                        child_open.append(False)
+                    else:
+                        new_open.append(next_id)
+                        child_open.append(True)
+                        # the winning candidate's branch pool IS the
+                        # child's exemplar pool next level
+                        next_pool[next_id] = cand_pool.get((nid, cand, b_ix), {})
                     next_id += 1
                 node.children = dict(enumerate(child_ids))
-                route_rows.append((nid, exemplars, child_ids))
+                route_rows.append((nid, exemplars, child_ids, child_open))
+            pool = next_pool
 
-            if not route_rows:
+            # either break leaves no dangling node: every node this
+            # level was split (has children) or explicitly leafed
+            open_nodes = new_open
+            if not route_rows or not open_nodes:
                 break
 
+            # Routing is an INNER join (rows at nodes just closed drop
+            # out) plus an open-child filter: a row whose target child
+            # is already a leaf can never influence the tree again —
+            # its label counts were captured in `stats` — so assign
+            # shrinks monotonically to the active frontier.
             route_df = spark.createDataFrame(
-                route_rows,
-                "node_id int, exemplars array<array<double>>, child_map array<int>",
+                pd.DataFrame(
+                    route_rows,
+                    columns=["node_id", "exemplars", "child_map", "open_map"],
+                ),
+                "node_id int, exemplars array<array<double>>, "
+                "child_map array<int>, open_map array<boolean>",
             )
             new_assign = (
-                assign.join(F.broadcast(route_df), "node_id", "left")
+                assign.join(F.broadcast(route_df), "node_id")
+                .withColumn(
+                    "_ix", self._branch_ix(F.col("features"), F.col("exemplars")) + 1
+                )
+                .filter(F.element_at(F.col("open_map"), F.col("_ix")))
                 .select(
                     "label",
                     "features",
-                    F.when(
-                        F.col("exemplars").isNotNull(),
-                        F.element_at(
-                            F.col("child_map"),
-                            self._branch_ix(F.col("features"), F.col("exemplars")) + 1,
-                        ),
-                    )
-                    .otherwise(F.col("node_id"))
+                    F.element_at(F.col("child_map"), F.col("_ix"))
                     .cast("int")
                     .alias("node_id"),
                 )
                 .persist()
             )
-            new_assign.count()
-            assign.unpersist()
+            # no count() here: the next level's pool collect is the
+            # first (and only needed) materialization of this projection;
+            # if the loop exits instead, the routing never runs at all
+            prev_assign = assign
             assign = new_assign
-            open_nodes = [
-                nid for nid, n in self.nodes.items() if not n.is_leaf and not n.children
-            ]
             depth += 1
 
-        if self.majority_class is None:  # max_depth == 0: loop never ran
-            top = (
-                assign.groupBy("label").count().orderBy(F.desc("count"), F.asc("label")).first()
-            )
-            self.majority_class = int(top["label"])
-
-        # dangling-node sweep (reference :384-398): anything still open → leaf
-        if open_nodes:
-            stats_rows = (
-                assign.filter(F.col("node_id").isin(open_nodes))
-                .groupBy("node_id", "label")
-                .count()
-                .collect()
-            )
-            stats = {}
-            for r in stats_rows:
-                stats.setdefault(r["node_id"], {})[r["label"]] = r["count"]
-            for nid in open_nodes:
-                self._make_leaf(nid, stats.get(nid, {}))
+        # dangling-node sweep (reference :384-398): anything still open →
+        # leaf, from the stats accumulated at creation time — no job
+        for nid in open_nodes:
+            self._make_leaf(nid, stats.get(nid, {}))
+        if prev_assign is not None:
+            prev_assign.unpersist()
         assign.unpersist()
         return self
 
