@@ -61,15 +61,21 @@ def minhash_signature(
     """(id, shingles, sig: array<long>[num_perm])."""
     from ..operators.parallelism import ensure_parallelism
 
-    sh = shingles(F.col(text_col), n=shingle_n)
     # Repartition barriers BETWEEN the projections: each exchange stops
     # Catalyst's projection collapse from inlining the previous stage's
     # expression into every downstream transform. Without them codegen
     # compiles (and executes) the shingling num_perm times — or, if
     # shingles and hashes share one projection, the shingle expression
-    # twice per row (measured slower). Shingle once → hash once →
-    # permute num_perm times.
-    out = ensure_parallelism(df.select(F.col(id_col), sh.alias("shingles")), force=True)
+    # twice per row (measured slower). The FIRST exchange moves the raw
+    # rows so the shingle projection itself runs on every core (a
+    # single-file corpus scans as one partition — shingling there was
+    # measured 7× slower than post-repartition). Shingle once → hash
+    # once → permute num_perm times.
+    src = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col).alias("_text")), force=True
+    )
+    sh = shingles(F.col("_text"), n=shingle_n)
+    out = ensure_parallelism(src.select(F.col(id_col), sh.alias("shingles")), force=True)
     hashed = ensure_parallelism(
         out.withColumn(
             "_h",
