@@ -86,6 +86,53 @@ GROUP BY 1
 """
 
 
+def skew_stress_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberate-skew stress (VERDICT r2 #9): HALF of lineitem lands on
+    one 'HOT' key (even orderkeys), the rest spreads over a ~49-key
+    tail — the distribution where a plain groupBy funnels 50% of the
+    table through one reducer. The two-phase salted plan spreads the
+    hot key over (key, salt) sub-keys in phase 1; the output is
+    salt-invariant so the plain GROUP BY is an exact oracle, and
+    tests/test_scale_ops.py::test_salted_agg_spreads_hot_key pins the
+    phase-1 spread itself."""
+    from ..operators.skew import salted_agg
+
+    l = load_table(spark, sf_dir, "lineitem")
+    key = F.when(F.col("l_orderkey") % 2 == 0, F.lit("HOT")).otherwise(
+        F.concat(F.lit("k"), (F.col("l_orderkey") % 97).cast("string"))
+    )
+    dec = F.col("l_quantity").cast("decimal(18,2)")
+    out = salted_agg(
+        l.select(key.alias("k"), dec.alias("v")),
+        "k",
+        {
+            "n": F.count("*"),
+            "sum_v": F.sum("v"),
+            "min_v": (F.min("v"), F.min),
+            "max_v": (F.max("v"), F.max),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "k",
+        "n",
+        F.col("sum_v").cast("double").alias("sum_v"),
+        F.col("min_v").cast("double").alias("min_v"),
+        F.col("max_v").cast("double").alias("max_v"),
+    )
+
+
+SKEW_STRESS_SQL = """
+SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'HOT'
+            ELSE 'k' || CAST(l_orderkey % 97 AS VARCHAR) END AS k,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+       CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+       CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_v
+FROM lineitem GROUP BY 1
+"""
+
+
 def s9_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned parquet sink + partition-pruned re-read — the
     write-path layout that makes 100 TB scans cheap. Pins: rows
@@ -282,6 +329,7 @@ S12_SQL = (
 QUERIES = {
     "skew_salted_agg": (skew_salted_agg, SKEW_AGG_SQL),
     "skew_salted_join": (skew_salted_join, SKEW_JOIN_SQL),
+    "skew_stress_agg": (skew_stress_agg, SKEW_STRESS_SQL),
     "s9_partitioned_sink": (s9_partitioned_sink, S9_SQL),
     "s10_jsonl_roundtrip": (s10_jsonl_roundtrip, S10_SQL),
     "s11_compaction": (s11_compaction, S11_SQL),

@@ -88,6 +88,40 @@ def test_salted_agg_matches_plain(spark):
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
 
 
+def test_salted_agg_spreads_hot_key(spark):
+    """The point of salting: phase 1 must split the hot key's rows
+    across (key, salt) sub-groups instead of one reducer group. Pins
+    both the spread (all salts used, no sub-group holds more than 2/n
+    of the hot rows) and the plan shape (phase-1 exchange partitions on
+    key AND salt)."""
+    n_salts = 8
+    hot_rows = 8000
+    df = spark.range(0, 10000).select(
+        # tail keys start at 1 so they never collide with the hot key 0
+        F.when(F.col("id") < hot_rows, 0)
+        .otherwise((F.col("id") % 13) + 1)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    # phase 1 exactly as salted_agg builds it (same seed/salt expr)
+    salted = df.withColumn("_salt", (F.rand(42) * n_salts).cast("int"))
+    partials = (
+        salted.filter(F.col("k") == 0).groupBy("k", "_salt").count().collect()
+    )
+    counts = {r["_salt"]: r["count"] for r in partials}
+    assert len(counts) == n_salts, "hot key must occupy every salt sub-group"
+    assert sum(counts.values()) == hot_rows
+    assert max(counts.values()) < hot_rows * 2 / n_salts, (
+        "rand salting should spread the hot key roughly uniformly; "
+        f"got per-salt counts {sorted(counts.values())}"
+    )
+    # plan shape: the full two-phase agg shuffles on (k, _salt) first
+    out = salted_agg(df, "k", {"n": F.count("*")}, n_salts=n_salts)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" in plan
+    assert "_salt" in plan, "phase-1 exchange must partition on the salt column"
+
+
 def test_connected_components(spark):
     from bigdata_spark.operators.graph import (
         connected_components,
