@@ -36,11 +36,13 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         scaleq,
         simq,
         textq,
+        tpch_ext,
     )
 
     out: dict[str, tuple[QueryFn, str | None]] = {}
     for mod in (
         relational,
+        tpch_ext,
         coverage,
         extended,
         events,

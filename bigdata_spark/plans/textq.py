@@ -170,6 +170,147 @@ WHERE levenshtein(a.prefix, b.prefix) <= 29
 """
 
 
+def txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (corpus-wide term weighting —
+    the quality/rarity signal a curation pipeline ranks on).
+
+    Uses the RATIONAL idf variant idf = (N+1)/(df+1) instead of the
+    log form: every factor is then a ratio of exact integers, so the
+    double arithmetic is bit-identical across engines (ln() is NOT
+    cross-engine reproducible at the last ulp — see the float
+    discipline in plans/__init__). Monotone in df like the log form.
+    Plan shape: one explode, two key-partitioned aggregations (term
+    frequencies, document frequencies), a broadcast of the term-df
+    table back onto the per-doc terms, ranked window with a
+    deterministic (score desc, term) tie-break."""
+    from ..operators.parallelism import ensure_parallelism
+    from pyspark.sql import Window
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dlen = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    dfreq = (
+        toks.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    )
+    scored = (
+        tf.join(dlen, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "tfidf",
+            (F.col("tf").cast("double") / F.col("dlen"))
+            * (F.lit(float(n_docs + 1)) / (F.col("df") + 1)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "rk", "term", F.round("tfidf", 9).alias("tfidf"))
+    )
+
+
+TXT_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dlen AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY 1),
+dfreq AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         (CAST(tf.tf AS DOUBLE) / dlen.dlen)
+         * (CAST(n.n_docs + 1 AS DOUBLE) / (dfreq.df + 1)) AS tfidf
+  FROM tf JOIN dlen ON tf.doc_id = dlen.doc_id
+          JOIN dfreq ON tf.term = dfreq.term, n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, rk, term, ROUND(tfidf, 9) AS tfidf FROM ranked WHERE rk <= 3
+"""
+
+
+def llm_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the LLM-pretraining data
+    layout: within each shard (= lang), documents concatenate in doc_id
+    order into one token stream that is cut into fixed 512-token
+    context blocks; a document spans every block its [start, end)
+    token interval touches. Reports per-(shard, block) document count,
+    token count, and fullness.
+
+    Scale shape: the running-offset window partitions BY SHARD — there
+    is no global ordering anywhere, so shards pack independently and
+    the plan parallelizes to the shard count (at 100 TB the shard key
+    is a hash bucket, not lang). All arithmetic is integer-exact."""
+    from ..operators.parallelism import ensure_parallelism
+    from pyspark.sql import Window
+
+    block = 512
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    nt = d.select(
+        "lang", "doc_id", token_count("text").alias("nt")
+    ).filter(F.col("nt") > 0)
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    spans = (
+        nt.withColumn("end_off", F.sum("nt").over(w))
+        .withColumn("start_off", F.col("end_off") - F.col("nt"))
+    )
+    expl = spans.select(
+        "lang",
+        "doc_id",
+        "start_off",
+        "end_off",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_off div {block}"), F.expr(f"(end_off - 1) div {block}")
+            )
+        ).alias("block_id"),
+    )
+    tokens_here = F.least(
+        F.col("end_off"), (F.col("block_id") + 1) * block
+    ) - F.greatest(F.col("start_off"), F.col("block_id") * block)
+    return (
+        expl.groupBy("lang", "block_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(tokens_here).alias("n_tokens"),
+        )
+        .withColumn("is_full", F.col("n_tokens") == block)
+    )
+
+
+LLM_SEQ_PACK_SQL = f"""
+WITH base AS (
+  SELECT lang, doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS nt FROM documents
+),
+spans AS (
+  SELECT lang, doc_id, nt,
+         SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS end_off
+  FROM base WHERE nt > 0
+),
+expl AS (
+  SELECT lang, doc_id, end_off - nt AS start_off, end_off,
+         unnest(range(CAST((end_off - nt) // 512 AS BIGINT),
+                      CAST((end_off - 1) // 512 + 1 AS BIGINT))) AS block_id
+  FROM spans
+)
+SELECT lang, block_id, COUNT(*) AS n_docs,
+       CAST(SUM(least(end_off, (block_id + 1) * 512)
+           - greatest(start_off, block_id * 512)) AS BIGINT) AS n_tokens,
+       CAST(SUM(least(end_off, (block_id + 1) * 512)
+           - greatest(start_off, block_id * 512)) AS BIGINT) = 512 AS is_full
+FROM expl GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "txt_token_stats": (txt_token_stats, TXT_TOKEN_SQL),
     "txt_edit_distance": (txt_edit_distance, TXT_EDIT_SQL),
@@ -177,4 +318,6 @@ QUERIES = {
     "txt_langid": (txt_langid, TXT_LANGID_SQL),
     "txt_fingerprint": (txt_fingerprint, TXT_FINGERPRINT_SQL),
     "txt_bpeish_count": (txt_bpeish_count, TXT_BPEISH_SQL),
+    "txt_tfidf": (txt_tfidf, TXT_TFIDF_SQL),
+    "llm_seq_pack": (llm_seq_pack, LLM_SEQ_PACK_SQL),
 }
