@@ -225,20 +225,26 @@ def ml_plot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         hm = plot_confusion_heatmap(preds, os.path.join(scratch, "cm.png"))
         bars = plot_per_class_bars(preds, os.path.join(scratch, "bars.png"))
+        hm_pdf = plot_confusion_heatmap(preds, os.path.join(scratch, "cm.pdf"))
         sig = b"\x89PNG\r\n\x1a\n"
         with open(hm, "rb") as f:
             hm_ok = f.read(8) == sig and os.path.getsize(hm) > 100
         with open(bars, "rb") as f:
             bars_ok = f.read(8) == sig and os.path.getsize(bars) > 100
+        with open(hm_pdf, "rb") as f:
+            pdf_ok = f.read(5) == b"%PDF-" and os.path.getsize(hm_pdf) > 100
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(
-        [(bool(hm_ok), bool(bars_ok))],
-        "heatmap_png_valid boolean, bars_png_valid boolean",
+        [(bool(hm_ok), bool(bars_ok), bool(pdf_ok))],
+        "heatmap_png_valid boolean, bars_png_valid boolean, heatmap_pdf_valid boolean",
     )
 
 
-ML_PLOT_SQL = "SELECT TRUE AS heatmap_png_valid, TRUE AS bars_png_valid"
+ML_PLOT_SQL = (
+    "SELECT TRUE AS heatmap_png_valid, TRUE AS bars_png_valid, "
+    "TRUE AS heatmap_pdf_valid"
+)
 
 
 from .golden_sql import keyed_values_oracle
