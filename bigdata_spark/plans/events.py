@@ -96,6 +96,31 @@ FROM islands GROUP BY user_id, session_id
 """
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events table. events.ts has shipped as
+    both TIMESTAMP(NANOS) (no native Spark type — read as long,
+    truncate to µs) and plain TIMESTAMP(MICROS); probe the batch footer
+    for the actual type, same branch as sources/catalog.load_table."""
+    import os
+
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # the streaming file source wants a directory: scan sf_dir with a
+    # glob filter that admits only the events table
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # TIMESTAMP_NTZ vintage: watermarks demand TIMESTAMP (LTZ); with
+    # the session pinned to UTC the cast is value-preserving
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def evt_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE Structured Streaming path: ``readStream`` file source →
     watermarked tumbling counts (streaming/windows.py
@@ -106,33 +131,11 @@ def evt_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly the oracle below. At scale the same query runs on a
     live source with bounded state (late rows beyond the watermark are
     evicted)."""
-    import os
     import uuid
-
-    from pyspark.sql.types import LongType
 
     from ..streaming.windows import stream_tumbling_counts
 
-    # events.ts has shipped as both TIMESTAMP(NANOS) (no native Spark
-    # type — read as long, truncate to µs) and plain TIMESTAMP(MICROS);
-    # probe the batch footer for the actual type, same branch as
-    # sources/catalog.load_table
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    # the streaming file source wants a directory: scan sf_dir with a
-    # glob filter that admits only the events table
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    stream = raw
-    if isinstance(schema["ts"].dataType, LongType):
-        stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        # TIMESTAMP_NTZ vintage: watermarks demand TIMESTAMP (LTZ);
-        # with the session pinned to UTC the cast is value-preserving
-        stream = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _events_stream(spark, sf_dir)
     windowed = stream_tumbling_counts(
         stream, "ts", "1 hour", ["event_type"], watermark="30 minutes"
     )
@@ -163,9 +166,85 @@ FROM events GROUP BY 1, 2
 """
 
 
+def evt_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks on BOTH sides: for each
+    click, the purchases by the same user within the next 30 minutes
+    (funnel attribution). The event-time range condition is what lets
+    Spark bound the join state — click state older than the purchase
+    watermark minus 30 minutes is evicted; without it the state grows
+    forever. availableNow delivers everything in order here, so the
+    result equals the batch time-range self-join (the oracle)."""
+    import uuid
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        on=[
+            clicks.user_id == purchases.p_user_id,
+            purchases.purchase_ts >= clicks.click_ts,
+            purchases.purchase_ts
+            <= clicks.click_ts + F.expr("INTERVAL 30 MINUTES"),
+        ],
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).alias("gap_s"),
+    )
+    qname = "evt_sjoin_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "evt_stream_join: availableNow stream did not finish in 300s; "
+            "refusing to return partial join results"
+        )
+    return spark.table(qname)
+
+
+EVT_STREAM_JOIN_SQL = """
+SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+       a.user_id AS user_id,
+       CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+"""
+
+
 QUERIES = {
     "evt_tumbling_1h": (evt_tumbling_1h, EVT_TUMBLING_SQL),
     "evt_sliding_1h_30m": (evt_sliding_1h_30m, EVT_SLIDING_SQL),
     "evt_session_10m": (evt_session_10m, EVT_SESSION_SQL),
     "evt_stream_tumbling": (evt_stream_tumbling, EVT_STREAM_SQL),
+    "evt_stream_join": (evt_stream_join, EVT_STREAM_JOIN_SQL),
 }
