@@ -90,6 +90,36 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("phase 2 merges per-key over the tiny partial table", r"hashpartitioning\(event_type#\d+, \d+\)"),
         ("map-side partials before both shuffles", r"partial_sum"),
     ],
+    "tpch_q8": [
+        ("every dim side broadcast (7-way star, facts never re-shuffle for dims)", r"BroadcastHashJoin"),
+        ("part type filter pushed", r"PushedFilters: \[.*EqualTo\(p_type,ECONOMY\)"),
+        ("orderdate range pushed", r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate"),
+    ],
+    "tpch_q17": [
+        ("per-part avg table broadcast back to the fact", r"BroadcastHashJoin"),
+        ("brand filter pushed", r"PushedFilters: \[.*EqualTo\(p_brand,Brand#3\)"),
+        ("map-side partial avg components", r"partial_sum"),
+    ],
+    "tpch_q19": [
+        ("OR-of-ANDs: part conjuncts prune the broadcast build", r"PushedFilters: \[Or\(|Filter[^\n]*p_brand"),
+        ("quantity disjuncts reach the lineitem side", r"l_quantity"),
+    ],
+    "tpch_q22_adapted": [
+        ("NOT EXISTS compiled to an anti join", r"LeftAnti"),
+        ("recent-orders filter pushed", r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate"),
+    ],
+    "dedup_ngram_jaccard": [
+        ("inverted index aggregates pair counts (no per-pair array ops)", r"partial_count|HashAggregate"),
+        ("size-ratio prune inside the join condition", r"join[^\n]*threshold|\(cast\(sz#\d+ as double\) >="),
+    ],
+    "llm_seq_pack": [
+        ("running offsets partition by shard, not global", r"hashpartitioning\(lang#\d+"),
+        ("block explosion stays native (Generate, no Python)", r"explode\(sequence\("),
+    ],
+    "txt_tfidf": [
+        ("df table broadcast onto per-doc terms", r"BroadcastHashJoin"),
+        ("per-doc top-3 is a group limit, not a global sort", r"WindowGroupLimit"),
+    ],
 }
 
 
