@@ -213,14 +213,25 @@ def evt_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gap_s"),
     )
     qname = "evt_sjoin_" + uuid.uuid4().hex[:8]
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(300)
+    # A stream-stream join maintains FOUR state stores per shuffle
+    # partition per micro-batch; at the default 32 partitions the state
+    # checkpointing dominates this bounded demo (~3× the join itself).
+    # Scope a smaller fan-out to this stream — on a real cluster with a
+    # high-volume source the right number is executor-count-sized, set
+    # here per-query because shuffle.partitions is session-wide.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if not finished:
         q.stop()
         raise TimeoutError(
