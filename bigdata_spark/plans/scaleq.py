@@ -133,6 +133,59 @@ FROM lineitem GROUP BY 1
 """
 
 
+def s13_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 API, sources/pydatasource.py):
+    row-group-partitioned parquet reader streaming Arrow RecordBatches.
+    The oracle reads the SAME file through DuckDB — content equality
+    proves the connector reproduces the native reader bit-for-bit."""
+    from ..sources.pydatasource import register
+
+    register(spark)
+    docs = (
+        spark.read.format("rowgroup_parquet")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .load()
+    )
+    return docs.select("doc_id", "lang", "source", F.col("n_chars").cast("long"))
+
+
+S13_PYDS_SQL = """
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+"""
+
+
+def a14_udaf_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True UDAF surface: a GROUPED_AGG pandas UDF (Arrow-batched,
+    whole-group-at-once) computing the per-group MODE of l_quantity
+    with a deterministic smallest-value tie-break. The reference has no
+    UDAFs (SURVEY §2.8); this extends the UDF family to the
+    aggregation position. Counts are integers, so the result is exact
+    and the oracle is a count + row_number reimplementation."""
+    from ..functions.udafs import mode_qty
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(mode_qty("l_quantity").alias("mode_qty"))
+    )
+
+
+A14_UDAF_SQL = """
+WITH counts AS (
+  SELECT l_returnflag, l_linestatus, l_quantity, COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT l_returnflag, l_linestatus, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY n DESC, l_quantity) AS rk
+  FROM counts
+)
+SELECT l_returnflag, l_linestatus, CAST(l_quantity AS DOUBLE) AS mode_qty
+FROM ranked WHERE rk = 1
+"""
+
+
 def s9_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned parquet sink + partition-pruned re-read — the
     write-path layout that makes 100 TB scans cheap. Pins: rows
@@ -330,6 +383,8 @@ QUERIES = {
     "skew_salted_agg": (skew_salted_agg, SKEW_AGG_SQL),
     "skew_salted_join": (skew_salted_join, SKEW_JOIN_SQL),
     "skew_stress_agg": (skew_stress_agg, SKEW_STRESS_SQL),
+    "s13_python_datasource": (s13_python_datasource, S13_PYDS_SQL),
+    "a14_udaf_mode": (a14_udaf_mode, A14_UDAF_SQL),
     "s9_partitioned_sink": (s9_partitioned_sink, S9_SQL),
     "s10_jsonl_roundtrip": (s10_jsonl_roundtrip, S10_SQL),
     "s11_compaction": (s11_compaction, S11_SQL),
