@@ -595,6 +595,69 @@ FROM events GROUP BY 1
 """
 
 
+def evt_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path for semi-structured data: parse the
+    JSON once into a variant (binary-encoded, predicate-friendly — the
+    open-format answer to string re-parsing per field access), then
+    extract typed fields. Same rollup as json_props_sum, so the two
+    prove the legacy get_json_object path and the variant path agree
+    with each other AND with the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("n_missing"),
+        )
+    )
+
+
+EVT_VARIANT_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS n_missing
+FROM events GROUP BY 1
+"""
+
+
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt (the inverse of pivot): the per-returnflag wide
+    aggregate row becomes long (flag, metric, value) — the shape
+    metric stores and plotting layers want. Native Expand node, one
+    pass, no Python."""
+    l = load_table(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        F.sum(_dec2("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec2("l_extendedprice")).cast("double").alias("sum_price"),
+        F.count("*").cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "n_rows"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(COUNT(*) AS DOUBLE) AS n_rows
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM wide
+UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM wide
+"""
+
+
 # --- date/string scalar functions (extended surface) ----------------------
 
 def date_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,5 +783,7 @@ QUERIES = {
     "f2_minmax_normalize": (f2_minmax_normalize, F2_SQL),
     "f4_conditional_bucket": (f4_conditional_bucket, F4_SQL),
     "json_props_sum": (json_props_sum, JSON_SQL),
+    "evt_variant_props": (evt_variant_props, EVT_VARIANT_SQL),
+    "unpivot_metrics": (unpivot_metrics, UNPIVOT_SQL),
     "date_string_funcs": (date_string_funcs, DATE_STRING_SQL),
 }
