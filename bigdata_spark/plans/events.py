@@ -252,10 +252,140 @@ FROM events a JOIN events b
 """
 
 
+def evt_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a BATCH dim
+    table (no watermark needed on the static side — Spark re-plans the
+    dim per micro-batch, the streaming analogue of a broadcast dim
+    join) and rolls up weighted value per type."""
+    import uuid
+
+    dim = spark.createDataFrame(
+        [("click", 2.0), ("view", 0.5), ("purchase", 25.0), ("signup", 10.0)],
+        "event_type string, weight double",
+    )
+    stream = _events_stream(spark, sf_dir)
+    enriched = (
+        stream.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("value").cast("decimal(18,3)") * F.col("weight").cast("decimal(8,1)"))
+            )
+            .cast("double")
+            .alias("weighted_value"),
+        )
+    )
+    qname = "evt_enrich_" + uuid.uuid4().hex[:8]
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("evt_stream_enrich did not finish in 300s")
+    return spark.table(qname)
+
+
+EVT_STREAM_ENRICH_SQL = """
+WITH dim(event_type, weight) AS (
+  VALUES ('click', 2.0), ('view', 0.5), ('purchase', 25.0), ('signup', 10.0)
+)
+SELECT e.event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,3)) * CAST(d.weight AS DECIMAL(8,1))) AS DOUBLE)
+         AS weighted_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY 1
+"""
+
+
+def evt_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert sink — the production pattern for sinks with
+    no native streaming writer: each micro-batch MERGEs into a keyed
+    parquet table, keeping the latest event per user (dedup on write).
+    Batch-local dedup picks the max-ts row per user (event_id as the
+    deterministic tie-break), then the merge overwrites the union of
+    the existing table and the batch, re-deduped. The final table is
+    therefore the global latest-event-per-user — exactly the oracle's
+    row_number() = 1 query."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_upsert_")
+    target = f"{scratch}/state"
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            batch.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("user_id", "ts", "event_id", "event_type", "value")
+        )
+        bspark = batch.sparkSession
+        try:
+            existing = bspark.read.parquet(target)
+            merged = (
+                existing.unionByName(latest)
+                .withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .drop("_rk")
+            )
+        except Exception:  # first batch: nothing to merge yet
+            merged = latest
+        # stage-then-swap: writing in place would read and overwrite
+        # the same files
+        staged = f"{scratch}/stage_{batch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        shutil.rmtree(target, ignore_errors=True)
+        shutil.move(staged, target)
+
+    stream = _events_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{scratch}/ckpt_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("evt_stream_upsert did not finish in 300s")
+    try:
+        final = spark.read.parquet(target).select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+        )
+        out = final.toPandas()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(out)
+
+
+EVT_STREAM_UPSERT_SQL = """
+SELECT user_id, ts AS last_ts, event_type AS last_type
+FROM (
+  SELECT user_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+) WHERE rk = 1
+"""
+
+
 QUERIES = {
     "evt_tumbling_1h": (evt_tumbling_1h, EVT_TUMBLING_SQL),
     "evt_sliding_1h_30m": (evt_sliding_1h_30m, EVT_SLIDING_SQL),
     "evt_session_10m": (evt_session_10m, EVT_SESSION_SQL),
     "evt_stream_tumbling": (evt_stream_tumbling, EVT_STREAM_SQL),
     "evt_stream_join": (evt_stream_join, EVT_STREAM_JOIN_SQL),
+    "evt_stream_enrich": (evt_stream_enrich, EVT_STREAM_ENRICH_SQL),
+    "evt_stream_upsert": (evt_stream_upsert, EVT_STREAM_UPSERT_SQL),
 }
