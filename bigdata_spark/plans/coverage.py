@@ -486,7 +486,7 @@ def s2_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "nation")
     rows = [(int(r["n_nationkey"]), str(r["n_name"]), int(r["n_regionkey"])) for r in src.collect()]
     mem = spark.createDataFrame(rows, "n_nationkey long, n_name string, n_regionkey long")
-    mem.coalesce(1).write.mode("overwrite").options(sep="\t", header=True).csv(scratch)
+    mem.repartition(1).write.mode("overwrite").options(sep="\t", header=True).csv(scratch)
 
     back = spark.read.options(sep="\t", header=True).schema(
         "n_nationkey long, n_name string, n_regionkey long"

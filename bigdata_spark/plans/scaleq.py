@@ -240,7 +240,7 @@ def s10_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="bigdata_spark_jsonl_")
     try:
         n = load_table(spark, sf_dir, "nation")
-        n.coalesce(1).write.mode("overwrite").json(scratch)
+        n.repartition(1).write.mode("overwrite").json(scratch)
         back = spark.read.schema(
             "n_nationkey long, n_name string, n_regionkey long"
         ).json(scratch)

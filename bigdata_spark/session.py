@@ -54,6 +54,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
+        # Locality wait is pure dead time in a single-JVM local session
+        # (every block is process-local). Throughput-oriented batch
+        # clusters commonly run 0 too and let scan partition sizing do
+        # the locality work; latency-sensitive mixed clusters may
+        # prefer the 3s default — override via extra_conf there.
+        # NOTE: narrow coalesce(1) over Python-materialized partitions
+        # is a separate trap — the single task pays one Python-worker
+        # round-trip PER PARENT (measured ~130 ms × 32 parents);
+        # single-file writers here use repartition(1) instead.
+        .config("spark.locality.wait", "0s")
     )
     if extra_conf:
         for k, v in extra_conf.items():
