@@ -327,8 +327,99 @@ GROUP BY user_id
 """
 
 
+def hof_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column —
+    transform / filter / aggregate / array_max stay inside codegen
+    (the same native-expression discipline as the distance kernels,
+    functions/distances.py). The left-to-right fold order matches
+    DuckDB's list lambdas, so sums hash-match after rounding."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sum_sq = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    return e.select(
+        "vec_id",
+        F.round(sum_sq, 9).alias("sum_sq"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_max(v), 9).alias("vmax"),
+        F.exists(v, lambda x: x > 0.45).alias("has_big"),
+    )
+
+
+HOF_SQL = """
+WITH e AS (
+  -- float32 → double FIRST, as the Spark side casts the whole array:
+  -- squaring/summing in float32 drifts in the last ulps
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(list_sum(list_transform(v, x -> x * x)), 9) AS sum_sq,
+       CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
+       ROUND(list_max(v), 9) AS vmax,
+       len(list_filter(v, x -> x > 0.45)) > 0 AS has_big
+FROM e
+"""
+
+
+def regexp_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar surface over documents: extract-all counts, first
+    match, global replace — all JVM-side (no Python), the log/text
+    wrangling primitives a curation pipeline leans on."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"qu[a-z]+"), 0)).alias("n_qu"),
+        F.regexp_extract("text", r"qu[a-z]+", 0).alias("first_qu"),
+        F.length(F.regexp_replace("text", r"\btable\b", "T")).alias("replaced_len"),
+    )
+
+
+REGEXP_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, 'qu[a-z]+')) AS INT) AS n_qu,
+       regexp_extract(text, 'qu[a-z]+') AS first_qu,
+       CAST(length(regexp_replace(text, '\btable\b', 'T', 'g')) AS INT) AS replaced_len
+FROM documents
+"""
+
+
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling semantics pinned cross-engine: NULL forms its own
+    GROUP BY bucket, count(col) skips nulls while count(*) keeps them,
+    and the null-safe equality join (eqNullSafe / IS NOT DISTINCT
+    FROM) matches NULL keys where a plain equi-join drops them."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.nullif("o_orderpriority", F.lit("3-MEDIUM")).alias("prio")
+    )
+    dim = spark.createDataFrame(
+        [("1-URGENT", "urgent"), (None, "was-medium")], "k string, tag string"
+    )
+    joined = o.join(F.broadcast(dim), o.prio.eqNullSafe(dim.k), "inner")
+    return (
+        joined.groupBy("tag")
+        .agg(
+            F.count("*").alias("n_all"),
+            F.count("prio").alias("n_nonnull"),
+        )
+    )
+
+
+NULL_SEMANTICS_SQL = """
+WITH o AS (SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS prio FROM orders),
+dim(k, tag) AS (VALUES ('1-URGENT', 'urgent'), (NULL, 'was-medium'))
+SELECT tag, COUNT(*) AS n_all, COUNT(prio) AS n_nonnull
+FROM o JOIN dim ON prio IS NOT DISTINCT FROM k
+GROUP BY tag
+"""
+
+
 QUERIES = {
     "set_union_intersect": (set_union_intersect, SET_UNION_SQL),
+    "hof_array_suite": (hof_array_suite, HOF_SQL),
+    "regexp_text_suite": (regexp_text_suite, REGEXP_SQL),
+    "null_semantics": (null_semantics, NULL_SEMANTICS_SQL),
     "rollup_revenue": (rollup_revenue, ROLLUP_SQL),
     "cube_counts": (cube_counts, CUBE_SQL),
     "distinct_agg": (distinct_agg, DISTINCT_AGG_SQL),
