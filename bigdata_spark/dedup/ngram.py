@@ -66,10 +66,20 @@ def ngram_jaccard_pairs(
         ),
         force=True,
     )
-    base = src.select(
-        F.col(id_col), "_bucket", shingles(F.col("_text"), n=shingle_n).alias("sh")
-    ).select(
-        F.col(id_col), "_bucket", F.size("sh").alias("sz"), F.explode("sh").alias("tok")
+    base = (
+        src.select(
+            F.col(id_col), "_bucket", shingles(F.col("_text"), n=shingle_n).alias("sh")
+        )
+        .select(
+            F.col(id_col),
+            "_bucket",
+            F.size("sh").alias("sz"),
+            F.explode("sh").alias("tok"),
+        )
+        # an empty/whitespace-only document shingles to {""} — drop the
+        # empty shingle so degenerate docs never pair (two empty docs
+        # are NOT near-duplicates of anything)
+        .filter(F.col("tok") != "")
     )
 
     a, b = base.alias("a"), base.alias("b")
