@@ -115,6 +115,55 @@ MM_DECODE_SQL = (
 )
 
 
+def mm_resize_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize path (media.py resize_images): nearest-neighbor
+    resample of the gradient images to 32×24 — PPM via header-aware
+    row/col indexing, PNG via full decode → resample → re-encode —
+    then a REAL re-decode of the resized payloads. Pins: channel means
+    survive resampling (a gradient stays a gradient), metadata carries
+    the new dimensions, and both formats are present end-to-end."""
+    from ..multimodal.media import resize_images
+
+    media = synthetic_media_df(spark, n=64).filter(F.col("meta.kind") == "image")
+    small = resize_images(media, 32, 24)
+    dims = small.select(
+        "media_id",
+        F.col("meta.width").alias("w"),
+        F.col("meta.height").alias("h"),
+        F.col("meta.format").alias("format"),
+    )
+    feats = decode_image_features(small, n_features=8).join(dims, "media_id")
+    row = feats.agg(
+        F.max(F.abs(F.element_at("features", 1) - 0.5)).alias("red_dev"),
+        F.max(F.abs(F.element_at("features", 2) - 0.5)).alias("green_dev"),
+        F.min(F.col("w")).alias("w_min"),
+        F.max(F.col("w")).alias("w_max"),
+        F.min(F.col("h")).alias("h_min"),
+        F.max(F.col("h")).alias("h_max"),
+        F.count(F.when(F.col("format") == "png", 1)).alias("n_png"),
+        F.count(F.when(F.col("format") == "ppm", 1)).alias("n_ppm"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                bool(row["red_dev"] < 0.03),
+                bool(row["green_dev"] < 0.03),
+                bool(row["w_min"] == 32 and row["w_max"] == 32),
+                bool(row["h_min"] == 24 and row["h_max"] == 24),
+                bool(row["n_png"] > 0 and row["n_ppm"] > 0),
+            )
+        ],
+        "red_mean_ok boolean, green_mean_ok boolean, width_ok boolean, "
+        "height_ok boolean, both_formats boolean",
+    )
+
+
+MM_RESIZE_SQL = (
+    "SELECT TRUE AS red_mean_ok, TRUE AS green_mean_ok, TRUE AS width_ok, "
+    "TRUE AS height_ok, TRUE AS both_formats"
+)
+
+
 from .golden_sql import values_oracle
 
 # Pinned-literal oracles (VERDICT r2 next #2): the synthetic media
@@ -129,6 +178,7 @@ MM_FEATURES_SQL = values_oracle(
 
 QUERIES = {
     "mm_decode_invariants": (mm_decode_invariants, MM_DECODE_SQL),
+    "mm_resize_invariants": (mm_resize_invariants, MM_RESIZE_SQL),
     "mm_metadata": (mm_metadata, MM_METADATA_SQL),
     "mm_decode_features": (mm_decode_features, MM_FEATURES_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SQL),
