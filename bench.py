@@ -38,7 +38,15 @@ def main() -> None:
     from bigdata_spark.session import get_spark
 
     spark = get_spark(
-        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+        "bench",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # ContextCleaner's periodic GC defaults to 30min — longer
+            # than the whole bench session, so shuffle files and
+            # broadcasts from ~100 queries pile up and later queries
+            # pay for the accumulated state. Clean every minute.
+            "spark.cleaner.periodicGC.interval": "1min",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
