@@ -54,38 +54,58 @@ def main() -> None:
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    # Two passes per query: the first pays one-time plan/codegen/JIT
+    # Three passes per query: the first pays one-time plan/codegen/JIT
     # cost (irrelevant at scale — it amortizes over TB of input); the
-    # second measures steady-state execution. Both are reported.
-    cold: dict[str, float] = {}
-    timings: dict[str, float] = {}
+    # next two measure steady-state execution. ALL raw samples are
+    # recorded in bench_details.json; the report carries BOTH the
+    # per-query minimum (robust to host-contention spikes, comparable
+    # with earlier rounds) and the warm median (typical-case, not
+    # best-case — advisor round-3 note).
+    def run_once(fn) -> float:
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    samples: dict[str, list[float]] = {}
     for name, (fn, _sql) in registry.items():
         if name in EXCLUDED:
             continue
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        # steady-state = the better of the two observed runs: a host
-        # contention spike during the second pass would otherwise be
-        # recorded as the query's "warm" cost (observed 5-10× outliers
-        # on a shared host), and the first pass is an upper bound on
-        # steady state by construction.
-        timings[name] = round(min(time.time() - t0, cold[name]), 3)
+        samples[name] = [run_once(fn), run_once(fn), run_once(fn)]
+        # Controlled cleanup point BETWEEN queries: operators that
+        # persist() intermediates (minhash sigs, inverted-index
+        # postings) legitimately reuse cache across their own passes,
+        # but left in place those blocks accumulate over 100+ queries
+        # and the eventual under-pressure eviction/GC lands inside some
+        # LATER query's measured pass (the r3 position-~110 storm).
+        spark.catalog.clearCache()
 
-    # Outlier retry: a host-contention spike can hit BOTH passes of a
+    # Outlier retry: a host-contention spike can hit every pass of a
     # query (observed 2s-standalone queries recording 20-50s when a
     # noisy-neighbor window overlapped them). Give the recorded slowest
-    # a third pass and keep the best — bounded extra wall time, large
-    # variance reduction on exactly the entries the report leads with.
-    for name in sorted(timings, key=timings.get, reverse=True)[:8]:
+    # one more warm pass — bounded extra wall time, large variance
+    # reduction on exactly the entries the report leads with.
+    def warm_min(name: str) -> float:
+        return min(samples[name])
+
+    for name in sorted(samples, key=warm_min, reverse=True)[:8]:
         fn, _sql = registry[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(min(time.time() - t0, timings[name]), 3)
+        samples[name].append(run_once(fn))
+        spark.catalog.clearCache()
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        mid = n // 2
+        return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+    cold = {name: s[0] for name, s in samples.items()}
+    timings = {name: round(min(s), 3) for name, s in samples.items()}
+    # warm median over the steady-state passes only (drop the first,
+    # which carries one-time planning/codegen cost by construction)
+    warm_med = {name: round(median(s[1:]), 3) for name, s in samples.items()}
 
     total = round(sum(timings.values()), 3)
+    median_total = round(sum(warm_med.values()), 3)
     cold_total = round(sum(cold.values()), 3)
     slowest5 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
@@ -99,9 +119,12 @@ def main() -> None:
             {
                 "sf": float(sf),
                 "warm_total": total,
+                "warm_median_total": median_total,
                 "cold_total": cold_total,
                 "queries": timings,
+                "queries_median": warm_med,
                 "cold_queries": cold,
+                "samples": samples,
                 "excluded": EXCLUDED,
             },
             f,
@@ -121,6 +144,7 @@ def main() -> None:
                 "queries": slowest5,
                 "sf": float(sf),
                 "n_queries": len(timings),
+                "median_total": median_total,
                 "cold_total": cold_total,
                 "details": "bench_details.json",
             }

@@ -11,7 +11,12 @@ DuckDB oracle reproduces every signature bit-for-bit (SURVEY §2.9).
 Scale shape: the only shuffles are the band-bucket groupBys on compact
 (band_id, band_hash) keys, and the verify join moves shingle arrays only
 for candidate pairs, never for the full corpus. Banding keeps candidate
-count ~linear at 100 TB where naive all-pairs is quadratic.
+count ~linear at 100 TB where naive all-pairs is quadratic. Degenerate
+buckets (boilerplate corpora: m identical docs → m²/2 candidates on one
+reducer) are guarded since round 4: singleton buckets are pruned via a
+bucket census, hot buckets are salted across reducers, and an optional
+df cap can exclude adversarial buckets outright (see minhash_dup_pairs
+docstring).
 """
 
 from __future__ import annotations
@@ -103,9 +108,30 @@ def minhash_dup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    hot_bucket_df: int = 1024,
+    n_salts: int = 16,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b) whose exact shingle Jaccard ≥ threshold,
-    discovered via LSH banding (rows = num_perm // bands per band)."""
+    discovered via LSH banding (rows = num_perm // bands per band).
+
+    Degenerate-bucket skew guard: a real corpus contains boilerplate —
+    m identical documents share every band hash and would emit m²/2
+    candidates into ONE reducer. Buckets are counted first (a cheap agg
+    on the compact (band_id, band_hash) key); singleton buckets are
+    dropped before the join (they cannot pair — typically most of the
+    table), and buckets with df > ``hot_bucket_df`` are salted: the
+    b-side gets a deterministic salt in [0, n_salts), the a-side is
+    replicated across all salts, so the hot bucket's m²/2 candidates
+    spread over n_salts reducers (each holding m × m/n_salts) instead
+    of one. The pair SET is unchanged — each (a, b) meets in exactly
+    one salt partition. ``max_bucket_df`` (default None = keep all)
+    EXCLUDES buckets beyond the cap from candidate generation entirely:
+    an explicit recall trade for adversarial corpora — m identical
+    pages still cost m²/2 total work even perfectly spread, and a
+    downstream clusterer only needs the pairs of ONE band-bucket to
+    merge the group, so capping is usually the right production call.
+    """
     rows_per_band = num_perm // bands
     # One pass computes shingles + signatures; persisted because the
     # plan references it three times (two band-join sides + the verify
@@ -138,14 +164,55 @@ def minhash_dup_pairs(
         ).alias("band"),
     ).select(F.col(id_col), F.col("band.band_id"), F.col("band.band_hash"))
 
-    left = banded.alias("a")
-    right = banded.alias("b")
+    # Bucket census via a window count, not a join: one shuffle on the
+    # compact (band_id, band_hash) key, no second table for Catalyst to
+    # mis-plan. The hot bucket's window group holds df rows in one task
+    # — linear and spillable, unlike the df² pair fan-out the salting
+    # below spreads. Persisted: referenced by both pair-join sides.
+    from pyspark.sql import Window
+
+    w_bucket = Window.partitionBy("band_id", "band_hash")
+    joinable = banded.withColumn("_df", F.count(F.lit(1)).over(w_bucket))
+    if max_bucket_df is not None:
+        joinable = joinable.filter(F.col("_df") <= max_bucket_df)
+    # df == 1 buckets cannot pair — drop them before they shuffle into
+    # the self-join (in a deduped corpus that is MOST of the table).
+    joinable = (
+        joinable.filter(F.col("_df") >= 2)
+        .withColumn("_hot", F.col("_df") > hot_bucket_df)
+        .persist()
+    )
+
+    # Salt only hot buckets: b-side rows take one deterministic salt,
+    # a-side rows are replicated across all salts; cold buckets use the
+    # single salt 0 on both sides (no replication).
+    a_salted = joinable.withColumn(
+        "_salt",
+        F.explode(
+            F.when(
+                F.col("_hot"),
+                F.array(*[F.lit(i) for i in range(n_salts)]),
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    ).alias("a")
+    b_salted = (
+        joinable.withColumn(
+            "_salt",
+            F.when(F.col("_hot"), F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)))
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        # hash-build the un-replicated side (m/S rows per key vs m)
+        .hint("shuffle_hash")
+        .alias("b")
+    )
     cand = (
-        left.join(
-            right,
+        a_salted.join(
+            b_salted,
             on=[
                 F.col("a.band_id") == F.col("b.band_id"),
                 F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a._salt") == F.col("b._salt"),
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )

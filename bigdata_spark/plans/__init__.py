@@ -102,7 +102,17 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         "tpch_q6", "txt_bpeish_count", "txt_edit_distance",
         "txt_fingerprint", "txt_langid", "txt_quality", "txt_token_stats",
     }
-    driver_green = r01_green | r02_green
+    r03_green = {
+        "a14_udaf_mode", "evt_stream_enrich", "evt_stream_join",
+        "evt_stream_upsert", "evt_variant_props", "hof_array_suite",
+        "llm_seq_pack", "ml_dtw_distances", "ml_global_tree", "ml_local_forest",
+        "mm_decode_features", "mm_metadata", "mm_resize_invariants",
+        "null_semantics", "regexp_text_suite", "s13_python_datasource",
+        "skew_stress_agg", "tpch_q13_adapted", "tpch_q15", "tpch_q16_adapted",
+        "tpch_q17", "tpch_q19", "tpch_q22_adapted", "tpch_q8",
+        "tpch_q9_adapted", "txt_tfidf", "unpivot_metrics",
+    }
+    driver_green = r01_green | r02_green | r03_green
     back_of_line = [
         "s11_compaction",
         "ml_model_roundtrip",

@@ -215,6 +215,47 @@ WHERE CASE WHEN len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingle
 """
 
 
+# --- degenerate-bucket skew stress ---------------------------------------
+
+_STRESS_N = 1000
+_STRESS_TEXT = (
+    "all rights reserved copyright notice terms of service apply "
+    "unsubscribe from this newsletter by clicking the link below"
+)
+
+
+def dedup_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERDICT r3 #4 stress: 1,000 IDENTICAL boilerplate documents —
+    every shingle has df = 1000, the exact shape that put m² candidate
+    pairs on ONE reducer before the round-4 skew guard. With the guard,
+    hot shingles salt across 16 reducers (each holding ~1000×63 rows of
+    fan-out) and the full 499,500-pair result still materializes
+    exactly. The output is an aggregate fingerprint of the pair set
+    (count, id checksum, jaccard bounds) so the gate compares 1 row,
+    not half a million."""
+    docs = spark.range(_STRESS_N).select(
+        F.col("id").alias("doc_id"), F.lit(_STRESS_TEXT).alias("text")
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.5, shingle_n=3, hot_token_df=64, n_salts=16
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("id_a") + F.col("id_b")).alias("id_checksum"),
+        F.min("jaccard").alias("min_jac"),
+        F.max("jaccard").alias("max_jac"),
+    )
+
+
+DEDUP_SKEW_STRESS_SQL = f"""
+SELECT COUNT(*) AS n_pairs,
+       CAST(SUM(a.i + b.i) AS BIGINT) AS id_checksum,
+       CAST(1.0 AS DOUBLE) AS min_jac,
+       CAST(1.0 AS DOUBLE) AS max_jac
+FROM range({_STRESS_N}) a(i) JOIN range({_STRESS_N}) b(i) ON a.i < b.i
+"""
+
+
 # --- embedding-cosine near-dup -------------------------------------------
 
 # LSH bucketing parameters for dedup_embedding_pairs: the bucket key is
@@ -424,6 +465,7 @@ QUERIES = {
     "dedup_minhash_pairs": (dedup_minhash_pairs, _duck_minhash_pairs_sql()),
     "dedup_simhash_values": (dedup_simhash_values, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_skew_stress": (dedup_skew_stress, DEDUP_SKEW_STRESS_SQL),
     "dedup_embedding_pairs": (dedup_embedding_pairs, DEDUP_EMB_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
 }

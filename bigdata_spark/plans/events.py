@@ -302,50 +302,43 @@ GROUP BY 1
 """
 
 
-def evt_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def evt_stream_upsert(
+    spark: SparkSession, sf_dir: str, target_root: str | None = None
+) -> DataFrame:
     """foreachBatch upsert sink — the production pattern for sinks with
     no native streaming writer: each micro-batch MERGEs into a keyed
     parquet table, keeping the latest event per user (dedup on write).
     Batch-local dedup picks the max-ts row per user (event_id as the
-    deterministic tie-break), then the merge overwrites the union of
-    the existing table and the batch, re-deduped. The final table is
+    deterministic tie-break), then the merge publishes the union of
+    the existing snapshot and the batch, re-deduped. The final table is
     therefore the global latest-event-per-user — exactly the oracle's
-    row_number() = 1 query."""
+    row_number() = 1 query.
+
+    The sink is the cluster-safe ``VersionedParquetTable`` (immutable
+    ``state_v{N}`` directories + an atomic ``_LATEST`` commit marker —
+    streaming/upsert_sink.py): any Hadoop-compatible ``target_root``
+    URI works (HDFS/S3A/local); a crash between data write and marker
+    write leaves the previous committed snapshot intact. Locally the
+    default is a throwaway tempdir."""
     import shutil
     import tempfile
     import uuid
 
-    from pyspark.sql import Window
+    from ..streaming.upsert_sink import VersionedParquetTable, keyed_upsert_batch
 
     scratch = tempfile.mkdtemp(prefix="bigdata_spark_upsert_")
-    target = f"{scratch}/state"
+    if target_root is None:
+        target_root = f"{scratch}/state"
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        w = Window.partitionBy("user_id").orderBy(
-            F.desc("ts"), F.desc("event_id")
+        table = VersionedParquetTable(batch.sparkSession, target_root)
+        keyed_upsert_batch(
+            table,
+            batch,
+            key_cols=["user_id"],
+            order_cols=[F.desc("ts"), F.desc("event_id")],
+            value_cols=["ts", "event_id", "event_type", "value"],
         )
-        latest = (
-            batch.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select("user_id", "ts", "event_id", "event_type", "value")
-        )
-        bspark = batch.sparkSession
-        try:
-            existing = bspark.read.parquet(target)
-            merged = (
-                existing.unionByName(latest)
-                .withColumn("_rk", F.row_number().over(w))
-                .filter(F.col("_rk") == 1)
-                .drop("_rk")
-            )
-        except Exception:  # first batch: nothing to merge yet
-            merged = latest
-        # stage-then-swap: writing in place would read and overwrite
-        # the same files
-        staged = f"{scratch}/stage_{batch_id}"
-        merged.write.mode("overwrite").parquet(staged)
-        shutil.rmtree(target, ignore_errors=True)
-        shutil.move(staged, target)
 
     stream = _events_stream(spark, sf_dir)
     q = (
@@ -358,13 +351,18 @@ def evt_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("evt_stream_upsert did not finish in 300s")
     try:
-        final = spark.read.parquet(target).select(
+        snapshot = VersionedParquetTable(spark, target_root).read()
+        if snapshot is None:
+            raise RuntimeError("upsert sink published no version")
+        final = snapshot.select(
             "user_id",
             F.col("ts").alias("last_ts"),
             F.col("event_type").alias("last_type"),
         )
         out = final.toPandas()
     finally:
+        # scratch holds the checkpoint (and, for the local default, the
+        # table itself); an external target_root is left in place.
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(out)
 

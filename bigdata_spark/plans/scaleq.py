@@ -133,6 +133,59 @@ FROM lineitem GROUP BY 1
 """
 
 
+def skew_stress_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-side twin of skew_stress_agg (VERDICT r3 #6): the SAME
+    50%-hot-key distribution, but the hot key flows through a fact⋈dim
+    equi-join — the shape where a plain shuffle join funnels half the
+    fact table through the hot key's single reducer. ``salted_join``
+    rewrites the shuffle key to (key, salt): the dim side replicates
+    ×n_salts (bounded — it is dim-sized), the fact side spreads evenly.
+    Output is salt-invariant, so the plain join is an exact oracle;
+    tests/test_scale_ops.py::test_salted_join_spreads_hot_key pins the
+    physical spread, and the with/without-salting parity is asserted in
+    the same test module."""
+    from ..operators.skew import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem")
+    key = F.when(F.col("l_orderkey") % 2 == 0, F.lit("HOT")).otherwise(
+        F.concat(F.lit("k"), (F.col("l_orderkey") % 97).cast("string"))
+    )
+    fact = l.select(key.alias("k"), F.col("l_quantity").cast("decimal(18,2)").alias("v"))
+    dim = spark.createDataFrame(
+        [("HOT", 0.5)] + [(f"k{i}", float(i % 7) + 1.0) for i in range(97)],
+        "k string, weight double",
+    )
+    joined = salted_join(fact, dim, "k", n_salts=8)
+    return (
+        joined.groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v") * F.col("weight").cast("decimal(8,1)"))
+            .cast("double")
+            .alias("weighted_sum"),
+        )
+    )
+
+
+SKEW_STRESS_JOIN_SQL = """
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'HOT'
+              ELSE 'k' || CAST(l_orderkey % 97 AS VARCHAR) END AS k,
+         CAST(l_quantity AS DECIMAL(18,2)) AS v
+  FROM lineitem
+), dim AS (
+  SELECT 'HOT' AS k, 0.5 AS weight
+  UNION ALL
+  SELECT 'k' || CAST(i AS VARCHAR), CAST(i % 7 AS DOUBLE) + 1.0
+  FROM range(97) t(i)
+)
+SELECT f.k, COUNT(*) AS n,
+       CAST(SUM(f.v * CAST(d.weight AS DECIMAL(8,1))) AS DOUBLE) AS weighted_sum
+FROM fact f JOIN dim d ON f.k = d.k
+GROUP BY 1
+"""
+
+
 def s13_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python DataSource (Spark 4 API, sources/pydatasource.py):
     row-group-partitioned parquet reader streaming Arrow RecordBatches.
@@ -383,6 +436,7 @@ QUERIES = {
     "skew_salted_agg": (skew_salted_agg, SKEW_AGG_SQL),
     "skew_salted_join": (skew_salted_join, SKEW_JOIN_SQL),
     "skew_stress_agg": (skew_stress_agg, SKEW_STRESS_SQL),
+    "skew_stress_join": (skew_stress_join, SKEW_STRESS_JOIN_SQL),
     "s13_python_datasource": (s13_python_datasource, S13_PYDS_SQL),
     "a14_udaf_mode": (a14_udaf_mode, A14_UDAF_SQL),
     "s9_partitioned_sink": (s9_partitioned_sink, S9_SQL),

@@ -1,0 +1,155 @@
+"""Cluster-safe keyed-upsert parquet sink for ``foreachBatch``.
+
+The reference has no streaming sinks at all; this is the
+training-pipeline pattern for merging micro-batches into a keyed table
+when no transactional table format is available. The round-3 version
+staged data in driver-local ``tempfile`` scratch and swapped with a
+POSIX ``shutil.move`` — correct on local[*] but a scale-killer on a
+real cluster (executors cannot read the driver's disk, and rename is
+not atomic on object stores).
+
+This version uses a **versioned-directory + commit-marker protocol**
+that is safe on any Hadoop-compatible filesystem (HDFS, S3A, GCS,
+local):
+
+* every merge writes a brand-new immutable directory
+  ``{root}/state_v{N}`` — never in-place;
+* a tiny ``{root}/_LATEST`` marker file holds the committed version
+  number; publishing a version is ONE single-object write (atomic PUT
+  on object stores, atomic create-overwrite on HDFS/local via the
+  Hadoop FileSystem API);
+* readers resolve ``_LATEST`` → directory, so a crash after the data
+  write but before the marker write leaves the previous version fully
+  intact and visible — no torn state, ever;
+* superseded versions are vacuumed lazily, always keeping the current
+  and previous one so in-flight readers that resolved the old marker
+  can finish their scan.
+
+All filesystem metadata ops go through the JVM Hadoop ``FileSystem``
+bound to the path's scheme, so the same code runs unchanged against
+``s3a://bucket/...`` or ``hdfs://...`` targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MARKER = "_LATEST"
+
+
+def _fs_and_path(spark: SparkSession, path_str: str):
+    """Resolve (Hadoop FileSystem, Path) for any supported URI scheme."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+class VersionedParquetTable:
+    """A parquet table published as immutable versioned directories with
+    a single commit-marker file — the minimal transactional-table core
+    (same shape as a one-snapshot Delta/Iceberg log) with zero external
+    dependencies."""
+
+    def __init__(self, spark: SparkSession, root: str, keep_versions: int = 2):
+        if keep_versions < 2:
+            raise ValueError("keep_versions must be >= 2 (current + previous)")
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.keep_versions = keep_versions
+
+    # -- marker protocol ------------------------------------------------
+    def current_version(self) -> int | None:
+        """Committed version number, or None if never published."""
+        fs, marker = _fs_and_path(self.spark, f"{self.root}/{_MARKER}")
+        if not fs.exists(marker):
+            return None
+        stream = fs.open(marker)
+        try:
+            raw = bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+        return int(raw.decode("ascii").strip())
+
+    def _write_marker(self, version: int) -> None:
+        fs, marker = _fs_and_path(self.spark, f"{self.root}/{_MARKER}")
+        # One single-object create-with-overwrite: atomic PUT on object
+        # stores, atomic replace on HDFS/local.
+        stream = fs.create(marker, True)
+        try:
+            stream.write(f"{version}\n".encode("ascii"))
+        finally:
+            stream.close()
+
+    def _version_dir(self, version: int) -> str:
+        return f"{self.root}/state_v{version}"
+
+    # -- read / publish -------------------------------------------------
+    def read(self) -> DataFrame | None:
+        """The committed snapshot, or None before the first publish."""
+        v = self.current_version()
+        if v is None:
+            return None
+        return self.spark.read.parquet(self._version_dir(v))
+
+    def publish(self, df: DataFrame) -> int:
+        """Write ``df`` as the next version and commit it. Returns the
+        new version number. Crash-safe: the marker flips only after the
+        data directory is fully written."""
+        v = self.current_version()
+        next_v = 0 if v is None else v + 1
+        df.write.mode("overwrite").parquet(self._version_dir(next_v))
+        self._write_marker(next_v)
+        self._vacuum(next_v)
+        return next_v
+
+    def _vacuum(self, committed: int) -> None:
+        """Drop versions older than (committed - keep_versions + 1).
+        Best-effort: a failed delete never fails the publish."""
+        floor = committed - self.keep_versions + 1
+        if floor <= 0:
+            return
+        fs, root = _fs_and_path(self.spark, self.root)
+        try:
+            for status in fs.listStatus(root):
+                name = status.getPath().getName()
+                if not name.startswith("state_v"):
+                    continue
+                try:
+                    ver = int(name[len("state_v"):])
+                except ValueError:
+                    continue
+                if ver < floor:
+                    fs.delete(status.getPath(), True)
+        except Exception:
+            pass
+
+
+def keyed_upsert_batch(
+    table: VersionedParquetTable,
+    batch: DataFrame,
+    key_cols: list[str],
+    order_cols: list,
+    value_cols: list[str],
+) -> None:
+    """MERGE one micro-batch into ``table``: keep the top-1 row per key
+    by ``order_cols`` across the existing snapshot plus the batch.
+    Designed as the body of a ``foreachBatch`` callback."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    latest = (
+        batch.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(*key_cols, *value_cols)
+    )
+    existing = table.read()
+    if existing is not None:
+        latest = (
+            existing.unionByName(latest)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+    table.publish(latest)
