@@ -59,6 +59,36 @@ def test_salted_join_matches_plain(spark):
     assert want.exceptAll(got).count() == 0
 
 
+def test_salted_join_spreads_hot_key(spark):
+    """Join-side twin of test_salted_agg_spreads_hot_key: the salted
+    join's phase-1 shuffle key must be (key, salt) — the hot key's fact
+    rows spread over all salt sub-groups — and the dim side must be
+    replicated across every salt so no pair is lost."""
+    n_salts = 4
+    hot_rows = 4000
+    large = spark.range(0, 5000).select(
+        F.when(F.col("id") < hot_rows, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame([(0, "hot"), (4200, "cold")], "k long, tag string")
+    # the hot key's rows occupy every salt sub-group, roughly uniformly
+    salted = large.withColumn("_salt", (F.rand(42) * n_salts).cast("int"))
+    counts = {
+        r["_salt"]: r["count"]
+        for r in salted.filter(F.col("k") == 0).groupBy("_salt").count().collect()
+    }
+    assert len(counts) == n_salts
+    assert max(counts.values()) < hot_rows * 2 / n_salts
+    # plan shape: the join's exchange partitions on the salt column too
+    out = salted_join(large, small, "k", n_salts=n_salts)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan, "join exchange must carry the salt column"
+    # parity with the plain join under the same hot distribution
+    want = large.join(small, "k")
+    assert out.count() == want.count()
+    assert out.exceptAll(want).count() == 0 and want.exceptAll(out).count() == 0
+
+
 def test_salted_agg_matches_plain(spark):
     df = spark.range(0, 10000).select(
         F.when(F.col("id") < 9000, 0).otherwise(F.col("id") % 13).alias("k"),
