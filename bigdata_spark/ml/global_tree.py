@@ -238,21 +238,17 @@ class GlobalProximityTree:
                 prev_assign = None
             stacked = stacked.sort_values(["node_id", "cand", "branch", "label", "_rk"])
 
-            # unpack: branch counts for gini, per-branch pools for the
-            # next level's candidate draws
+            # unpack pass 1: branch counts for gini (rk==1 rows carry
+            # the partition count; feature arrays are NOT touched here)
             agg: dict[tuple[int, int], dict[int, dict[int, int]]] = {}
-            cand_pool: dict[tuple[int, int, int], dict[int, list[list[float]]]] = {}
-            for nid_, cand_, branch_, lbl_, feats_, cnt_, rk_ in zip(
+            for nid_, cand_, branch_, lbl_, cnt_, rk_ in zip(
                 stacked["node_id"], stacked["cand"], stacked["branch"],
-                stacked["label"], stacked["features"], stacked["_cnt"], stacked["_rk"],
+                stacked["label"], stacked["_cnt"], stacked["_rk"],
             ):
                 if int(rk_) == 1:
                     agg.setdefault((int(nid_), int(cand_)), {}).setdefault(
                         int(branch_), {}
                     )[int(lbl_)] = int(cnt_)
-                cand_pool.setdefault((int(nid_), int(cand_), int(branch_)), {}).setdefault(
-                    int(lbl_), []
-                ).append([float(x) for x in feats_])
             # sorted(): collect order is task-completion order; iterating
             # sorted keys makes Gini tie-breaks (strict <, so the lowest
             # cand id wins a tie) and child-id allocation deterministic
@@ -275,6 +271,22 @@ class GlobalProximityTree:
                         gini += (bt / total) * (1.0 - p2)
                 if nid not in best or gini < best[nid][0]:
                     best[nid] = (gini, cand)
+
+            # unpack pass 2: exemplar pools ONLY for each node's winning
+            # candidate (ADVICE r3 — losers' pools were an n_splitters×
+            # driver-memory overhead; the next level only ever reads the
+            # winner's branch pools)
+            winners = {nid: cand for nid, (_g, cand) in best.items()}
+            cand_pool: dict[tuple[int, int, int], dict[int, list[list[float]]]] = {}
+            for nid_, cand_, branch_, lbl_, feats_ in zip(
+                stacked["node_id"], stacked["cand"], stacked["branch"],
+                stacked["label"], stacked["features"],
+            ):
+                if winners.get(int(nid_)) != int(cand_):
+                    continue
+                cand_pool.setdefault(
+                    (int(nid_), int(cand_), int(branch_)), {}
+                ).setdefault(int(lbl_), []).append([float(x) for x in feats_])
 
             # materialize winners into the tree; routing goes through the
             # same broadcast-join pattern (constant-size plan per level).

@@ -2,13 +2,14 @@
 with typed struct metadata (driver brief, SURVEY §2.9).
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shapes,
-mapInPandas signatures — is real and tested. Decode is REAL for the
-pure-numpy-parseable containers (binary PPM images, PCM16 WAV audio —
-codecs.py): actual pixel/sample statistics, actual nearest-neighbor
-resize. Compressed formats (png/jpeg/mp4) still go through the
-deterministic ``_decode_stub`` because this container ships no
-PIL/torchaudio/ffmpeg; swapping those in is a one-function change
-(``_decode_real``) that does not touch any distributed plumbing.
+mapInPandas signatures — is real and tested. Decode is REAL for every
+image/audio format here: binary PPM, zlib PNG (codecs.py), baseline
+JFIF JPEG (jpeg.py — pure-numpy Huffman + IDCT), and PCM16 WAV —
+actual pixel/sample statistics, actual nearest-neighbor resize. Only
+video (mp4/H.264) still goes through the deterministic
+``_decode_stub``: no stdlib path exists and the container ships no
+ffmpeg; swapping it in is a one-function change (``_decode_real``)
+that does not touch any distributed plumbing.
 
 Scale notes:
 - payloads stay in executors end-to-end (no collect; feature columns
@@ -61,14 +62,14 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
-# Formats decodable with the in-repo pure-numpy codecs (codecs.py).
-REAL_FORMATS = {"ppm", "wav", "png"}
-REAL_CODECS_AVAILABLE = False  # flip when PIL/torchaudio/ffmpeg are installed
+# Formats decodable with the in-repo pure-numpy codecs (codecs.py, jpeg.py).
+REAL_FORMATS = {"ppm", "wav", "png", "jpeg"}
+REAL_CODECS_AVAILABLE = False  # flip when ffmpeg/torchaudio are installed
 
 
 def _decode_stub(payload: bytes, n_features: int = 8) -> np.ndarray:
     """Deterministic fake decode for formats we cannot really parse
-    (jpeg/mp4 — DCT/H.264, no stdlib path in this container): md5-seeded
+    (mp4 — H.264, no stdlib path in this container): md5-seeded
     feature vector, standing in for pixel/spectrogram statistics so the
     distributed plumbing (batch shapes, schemas, dtypes) is exercised
     honestly."""
@@ -93,6 +94,7 @@ def _decode_payload(payload: bytes, fmt: str | None, n_features: int = 8) -> np.
     through the stub (or _decode_real once codec libs exist). All paths
     emit exactly n_features values so the column is never ragged."""
     from .codecs import audio_features, image_features, png_features
+    from .jpeg import jpeg_features
 
     if payload is None:
         return np.zeros(n_features)
@@ -100,6 +102,8 @@ def _decode_payload(payload: bytes, fmt: str | None, n_features: int = 8) -> np.
         return _fit_length(image_features(bytes(payload)), n_features)
     if fmt == "png":
         return _fit_length(png_features(bytes(payload)), n_features)
+    if fmt == "jpeg":
+        return _fit_length(jpeg_features(bytes(payload)), n_features)
     if fmt == "wav":
         return _fit_length(audio_features(bytes(payload)), n_features)
     if REAL_CODECS_AVAILABLE:
@@ -109,9 +113,9 @@ def _decode_payload(payload: bytes, fmt: str | None, n_features: int = 8) -> np.
 
 def _decode_real(payload: bytes, meta: dict) -> np.ndarray:
     raise NotImplementedError(
-        "STUB: jpeg/mp4 decode needs PIL/ffmpeg, not present in this "
-        "container. Wire it here; the Spark plumbing is complete. "
-        "ppm/wav/png decode IS real — see codecs.py."
+        "STUB: mp4 decode needs ffmpeg, not present in this container. "
+        "Wire it here; the Spark plumbing is complete. ppm/wav/png/jpeg "
+        "decode IS real — see codecs.py and jpeg.py."
     )
 
 
@@ -155,11 +159,13 @@ def decode_image_features(df: DataFrame, n_features: int = 8) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize: REAL nearest-neighbor pixel resample for PPM and PNG
-    payloads (full decode → resample → re-encode for PNG); other
-    formats pass through unchanged (their decode is stubbed). The meta
-    struct is rewritten with the new dimensions either way."""
+    """Resize: REAL nearest-neighbor pixel resample for PPM, PNG, and
+    JPEG payloads (full decode → resample → re-encode for the
+    compressed formats); video passes through unchanged (its decode is
+    stubbed). The meta struct is rewritten with the new dimensions
+    either way."""
     from .codecs import decode_png, encode_png, resize_ppm
+    from .jpeg import resize_jpeg
 
     def _transform(payload: bytes, fmt: str | None) -> bytes:
         if fmt == "ppm":
@@ -170,6 +176,8 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             ys = (np.arange(height) * h // height).clip(0, h - 1)
             xs = (np.arange(width) * w // width).clip(0, w - 1)
             return encode_png(pix[ys][:, xs])
+        if fmt == "jpeg":
+            return resize_jpeg(bytes(payload), width, height)
         return payload
 
     out_schema = MEDIA_SCHEMA
@@ -210,12 +218,13 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table for tests/queries (no binary
-    fixtures ship with the testdata). Image rows alternate REAL binary
-    PPMs and REAL zlib-compressed PNGs (cycling through all five
-    scanline filters so every decoder branch runs); audio rows are REAL
-    PCM16 WAVs; video rows stay opaque fake mp4 bytes (the stubbed
-    path)."""
+    fixtures ship with the testdata). Image rows cycle REAL binary
+    PPMs, REAL zlib-compressed PNGs (all five scanline filters), and
+    REAL baseline JPEGs (4:4:4 and 4:2:0, with and without restart
+    markers — every decoder branch runs); audio rows are REAL PCM16
+    WAVs; video rows stay opaque fake mp4 bytes (the stubbed path)."""
     from .codecs import encode_png, encode_ppm, encode_wav
+    from .jpeg import encode_jpeg
 
     rows = []
     kinds = ["image", "audio", "video"]
@@ -232,10 +241,21 @@ def synthetic_media_df(spark, n: int = 64) -> DataFrame:
                 ],
                 axis=2,
             )
-            if (i // 3) % 2 == 0:
+            j = i // 3
+            if j % 3 == 0:
                 payload, fmt = encode_ppm(pix), "ppm"
+            elif j % 3 == 1:
+                payload, fmt = encode_png(pix, filter_type=j % 5), "png"
             else:
-                payload, fmt = encode_png(pix, filter_type=(i // 3) % 5), "png"
+                payload, fmt = (
+                    encode_jpeg(
+                        pix,
+                        quality=90,
+                        subsample=j % 2 == 0,
+                        restart_interval=2 if j % 4 == 0 else 0,
+                    ),
+                    "jpeg",
+                )
             duration, rate = None, None
         elif kind == "audio":
             rate, duration = 16000, 1000 * (1 + i % 5)

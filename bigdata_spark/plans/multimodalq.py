@@ -58,12 +58,14 @@ FROM vids
 
 
 def mm_decode_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL-decode invariants (codecs.py): the synthetic images are x/y
-    gradients, so decoded red/green channel means sit at ~0.5 — pinned
-    SEPARATELY for the raw-PPM rows and the zlib-compressed PNG rows
-    (the PNG half fails if the Deflate/scanline-filter decode were a
-    hash fake); the synthetic WAVs are pure sines of amplitude
-    12000/32768, so decoded mean ~0 and RMS ~amp/sqrt(2)."""
+    """REAL-decode invariants (codecs.py, jpeg.py): the synthetic
+    images are x/y gradients, so decoded red/green channel means sit at
+    ~0.5 — pinned SEPARATELY for the raw-PPM rows, the zlib-compressed
+    PNG rows, and the baseline-JPEG rows (the PNG/JPEG thirds fail if
+    the Deflate/scanline-filter or Huffman/IDCT decode were a hash
+    fake; JPEG is lossy but DC quantization moves a channel mean by
+    <0.01); the synthetic WAVs are pure sines of amplitude 12000/32768,
+    so decoded mean ~0 and RMS ~amp/sqrt(2)."""
     media = synthetic_media_df(spark, n=64)
     fmts = media.select(
         "media_id",
@@ -86,9 +88,12 @@ def mm_decode_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dev("ppm", 2, 0.5).alias("ppm_green_dev"),
         _dev("png", 1, 0.5).alias("png_red_dev"),
         _dev("png", 2, 0.5).alias("png_green_dev"),
+        _dev("jpeg", 1, 0.5).alias("jpeg_red_dev"),
+        _dev("jpeg", 2, 0.5).alias("jpeg_green_dev"),
         _dev("wav", 1, 0.0).alias("audio_mean_dev"),
         _dev("wav", 5, amp_rms).alias("audio_rms_dev"),
         F.count(F.when(F.col("format") == "png", 1)).alias("n_png"),
+        F.count(F.when(F.col("format") == "jpeg", 1)).alias("n_jpeg"),
     ).first()
     return spark.createDataFrame(
         [
@@ -97,31 +102,36 @@ def mm_decode_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(row["ppm_green_dev"] < 0.01),
                 bool(row["png_red_dev"] < 0.01),
                 bool(row["png_green_dev"] < 0.01),
+                bool(row["jpeg_red_dev"] < 0.01),
+                bool(row["jpeg_green_dev"] < 0.01),
                 bool(row["audio_mean_dev"] < 0.001),
                 bool(row["audio_rms_dev"] < 0.01),
-                bool(row["n_png"] > 0),
+                bool(row["n_png"] > 0 and row["n_jpeg"] > 0),
             )
         ],
         "ppm_red_mean_ok boolean, ppm_green_mean_ok boolean, "
         "png_red_mean_ok boolean, png_green_mean_ok boolean, "
-        "audio_mean_ok boolean, audio_rms_ok boolean, png_rows_present boolean",
+        "jpeg_red_mean_ok boolean, jpeg_green_mean_ok boolean, "
+        "audio_mean_ok boolean, audio_rms_ok boolean, compressed_rows_present boolean",
     )
 
 
 MM_DECODE_SQL = (
     "SELECT TRUE AS ppm_red_mean_ok, TRUE AS ppm_green_mean_ok, "
     "TRUE AS png_red_mean_ok, TRUE AS png_green_mean_ok, "
-    "TRUE AS audio_mean_ok, TRUE AS audio_rms_ok, TRUE AS png_rows_present"
+    "TRUE AS jpeg_red_mean_ok, TRUE AS jpeg_green_mean_ok, "
+    "TRUE AS audio_mean_ok, TRUE AS audio_rms_ok, TRUE AS compressed_rows_present"
 )
 
 
 def mm_resize_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL resize path (media.py resize_images): nearest-neighbor
     resample of the gradient images to 32×24 — PPM via header-aware
-    row/col indexing, PNG via full decode → resample → re-encode —
-    then a REAL re-decode of the resized payloads. Pins: channel means
-    survive resampling (a gradient stays a gradient), metadata carries
-    the new dimensions, and both formats are present end-to-end."""
+    row/col indexing, PNG and JPEG via full decode → resample →
+    re-encode — then a REAL re-decode of the resized payloads. Pins:
+    channel means survive resampling (a gradient stays a gradient),
+    metadata carries the new dimensions, and all three image formats
+    are present end-to-end."""
     from ..multimodal.media import resize_images
 
     media = synthetic_media_df(spark, n=64).filter(F.col("meta.kind") == "image")
@@ -142,6 +152,7 @@ def mm_resize_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("h")).alias("h_max"),
         F.count(F.when(F.col("format") == "png", 1)).alias("n_png"),
         F.count(F.when(F.col("format") == "ppm", 1)).alias("n_ppm"),
+        F.count(F.when(F.col("format") == "jpeg", 1)).alias("n_jpeg"),
     ).first()
     return spark.createDataFrame(
         [
@@ -150,17 +161,17 @@ def mm_resize_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(row["green_dev"] < 0.03),
                 bool(row["w_min"] == 32 and row["w_max"] == 32),
                 bool(row["h_min"] == 24 and row["h_max"] == 24),
-                bool(row["n_png"] > 0 and row["n_ppm"] > 0),
+                bool(row["n_png"] > 0 and row["n_ppm"] > 0 and row["n_jpeg"] > 0),
             )
         ],
         "red_mean_ok boolean, green_mean_ok boolean, width_ok boolean, "
-        "height_ok boolean, both_formats boolean",
+        "height_ok boolean, all_formats boolean",
     )
 
 
 MM_RESIZE_SQL = (
     "SELECT TRUE AS red_mean_ok, TRUE AS green_mean_ok, TRUE AS width_ok, "
-    "TRUE AS height_ok, TRUE AS both_formats"
+    "TRUE AS height_ok, TRUE AS all_formats"
 )
 
 

@@ -1,6 +1,6 @@
 """Multimodal column tests: binary payloads + typed metadata; decode is
-REAL for ppm/png/wav (pure-numpy + stdlib-zlib codecs), stubbed for
-jpeg/mp4."""
+REAL for ppm/png/jpeg/wav (pure-numpy + stdlib-zlib codecs), stubbed
+for mp4 only."""
 
 from __future__ import annotations
 
@@ -96,12 +96,15 @@ def test_resize_rewrites_meta_and_pixels(media):
     assert out.schema == MEDIA_SCHEMA
     imgs = out.filter(F.col("meta.kind") == "image").collect()
     assert all(r["meta"]["width"] == 32 and r["meta"]["height"] == 32 for r in imgs)
-    # image payloads are REALLY resampled in both codecs: decode proves
-    # 32×32 pixels (PNG goes through full decode → resample → re-encode)
+    # image payloads are REALLY resampled in all three codecs: decode
+    # proves 32×32 pixels (PNG/JPEG go decode → resample → re-encode)
+    from bigdata_spark.multimodal.jpeg import decode_jpeg
+
     formats = {r["media_id"]: r["meta"]["format"] for r in imgs}
-    assert set(formats.values()) == {"ppm", "png"}
+    assert set(formats.values()) == {"ppm", "png", "jpeg"}
+    decoders = {"ppm": decode_ppm, "png": decode_png, "jpeg": decode_jpeg}
     for r in imgs:
-        dec = decode_ppm if r["meta"]["format"] == "ppm" else decode_png
+        dec = decoders[r["meta"]["format"]]
         assert dec(bytes(r["payload"])).shape == (32, 32, 3)
 
 
