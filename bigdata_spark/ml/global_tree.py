@@ -105,7 +105,18 @@ class GlobalProximityTree:
             F.col(label_col).cast("int").alias("label"),
             F.col(features_col).cast("array<double>").alias("features"),
             F.lit(0).alias("node_id"),
-        ).persist()
+        )
+        # Spread an under-partitioned frontier across the executors: a
+        # small training table often arrives as 1-2 scan partitions and
+        # every level's distance compute (the real per-row cost) would
+        # run serially. Routing joins are narrow, so the whole BFS
+        # inherits this layout. No-op at scale (inputs already have
+        # >= parallelism partitions); content-hash ranking keeps the
+        # fitted tree independent of the physical layout either way.
+        spread = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
+        if assign.rdd.getNumPartitions() < spread:
+            assign = assign.repartition(spread)
+        assign = assign.persist()
 
         # global majority for the null-prediction fallback (reference
         # :182-184) — derived from the bootstrap stats (node 0 holds
@@ -146,7 +157,7 @@ class GlobalProximityTree:
         ):
             stats.setdefault(int(nid_), {})[int(lbl_)] = int(cnt_)
             pool.setdefault(int(nid_), {}).setdefault(int(lbl_), []).append(
-                [float(x) for x in feats_]
+                np.asarray(feats_, dtype=np.float64).tolist()
             )
         s0 = stats.get(0, {})
         if s0:
@@ -239,16 +250,19 @@ class GlobalProximityTree:
             stacked = stacked.sort_values(["node_id", "cand", "branch", "label", "_rk"])
 
             # unpack pass 1: branch counts for gini (rk==1 rows carry
-            # the partition count; feature arrays are NOT touched here)
+            # the partition count; feature arrays are NOT touched here).
+            # Vectorized prefilter: the rk==1 mask and int casts run in
+            # pandas/numpy, the Python loop only walks the small result.
+            top = stacked[stacked["_rk"] == 1]
             agg: dict[tuple[int, int], dict[int, dict[int, int]]] = {}
-            for nid_, cand_, branch_, lbl_, cnt_, rk_ in zip(
-                stacked["node_id"], stacked["cand"], stacked["branch"],
-                stacked["label"], stacked["_cnt"], stacked["_rk"],
+            for nid_, cand_, branch_, lbl_, cnt_ in zip(
+                top["node_id"].astype(int), top["cand"].astype(int),
+                top["branch"].astype(int), top["label"].astype(int),
+                top["_cnt"].astype(int),
             ):
-                if int(rk_) == 1:
-                    agg.setdefault((int(nid_), int(cand_)), {}).setdefault(
-                        int(branch_), {}
-                    )[int(lbl_)] = int(cnt_)
+                agg.setdefault((int(nid_), int(cand_)), {}).setdefault(
+                    int(branch_), {}
+                )[int(lbl_)] = int(cnt_)
             # sorted(): collect order is task-completion order; iterating
             # sorted keys makes Gini tie-breaks (strict <, so the lowest
             # cand id wins a tie) and child-id allocation deterministic
@@ -277,16 +291,23 @@ class GlobalProximityTree:
             # driver-memory overhead; the next level only ever reads the
             # winner's branch pools)
             winners = {nid: cand for nid, (_g, cand) in best.items()}
+            win_mask = [
+                winners.get(int(n)) == int(c)
+                for n, c in zip(stacked["node_id"], stacked["cand"])
+            ]
+            win = stacked[win_mask]
             cand_pool: dict[tuple[int, int, int], dict[int, list[list[float]]]] = {}
             for nid_, cand_, branch_, lbl_, feats_ in zip(
-                stacked["node_id"], stacked["cand"], stacked["branch"],
-                stacked["label"], stacked["features"],
+                win["node_id"].astype(int), win["cand"].astype(int),
+                win["branch"].astype(int), win["label"].astype(int),
+                win["features"],
             ):
-                if winners.get(int(nid_)) != int(cand_):
-                    continue
+                # Arrow hands back numpy arrays; .tolist() converts the
+                # whole vector at C speed (the old per-element float()
+                # comprehension was ~40% of driver unpack time)
                 cand_pool.setdefault(
                     (int(nid_), int(cand_), int(branch_)), {}
-                ).setdefault(int(lbl_), []).append([float(x) for x in feats_])
+                ).setdefault(int(lbl_), []).append(np.asarray(feats_, dtype=np.float64).tolist())
 
             # materialize winners into the tree; routing goes through the
             # same broadcast-join pattern (constant-size plan per level).
@@ -397,6 +418,11 @@ class GlobalProximityTree:
         state = self.to_state()
         bc = spark.sparkContext.broadcast(state)
         majority = self.majority_class
+        # same under-partitioning guard as fit(): one scan partition
+        # would serialize the whole Arrow-batched traversal
+        spread = max(2, spark.sparkContext.defaultParallelism // 2)
+        if df.rdd.getNumPartitions() < spread:
+            df = df.repartition(spread)
 
         @F.pandas_udf(IntegerType())
         def traverse(features: pd.Series) -> pd.Series:
