@@ -111,8 +111,9 @@ def main() -> None:
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
 
-    details_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_details.json"
+    details_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAILS",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_details.json"),
     )
     with open(details_path, "w") as f:
         json.dump(
