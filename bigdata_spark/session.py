@@ -6,6 +6,16 @@ code/src/controller_loop.py:72-79) but sized for this harness
 (local[32], 128 GiB) and designed so the same code runs unchanged on a
 multi-executor cluster: nothing here assumes local mode except the
 master default, which the caller/cluster submit overrides.
+
+Cluster parity (reference controller_loop.py:62-69,93-107): the
+reference detects a managed runtime and ships its source to workers
+with ``addPyFile``. `_resolve_master` mirrors the detection — on a
+platform-managed session (Databricks sets ``DATABRICKS_RUNTIME_VERSION``;
+``spark-submit --master`` sets ``spark.master``) no master is forced —
+and `ship_package` zips this package onto the executors' import path
+so pandas-UDF/applyInPandas closures that import ``bigdata_spark``
+resolve on every worker. `get_spark` ships automatically whenever the
+effective master is not ``local[*]``.
 """
 
 from __future__ import annotations
@@ -15,6 +25,35 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _resolve_master(master: str | None, env: dict | None = None) -> str | None:
+    """Effective master: the caller's explicit choice wins; on a
+    managed/submitted runtime return None (never override the
+    platform); otherwise default to local[$SPARK_GRAFT_CPUS]."""
+    e = os.environ if env is None else env
+    if master is not None:
+        return master
+    if "DATABRICKS_RUNTIME_VERSION" in e or e.get("SPARK_MASTER") or "spark.master" in e:
+        return None
+    return f"local[{e.get('SPARK_GRAFT_CPUS', '32')}]"
+
+
+def ship_package(spark: SparkSession) -> str:
+    """Zip ``bigdata_spark`` and ``addPyFile`` it so every executor can
+    import the package (a cluster's Python workers do not share the
+    driver's filesystem). Idempotent per session — Spark dedupes by
+    file name. Returns the zip path."""
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(tempfile.gettempdir(), "bigdata_spark_pkg")
+    zip_path = shutil.make_archive(
+        base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="bigdata_spark"
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    return zip_path
 
 
 def get_spark(
@@ -28,15 +67,12 @@ def get_spark(
     On a real cluster, ``master`` is left to spark-submit; locally we
     default to ``local[$SPARK_GRAFT_CPUS]``.
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    if master is None:
-        master = f"local[{cpus}]"
+    master = _resolve_master(master)
     if shuffle_partitions is None:
         shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         # Deterministic wall-clock-independent semantics for oracle checks.
         .config("spark.sql.session.timeZone", "UTC")
         # AQE: runtime re-planning, skew-join handling, partition coalescing.
@@ -65,7 +101,17 @@ def get_spark(
         # single-file writers here use repartition(1) instead.
         .config("spark.locality.wait", "0s")
     )
+    if master is not None:
+        builder = builder.master(master)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Ship the package to executors on any non-local master: worker
+    # Python processes on a real cluster cannot import bigdata_spark
+    # from the driver's filesystem (reference controller_loop.py ships
+    # its sources the same way).
+    effective = spark.conf.get("spark.master", master or "")
+    if effective and not effective.startswith("local"):
+        ship_package(spark)
+    return spark
