@@ -506,6 +506,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("missing SOF/SOS in JPEG payload")
     if len(scan_order) not in (1, 3):
         raise ValueError("decode_jpeg handles 1- or 3-component scans only")
+    if len(scan_order) != len(comps):
+        # a legal-but-rare baseline layout: one SOS per component.
+        # Decoding just the first scan would silently return luma as
+        # grayscale — refuse instead (same no-wrong-pixels policy).
+        raise ValueError("decode_jpeg handles single interleaved scans only")
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
