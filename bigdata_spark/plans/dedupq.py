@@ -458,7 +458,67 @@ FROM all_docs GROUP BY 1
 """
 
 
+def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup corpus filtering — not just the stats: keep the
+    lowest-doc_id representative of every content-key group and report
+    per-source survivor counts. A deterministic duplicate wave
+    (doc_id % 13 == 0, re-keyed +1,000,000) is unioned in first so the
+    query exercises real drops at every SF (the sf0.01 corpus has no
+    natural exact dups). Scale shape: one window over content_key —
+    the same shuffle an exact-dedup groupBy would pay, no extra."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    dup_wave = d.filter(F.col("doc_id") % 13 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = d.unionByName(dup_wave)
+    keyed = corpus.withColumn("content_key", _content_key("text"))
+    w = Window.partitionBy("content_key").orderBy("doc_id")
+    survivors = keyed.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") == 1
+    )
+    n_docs = corpus.groupBy("source").agg(F.count("*").alias("n_docs"))
+    n_surv = survivors.groupBy("source").agg(F.count("*").alias("n_survivors"))
+    return (
+        n_docs.join(n_surv, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_survivors", F.lit(0)).alias("n_survivors"),
+            (F.col("n_docs") - F.coalesce("n_survivors", F.lit(0))).alias("n_dropped"),
+        )
+    )
+
+
+DEDUP_KEEP_ONE_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 13 = 0
+),
+keyed AS (
+  SELECT source, doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_key
+  FROM corpus
+),
+surv AS (
+  SELECT source FROM (
+    SELECT source, ROW_NUMBER() OVER (PARTITION BY content_key ORDER BY doc_id) AS rk
+    FROM keyed
+  ) WHERE rk = 1
+),
+d AS (SELECT source, COUNT(*) AS n_docs FROM corpus GROUP BY source),
+s AS (SELECT source, COUNT(*) AS n_survivors FROM surv GROUP BY source)
+SELECT d.source, d.n_docs,
+       COALESCE(s.n_survivors, 0) AS n_survivors,
+       d.n_docs - COALESCE(s.n_survivors, 0) AS n_dropped
+FROM d LEFT JOIN s ON d.source = s.source
+"""
+
+
 QUERIES = {
+    "dedup_keep_one": (dedup_keep_one, DEDUP_KEEP_ONE_SQL),
     "dedup_exact_stats": (dedup_exact_stats, DEDUP_EXACT_SQL),
     "dedup_stream_firstseen": (dedup_stream_firstseen, DEDUP_STREAM_SQL),
     "dedup_minhash_sig": (dedup_minhash_sig, DEDUP_MINHASH_SIG_SQL),

@@ -378,7 +378,55 @@ FROM (
 """
 
 
+def evt_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in streaming dedup: ``dropDuplicatesWithinWatermark`` —
+    the API-surface twin of the custom applyInPandasWithState
+    first-seen dedup (dedup_stream_firstseen). Each event in a sampled
+    slice is duplicated twice in-stream (explode), then deduped on
+    event_id inside a 30-minute watermark; state for an id is dropped
+    once the watermark passes it, so state is bounded at scale. In
+    this availableNow run everything lands in one micro-batch and the
+    result must equal the distinct slice — the oracle."""
+    import uuid
+
+    stream = _events_stream(spark, sf_dir)
+    doubled = (
+        stream.filter(F.col("event_id") % 50 == 0)
+        .withColumn("_copy", F.explode(F.array(F.lit(0), F.lit(1))))
+        .drop("_copy")
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    qname = "evt_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        doubled.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "evt_stream_dedup: availableNow stream did not finish in 300s"
+        )
+    return spark.table(qname).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_id").alias("n_unique"),
+    )
+
+
+EVT_STREAM_DEDUP_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT event_id) AS n_events,
+       COUNT(DISTINCT event_id) AS n_unique
+FROM events WHERE event_id % 50 = 0
+GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "evt_stream_dedup": (evt_stream_dedup, EVT_STREAM_DEDUP_SQL),
     "evt_tumbling_1h": (evt_tumbling_1h, EVT_TUMBLING_SQL),
     "evt_sliding_1h_30m": (evt_sliding_1h_30m, EVT_SLIDING_SQL),
     "evt_session_10m": (evt_session_10m, EVT_SESSION_SQL),

@@ -311,9 +311,164 @@ FROM expl GROUP BY 1, 2
 """
 
 
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM-style n-gram overlap
+    check): flag every corpus document sharing at least one word
+    4-gram with the held-out benchmark set (here the deterministic
+    doc_id % 97 == 0 slice). Scale shape: n-grams explode per side,
+    the benchmark gram set is broadcast (it is small by construction —
+    benchmarks are, corpora aren't), and the hit count is a partial
+    aggregation on doc_id; nothing is quadratic in the corpus."""
+    from ..operators.parallelism import ensure_parallelism
+    from ..text.analysis import word_ngrams
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    grams = d.select("doc_id", F.explode(word_ngrams("text", 4)).alias("g"))
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        # word_ngrams is per-doc distinct, so count(*) == distinct hits
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+_DUCK_GRAMS4 = (
+    "list_distinct([array_to_string(toks[i:i+3], ' ') "
+    "for i in generate_series(1, len(toks) - 3)])"
+)
+
+LLM_DECONTAM_SQL = f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, UNNEST({_DUCK_GRAMS4}) AS g FROM base WHERE len(toks) >= 4
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+SELECT doc_id, COUNT(*) AS n_hits
+FROM grams WHERE doc_id % 97 != 0 AND g IN (SELECT g FROM bench)
+GROUP BY doc_id
+"""
+
+
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-/C4-style repetition filters: duplicate-token fraction
+    and top-bigram fraction, per document — pure per-row array
+    expressions (no shuffle at any corpus scale)."""
+    from ..operators.parallelism import ensure_parallelism
+    from ..text.analysis import repetition_features
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    r = repetition_features("text")
+    return d.select(
+        "doc_id",
+        r["n_tokens"].alias("n_tokens"),
+        F.round(r["dup_token_frac"], 9).alias("dup_token_frac"),
+        F.round(r["top_bigram_frac"], 9).alias("top_bigram_frac"),
+    )
+
+
+TXT_REPETITION_SQL = f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+big AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2 THEN
+           [array_to_string(toks[i:i+1], ' ')
+            for i in generate_series(1, len(toks) - 1)]
+         ELSE CAST([] AS VARCHAR[]) END AS bigrams
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       ROUND(CASE WHEN len(toks) > 0
+             THEN (len(toks) - len(list_distinct(toks))) / len(toks)
+             ELSE 0.0 END, 9) AS dup_token_frac,
+       ROUND(CASE WHEN len(bigrams) > 0
+             THEN list_max(list_transform(list_distinct(bigrams),
+                  b -> len(list_filter(bigrams, x -> x = b)))) / len(bigrams)
+             ELSE 0.0 END, 9) AS top_bigram_frac
+FROM big
+"""
+
+
+def txt_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing rollup: deterministic synthetic emails/phones are
+    injected (the corpus ships none), redacted with native
+    regexp_replace, and counted per source. The redacted-length sum
+    pins that the replacement actually happened, not just the count."""
+    from ..operators.parallelism import ensure_parallelism
+    from ..text.analysis import redact_pii
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    injected = d.withColumn(
+        "pii_text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    r = redact_pii(F.col("pii_text"))
+    return (
+        injected.select(
+            "source",
+            r["n_emails"].alias("ne"),
+            r["n_phones"].alias("np"),
+            F.length(r["redacted"]).cast("long").alias("rc"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("ne").alias("n_emails"),
+            F.sum("np").alias("n_phones"),
+            F.sum("rc").alias("redacted_chars"),
+        )
+    )
+
+
+TXT_PII_SQL = """
+WITH injected AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 5 = 0
+              THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END
+         AS pii_text
+  FROM documents
+),
+red AS (
+  SELECT source,
+         len(regexp_extract_all(pii_text,
+             '[A-Za-z0-9._]+@[A-Za-z0-9.]+\\.[A-Za-z]+')) AS ne,
+         len(regexp_extract_all(pii_text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS np,
+         length(regexp_replace(
+             regexp_replace(pii_text,
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.]+\\.[A-Za-z]+', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS rc
+  FROM injected
+)
+SELECT source,
+       CAST(SUM(ne) AS BIGINT) AS n_emails,
+       CAST(SUM(np) AS BIGINT) AS n_phones,
+       CAST(SUM(rc) AS BIGINT) AS redacted_chars
+FROM red GROUP BY source
+"""
+
+
 QUERIES = {
     "txt_token_stats": (txt_token_stats, TXT_TOKEN_SQL),
     "txt_edit_distance": (txt_edit_distance, TXT_EDIT_SQL),
+    "llm_decontaminate": (llm_decontaminate, LLM_DECONTAM_SQL),
+    "txt_repetition": (txt_repetition, TXT_REPETITION_SQL),
+    "txt_pii_redact": (txt_pii_redact, TXT_PII_SQL),
     "txt_quality": (txt_quality, TXT_QUALITY_SQL),
     "txt_langid": (txt_langid, TXT_LANGID_SQL),
     "txt_fingerprint": (txt_fingerprint, TXT_FINGERPRINT_SQL),

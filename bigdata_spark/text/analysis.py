@@ -101,3 +101,75 @@ def doc_fingerprint(text: Column | str) -> Column:
     identical fingerprint across engines (see functions/hashing.py)."""
     normalized = F.regexp_replace(F.trim(F.lower(_c(text))), r"\s+", " ")
     return portable_hash64(normalized)
+
+
+def word_ngrams(text: Column | str, n: int = 4) -> Column:
+    """Distinct word n-grams of the tokenized text (array<string>,
+    space-joined). Texts with fewer than n tokens yield an empty array.
+    All native: sequence + transform + slice stay in codegen — the
+    per-row cost is O(tokens), no Python, no shuffle."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # sequence(1, k) DESCENDS when k < 1 — guard short texts explicitly
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_features(text: Column | str) -> dict[str, Column]:
+    """Repetition/boilerplate signals (Gopher-/C4-style quality
+    filters): fraction of duplicate tokens, and the fraction of all
+    bigrams taken by the single most frequent bigram. Both are pure
+    per-row array expressions — O(tokens**2) worst case for the bigram
+    scan, bounded by the row's own length, zero shuffle at any corpus
+    scale."""
+    toks = tokens(text)
+    n_tokens = F.size(toks).cast("long")
+    dup_token_frac = F.when(
+        n_tokens > 0,
+        (n_tokens - F.size(F.array_distinct(toks))) / n_tokens,
+    ).otherwise(F.lit(0.0))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    bigrams = F.when(F.size(toks) >= 2, bigrams).otherwise(
+        F.array().cast("array<string>")
+    )
+    n_bigrams = F.size(bigrams)
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+        )
+    )
+    top_bigram_frac = F.when(
+        n_bigrams > 0, top_count.cast("double") / n_bigrams
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_tokens": n_tokens,
+        "dup_token_frac": dup_token_frac,
+        "top_bigram_frac": top_bigram_frac,
+    }
+
+
+# PII patterns kept RE2-simple so Spark (Java regex) and DuckDB (RE2)
+# agree byte-for-byte on the same inputs.
+PII_EMAIL_RE = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z]+"
+PII_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(text: Column | str) -> dict[str, Column]:
+    """Scrub emails/phone numbers (the standard pre-training PII pass):
+    returns the redacted text plus per-row match counts. Native
+    regexp_replace/regexp_extract_all — JVM-side at corpus scale."""
+    t = _c(text)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0)).cast("long")
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), 0)).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return {"redacted": redacted, "n_emails": n_emails, "n_phones": n_phones}
