@@ -128,7 +128,13 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
-    medians = l.agg(
+    # EXACT percentile is a single sort buffer holding every value — a
+    # non-starter at corpus scale. Validate the sketch against exact on
+    # a deterministic 10% hash slice instead: the sketch-vs-exact
+    # comparison stays honest (same rows on both sides) and the exact
+    # side's memory/sort cost is bounded at any table size.
+    sliced = l.filter(F.crc32(F.col("l_orderkey").cast("string")) % 10 == 0)
+    medians = sliced.agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
     )
