@@ -34,7 +34,7 @@ def _resolve_master(master: str | None, env: dict | None = None) -> str | None:
     e = os.environ if env is None else env
     if master is not None:
         return master
-    if "DATABRICKS_RUNTIME_VERSION" in e or e.get("SPARK_MASTER") or "spark.master" in e:
+    if "DATABRICKS_RUNTIME_VERSION" in e or e.get("SPARK_MASTER"):
         return None
     return f"local[{e.get('SPARK_GRAFT_CPUS', '32')}]"
 
@@ -68,6 +68,17 @@ def get_spark(
     default to ``local[$SPARK_GRAFT_CPUS]``.
     """
     master = _resolve_master(master)
+    if master is not None and master.startswith("local"):
+        # spark-submit --master lands in the JVM system properties, not
+        # the env — and builder.master() would override it. Never let
+        # the local default clobber a submitted cluster master.
+        try:
+            from pyspark import SparkConf
+
+            if SparkConf().contains("spark.master"):
+                master = None
+        except Exception:
+            pass
     if shuffle_partitions is None:
         shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
 
