@@ -140,11 +140,22 @@ def repetition_features(text: Column | str) -> dict[str, Column]:
         F.array().cast("array<string>")
     )
     n_bigrams = F.size(bigrams)
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(bigrams),
-            lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+    # max multiplicity = longest equal-run of the SORTED bigram list —
+    # an O(n log n) aggregate scan per row (the distinct×filter form is
+    # O(n^2) and measured 10x slower on real documents)
+    def _run(acc, x):
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc.best, run).alias("best")
         )
+
+    top_count = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        _run,
+        lambda acc: acc.best,
     )
     top_bigram_frac = F.when(
         n_bigrams > 0, top_count.cast("double") / n_bigrams
