@@ -120,6 +120,19 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("df table broadcast onto per-doc terms", r"BroadcastHashJoin"),
         ("per-doc top-3 is a group limit, not a global sort", r"WindowGroupLimit"),
     ],
+    "llm_decontaminate": [
+        ("benchmark gram set broadcast (corpus side never shuffles for the join)", r"BroadcastHashJoin"),
+        ("hit counts partially aggregated before the shuffle", r"partial_count"),
+        ("n-gram expansion stays native (Generate, no Python)", r"(?s)Generate\b.*Arguments: explode"),
+    ],
+    "txt_repetition": [
+        ("no agg/join shuffle (only the round-robin parallelism spread)", r"(?s)\A(?!.*hashpartitioning)"),
+        ("no Python evaluation in the row path", r"(?s)\A(?!.*(BatchEvalPython|ArrowEvalPython))"),
+    ],
+    "dedup_keep_one": [
+        ("representative selection is a group limit, not a full sort per key", r"WindowGroupLimit|window"),
+        ("survivor counts partially aggregated", r"partial_count"),
+    ],
 }
 
 
