@@ -425,7 +425,78 @@ GROUP BY event_type
 """
 
 
+def evt_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample + gap-fill (operators/timeseries.py):
+    a sparse slice of events (user_id % 7 == 0, so most hourly buckets
+    are empty and the interpolation path carries real weight) is rolled
+    up to an hourly grid per event_type, with empty buckets linearly
+    interpolated between the nearest observations. The mean accumulates
+    in fixed-point, so the values are bit-stable under any partition
+    layout — that is what lets a float-producing window query carry a
+    hash-exact oracle."""
+    from ..operators.timeseries import resample_gapfill
+    from ..sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    out = resample_gapfill(e, ["event_type"], "ts", "value", "1 hour", "hour")
+    return out.select(
+        "event_type",
+        "bucket",
+        F.round("value_interp", 9).alias("value_interp"),
+        "observed",
+    )
+
+
+EVT_GAPFILL_SQL = """
+WITH src AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, value
+  FROM events WHERE user_id % 7 = 0
+),
+agg AS (
+  SELECT event_type, bucket,
+         (CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS DOUBLE)
+          / 1000000 / COUNT(*)) AS v
+  FROM src GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg GROUP BY 1
+),
+grid AS (
+  SELECT event_type, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM span
+),
+joined AS (
+  SELECT g.event_type, g.bucket, a.v FROM grid g
+  LEFT JOIN agg a ON a.event_type = g.event_type AND a.bucket = g.bucket
+),
+filled AS (
+  SELECT event_type, bucket, v,
+         last_value(CASE WHEN v IS NOT NULL
+                    THEN struct_pack(b := bucket, val := v) END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+         first_value(CASE WHEN v IS NOT NULL
+                     THEN struct_pack(b := bucket, val := v) END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+  FROM joined
+)
+SELECT event_type, bucket,
+       ROUND(CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN prev IS NULL THEN nxt.val
+         WHEN nxt IS NULL THEN prev.val
+         ELSE prev.val + (nxt.val - prev.val)
+              * (epoch(bucket) - epoch(prev.b))
+              / (epoch(nxt.b) - epoch(prev.b))
+       END, 9) AS value_interp,
+       v IS NOT NULL AS observed
+FROM filled
+"""
+
+
 QUERIES = {
+    "evt_resample_gapfill": (evt_resample_gapfill, EVT_GAPFILL_SQL),
     "evt_stream_dedup": (evt_stream_dedup, EVT_STREAM_DEDUP_SQL),
     "evt_tumbling_1h": (evt_tumbling_1h, EVT_TUMBLING_SQL),
     "evt_sliding_1h_30m": (evt_sliding_1h_30m, EVT_SLIDING_SQL),
