@@ -463,9 +463,59 @@ FROM red GROUP BY source
 """
 
 
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (text/bpe.py): 8 merges over the
+    distinct-word table of the documents corpus. The merge sequence is
+    a deterministic function of the corpus (ties break lexically), so
+    the output is pinned as a keyed literal oracle — the iterative
+    argmax loop is not SQL-expressible."""
+    from ..text.bpe import learn_bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(d, "text", n_merges=8, min_freq=2)
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "merge_ix int, lhs string, rhs string, pair_count long",
+    )
+
+
+def llm_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-merge application at corpus scale: re-learn the 8
+    merges, fold them over every document natively (no Python on the
+    data path), and roll up BPE token counts per language."""
+    from ..text.bpe import learn_bpe, tokenize_with_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(d, "text", n_merges=8, min_freq=2)
+    counts = tokenize_with_merges(d, merges, "text", ["doc_id", "lang"])
+    return counts.groupBy("lang").agg(
+        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+from .golden_sql import keyed_values_oracle
+
+LLM_BPE_TRAIN_SQL = keyed_values_oracle(
+    "llm_bpe_train",
+    [
+        ("merge_ix", "bigint"),
+        ("lhs", "varchar"),
+        ("rhs", "varchar"),
+        ("pair_count", "bigint"),
+    ],
+)
+LLM_BPE_TOKENIZE_SQL = keyed_values_oracle(
+    "llm_bpe_tokenize",
+    [("lang", "varchar"), ("n_bpe_tokens", "bigint"), ("n_docs", "bigint")],
+)
+
+
 QUERIES = {
     "txt_token_stats": (txt_token_stats, TXT_TOKEN_SQL),
     "txt_edit_distance": (txt_edit_distance, TXT_EDIT_SQL),
+    "llm_bpe_train": (llm_bpe_train, LLM_BPE_TRAIN_SQL),
+    "llm_bpe_tokenize": (llm_bpe_tokenize, LLM_BPE_TOKENIZE_SQL),
     "llm_decontaminate": (llm_decontaminate, LLM_DECONTAM_SQL),
     "txt_repetition": (txt_repetition, TXT_REPETITION_SQL),
     "txt_pii_redact": (txt_pii_redact, TXT_PII_SQL),
