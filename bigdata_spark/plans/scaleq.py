@@ -313,6 +313,41 @@ def s10_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 S10_SQL = "SELECT TRUE AS rowcount_preserved, TRUE AS values_roundtrip"
 
 
+def s14_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source roundtrip — the second columnar format Spark
+    ships natively (warehouse interchange with Hive-era estates). The
+    oracle is a REAL value check, not a pinned TRUE: the rollup comes
+    back from the ORC copy and must hash-match DuckDB's rollup of the
+    original parquet — wrong ORC encode/decode shows up as a value
+    mismatch, not a flipped boolean."""
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_orc_")
+    try:
+        s = load_table(spark, sf_dir, "supplier")
+        s.write.mode("overwrite").orc(scratch)
+        back = spark.read.orc(scratch)
+        rollup = back.groupBy("s_nationkey").agg(
+            F.count("*").alias("n_suppliers"),
+            # decimal sum: exact and order-free (the tpch_q1 pattern)
+            F.sum(F.col("s_acctbal").cast("decimal(18,6)")).cast("double").alias("acctbal_sum"),
+        )
+        # materialize BEFORE the scratch dir goes away (the returned
+        # frame must not depend on deleted files when the caller runs it)
+        rows = rollup.collect()
+        return spark.createDataFrame(rows, rollup.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S14_SQL = """
+SELECT s_nationkey, COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS acctbal_sum
+FROM supplier GROUP BY s_nationkey
+"""
+
+
 def sql_api_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-string API surface: the same pricing-summary shape as
     tpch_q1 expressed through spark.sql over a temp view — proves a
@@ -441,6 +476,7 @@ QUERIES = {
     "a14_udaf_mode": (a14_udaf_mode, A14_UDAF_SQL),
     "s9_partitioned_sink": (s9_partitioned_sink, S9_SQL),
     "s10_jsonl_roundtrip": (s10_jsonl_roundtrip, S10_SQL),
+    "s14_orc_roundtrip": (s14_orc_roundtrip, S14_SQL),
     "s11_compaction": (s11_compaction, S11_SQL),
     "s12_schema_evolution": (s12_schema_evolution, S12_SQL),
     "sql_api_q1": (sql_api_q1, SQL_API_SQL),
