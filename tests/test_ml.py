@@ -167,3 +167,18 @@ def test_evaluation_metrics(spark):
     assert ba == pytest.approx((4 / 5 + 3 / 3 + 0.0) / 3)
     cm = {(r["label"], r["prediction"]): r["n"] for r in confusion_matrix(preds).collect()}
     assert cm[(1, 1)] == 4 and cm[(3, 1)] == 2 and (3, 3) not in cm
+
+
+def test_metrics_counts_engine_matches_mllib(spark):
+    import random
+
+    from bigdata_spark.ml.evaluation import classification_metrics
+
+    rng = random.Random(11)
+    rows = [(rng.randint(0, 4), rng.randint(0, 4)) for _ in range(500)]
+    rows += [(7, 2)] * 5  # a class that is never predicted
+    df = spark.createDataFrame(rows, "label int, prediction int")
+    fast = classification_metrics(df, engine="counts")
+    ref = classification_metrics(df, engine="mllib")
+    for k in ("accuracy", "weightedPrecision", "weightedRecall", "f1"):
+        assert abs(fast[k] - ref[k]) < 1e-12, k
