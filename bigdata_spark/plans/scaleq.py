@@ -186,6 +186,69 @@ GROUP BY 1
 """
 
 
+def s15_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data-skipping evidence (operators/zorder.py): lineitem
+    written 16-file naive (round-robin) vs 16-file Morton-ordered on
+    (l_partkey, l_suppkey), then a 2-D box predicate reads both
+    layouts. ``input_file_name`` counts the files that actually
+    contain matches — the files a stats-based reader must touch. The
+    z-layout must cover the same rows with strictly fewer files; both
+    layouts must return exactly the box's rows (value check via the
+    rowcount against DuckDB)."""
+    import shutil
+    import tempfile
+
+    from ..operators.zorder import zorder_write
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_zorder_")
+    try:
+        l = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+        )
+        naive = f"{scratch}/naive"
+        zord = f"{scratch}/zorder"
+        l.repartition(16).write.mode("overwrite").parquet(naive)
+        zorder_write(l, zord, ("l_partkey", "l_suppkey"), n_files=16)
+
+        def box(df):
+            return df.filter((F.col("l_partkey") <= 256) & (F.col("l_suppkey") <= 32))
+
+        def probe(path):
+            hits = box(spark.read.parquet(path)).withColumn(
+                "_f", F.input_file_name()
+            )
+            row = hits.agg(
+                F.count("*").alias("rows"),
+                F.countDistinct("_f").alias("files"),
+            ).first()
+            return int(row["rows"]), int(row["files"])
+
+        n_rows, n_files = probe(naive)
+        z_rows, z_files = probe(zord)
+        return spark.createDataFrame(
+            [
+                (
+                    n_rows,
+                    bool(z_rows == n_rows),
+                    bool(z_files < n_files),
+                    bool(n_files >= 12),  # naive layout scatters the box
+                )
+            ],
+            "box_rows long, rows_equal boolean, zorder_touches_fewer_files boolean, "
+            "naive_scatters boolean",
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S15_ZORDER_SQL = """
+SELECT COUNT(*) AS box_rows, TRUE AS rows_equal,
+       TRUE AS zorder_touches_fewer_files, TRUE AS naive_scatters
+FROM lineitem
+WHERE l_partkey <= 256 AND l_suppkey <= 32
+"""
+
+
 def s13_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python DataSource (Spark 4 API, sources/pydatasource.py):
     row-group-partitioned parquet reader streaming Arrow RecordBatches.
@@ -477,6 +540,7 @@ QUERIES = {
     "s9_partitioned_sink": (s9_partitioned_sink, S9_SQL),
     "s10_jsonl_roundtrip": (s10_jsonl_roundtrip, S10_SQL),
     "s14_orc_roundtrip": (s14_orc_roundtrip, S14_SQL),
+    "s15_zorder_layout": (s15_zorder_layout, S15_ZORDER_SQL),
     "s11_compaction": (s11_compaction, S11_SQL),
     "s12_schema_evolution": (s12_schema_evolution, S12_SQL),
     "sql_api_q1": (sql_api_q1, SQL_API_SQL),

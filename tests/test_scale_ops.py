@@ -263,3 +263,24 @@ def test_ivf_topk_recall_on_separated_clusters(spark):
     hits = approx.join(exact, ["query_id", "corpus_id"], "left_semi").count()
     assert exact.count() == 20
     assert hits >= 18  # ≥0.9 recall on separated clusters
+
+
+def test_z2_matches_python_morton(spark):
+    from bigdata_spark.operators.zorder import z2
+    from pyspark.sql import functions as F
+
+    def morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(0, 0), (1, 0), (0, 1), (5, 3), (255, 255), (65535, 1), (70000, 2)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", z2(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == morton(x & 0xFFFF, y & 0xFFFF), (x, y)
