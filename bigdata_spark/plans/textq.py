@@ -511,7 +511,55 @@ LLM_BPE_TOKENIZE_SQL = keyed_values_oracle(
 )
 
 
+def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style corpus-filter pipeline as ONE composed projection:
+    token-count floor + repetition ceiling decide keep/drop, reported
+    per source with independent reason counts and the surviving token
+    mass. Everything is a single pass over the scan — the length,
+    dup-fraction, and keep flags are columns of one projection feeding
+    one partial-aggregated rollup (no joins, no second scan)."""
+    from ..operators.parallelism import ensure_parallelism
+    from ..text.analysis import repetition_features
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    r = repetition_features("text")
+    flagged = d.select(
+        "source",
+        r["n_tokens"].alias("n_tokens"),
+        (r["n_tokens"] < 20).alias("too_short"),
+        (r["dup_token_frac"] > 0.6).alias("too_repetitive"),
+    )
+    kept = ~F.col("too_short") & ~F.col("too_repetitive")
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.col("too_short").cast("long")).alias("n_short"),
+        F.sum(F.col("too_repetitive").cast("long")).alias("n_repetitive"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("kept_tokens"),
+    )
+
+
+LLM_CORPUS_FILTER_SQL = f"""
+WITH base AS (SELECT source, {_DUCK_TOKENS} AS toks FROM documents),
+flagged AS (
+  SELECT source, len(toks) AS n_tokens,
+         len(toks) < 20 AS too_short,
+         (CASE WHEN len(toks) > 0
+           THEN (len(toks) - len(list_distinct(toks))) / len(toks)
+           ELSE 0.0 END) > 0.6 AS too_repetitive
+  FROM base
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN NOT too_short AND NOT too_repetitive THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN too_short THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       CAST(SUM(CASE WHEN too_repetitive THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       CAST(SUM(CASE WHEN NOT too_short AND NOT too_repetitive THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM flagged GROUP BY source
+"""
+
+
 QUERIES = {
+    "llm_corpus_filter": (llm_corpus_filter, LLM_CORPUS_FILTER_SQL),
     "txt_token_stats": (txt_token_stats, TXT_TOKEN_SQL),
     "txt_edit_distance": (txt_edit_distance, TXT_EDIT_SQL),
     "llm_bpe_train": (llm_bpe_train, LLM_BPE_TRAIN_SQL),
