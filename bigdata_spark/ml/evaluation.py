@@ -127,16 +127,35 @@ def confusion_matrix(
     )
 
 
+def balanced_accuracy_from_counts(
+    counts: dict[tuple[float, float], int]
+) -> float:
+    """A11 from the confusion counts: mean per-class recall over the
+    classes that actually occur (identical math to the DataFrame DAG,
+    iterated in sorted class order)."""
+    classes = sorted({l for l, _ in counts})
+    if not classes:
+        return 0.0
+    recalls = []
+    for c in classes:
+        tot = sum(n for (l, _), n in counts.items() if l == c)
+        recalls.append(counts.get((c, c), 0) / tot if tot else 0.0)
+    return sum(recalls) / len(recalls)
+
+
 def evaluation_report(
     preds: DataFrame, label_col: str = "label", pred_col: str = "prediction"
 ) -> dict:
-    """Full report dict (shape parity with reference evaluation.py:313-347)."""
-    metrics = classification_metrics(preds, label_col, pred_col)
-    metrics["balanced_accuracy"] = balanced_accuracy(preds, label_col, pred_col)
-    cm = confusion_matrix(preds, label_col, pred_col).collect()
+    """Full report dict (shape parity with reference
+    evaluation.py:313-347). ONE Spark job: every metric and the
+    confusion matrix derive from the same collected counts table."""
+    counts = _confusion_counts(preds, label_col, pred_col)
+    metrics = metrics_from_counts(counts)
+    metrics["balanced_accuracy"] = balanced_accuracy_from_counts(counts)
     return {
         "performance": metrics,
         "confusion_matrix": [
-            {"label": r["label"], "prediction": r["prediction"], "n": r["n"]} for r in cm
+            {"label": l, "prediction": p, "n": n}
+            for (l, p), n in sorted(counts.items())
         ],
     }

@@ -35,11 +35,17 @@ def ml_local_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _series_df(spark, sf_dir)
     train, test = stratified_split(df, "label", 0.8, seed=42)
     forest = LocalProximityForest(num_partitions=4, n_splitters=3, max_depth=10, seed=42).fit(train)
-    # persist: metrics + balanced accuracy are several actions over preds
-    preds = forest.predict(test).persist()
-    m = classification_metrics(preds)
-    ba = balanced_accuracy(preds)
-    preds.unpersist()
+    from ..ml.evaluation import (
+        _confusion_counts,
+        balanced_accuracy_from_counts,
+        metrics_from_counts,
+    )
+
+    # ONE action over preds: every metric derives from the counts table
+    preds = forest.predict(test)
+    counts = _confusion_counts(preds, "label", "prediction")
+    m = metrics_from_counts(counts)
+    ba = balanced_accuracy_from_counts(counts)
     return spark.createDataFrame(
         [
             (

@@ -17,7 +17,11 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..ml.evaluation import balanced_accuracy, classification_metrics
+from ..ml.evaluation import (
+    _confusion_counts,
+    balanced_accuracy_from_counts,
+    metrics_from_counts,
+)
 from ..ml.global_tree import GlobalProximityTree
 from ..ml.local_forest import LocalProximityForest
 from ..operators.preprocess import drop_all_null_rows
@@ -116,8 +120,10 @@ def run_pipeline(
     timings["prediction_time"] = time.time() - t0
 
     t0 = time.time()
-    performance = classification_metrics(preds, label_col)
-    performance["balanced_accuracy"] = balanced_accuracy(preds, label_col)
+    # one confusion-counts job feeds every metric (ml/evaluation.py)
+    counts = _confusion_counts(preds, label_col, "prediction")
+    performance = metrics_from_counts(counts)
+    performance["balanced_accuracy"] = balanced_accuracy_from_counts(counts)
     timings["evaluation_time"] = time.time() - t0
 
     train.unpersist()
