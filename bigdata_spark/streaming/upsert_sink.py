@@ -92,6 +92,34 @@ class VersionedParquetTable:
             return None
         return self.spark.read.parquet(self._version_dir(v))
 
+    def versions(self) -> list[int]:
+        """Version numbers still on disk (ascending). The newest is the
+        committed one; older entries are time-travel targets until
+        vacuum drops them."""
+        fs, root = _fs_and_path(self.spark, self.root)
+        if not fs.exists(root):
+            return []
+        out = []
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if name.startswith("state_v"):
+                try:
+                    out.append(int(name[len("state_v"):]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel: read a specific retained snapshot (the newest
+        ``keep_versions`` survive vacuum). Raises if it was vacuumed or
+        never existed — never silently serves a different version."""
+        if version not in self.versions():
+            raise ValueError(
+                f"version {version} not retained under {self.root} "
+                f"(available: {self.versions()})"
+            )
+        return self.spark.read.parquet(self._version_dir(version))
+
     def publish(self, df: DataFrame) -> int:
         """Write ``df`` as the next version and commit it. Returns the
         new version number. Crash-safe: the marker flips only after the

@@ -91,3 +91,21 @@ def test_vacuum_keeps_current_and_previous(spark, tmp_path):
     # the previous version is still readable for in-flight readers
     prev = spark.read.parquet(table._version_dir(2))
     assert prev.count() == 1
+
+
+def test_time_travel_reads_retained_versions(spark, tmp_path):
+    import pytest
+
+    from bigdata_spark.streaming.upsert_sink import VersionedParquetTable
+
+    t = VersionedParquetTable(spark, str(tmp_path / "tt"), keep_versions=2)
+    t.publish(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.publish(spark.createDataFrame([(1, "b")], "k long, v string"))
+    assert t.versions() == [0, 1]
+    assert t.read_version(0).first()["v"] == "a"   # time travel
+    assert t.read().first()["v"] == "b"            # committed head
+    t.publish(spark.createDataFrame([(1, "c")], "k long, v string"))
+    # vacuum keeps current + previous only; v0 must refuse, not misread
+    assert t.versions() == [1, 2]
+    with pytest.raises(ValueError):
+        t.read_version(0)
