@@ -186,6 +186,60 @@ GROUP BY 1
 """
 
 
+def s16_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF sink + source roundtrip via the pure-python codec and
+    block-partitioned Python DataSource (sources/avroocf.py — no
+    spark-avro in this container). Supplier (a dim: the collect is
+    bounded at any SF) is written as deflate-compressed OCF, read back
+    through ``format("avro_py")`` — one input partition per data
+    block — and rolled up; the rollup hash-matches DuckDB over the
+    original parquet, so a wrong varint/deflate/union decode shows as
+    a value mismatch."""
+    import shutil
+    import tempfile
+
+    from ..sources.avroocf import register, write_ocf
+
+    register(spark)
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_avro_")
+    try:
+        path = f"{scratch}/supplier.avro"
+        rows = [
+            (r["s_suppkey"], r["s_name"], r["s_nationkey"], r["s_acctbal"])
+            for r in load_table(spark, sf_dir, "supplier").collect()
+        ]
+        write_ocf(
+            path,
+            [
+                ("s_suppkey", "long"),
+                ("s_name", ["null", "string"]),
+                ("s_nationkey", "int"),
+                ("s_acctbal", "double"),
+            ],
+            rows,
+            codec="deflate",
+            block_rows=256,
+        )
+        back = spark.read.format("avro_py").option("path", path).load()
+        rollup = back.groupBy("s_nationkey").agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("acctbal_sum"),
+        )
+        out = rollup.collect()
+        return spark.createDataFrame(out, rollup.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S16_AVRO_SQL = """
+SELECT s_nationkey, COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS acctbal_sum
+FROM supplier GROUP BY s_nationkey
+"""
+
+
 def s15_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order data-skipping evidence (operators/zorder.py): lineitem
     written 16-file naive (round-robin) vs 16-file Morton-ordered on
@@ -541,6 +595,7 @@ QUERIES = {
     "s10_jsonl_roundtrip": (s10_jsonl_roundtrip, S10_SQL),
     "s14_orc_roundtrip": (s14_orc_roundtrip, S14_SQL),
     "s15_zorder_layout": (s15_zorder_layout, S15_ZORDER_SQL),
+    "s16_avro_roundtrip": (s16_avro_roundtrip, S16_AVRO_SQL),
     "s11_compaction": (s11_compaction, S11_SQL),
     "s12_schema_evolution": (s12_schema_evolution, S12_SQL),
     "sql_api_q1": (sql_api_q1, SQL_API_SQL),
