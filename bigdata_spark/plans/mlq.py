@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ml.dtw import dtw_pairwise_udf
-from ..ml.evaluation import balanced_accuracy, classification_metrics
+from ..ml.evaluation import classification_metrics
 from ..ml.global_tree import GlobalProximityTree
 from ..ml.local_forest import LocalProximityForest
 from ..operators.sampling import stratified_split
