@@ -133,6 +133,12 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("representative selection is a group limit, not a full sort per key", r"WindowGroupLimit|window"),
         ("survivor counts partially aggregated", r"partial_count"),
     ],
+    "evt_resample_gapfill": [
+        ("fill windows partition by series key (parallelism = #series)", r"hashpartitioning\(event_type#\d+"),
+        ("grid explosion stays native (Generate, no Python)", r"(?s)Generate\b.*explode\(sequence\("),
+        ("no Python evaluation anywhere", r"(?s)\A(?!.*(BatchEvalPython|ArrowEvalPython))"),
+        ("bucket means partially aggregated before the shuffle", r"partial_sum"),
+    ],
 }
 
 
