@@ -425,6 +425,79 @@ GROUP BY event_type
 """
 
 
+def evt_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming session windows — the streaming twin
+    of evt_session_10m (reference has batch windowing only; this is the
+    one streaming window type the registry was missing). Watermarked
+    ``F.session_window`` keeps per-user open-session state, merging
+    sessions as the gap closes; complete output mode emits the final
+    merged sessions when the availableNow run drains, which must equal
+    the batch gaps-and-islands result — the oracle. Per-session sums
+    stay DECIMAL through the final per-user rollup so the cross-session
+    re-aggregation is order-independent (hash-exact across engines)."""
+    import uuid
+
+    from ..streaming.windows import stream_session_agg
+
+    stream = _events_stream(spark, sf_dir)
+    sessions = stream_session_agg(
+        stream,
+        "ts",
+        "10 minutes",
+        ["user_id"],
+        [F.count("*").alias("n_events"), F.sum(_dec2("value")).alias("sum_dec")],
+        watermark="30 minutes",
+    )
+    qname = "evt_sess_" + uuid.uuid4().hex[:8]
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "evt_stream_session: availableNow stream did not finish in 300s"
+        )
+    return (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+        )
+    )
+
+
+EVT_STREAM_SESSION_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '10 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+), sessions AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec
+  FROM islands GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       MAX(n_events) AS max_session_events,
+       CAST(SUM(sum_dec) AS DOUBLE) AS sum_value
+FROM sessions GROUP BY user_id
+"""
+
+
 def evt_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style resample + gap-fill (operators/timeseries.py):
     a sparse slice of events (user_id % 7 == 0, so most hourly buckets
@@ -502,6 +575,7 @@ QUERIES = {
     "evt_sliding_1h_30m": (evt_sliding_1h_30m, EVT_SLIDING_SQL),
     "evt_session_10m": (evt_session_10m, EVT_SESSION_SQL),
     "evt_stream_tumbling": (evt_stream_tumbling, EVT_STREAM_SQL),
+    "evt_stream_session": (evt_stream_session, EVT_STREAM_SESSION_SQL),
     "evt_stream_join": (evt_stream_join, EVT_STREAM_JOIN_SQL),
     "evt_stream_enrich": (evt_stream_enrich, EVT_STREAM_ENRICH_SQL),
     "evt_stream_upsert": (evt_stream_upsert, EVT_STREAM_UPSERT_SQL),

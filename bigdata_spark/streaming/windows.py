@@ -72,6 +72,33 @@ def session_windows(
     )
 
 
+def stream_session_agg(
+    stream_df: DataFrame,
+    ts_col: str,
+    gap: str,
+    group_cols: list[str],
+    aggs: list[Column],
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """True Structured Streaming session windows: watermark +
+    ``F.session_window`` groupBy. Spark keeps per-key open-session state
+    and MERGES sessions whose gaps close as late events arrive; the
+    watermark bounds that state — a session older than
+    (max event time - watermark) is finalized and emitted, so state
+    stays proportional to active keys, not stream length. This is the
+    streaming twin of ``session_windows`` above (same assignment
+    expression, same semantics once every event is delivered)."""
+    win = F.session_window(F.col(ts_col), gap)
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(win, *group_cols)
+        .agg(*aggs)
+        .withColumn("session_start", F.col("session_window.start"))
+        .withColumn("session_end", F.col("session_window.end"))
+        .drop("session_window")
+    )
+
+
 def stream_tumbling_counts(
     stream_df: DataFrame,
     ts_col: str,
