@@ -215,6 +215,47 @@ WHERE CASE WHEN len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingle
 """
 
 
+# --- duplicated-substring windows (Lee et al. suffix-array analog) -------
+
+_SUBSTR_K = 10
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated k-token-window fraction (dedup/substring.py):
+    the distributed, linear analog of suffix-array substring dedup —
+    a rolling-hash inverted index, never pairwise."""
+    from ..dedup.substring import duplicate_window_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicate_window_stats(d, k=_SUBSTR_K)
+
+
+DEDUP_SUBSTR_SQL = f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+occ AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           toks[CAST(i + 1 AS BIGINT):CAST(i + {_SUBSTR_K} AS BIGINT)], ' ')) AS wh
+  FROM base, UNNEST(range(0, greatest(len(toks) - {_SUBSTR_K} + 1, 0))) AS t(i)
+),
+per_doc AS (SELECT doc_id, wh, COUNT(*) AS c FROM occ GROUP BY 1, 2),
+gcounts AS (SELECT wh, SUM(c) AS g FROM per_doc GROUP BY 1),
+stats AS (
+  SELECT p.doc_id,
+         CAST(SUM(p.c) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN gl.g >= 2 THEN p.c ELSE 0 END) AS BIGINT) AS n_dup
+  FROM per_doc p JOIN gcounts gl USING (wh) GROUP BY 1
+)
+SELECT b.doc_id,
+       COALESCE(s.n_windows, 0) AS n_windows,
+       COALESCE(s.n_dup, 0) AS n_dup,
+       ROUND(CASE WHEN COALESCE(s.n_windows, 0) > 0
+             THEN CAST(s.n_dup AS DOUBLE) / s.n_windows
+             ELSE 0.0 END, 9) AS dup_frac
+FROM base b LEFT JOIN stats s USING (doc_id)
+"""
+
+
 # --- degenerate-bucket skew stress ---------------------------------------
 
 _STRESS_N = 1000
@@ -525,6 +566,7 @@ QUERIES = {
     "dedup_minhash_pairs": (dedup_minhash_pairs, _duck_minhash_pairs_sql()),
     "dedup_simhash_values": (dedup_simhash_values, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_substring": (dedup_substring, DEDUP_SUBSTR_SQL),
     "dedup_skew_stress": (dedup_skew_stress, DEDUP_SKEW_STRESS_SQL),
     "dedup_embedding_pairs": (dedup_embedding_pairs, DEDUP_EMB_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
