@@ -558,8 +558,77 @@ FROM flagged GROUP BY source
 """
 
 
+_MIX_WEIGHTS = {f"src{i}": (i % 4) + 1 for i in range(20)}
+_MIX_WSUM = sum(_MIX_WEIGHTS.values())
+
+
+def llm_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction (operators/mixture.py): per-source
+    hash-Bernoulli sampling toward a 40% token budget under weights
+    w(src_i) = (i mod 4)+1. The keep decision is exact integer
+    arithmetic on the portable hash, so the identical row set falls out
+    of any engine — the oracle replays every decision in DuckDB."""
+    from ..operators.mixture import mixture_rates, mixture_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    rates = mixture_rates(d, _MIX_WEIGHTS)
+    kept = (
+        mixture_sample(d, _MIX_WEIGHTS)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_tok").alias("kept_tokens"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        F.round(
+            F.least(
+                F.lit(1.0), F.col("num").cast("double") / F.col("den").cast("double")
+            ),
+            9,
+        ).alias("rate"),
+    )
+
+
+def _mix_weights_values() -> str:
+    return ", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))
+
+
+LLM_MIX_SQL = f"""
+WITH w(source, w_raw) AS (VALUES {_mix_weights_values()}),
+base AS (
+  SELECT doc_id, source, len({_DUCK_TOKENS}) AS n_tok FROM documents
+),
+per_src AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS tok_s FROM base GROUP BY 1
+),
+tot AS (SELECT SUM(n_tok) AS total_tokens FROM base),
+rates AS (
+  SELECT p.source, p.n_docs, p.tok_s,
+         CAST(2 * t.total_tokens * w.w_raw AS BIGINT) AS num,
+         CAST(5 * {_MIX_WSUM} * p.tok_s AS BIGINT) AS den
+  FROM per_src p JOIN w USING (source) CROSS JOIN tot t
+),
+kept AS (
+  SELECT b.source, COUNT(*) AS n_kept, SUM(b.n_tok) AS kept_tokens
+  FROM base b JOIN rates r USING (source)
+  WHERE CAST(('0x' || substr(md5('7|' || CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS HUGEINT)
+        * r.den < CAST(r.num AS HUGEINT) * 1000000
+  GROUP BY 1
+)
+SELECT r.source, r.n_docs, CAST(r.tok_s AS BIGINT) AS n_tokens,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       ROUND(LEAST(1.0, CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE)), 9) AS rate
+FROM rates r LEFT JOIN kept k USING (source)
+"""
+
+
 QUERIES = {
     "llm_corpus_filter": (llm_corpus_filter, LLM_CORPUS_FILTER_SQL),
+    "llm_mix_sample": (llm_mix_sample, LLM_MIX_SQL),
     "txt_token_stats": (txt_token_stats, TXT_TOKEN_SQL),
     "txt_edit_distance": (txt_edit_distance, TXT_EDIT_SQL),
     "llm_bpe_train": (llm_bpe_train, LLM_BPE_TRAIN_SQL),
