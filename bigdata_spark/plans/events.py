@@ -425,6 +425,38 @@ GROUP BY event_type
 """
 
 
+def evt_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 build (operators/scd.py):
+    collapse each user's event_type history into validity intervals —
+    one shuffle, both analytic windows share the partitioning/ordering.
+    Ties on ts break on event_id, so runs are deterministic."""
+    from ..operators.scd import scd2_from_changes
+
+    e = load_table(spark, sf_dir, "events")
+    out = scd2_from_changes(
+        e, ["user_id"], "event_type", "ts", "event_id"
+    )
+    return out.select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    )
+
+
+EVT_SCD2_SQL = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), runs AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM marked WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM runs
+"""
+
+
 def evt_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE Structured Streaming session windows — the streaming twin
     of evt_session_10m (reference has batch windowing only; this is the
@@ -576,6 +608,7 @@ QUERIES = {
     "evt_session_10m": (evt_session_10m, EVT_SESSION_SQL),
     "evt_stream_tumbling": (evt_stream_tumbling, EVT_STREAM_SQL),
     "evt_stream_session": (evt_stream_session, EVT_STREAM_SESSION_SQL),
+    "evt_scd2": (evt_scd2, EVT_SCD2_SQL),
     "evt_stream_join": (evt_stream_join, EVT_STREAM_JOIN_SQL),
     "evt_stream_enrich": (evt_stream_enrich, EVT_STREAM_ENRICH_SQL),
     "evt_stream_upsert": (evt_stream_upsert, EVT_STREAM_UPSERT_SQL),
