@@ -215,6 +215,56 @@ WHERE CASE WHEN len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingle
 """
 
 
+# --- SemDeDup: embedding-cluster semantic dedup --------------------------
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (dedup/semantic.py): seeded k-means clusters + within-
+    cluster keep-lowest-id cosine dedup. The quantizer isn't
+    SQL-expressible, so the oracle pins structural invariants (same
+    pattern as sim_topk_ivf) plus the SQL-exact corpus count; the
+    invariants are recomputed from the actual result, not assumed."""
+    from ..dedup.semantic import semantic_dedup, semantic_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = semantic_dup_pairs(e, n_clusters=16, threshold=0.35).persist()
+    marked = semantic_dedup(e, n_clusters=16, threshold=0.35)
+    counts = marked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_dropped").cast("long")).alias("n_dropped"),
+    ).first()
+    n_vecs, n_dropped = counts["n"], counts["n_dropped"]
+    # every dropped id must be justified by a pair naming it as id_b
+    unjustified = (
+        marked.filter("is_dropped")
+        .join(
+            pairs.select(F.col("id_b").alias("vec_id")).distinct(),
+            "vec_id",
+            "left_anti",
+        )
+        .count()
+    )
+    min_cos = pairs.agg(F.min("cosine").alias("m")).first()["m"]
+    pairs.unpersist()
+    return spark.createDataFrame(
+        [(
+            int(n_vecs),
+            bool(n_dropped + (n_vecs - n_dropped) == n_vecs),
+            bool(unjustified == 0),
+            bool(min_cos is None or min_cos >= 0.35),
+            bool(n_dropped < n_vecs),
+        )],
+        "n_vecs bigint, partition_complete boolean, drops_justified boolean, "
+        "pairs_meet_threshold boolean, kept_nonempty boolean",
+    )
+
+
+DEDUP_SEMANTIC_SQL = """
+SELECT (SELECT COUNT(*) FROM embeddings) AS n_vecs,
+       TRUE AS partition_complete, TRUE AS drops_justified,
+       TRUE AS pairs_meet_threshold, TRUE AS kept_nonempty
+"""
+
+
 # --- duplicated-substring windows (Lee et al. suffix-array analog) -------
 
 _SUBSTR_K = 10
@@ -567,6 +617,7 @@ QUERIES = {
     "dedup_simhash_values": (dedup_simhash_values, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_substring": (dedup_substring, DEDUP_SUBSTR_SQL),
+    "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
     "dedup_skew_stress": (dedup_skew_stress, DEDUP_SKEW_STRESS_SQL),
     "dedup_embedding_pairs": (dedup_embedding_pairs, DEDUP_EMB_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),

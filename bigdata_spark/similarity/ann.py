@@ -171,6 +171,62 @@ def _lloyd_numpy(X, k: int, seed: int, max_iter: int):
     return C
 
 
+def train_coarse_centroids(
+    c: DataFrame,
+    n_lists: int,
+    seed: int,
+    max_iter: int,
+) -> list[list[float]]:
+    """Seeded coarse-quantizer centroids from a BOUNDED sample of the
+    ``c_vec`` column (standard IVF practice: ~64 vectors per list is
+    enough for a coarse quantizer, so driver memory stays constant at
+    any corpus size). Driver-side k-means++/Lloyd for the common case
+    (one Spark job); MLlib KMeans above the 64k sample cap."""
+    n_lists = int(n_lists)
+    train_cap = max(n_lists * 64, 2048)
+    if train_cap <= 65536:
+        import numpy as np
+
+        X = np.asarray(
+            [r["c_vec"] for r in c.select("c_vec").limit(train_cap).collect()],
+            dtype="float64",
+        )
+        return [[float(x) for x in cc] for cc in _lloyd_numpy(X, n_lists, seed, max_iter)]
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = c.select(array_to_vector(F.col("c_vec")).alias("features"))
+    sample = train.limit(train_cap).coalesce(4)
+    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(sample)
+    return [[float(x) for x in cc] for cc in km.clusterCenters()]
+
+
+def coarse_assign(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> tuple[DataFrame, list[list[float]]]:
+    """(assignments, centroids): every corpus vector labeled with its
+    nearest-centroid ``list_id`` — the inverted lists. The centroid
+    table travels as a broadcast-joined 1-row DF (constant-size plan);
+    the assignment is the only full-corpus pass."""
+    from ..functions.distances import nearest_exemplar_index
+
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double_array(vec_col).alias("c_vec")
+    )
+    centroids = train_coarse_centroids(c, n_lists, seed, max_iter)
+    cents = spark.createDataFrame([(centroids,)], "cents array<array<double>>")
+    lists = c.crossJoin(F.broadcast(cents)).withColumn(
+        "list_id", nearest_exemplar_index(F.col("c_vec"), F.col("cents"))
+    )
+    return lists, centroids
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -195,42 +251,16 @@ def ivf_topk(
 
     Deterministic for fixed seed. Recall < 1 by design; raise n_probe
     to trade speed back for recall."""
-    from ..functions.distances import euclidean_distance, nearest_exemplar_index
+    from ..functions.distances import euclidean_distance
 
     spark = corpus.sparkSession
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"), _as_double_array(vec_col).alias("c_vec")
+    # coarse-quantizer training + inverted-list assignment (shared with
+    # dedup/semantic.py SemDeDup): bounded driver-side training, one
+    # full-corpus assignment pass, broadcast centroid table
+    lists, centroids = coarse_assign(
+        corpus, n_lists, id_col, vec_col, seed, max_iter
     )
-    # Coarse-quantizer training is bounded regardless of corpus size:
-    # standard IVF practice trains on a sample (~64 vectors per list
-    # suffices for a COARSE quantizer). The bounded sample (~1 MB) is
-    # collected and trained driver-side with a seeded k-means++/Lloyd
-    # loop: ONE Spark job instead of ~30 MLlib scheduler round-trips.
-    # MLlib KMeans remains the path for oversized training caps.
-    train_cap = max(n_lists * 64, 2048)
-    if train_cap <= 65536:
-        import numpy as np
-
-        X = np.asarray(
-            [r["c_vec"] for r in c.select("c_vec").limit(train_cap).collect()],
-            dtype="float64",
-        )
-        centroids = [[float(x) for x in cc] for cc in _lloyd_numpy(X, n_lists, seed, max_iter)]
-    else:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        train = c.select(array_to_vector(F.col("c_vec")).alias("features"))
-        sample = train.limit(train_cap).coalesce(4)
-        km = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(sample)
-        centroids = [[float(x) for x in cc] for cc in km.clusterCenters()]
-    # centroid table travels as a broadcast-joined 1-row DF, not as
-    # literal expressions (constant-size plan — see ml/global_tree.py)
     cents = spark.createDataFrame([(centroids,)], "cents array<array<double>>")
-
-    lists = c.crossJoin(F.broadcast(cents)).withColumn(
-        "list_id", nearest_exemplar_index(F.col("c_vec"), F.col("cents"))
-    )
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("q_vec")
