@@ -357,7 +357,252 @@ GROUP BY cntrycode
 """
 
 
+# --- Q2: minimum-cost supplier (adapted: no partsupp) ---------------------
+
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 adapted — the schema has no partsupp, so the part-supplier
+    cost relation is DERIVED from lineitem: cost(part, supp) = min unit
+    price ever charged (exact-decimal price/qty taken in double, same
+    op order as the oracle). The shape is preserved: correlated min
+    subquery per part over region-restricted suppliers, decorrelated
+    into a per-part min joined back on equality. Dims broadcast; the
+    derived ps table shuffles once on (part, supp)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 4) & (F.col("p_type") == "SMALL")
+    )
+    unit = _dec2("l_extendedprice").cast("double") / _dec2("l_quantity").cast("double")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(F.min(unit).alias("ps_cost"))
+    eu = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    best = eu.groupBy(F.col("l_partkey").alias("bp_key")).agg(
+        F.min("ps_cost").alias("min_cost")
+    )
+    return (
+        eu.join(F.broadcast(p), eu.l_partkey == p.p_partkey)
+        .join(F.broadcast(best), eu.l_partkey == F.col("bp_key"))
+        .filter(F.col("ps_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", F.col("n_name"), "p_partkey",
+            F.round("ps_cost", 9).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+TPCH_Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+             / CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE)) AS ps_cost
+  FROM lineitem GROUP BY 1, 2
+),
+eu AS (
+  SELECT ps.*, s_acctbal, s_name, n_name
+  FROM ps
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+best AS (SELECT l_partkey AS bp_key, MIN(ps_cost) AS min_cost FROM eu GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey, ROUND(ps_cost, 9) AS supply_cost
+FROM eu
+JOIN part ON l_partkey = p_partkey
+JOIN best ON l_partkey = bp_key
+WHERE p_size = 4 AND p_type = 'SMALL' AND ps_cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# --- Q11: important stock (adapted: no partsupp) --------------------------
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 adapted — part-supplier "stock value" is the exact-decimal
+    lineitem revenue of NATION_7 suppliers. The scalar-subquery
+    threshold (group value > 0.001 · total) survives: the total is a
+    1-row broadcast crossJoin, both sides exact DECIMAL cast to DOUBLE
+    for the compare in identical op order."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    base = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("l_partkey", _dec2("l_extendedprice").alias("v"))
+    )
+    per_part = base.groupBy("l_partkey").agg(F.sum("v").alias("value_dec"))
+    total = base.agg(F.sum("v").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.col("total_dec").cast("double") * 0.001
+        )
+        .select("l_partkey", F.col("value_dec").cast("double").alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+TPCH_Q11_SQL = """
+WITH base AS (
+  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+),
+per_part AS (SELECT l_partkey, SUM(v) AS value_dec FROM base GROUP BY 1),
+tot AS (SELECT SUM(v) AS total_dec FROM base)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+FROM per_part CROSS JOIN tot
+WHERE CAST(value_dec AS DOUBLE) > CAST(total_dec AS DOUBLE) * 0.001
+ORDER BY value DESC, l_partkey
+"""
+
+
+# --- Q20: potential part promotion (adapted) ------------------------------
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 adapted — no partsupp/availqty, so the inner threshold is on
+    shipped quantity directly: suppliers in NATION_5 who shipped more
+    than 100 units of 'small %'-named parts during 1997. The nested
+    semi-join chain (supplier ← qualifying-supplier set ← part set) is
+    the point of Q20 and is preserved: part filter broadcasts into the
+    fact scan, the qualifying set is a partial-aggregated groupBy, and
+    the outer supplier probe is a left-semi join."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    qualifying = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec2("l_quantity")).alias("qty"))
+        .filter(F.col("qty").cast("double") > 100.0)
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+TPCH_Q20_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 100.0
+  )
+ORDER BY s_name
+"""
+
+
+# --- Q21: suppliers who kept orders waiting (adapted) ---------------------
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 adapted — no commit/receipt dates, so "late" means shipped
+    more than 60 days after the order date. For finished ('F') orders:
+    count, per NATION_3 supplier, the late lines in multi-supplier
+    orders where that supplier was the ONLY late one — the original's
+    EXISTS (another supplier in the order) + NOT EXISTS (another late
+    supplier) pair, expressed as a left-semi and a left-anti join on
+    the order key. All verdict sides are partial-aggregated before the
+    joins; dims broadcast."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    lo = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .alias("late"),
+    )
+    l1 = (
+        lo.filter("late")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    others = lo.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("o2_supp"),
+        F.col("late").alias("o2_late"),
+    )
+    exists2 = l1.join(
+        others,
+        (l1.l_orderkey == F.col("o2_key")) & (l1.l_suppkey != F.col("o2_supp")),
+        "left_semi",
+    )
+    not3 = exists2.join(
+        others.filter("o2_late"),
+        (exists2.l_orderkey == F.col("o2_key"))
+        & (exists2.l_suppkey != F.col("o2_supp")),
+        "left_anti",
+    )
+    return (
+        not3.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+TPCH_Q21_SQL = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+l1 AS (
+  SELECT lo.l_orderkey, lo.l_suppkey, s_name
+  FROM lo
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE late AND n_name = 'NATION_3'
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM l1
+WHERE EXISTS (
+    SELECT 1 FROM lo o2
+    WHERE o2.l_orderkey = l1.l_orderkey AND o2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lo o3
+    WHERE o3.l_orderkey = l1.l_orderkey AND o3.l_suppkey <> l1.l_suppkey
+      AND o3.late
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 QUERIES = {
+    "tpch_q2_adapted": (tpch_q2, TPCH_Q2_SQL),
+    "tpch_q11_adapted": (tpch_q11, TPCH_Q11_SQL),
+    "tpch_q20_adapted": (tpch_q20, TPCH_Q20_SQL),
+    "tpch_q21_adapted": (tpch_q21, TPCH_Q21_SQL),
     "tpch_q8": (tpch_q8, TPCH_Q8_SQL),
     "tpch_q9_adapted": (tpch_q9, TPCH_Q9_SQL),
     "tpch_q13_adapted": (tpch_q13, TPCH_Q13_SQL),
