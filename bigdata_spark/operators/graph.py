@@ -184,3 +184,60 @@ def dedup_cluster_stats(
         "cluster_size",
         (F.col("vertex") == F.col("component")).alias("is_keeper"),
     )
+
+
+def pagerank_fixed_point(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 10,
+    scale: int = 1_000_000_000_000,
+    damping_num: int = 17,
+    damping_den: int = 20,
+) -> DataFrame:
+    """Weighted PageRank in FIXED-POINT integer arithmetic — every
+    engine (and every partitioning) produces the bit-identical result,
+    which is what lets an iterative float algorithm carry a hash-exact
+    SQL oracle.
+
+    ``nodes``: (node); ``edges``: (src, dst, w). Rank mass starts at
+    ``scale`` per node; each round a node keeps nothing, teleports
+    base = scale·(1-d) = scale·(den-num)//den, and ships
+    ((mass·num)//den · w)//out_w along each out-edge — all integer
+    div/mod, truncation exactly mirrored in SQL (`//`). Truncation
+    remainders and dangling-node mass simply vanish (total mass decays
+    ~(rounding + dangling)/round), which is harmless for RANKING and
+    keeps the arithmetic exact; classic float PageRank redistributes
+    them, at the price of engine-dependent float sums.
+
+    Plan shape per round: ranks ⋈ edges on src (edges pre-joined with
+    their out-degree — computed once), partial-aggregated groupBy dst,
+    left join back onto the node set. ``localCheckpoint`` truncates
+    lineage so 10 rounds don't compound into one mega-plan. Overflow
+    regime: mass·num ≤ scale·num and the per-edge product stays under
+    2^63 for edge weights up to ~10^5 at this scale; shrink ``scale``
+    or move to DECIMAL(38,0) beyond that."""
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e = edges.join(out_w, "src").localCheckpoint()
+    base = scale * (damping_den - damping_num) // damping_den
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("mass"))
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(e, ranks.node == e.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"(((mass * {damping_num}) div {damping_den}) * w) div out_w"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce("in_mass", F.lit(0))).alias("mass"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -29,6 +29,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         dedupq,
         events,
         extended,
+        graphq,
         mlq,
         multimodalq,
         relational,
@@ -37,6 +38,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         simq,
         textq,
         tpch_ext,
+        graphq,
     )
 
     out: dict[str, tuple[QueryFn, str | None]] = {}
@@ -53,6 +55,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         scaleq,
         mlq,
         multimodalq,
+        graphq,
     ):
         overlap = set(out) & set(mod.QUERIES)
         if overlap:
