@@ -1,0 +1,191 @@
+"""Unit tests for the round-4 session additions: duplicated-substring
+windows, training-mixture sampling, SCD2, SemDeDup, fixed-point
+PageRank."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+# --- duplicated-substring windows ----------------------------------------
+
+def test_substring_dup_stats(spark):
+    from bigdata_spark.dedup.substring import duplicate_window_stats
+
+    # k=3: doc 1/2 share "a b c d" (two 3-windows); doc 3 is unique;
+    # doc 4 too short for any window
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d x y z"),
+            (2, "p q a b c d"),
+            (3, "one two three four five"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_window_stats(df, k=3).collect()
+    }
+    assert out[1]["n_windows"] == 5 and out[1]["n_dup"] == 2
+    assert out[2]["n_windows"] == 4 and out[2]["n_dup"] == 2
+    assert out[3]["n_dup"] == 0
+    assert out[4]["n_windows"] == 0 and out[4]["dup_frac"] == 0.0
+    assert abs(out[1]["dup_frac"] - 2 / 5) < 1e-9
+
+
+def test_substring_within_doc_repeat_counts(spark):
+    from bigdata_spark.dedup.substring import duplicate_window_stats
+
+    # the same window twice WITHIN one doc is a duplicate (global
+    # occurrence count ≥ 2), matching Lee et al. semantics
+    df = spark.createDataFrame(
+        [(1, "x y z q x y z")], "doc_id long, text string"
+    )
+    row = duplicate_window_stats(df, k=3).collect()[0]
+    # windows: xyz yzq zqx qxy xyz → the two xyz occurrences are dups
+    assert row["n_windows"] == 5 and row["n_dup"] == 2
+
+
+# --- training-mixture sampling -------------------------------------------
+
+def _mix_corpus(spark):
+    rows = [(i, "tok " * 12, f"src{i % 2}") for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_mixture_sample_deterministic_and_budgeted(spark):
+    from bigdata_spark.operators.mixture import mixture_sample
+
+    df = _mix_corpus(spark)
+    w = {"src0": 3, "src1": 1}
+    kept1 = sorted(r["doc_id"] for r in mixture_sample(df, w).collect())
+    kept2 = sorted(
+        r["doc_id"]
+        for r in mixture_sample(df.repartition(7), w).collect()
+    )
+    assert kept1 == kept2  # partition-layout independent
+    assert 0 < len(kept1) < 200
+
+
+def test_mixture_rates_follow_weights(spark):
+    from bigdata_spark.operators.mixture import mixture_rates
+
+    df = _mix_corpus(spark)
+    rates = {
+        r["source"]: (float(r["num"]) / float(r["den"]))
+        for r in mixture_rates(df, {"src0": 3, "src1": 1}).collect()
+    }
+    # equal-sized sources: rate ratio == weight ratio
+    assert rates["src0"] / rates["src1"] == pytest.approx(3.0, rel=1e-6)
+
+
+def test_mixture_saturates_at_one(spark):
+    from bigdata_spark.operators.mixture import mixture_sample
+
+    # a tiny source with a huge weight: its token target exceeds its
+    # size, so the rate saturates at 1 and every doc is kept
+    rows = [(i, "tok " * 12, "src0" if i < 190 else "src1") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = mixture_sample(df, {"src0": 1, "src1": 1000}).collect()
+    n_src1 = sum(1 for r in kept if r["source"] == "src1")
+    assert n_src1 == 10
+
+
+# --- SCD2 ----------------------------------------------------------------
+
+def test_scd2_runs_and_intervals(spark):
+    from bigdata_spark.operators.scd import scd2_from_changes
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 00:00:00", 10),
+            (1, "a", "2024-01-02 00:00:00", 11),  # no change → collapsed
+            (1, "b", "2024-01-03 00:00:00", 12),
+            (1, "a", "2024-01-04 00:00:00", 13),  # back to a → new run
+            (2, "x", "2024-01-01 00:00:00", 14),
+        ],
+        "user_id long, status string, ts_s string, event_id long",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = scd2_from_changes(df, ["user_id"], "status", "ts", "event_id")
+    u1 = sorted(
+        [r for r in out.collect() if r["user_id"] == 1],
+        key=lambda r: r["valid_from"],
+    )
+    assert [r["status"] for r in u1] == ["a", "b", "a"]
+    # intervals chain: each valid_to equals the next valid_from
+    assert u1[0]["valid_to"] == u1[1]["valid_from"]
+    assert u1[1]["valid_to"] == u1[2]["valid_from"]
+    assert u1[2]["valid_to"] is None and u1[2]["is_current"]
+    assert not u1[0]["is_current"]
+
+
+def test_scd2_tiebreak_deterministic(spark):
+    from bigdata_spark.operators.scd import scd2_from_changes
+
+    # two observations at the SAME ts — event_id orders them
+    df = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 00:00:00", 2),
+            (1, "b", "2024-01-01 00:00:00", 1),
+        ],
+        "user_id long, status string, ts_s string, event_id long",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = scd2_from_changes(df, ["user_id"], "status", "ts", "event_id")
+    rows = sorted(out.collect(), key=lambda r: not r["is_current"])
+    assert rows[0]["status"] == "a"  # event_id 2 is the later version
+
+
+# --- SemDeDup ------------------------------------------------------------
+
+def test_semantic_dedup_drops_exact_dups(spark):
+    from bigdata_spark.dedup.semantic import semantic_dedup
+
+    # three exact copies of one vector + two orthogonal singles
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["is_dropped"] for r in
+           semantic_dedup(df, n_clusters=2, threshold=0.9).collect()}
+    assert out[1] is False          # lowest id of the dup group survives
+    assert out[2] and out[3]        # copies dropped
+    # orthogonal vectors never reach 0.9 cosine with anything
+    assert out[4] is False and out[5] is False
+
+
+# --- fixed-point PageRank ------------------------------------------------
+
+def _pr(spark, nodes, edges, **kw):
+    from bigdata_spark.operators.graph import pagerank_fixed_point
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long, w long")
+    return {
+        r["node"]: r["mass"]
+        for r in pagerank_fixed_point(ndf, edf, **kw).collect()
+    }
+
+
+def test_pagerank_star_ranks_center_highest(spark):
+    # spokes all point at node 0
+    masses = _pr(spark, range(5), [(i, 0, 1) for i in range(1, 5)])
+    assert masses[0] == max(masses.values())
+    assert len({masses[i] for i in range(1, 5)}) == 1  # spokes tie
+
+
+def test_pagerank_mass_bounds_and_determinism(spark):
+    edges = [(0, 1, 2), (1, 2, 1), (2, 0, 1), (1, 0, 3)]
+    m1 = _pr(spark, range(3), edges, iterations=5)
+    m2 = _pr(spark, range(3), edges, iterations=5)
+    assert m1 == m2  # bit-identical across runs
+    scale = 1_000_000_000_000
+    total = sum(m1.values())
+    # truncation only loses mass — never creates it
+    assert total <= 3 * scale
+    assert all(m >= scale * 3 // 20 for m in m1.values())  # ≥ teleport base
