@@ -465,6 +465,84 @@ FROM supplier GROUP BY s_nationkey
 """
 
 
+def s17_delete_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table DELETE + row-level CDC (streaming/upsert_sink):
+    v0 = an orders slice, v1 = keyed price update, v2 = GDPR-style
+    delete of every 100th key — each an immutable published version.
+    ``versioned_changes(v0 → v2)`` classifies keys as update/delete;
+    the counts and the surviving exact-decimal price sum are all
+    derivable from the orders table alone, so the oracle is REAL SQL,
+    not pinned booleans. Old versions stay readable (time travel) and
+    the delete never rewrites a committed directory."""
+    import shutil
+    import tempfile
+
+    from ..streaming.upsert_sink import (
+        VersionedParquetTable,
+        versioned_changes,
+        versioned_delete_where,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_cdc_")
+    try:
+        t = VersionedParquetTable(spark, scratch, keep_versions=4)
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 20 == 0
+        ).select("o_orderkey", "o_totalprice", "o_orderstatus")
+        v0 = t.publish(o)
+        updated = o.withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 50 == 0, F.col("o_totalprice") + 100.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        t.publish(updated)
+        v2 = versioned_delete_where(t, F.col("o_orderkey") % 100 == 0)
+        cdc = versioned_changes(t, v0, v2, ["o_orderkey"])
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in cdc.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+        }
+        final = t.read().agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_sum"),
+        ).first()
+        return spark.createDataFrame(
+            [(
+                int(v0),
+                int(v2),
+                int(by_type.get("delete", 0)),
+                int(by_type.get("update", 0)),
+                int(by_type.get("insert", 0)),
+                int(final["n_rows"]),
+                float(final["price_sum"]),
+            )],
+            "v_first bigint, v_final bigint, cdc_deleted bigint, cdc_updated bigint, "
+            "cdc_inserted bigint, n_rows bigint, price_sum double",
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S17_CDC_SQL = """
+WITH slice AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 20 = 0
+)
+SELECT CAST(0 AS BIGINT) AS v_first, CAST(2 AS BIGINT) AS v_final,
+  (SELECT COUNT(*) FROM slice WHERE o_orderkey % 100 = 0) AS cdc_deleted,
+  (SELECT COUNT(*) FROM slice
+    WHERE o_orderkey % 50 = 0 AND o_orderkey % 100 <> 0) AS cdc_updated,
+  CAST(0 AS BIGINT) AS cdc_inserted,
+  (SELECT COUNT(*) FROM slice WHERE o_orderkey % 100 <> 0) AS n_rows,
+  (SELECT CAST(SUM(CAST(CASE WHEN o_orderkey % 50 = 0
+                        THEN o_totalprice + 100.0
+                        ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+   FROM slice WHERE o_orderkey % 100 <> 0) AS price_sum
+"""
+
+
 def sql_api_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-string API surface: the same pricing-summary shape as
     tpch_q1 expressed through spark.sql over a temp view — proves a
@@ -596,6 +674,7 @@ QUERIES = {
     "s14_orc_roundtrip": (s14_orc_roundtrip, S14_SQL),
     "s15_zorder_layout": (s15_zorder_layout, S15_ZORDER_SQL),
     "s16_avro_roundtrip": (s16_avro_roundtrip, S16_AVRO_SQL),
+    "s17_delete_cdc": (s17_delete_cdc, S17_CDC_SQL),
     "s11_compaction": (s11_compaction, S11_SQL),
     "s12_schema_evolution": (s12_schema_evolution, S12_SQL),
     "sql_api_q1": (sql_api_q1, SQL_API_SQL),

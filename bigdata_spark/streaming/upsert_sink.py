@@ -181,3 +181,59 @@ def keyed_upsert_batch(
             .drop("_rk")
         )
     table.publish(latest)
+
+
+def versioned_delete_where(
+    table: VersionedParquetTable, condition
+) -> int:
+    """GDPR-style delete: publish a NEW immutable version without the
+    matching rows (never rewrites in place — prior versions stay
+    time-travelable until vacuum). NULL-safe: a row whose predicate
+    evaluates to NULL is RETAINED (SQL DELETE semantics — only
+    definite matches go)."""
+    from pyspark.sql import functions as F
+
+    cur = table.read()
+    if cur is None:
+        raise ValueError(f"no committed version under {table.root}")
+    return table.publish(cur.filter(~F.coalesce(condition, F.lit(False))))
+
+
+def versioned_changes(
+    table: VersionedParquetTable,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level CDC between two retained versions: full-outer join on
+    the keys, classifying each key as insert / delete / update
+    (value-struct inequality) and dropping unchanged rows. This is the
+    Delta/Iceberg ``table_changes`` surface on the minimal versioned
+    table — the consumer-side of incremental pipelines."""
+    from pyspark.sql import functions as F
+
+    a = table.read_version(v_from)
+    b = table.read_version(v_to)
+    val_cols = [c for c in a.columns if c not in key_cols]
+    if set(a.columns) != set(b.columns):
+        raise ValueError(
+            f"schema changed between v{v_from} and v{v_to}; "
+            "CDC diff requires matching columns"
+        )
+    av = a.select(
+        *key_cols, F.struct(*[F.col(c) for c in sorted(val_cols)]).alias("_va")
+    )
+    bv = b.select(
+        *key_cols, F.struct(*[F.col(c) for c in sorted(val_cols)]).alias("_vb")
+    )
+    j = av.join(bv, key_cols, "full_outer")
+    return (
+        j.withColumn(
+            "_change_type",
+            F.when(F.col("_va").isNull(), F.lit("insert"))
+            .when(F.col("_vb").isNull(), F.lit("delete"))
+            .when(~F.col("_va").eqNullSafe(F.col("_vb")), F.lit("update")),
+        )
+        .filter(F.col("_change_type").isNotNull())
+        .select(*key_cols, "_change_type", "_va", "_vb")
+    )
