@@ -229,3 +229,38 @@ def test_versioned_delete_null_predicate_retains(spark, tmp_path):
     versioned_delete_where(t, F.col("v") == "x")
     # row 2's predicate is NULL → retained, SQL DELETE semantics
     assert [r["k"] for r in t.read().collect()] == [2]
+
+
+# --- product quantization ------------------------------------------------
+
+def test_pq_encode_shape_and_determinism(spark):
+    from bigdata_spark.similarity.pq import pq_encode, train_pq_codebooks
+
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c = df.select(F.col("vec_id").alias("corpus_id"),
+                  F.col("embedding").cast("array<double>").alias("c_vec"))
+    books = train_pq_codebooks(c, m_subspaces=4, k_codes=4, dim=8, seed=1)
+    assert len(books) == 4 and all(len(b) == 4 for b in books)
+    assert all(len(cw) == 2 for b in books for cw in b)
+    enc1 = {r["corpus_id"]: r["codes"] for r in pq_encode(df, books).collect()}
+    enc2 = {r["corpus_id"]: r["codes"] for r in pq_encode(df, books).collect()}
+    assert enc1 == enc2
+    assert all(0 <= code < 4 for codes in enc1.values() for code in codes)
+
+
+def test_pq_topk_identical_vector_is_top1(spark):
+    from bigdata_spark.similarity.pq import pq_topk
+
+    import random
+    rng = random.Random(3)
+    base = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    # vec 100 is an exact copy of vec 0 → ADC distance 0, must be its top-1
+    rows = base + [(100, list(base[0][1]))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    out = pq_topk(q, df, k=3, m_subspaces=4, k_codes=8, seed=5).collect()
+    top1 = [r for r in out if r["rank"] == 1][0]
+    assert top1["corpus_id"] == 100 and top1["adc_dist"] == 0.0
