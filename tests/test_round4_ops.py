@@ -263,4 +263,7 @@ def test_pq_topk_identical_vector_is_top1(spark):
     q = df.filter(F.col("vec_id") == 0)
     out = pq_topk(q, df, k=3, m_subspaces=4, k_codes=8, seed=5).collect()
     top1 = [r for r in out if r["rank"] == 1][0]
-    assert top1["corpus_id"] == 100 and top1["adc_dist"] == 0.0
+    # ADC distance to the exact copy equals the QUERY's own quantization
+    # residual (both share the same codes), so it is minimal but not 0
+    assert top1["corpus_id"] == 100
+    assert all(top1["adc_dist"] <= r["adc_dist"] for r in out)
