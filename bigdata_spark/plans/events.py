@@ -425,6 +425,98 @@ GROUP BY event_type
 """
 
 
+def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase, each step
+    STRICTLY after the previous): the sequential-pattern query every
+    product-analytics stack ships. Expressed as three chained
+    conditional-min aggregations — each step is a partial-aggregated
+    groupBy on user_id plus one join back, so the plan is three
+    shuffles on the same key (AQE coalesces them), no window over the
+    whole event stream and no Python."""
+    e = load_table(spark, sf_dir, "events")
+    u1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    u2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(u1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    u3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(u2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    total = e.select("user_id").distinct().count()
+    return spark.createDataFrame(
+        [(int(total), int(u1.count()), int(u2.count()), int(u3.count()))],
+        "n_users bigint, step_view bigint, step_click bigint, step_purchase bigint",
+    )
+
+
+EVT_FUNNEL_SQL = """
+WITH u1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+u2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN u1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1
+),
+u3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN u2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1
+)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT COUNT(*) FROM u1) AS step_view,
+       (SELECT COUNT(*) FROM u2) AS step_click,
+       (SELECT COUNT(*) FROM u3) AS step_purchase
+"""
+
+
+def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week,
+    counted distinct per (cohort, week-offset). Two partial-aggregated
+    groupBys (first-seen per user; distinct user-weeks) and one join on
+    user_id — the standard warehouse shape, no window functions
+    needed."""
+    e = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first = e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = e.select("user_id", wk.alias("week")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+EVT_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.week) / 7 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def evt_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension Type-2 build (operators/scd.py):
     collapse each user's event_type history into validity intervals —
@@ -609,6 +701,8 @@ QUERIES = {
     "evt_stream_tumbling": (evt_stream_tumbling, EVT_STREAM_SQL),
     "evt_stream_session": (evt_stream_session, EVT_STREAM_SESSION_SQL),
     "evt_scd2": (evt_scd2, EVT_SCD2_SQL),
+    "evt_funnel": (evt_funnel, EVT_FUNNEL_SQL),
+    "evt_retention": (evt_retention, EVT_RETENTION_SQL),
     "evt_stream_join": (evt_stream_join, EVT_STREAM_JOIN_SQL),
     "evt_stream_enrich": (evt_stream_enrich, EVT_STREAM_ENRICH_SQL),
     "evt_stream_upsert": (evt_stream_upsert, EVT_STREAM_UPSERT_SQL),
