@@ -39,6 +39,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         textq,
         tpch_ext,
         graphq,
+        qualityq,
     )
 
     out: dict[str, tuple[QueryFn, str | None]] = {}
@@ -56,6 +57,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         mlq,
         multimodalq,
         graphq,
+        qualityq,
     ):
         overlap = set(out) & set(mod.QUERIES)
         if overlap:

@@ -1,0 +1,121 @@
+"""Data-quality queries: one-pass column profiling and declarative
+expectation checks (operators/profile.py) — the dbt-test/Deequ surface
+over the TPC-H-ish tables, each with a full-value DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile four orders columns in ONE aggregate job (single scan,
+    multi-countDistinct via Expand). min/max render as strings; the
+    oracle renders the same way (timestamps normalized to the same
+    'YYYY-MM-DD HH:MM:SS' form both engines)."""
+    from ..operators.profile import profile_columns
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        # render ts as string pre-profile so min/max stringification is
+        # engine-independent (Spark CAST(ts AS STRING) drops trailing
+        # .000000, DuckDB keeps it — normalize via explicit format)
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+    )
+    return profile_columns(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]
+    )
+
+
+DQ_PROFILE_SQL = """
+WITH src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
+  FROM orders
+),
+wide AS (
+  SELECT COUNT(*) AS n_rows,
+    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
+    COUNT(DISTINCT o_orderkey) AS k_distinct,
+    CAST(MIN(o_orderkey) AS VARCHAR) AS k_min, CAST(MAX(o_orderkey) AS VARCHAR) AS k_max,
+    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nulls,
+    COUNT(DISTINCT o_custkey) AS c_distinct,
+    CAST(MIN(o_custkey) AS VARCHAR) AS c_min, CAST(MAX(o_custkey) AS VARCHAR) AS c_max,
+    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls,
+    COUNT(DISTINCT o_orderstatus) AS s_distinct,
+    MIN(o_orderstatus) AS s_min, MAX(o_orderstatus) AS s_max,
+    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nulls,
+    COUNT(DISTINCT o_orderdate) AS d_distinct,
+    MIN(o_orderdate) AS d_min, MAX(o_orderdate) AS d_max
+  FROM src
+)
+SELECT u.* FROM wide, LATERAL (
+  SELECT 'o_orderkey' AS column_name, n_rows, k_nulls AS n_nulls,
+         k_distinct AS n_distinct, k_min AS min_value, k_max AS max_value
+  UNION ALL
+  SELECT 'o_custkey', n_rows, c_nulls, c_distinct, c_min, c_max
+  UNION ALL
+  SELECT 'o_orderstatus', n_rows, s_nulls, s_distinct, s_min, s_max
+  UNION ALL
+  SELECT 'o_orderdate', n_rows, d_nulls, d_distinct, d_min, d_max
+) u
+"""
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five declarative checks over orders/lineitem: PK uniqueness,
+    FK presence, referential integrity (anti-join), numeric range,
+    accepted-value set. Each check is its own pushed-down aggregate;
+    the report is a 5-row union."""
+    from ..operators.profile import (
+        check_expectations,
+        expect_in_range,
+        expect_in_set,
+        expect_not_null,
+        expect_references,
+        expect_unique,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return check_expectations(
+        {
+            "orders_pk_unique": expect_unique(o, "o_orderkey"),
+            "orders_custkey_not_null": expect_not_null(o, "o_custkey"),
+            "lineitem_fk_orders": expect_references(l, "l_orderkey", o, "o_orderkey"),
+            "discount_in_range": expect_in_range(l, "l_discount", 0.0, 1.0),
+            "status_in_set": expect_in_set(o, "o_orderstatus", ["F", "O", "P"]),
+        }
+    )
+
+
+DQ_EXPECT_SQL = """
+WITH checks AS (
+  SELECT 'discount_in_range' AS check_name,
+         (SELECT COUNT(*) FROM lineitem
+          WHERE NOT (l_discount BETWEEN 0.0 AND 1.0)) AS n_violations
+  UNION ALL
+  SELECT 'lineitem_fk_orders',
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+  UNION ALL
+  SELECT 'orders_custkey_not_null',
+         (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+  UNION ALL
+  SELECT 'orders_pk_unique',
+         (SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders)
+  UNION ALL
+  SELECT 'status_in_set',
+         (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('F','O','P'))
+)
+SELECT check_name, n_violations, n_violations = 0 AS passed FROM checks
+"""
+
+
+QUERIES = {
+    "dq_profile": (dq_profile, DQ_PROFILE_SQL),
+    "dq_expectations": (dq_expectations, DQ_EXPECT_SQL),
+}
