@@ -626,8 +626,47 @@ FROM rates r LEFT JOIN kept k USING (source)
 """
 
 
+def llm_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style fixed-size document chunking through the Python UDTF +
+    LATERAL join surface (functions/udtfs.py — Spark's row→rows Python
+    extension point, Arrow-batched). Chunking is also expressible
+    natively (the dedup/substring.py window enumerator); this entry
+    exists to cover the UDTF API like a14_udaf_mode covers UDAFs, and
+    the oracle replays every chunk hash in DuckDB, so the UDTF output
+    is value-checked, not just counted."""
+    import uuid
+
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    view = "docs_" + uuid.uuid4().hex[:8]
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    try:
+        out = spark.sql(
+            f"SELECT c.doc_id, c.chunk_ix, c.n_tokens, c.chunk_hash "
+            f"FROM {view} d, LATERAL chunk_text(d.doc_id, d.text) c"
+        )
+        out.localCheckpoint()  # materialize before the view goes away
+        return out
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+LLM_CHUNK_SQL = f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents)
+SELECT doc_id, CAST(i AS INT) AS chunk_ix,
+       CAST(LEAST(50, len(toks) - i * 50) AS INT) AS n_tokens,
+       md5(array_to_string(
+         toks[CAST(i * 50 + 1 AS BIGINT):CAST(i * 50 + 50 AS BIGINT)], ' '))
+         AS chunk_hash
+FROM base, UNNEST(range(0, CAST(CEIL(len(toks) / 50.0) AS BIGINT))) t(i)
+WHERE len(toks) > 0
+"""
+
+
 QUERIES = {
     "llm_corpus_filter": (llm_corpus_filter, LLM_CORPUS_FILTER_SQL),
+    "llm_chunk_udtf": (llm_chunk_udtf, LLM_CHUNK_SQL),
     "llm_mix_sample": (llm_mix_sample, LLM_MIX_SQL),
     "txt_token_stats": (txt_token_stats, TXT_TOKEN_SQL),
     "txt_edit_distance": (txt_edit_distance, TXT_EDIT_SQL),
