@@ -226,13 +226,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dedup.semantic import semantic_dedup, semantic_dup_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = semantic_dup_pairs(e, n_clusters=16, threshold=0.35).persist()
+    pairs = semantic_dup_pairs(e, n_clusters=16, threshold=0.35)
     marked = semantic_dedup(e, n_clusters=16, threshold=0.35)
     counts = marked.agg(
         F.count("*").alias("n"),
         F.sum(F.col("is_dropped").cast("long")).alias("n_dropped"),
-    ).first()
-    n_vecs, n_dropped = counts["n"], counts["n_dropped"]
+    )
     # every dropped id must be justified by a pair naming it as id_b
     unjustified = (
         marked.filter("is_dropped")
@@ -241,20 +240,23 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "left_anti",
         )
-        .count()
+        .agg(F.count("*").alias("unjustified"))
     )
-    min_cos = pairs.agg(F.min("cosine").alias("m")).first()["m"]
-    pairs.unpersist()
-    return spark.createDataFrame(
-        [(
-            int(n_vecs),
-            bool(n_dropped + (n_vecs - n_dropped) == n_vecs),
-            bool(unjustified == 0),
-            bool(min_cos is None or min_cos >= 0.35),
-            bool(n_dropped < n_vecs),
-        )],
-        "n_vecs bigint, partition_complete boolean, drops_justified boolean, "
-        "pairs_meet_threshold boolean, kept_nonempty boolean",
+    min_cos = pairs.agg(F.min("cosine").alias("min_cos"))
+    # one lazy row: all invariants as expressions over crossJoined
+    # scalar aggregates — a single Spark job at action time
+    return (
+        counts.crossJoin(unjustified)
+        .crossJoin(min_cos)
+        .select(
+            F.col("n").alias("n_vecs"),
+            (F.col("n_dropped") + (F.col("n") - F.col("n_dropped")) == F.col("n"))
+            .alias("partition_complete"),
+            (F.col("unjustified") == 0).alias("drops_justified"),
+            F.coalesce(F.col("min_cos") >= 0.35, F.lit(True))
+            .alias("pairs_meet_threshold"),
+            (F.col("n_dropped") < F.col("n")).alias("kept_nonempty"),
+        )
     )
 
 

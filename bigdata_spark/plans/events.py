@@ -453,10 +453,13 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
-    total = e.select("user_id").distinct().count()
-    return spark.createDataFrame(
-        [(int(total), int(u1.count()), int(u2.count()), int(u3.count()))],
-        "n_users bigint, step_view bigint, step_click bigint, step_purchase bigint",
+    # four scalar aggregates crossJoined into ONE lazy row — a single
+    # Spark job at action time, not four separate .count() actions
+    return (
+        e.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(u1.agg(F.count("*").alias("step_view")))
+        .crossJoin(u2.agg(F.count("*").alias("step_click")))
+        .crossJoin(u3.agg(F.count("*").alias("step_purchase")))
     )
 
 

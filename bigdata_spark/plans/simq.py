@@ -269,7 +269,7 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _vecs(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 5)
-    approx = pq_topk(q, e, k=5, m_subspaces=16, k_codes=64, seed=42).persist()
+    approx = pq_topk(q, e, k=5, m_subspaces=16, k_codes=64, seed=42)
 
     qv = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("q_vec"))
     cv = e.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").cast("array<double>").alias("c_vec"))
@@ -282,24 +282,29 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "corpus_id")
     )
-    hits = approx.join(exact, ["query_id", "corpus_id"], "left_semi").count()
+    # one lazy row: scalar aggregates crossJoined, invariants as
+    # expressions — a single Spark job at action time
+    hits = (
+        approx.join(exact, ["query_id", "corpus_id"], "left_semi")
+        .agg(F.count("*").alias("hits"))
+    )
     stats = approx.agg(
-        F.count("*").alias("n"),
-        F.max("rank").alias("m"),
+        F.count("*").alias("n"), F.max("rank").alias("m"),
         F.min("adc_dist").alias("dmin"),
-    ).first()
-    approx.unpersist()
-    n_exact = exact.count()
-    recall = hits / n_exact if n_exact else 0.0
-    return spark.createDataFrame(
-        [(
-            bool(recall >= 0.4),
-            bool(stats["n"] == n_exact),
-            bool(stats["m"] <= 5),
-            bool(stats["dmin"] >= 0.0),
-        )],
-        "recall_ok boolean, counts_match boolean, rank_bounded boolean, "
-        "adc_nonnegative boolean",
+    )
+    nex = exact.agg(F.count("*").alias("n_exact"))
+    return (
+        hits.crossJoin(stats)
+        .crossJoin(nex)
+        .select(
+            F.when(
+                F.col("n_exact") > 0,
+                F.col("hits") / F.col("n_exact") >= 0.4,
+            ).otherwise(F.lit(False)).alias("recall_ok"),
+            (F.col("n") == F.col("n_exact")).alias("counts_match"),
+            F.coalesce(F.col("m") <= 5, F.lit(True)).alias("rank_bounded"),
+            F.coalesce(F.col("dmin") >= 0.0, F.lit(True)).alias("adc_nonnegative"),
+        )
     )
 
 
