@@ -142,6 +142,57 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
 }
 
 
+NO_PYTHON = r"^(?:(?!BatchEvalPython|ArrowEvalPython)[\s\S])*$"
+
+AUDITS.update({
+    "dedup_substring": [
+        ("window enumeration native (no Python eval)", NO_PYTHON),
+        ("native Generate for the window explode", r"Generate"),
+        ("map-side partial aggregation", r"partial_count|partial_sum"),
+        ("scan pruned to id+text", r"ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
+    "llm_mix_sample": [
+        ("rate/weight tables broadcast", r"BroadcastHashJoin"),
+        ("exact-integer keep decision, no Python", NO_PYTHON),
+    ],
+    "evt_scd2": [
+        ("both analytic windows above ONE exchange", r"Window \(7\)[\s\S]*Window \(4\)[\s\S]*Exchange \(2\)"),
+        ("scan pruned to the four needed columns", r"ReadSchema: struct<event_id:bigint,ts:timestamp[^,]*,user_id:bigint,event_type:string>"),
+    ],
+    "evt_funnel": [
+        ("step filters pushed to parquet", r"PushedFilters: \[.*EqualTo\(event_type,view\)"),
+        ("map-side partial conditional-min", r"partial_min"),
+    ],
+    "evt_retention": [
+        ("first-seen week partial-aggregated", r"partial_min"),
+        ("no Python in the cohort pipeline", NO_PYTHON),
+    ],
+    "tpch_q2_adapted": [
+        ("region filter pushed", r"PushedFilters: \[.*EqualTo\(r_name,EUROPE\)"),
+        ("per-part min decorrelated to partial_min", r"partial_min"),
+        ("dims broadcast", r"BroadcastHashJoin"),
+    ],
+    "tpch_q21_adapted": [
+        ("EXISTS compiled to a semi join", r"LeftSemi"),
+        ("NOT EXISTS compiled to an anti join", r"LeftAnti"),
+        ("orderstatus filter pushed", r"PushedFilters: \[.*EqualTo\(o_orderstatus,F\)"),
+    ],
+    "graph_pagerank": [
+        ("nation dim broadcast in the final join", r"BroadcastHashJoin"),
+        ("integer mass arithmetic native", NO_PYTHON),
+    ],
+    "sim_topk_pq": [
+        ("ADC scoring native (no Python eval)", NO_PYTHON),
+        ("recall check via semi join", r"LeftSemi"),
+        ("query-side filter pushed", r"PushedFilters: \[.*LessThan\(vec_id,5\)"),
+    ],
+    "dq_profile": [
+        ("single scan via Expand for multi-distinct", r"Expand"),
+        ("scan pruned to the four profiled columns", r"ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_orderdate:timestamp"),
+    ],
+})
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bigdata_spark.plans import all_queries
