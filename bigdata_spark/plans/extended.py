@@ -421,7 +421,58 @@ GROUP BY tag
 """
 
 
+def f10_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` API surface — the lowest-overhead Python batch
+    hook (raw Arrow RecordBatches, no pandas conversion; the level
+    below mapInPandas in the UDF hierarchy the repo already covers:
+    pandas_udf → applyInPandas → mapInPandas → mapInArrow → UDTF →
+    DataSource). Computes per-vector L1 norm and dimension with
+    pyarrow.compute kernels; row-wise deterministic, so the oracle
+    replays it exactly. For a pure arithmetic map like this the NATIVE
+    path (functions/distances.py aggregate expressions) is still the
+    recommended one — this entry pins the API works, like
+    a14_udaf_mode does for UDAFs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def batches(it):
+        for rb in it:
+            tbl = pa.table(rb)
+            absd = pc.cast(tbl["embedding"], pa.list_(pa.float64())).combine_chunks()
+            sizes = pc.list_value_length(tbl["embedding"]).cast(pa.int64())
+            # strict LEFT fold per row (Python sum): numpy's blocked/
+            # pairwise reductions reorder float adds, which would break
+            # the bit-exact match with DuckDB's left-fold list_sum
+            sums = [
+                round(sum(abs(v) for v in row), 9) if row is not None else None
+                for row in absd.to_pylist()
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tbl["vec_id"].combine_chunks(),
+                    pa.array(sums, type=pa.float64()),
+                    sizes.combine_chunks(),
+                ],
+                ["vec_id", "l1_norm", "dim"],
+            )
+
+    return e.mapInArrow(batches, "vec_id long, l1_norm double, dim long")
+
+
+F10_ARROW_SQL = """
+SELECT vec_id,
+       ROUND(list_sum([abs(CAST(x AS DOUBLE)) for x in embedding]), 9) AS l1_norm,
+       CAST(len(embedding) AS BIGINT) AS dim
+FROM embeddings
+"""
+
+
 QUERIES = {
+    "f10_map_in_arrow": (f10_map_in_arrow, F10_ARROW_SQL),
     "set_union_intersect": (set_union_intersect, SET_UNION_SQL),
     "hof_array_suite": (hof_array_suite, HOF_SQL),
     "regexp_text_suite": (regexp_text_suite, REGEXP_SQL),
