@@ -43,6 +43,103 @@ SELECT 'intersect' AS op, COUNT(*) AS n FROM (
 """
 
 
+def o6_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL / INTERSECT ALL (bag semantics with
+    duplicate counts — the set-op variants set_union_intersect does NOT
+    cover). Spark compiles these to count-tracking aggregates +
+    generate; the oracle uses DuckDB's native EXCEPT ALL/INTERSECT
+    ALL."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    ea = (
+        c.exceptAll(s)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "n")
+    )
+    ia = (
+        c.intersectAll(s)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "n")
+    )
+    return ea.unionAll(ia)
+
+
+O6_MULTISET_SQL = """
+SELECT 'except_all' AS op, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'intersect_all' AS op, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
+"""
+
+
+def j5_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join + key coalesce — the reconciliation shape (two
+    ledgers, rows on either side). Per-nation customer/supplier counts
+    joined full-outer; unmatched sides surface as zero via coalesce."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 3 == 0)  # make some nations supplier-less
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, c.ck == s.sk, "full_outer")
+        .select(
+            F.coalesce("ck", "sk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+J5_FULL_OUTER_SQL = """
+WITH c AS (SELECT c_nationkey AS ck, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+s AS (SELECT s_nationkey AS sk, COUNT(*) AS n_supp FROM supplier
+      WHERE s_suppkey % 3 = 0 GROUP BY 1)
+SELECT COALESCE(ck, sk) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON ck = sk
+"""
+
+
+def a15_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of o_totalprice via ``width_bucket`` — the
+    profiling companion to dq_profile (value DISTRIBUTION, not just
+    min/max). Bucket boundaries are fixed literals so the bucketing is
+    engine-exact; one partial-aggregated groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    b = F.expr("width_bucket(o_totalprice, 0.0, 500000.0, 20)")
+    return (
+        o.groupBy(b.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+# DuckDB has no width_bucket; the explicit arithmetic is identical —
+# bucket width 500000/20 = 25000 is exact in binary, so both engines
+# compute the same division and floor
+A15_HISTOGRAM_SQL = """
+SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+            WHEN o_totalprice >= 500000.0 THEN 21
+            ELSE CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) + 1 END AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY 1
+"""
+
+
 # --- rollup (grouping sets) -----------------------------------------------
 
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,6 +570,9 @@ FROM embeddings
 
 QUERIES = {
     "f10_map_in_arrow": (f10_map_in_arrow, F10_ARROW_SQL),
+    "o6_multiset_ops": (o6_multiset_ops, O6_MULTISET_SQL),
+    "j5_full_outer": (j5_full_outer, J5_FULL_OUTER_SQL),
+    "a15_histogram": (a15_histogram, A15_HISTOGRAM_SQL),
     "set_union_intersect": (set_union_intersect, SET_UNION_SQL),
     "hof_array_suite": (hof_array_suite, HOF_SQL),
     "regexp_text_suite": (regexp_text_suite, REGEXP_SQL),
