@@ -543,6 +543,97 @@ SELECT CAST(0 AS BIGINT) AS v_first, CAST(2 AS BIGINT) AS v_final,
 """
 
 
+def s18_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-customer aggregate is
+    maintained from the versioned table's CDC feed instead of
+    recomputed — v0's aggregate plus signed group deltas (insert adds
+    the new row, delete subtracts the old, update does both) must equal
+    the full recompute over the final version. At 100 TB this is THE
+    pattern that turns an hourly full-table aggregation into a
+    CDC-sized one; count/sum are additive, so the merge is one
+    full-outer join on the group key. The oracle computes the final
+    aggregate directly from orders — a full-value check of the entire
+    publish → mutate → diff → merge chain."""
+    import shutil
+    import tempfile
+
+    from ..streaming.upsert_sink import (
+        VersionedParquetTable,
+        versioned_changes,
+        versioned_delete_where,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_ivm_")
+    try:
+        t = VersionedParquetTable(spark, scratch, keep_versions=4)
+        base = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 10 == 0
+        ).select("o_orderkey", "o_custkey", "o_totalprice")
+        v0 = t.publish(base)
+        agg0 = (
+            t.read_version(v0)
+            .groupBy("o_custkey")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+            )
+        )
+        t.publish(
+            base.withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderkey") % 40 == 0, F.col("o_totalprice") + 50.0
+                ).otherwise(F.col("o_totalprice")),
+            )
+        )
+        v2 = versioned_delete_where(t, F.col("o_orderkey") % 100 == 0)
+        cdc = versioned_changes(t, v0, v2, ["o_orderkey"])
+        minus = cdc.filter(F.col("_change_type").isin("delete", "update")).select(
+            F.col("_va.o_custkey").alias("o_custkey"),
+            F.lit(-1).cast("long").alias("dn"),
+            (-F.col("_va.o_totalprice").cast("decimal(18,2)")).alias("ds"),
+        )
+        plus = cdc.filter(F.col("_change_type").isin("insert", "update")).select(
+            F.col("_vb.o_custkey").alias("o_custkey"),
+            F.lit(1).cast("long").alias("dn"),
+            F.col("_vb.o_totalprice").cast("decimal(18,2)").alias("ds"),
+        )
+        deltas = (
+            minus.unionByName(plus)
+            .groupBy("o_custkey")
+            .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
+        )
+        merged = (
+            agg0.join(deltas, "o_custkey", "full_outer")
+            .select(
+                "o_custkey",
+                (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+                (
+                    F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,2)"))
+                    + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(18,2)"))
+                )
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .filter(F.col("n") > 0)
+        )
+        rows = merged.collect()
+        return spark.createDataFrame(rows, merged.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S18_IVM_SQL = """
+SELECT o_custkey, COUNT(*) AS n,
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 40 = 0
+                     THEN o_totalprice + 50.0
+                     ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderkey % 10 = 0 AND o_orderkey % 100 <> 0
+GROUP BY 1
+"""
+
+
 def sql_api_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-string API surface: the same pricing-summary shape as
     tpch_q1 expressed through spark.sql over a temp view — proves a
@@ -675,6 +766,7 @@ QUERIES = {
     "s15_zorder_layout": (s15_zorder_layout, S15_ZORDER_SQL),
     "s16_avro_roundtrip": (s16_avro_roundtrip, S16_AVRO_SQL),
     "s17_delete_cdc": (s17_delete_cdc, S17_CDC_SQL),
+    "s18_incremental_agg": (s18_incremental_agg, S18_IVM_SQL),
     "s11_compaction": (s11_compaction, S11_SQL),
     "s12_schema_evolution": (s12_schema_evolution, S12_SQL),
     "sql_api_q1": (sql_api_q1, SQL_API_SQL),
