@@ -220,7 +220,7 @@ def pagerank_fixed_point(
     e = edges.join(out_w, "src").localCheckpoint()
     base = scale * (damping_den - damping_num) // damping_den
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("mass"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             ranks.join(e, ranks.node == e.src)
             .select(
@@ -232,12 +232,14 @@ def pagerank_fixed_point(
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (F.lit(base) + F.coalesce("in_mass", F.lit(0))).alias("mass"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(base) + F.coalesce("in_mass", F.lit(0))).alias("mass"),
         )
+        # truncate lineage every third round (and before returning):
+        # per-round EAGER checkpoints cost one scheduler round-trip
+        # each — a 3-round stride keeps the plan shallow at a third of
+        # the job count
+        if i % 3 == 2 or i == iterations - 1:
+            ranks = ranks.localCheckpoint()
     return ranks
