@@ -611,6 +611,52 @@ def p6_partition_local_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 P6_SQL = "SELECT TRUE AS at_most_k_per_partition, TRUE AS bounded_partitions"
 
 
+
+
+# --- W6: exact per-group median by rank selection ---------------------------
+
+def w6_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median via deterministic rank selection (the
+    sketch-free companion to approx_sketches): order each return-flag
+    group on (quantity, orderkey, linenumber) — a total order, so the
+    lower-median row is unique in every engine — and pick row (n+1)/2.
+    One shuffle: the count rides the same window partitioning as the
+    rank."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("l_returnflag")
+    return (
+        l.select(
+            "l_returnflag", "l_quantity",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("median_qty"),
+            F.col("n").alias("group_n"),
+        )
+    )
+
+
+W6_MEDIAN_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag, l_quantity AS median_qty, n AS group_n
+FROM ranked WHERE rn = (n + 1) // 2
+"""
+
+
 QUERIES = {
     "tpch_q7": (tpch_q7, TPCH_Q7_SQL),
     "tpch_q10": (tpch_q10, TPCH_Q10_SQL),
@@ -623,6 +669,7 @@ QUERIES = {
     "a8_collect_list": (a8_collect_list, A8_SQL),
     "a13_per_class_prf": (a13_per_class_prf, A13_SQL),
     "w5_analytic_suite": (w5_analytic_suite, W5_SQL),
+    "w6_exact_median": (w6_exact_median, W6_MEDIAN_SQL),
     "o2_repartition_invariants": (o2_repartition_invariants, O2_SQL),
     "s2_tsv_roundtrip": (s2_tsv_roundtrip, S2_SQL),
     "p6_partition_local_sample": (p6_partition_local_sample, P6_SQL),

@@ -425,6 +425,69 @@ GROUP BY event_type
 """
 
 
+def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-bucket anomaly detection per event_type: flag buckets
+    whose mean value deviates ≥ 2σ from the type's global stats. All
+    inputs to the float math are exact decimal totals (sum, sum-of-
+    squares at 4 decimals, counts), and mean/variance/z take the SAME
+    IEEE op order as the oracle, so a float-heavy statistical query
+    still hash-matches bit-for-bit. Two partial-aggregated groupBys +
+    a broadcast join of the per-type stats."""
+    e = load_table(spark, sf_dir, "events")
+    v2 = F.col("value").cast("decimal(18,2)")
+    sq = (v2 * v2).cast("decimal(38,4)")
+    buckets = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.sum(v2).alias("b_sum"), F.count("*").alias("b_n"))
+    stats = e.groupBy("event_type").agg(
+        F.sum(v2).alias("g_sum"), F.sum(sq).alias("g_sumsq"),
+        F.count("*").alias("g_n"),
+    )
+    mean = F.col("g_sum").cast("double") / F.col("g_n")
+    var = (
+        F.col("g_sumsq").cast("double")
+        - F.col("g_sum").cast("double") * F.col("g_sum").cast("double") / F.col("g_n")
+    ) / F.col("g_n")
+    b_mean = F.col("b_sum").cast("double") / F.col("b_n")
+    z = (b_mean - F.col("mean")) / F.sqrt(F.col("var"))
+    return (
+        buckets.join(
+            F.broadcast(stats.select("event_type", mean.alias("mean"), var.alias("var"))),
+            "event_type",
+        )
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 2.0)
+        .select(
+            "event_type", "bucket", "b_n",
+            F.round(b_mean, 9).alias("bucket_mean"),
+            F.round("z", 9).alias("z"),
+        )
+    )
+
+
+EVT_ANOMALY_SQL = """
+WITH buckets AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         SUM(CAST(value AS DECIMAL(18,2))) AS b_sum, COUNT(*) AS b_n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean,
+         (CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)
+          - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         ) / COUNT(*) AS var
+  FROM events GROUP BY 1
+)
+SELECT b.event_type, b.bucket, b.b_n,
+       ROUND(CAST(b.b_sum AS DOUBLE) / b.b_n, 9) AS bucket_mean,
+       ROUND((CAST(b.b_sum AS DOUBLE) / b.b_n - s.mean) / sqrt(s.var), 9) AS z
+FROM buckets b JOIN stats s USING (event_type)
+WHERE abs((CAST(b.b_sum AS DOUBLE) / b.b_n - s.mean) / sqrt(s.var)) >= 2.0
+"""
+
+
 def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis (view → click → purchase, each step
     STRICTLY after the previous): the sequential-pattern query every
@@ -705,6 +768,7 @@ QUERIES = {
     "evt_stream_session": (evt_stream_session, EVT_STREAM_SESSION_SQL),
     "evt_scd2": (evt_scd2, EVT_SCD2_SQL),
     "evt_funnel": (evt_funnel, EVT_FUNNEL_SQL),
+    "evt_anomaly_zscore": (evt_anomaly_zscore, EVT_ANOMALY_SQL),
     "evt_retention": (evt_retention, EVT_RETENTION_SQL),
     "evt_stream_join": (evt_stream_join, EVT_STREAM_JOIN_SQL),
     "evt_stream_enrich": (evt_stream_enrich, EVT_STREAM_ENRICH_SQL),
