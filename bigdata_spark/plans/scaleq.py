@@ -634,6 +634,124 @@ GROUP BY 1
 """
 
 
+_CSV_ROWS = [
+    (1, 'plain'),
+    (2, 'comma, inside'),
+    (3, 'quote " inside'),
+    (4, 'both ", and, quotes "'),
+    (5, 'newline\ninside'),
+    (6, ''),
+    (7, None),
+    (8, 'trailing space '),
+    (9, ' leading space'),
+    (10, 'unicode: café üß — 中文'),
+]
+
+
+def s19_csv_quoting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink/source QUOTING roundtrip: commas, embedded quotes,
+    newlines-in-fields, empty vs NULL, edge whitespace, non-ASCII — the
+    cases that corrupt naive CSV handling. Written with explicit
+    quote/escape options and read back with the same; multiLine=true is
+    REQUIRED for the newline row (the splittable default reader breaks
+    records on raw newlines — at scale that costs per-file parallelism,
+    which is the documented trade for newline-bearing exports). The
+    oracle is the same literal rows, so any quoting defect
+    hash-mismatches."""
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_csvq_")
+    try:
+        df = spark.createDataFrame(_CSV_ROWS, "id long, s string")
+        (
+            df.write.mode("overwrite")
+            .options(
+                header=True, quote='"', escape='"', nullValue="\\N",
+                # the WRITER trims edge whitespace by default — keep it
+                ignoreLeadingWhiteSpace=False, ignoreTrailingWhiteSpace=False,
+            )
+            .csv(scratch)
+        )
+        back = (
+            spark.read.options(
+                header=True, quote='"', escape='"', nullValue="\\N",
+                multiLine=True,
+            )
+            .schema("id long, s string")
+            .csv(scratch)
+        )
+        rows = back.collect()
+        return spark.createDataFrame(rows, back.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _csv_values_sql() -> str:
+    def lit(v):
+        if v is None:
+            return "NULL"
+        return "'" + v.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+    vals = ", ".join(f"({i}, {lit(s)})" for i, s in _CSV_ROWS)
+    return f"SELECT CAST(id AS BIGINT) AS id, s FROM (VALUES {vals}) t(id, s)"
+
+
+S19_CSV_SQL = _csv_values_sql()
+
+
+def s21_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (partitionOverwriteMode=dynamic):
+    rewrite ONLY the partitions present in the incoming batch, leaving
+    sibling partitions untouched — the idempotent-backfill primitive
+    (re-run one day's job without clobbering the month). Static mode
+    would truncate the whole table first; the final rollup proves the
+    other partitions survived, and the oracle computes the expected
+    merged state straight from orders."""
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_dynow_")
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(scratch)
+        # backfill ONLY the 'F' partition with doubled prices
+        patch = o.filter(F.col("o_orderstatus") == "F").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2.0
+        )
+        (
+            patch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("o_orderstatus")
+            .parquet(scratch)
+        )
+        rollup = (
+            spark.read.parquet(scratch)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        rows = rollup.collect()
+        return spark.createDataFrame(rows, rollup.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S21_DYNOW_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F'
+                     THEN o_totalprice * 2.0
+                     ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY 1
+"""
+
+
 def sql_api_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-string API surface: the same pricing-summary shape as
     tpch_q1 expressed through spark.sql over a temp view — proves a
@@ -767,6 +885,8 @@ QUERIES = {
     "s16_avro_roundtrip": (s16_avro_roundtrip, S16_AVRO_SQL),
     "s17_delete_cdc": (s17_delete_cdc, S17_CDC_SQL),
     "s18_incremental_agg": (s18_incremental_agg, S18_IVM_SQL),
+    "s19_csv_quoting": (s19_csv_quoting, S19_CSV_SQL),
+    "s21_dynamic_overwrite": (s21_dynamic_overwrite, S21_DYNOW_SQL),
     "s11_compaction": (s11_compaction, S11_SQL),
     "s12_schema_evolution": (s12_schema_evolution, S12_SQL),
     "sql_api_q1": (sql_api_q1, SQL_API_SQL),
