@@ -186,6 +186,15 @@ AUDITS.update({
         ("recall check via semi join", r"LeftSemi"),
         ("query-side filter pushed", r"PushedFilters: \[.*LessThan\(vec_id,5\)"),
     ],
+    "w6_exact_median": [
+        ("rank + group count share ONE exchange", r"Window \(6\)[\s\S]*Window \(4\)[\s\S]*Exchange \(2\)"),
+        ("scan pruned to the ordering columns", r"ReadSchema: struct<l_orderkey:bigint,l_linenumber:(int|bigint),l_quantity:double,l_returnflag:string>"),
+    ],
+    "evt_anomaly_zscore": [
+        ("per-type stats broadcast onto buckets", r"BroadcastHashJoin"),
+        ("map-side partial decimal sums", r"partial_sum"),
+        ("decimal-exact float inputs, no Python", NO_PYTHON),
+    ],
     "dq_profile": [
         ("single scan via Expand for multi-distinct", r"Expand"),
         ("scan pruned to the four profiled columns", r"ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_orderdate:timestamp"),
