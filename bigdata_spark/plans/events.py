@@ -427,7 +427,9 @@ GROUP BY event_type
 
 def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly-bucket anomaly detection per event_type: flag buckets
-    whose mean value deviates ≥ 2σ from the type's global stats. All
+    whose mean deviates ≥ 3 standard ERRORS (σ/√n — the z-test for a
+    bucket mean, so detection power holds as buckets grow with scale)
+    from the type's global stats. All
     inputs to the float math are exact decimal totals (sum, sum-of-
     squares at 4 decimals, counts), and mean/variance/z take the SAME
     IEEE op order as the oracle, so a float-heavy statistical query
@@ -449,14 +451,17 @@ def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("g_sum").cast("double") * F.col("g_sum").cast("double") / F.col("g_n")
     ) / F.col("g_n")
     b_mean = F.col("b_sum").cast("double") / F.col("b_n")
-    z = (b_mean - F.col("mean")) / F.sqrt(F.col("var"))
+    # standard error of a bucket MEAN is sigma/sqrt(n) — this is the
+    # z-test for means, and it keeps detection power constant as bucket
+    # populations grow with scale factor
+    z = (b_mean - F.col("mean")) / F.sqrt(F.col("var") / F.col("b_n"))
     return (
         buckets.join(
             F.broadcast(stats.select("event_type", mean.alias("mean"), var.alias("var"))),
             "event_type",
         )
         .withColumn("z", z)
-        .filter(F.abs(F.col("z")) >= 2.0)
+        .filter(F.abs(F.col("z")) >= 3.0)
         .select(
             "event_type", "bucket", "b_n",
             F.round(b_mean, 9).alias("bucket_mean"),
@@ -482,9 +487,9 @@ stats AS (
 )
 SELECT b.event_type, b.bucket, b.b_n,
        ROUND(CAST(b.b_sum AS DOUBLE) / b.b_n, 9) AS bucket_mean,
-       ROUND((CAST(b.b_sum AS DOUBLE) / b.b_n - s.mean) / sqrt(s.var), 9) AS z
+       ROUND((CAST(b.b_sum AS DOUBLE) / b.b_n - s.mean) / sqrt(s.var / b.b_n), 9) AS z
 FROM buckets b JOIN stats s USING (event_type)
-WHERE abs((CAST(b.b_sum AS DOUBLE) / b.b_n - s.mean) / sqrt(s.var)) >= 2.0
+WHERE abs((CAST(b.b_sum AS DOUBLE) / b.b_n - s.mean) / sqrt(s.var / b.b_n)) >= 3.0
 """
 
 
