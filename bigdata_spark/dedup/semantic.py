@@ -64,13 +64,17 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus annotated with ``is_dropped``: True iff a lower-id
     same-cluster item is ≥ threshold similar (SemDeDup keep-lowest-id
-    policy, one pass — no transitive closure)."""
-    pairs = semantic_dup_pairs(
-        corpus, n_clusters, threshold, id_col, vec_col, seed
-    )
+    policy, one pass — no transitive closure). Pass ``pairs`` when the
+    caller already built ``semantic_dup_pairs`` — otherwise this would
+    train and assign the quantizer a second time."""
+    if pairs is None:
+        pairs = semantic_dup_pairs(
+            corpus, n_clusters, threshold, id_col, vec_col, seed
+        )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return corpus.join(
         dropped.withColumn("is_dropped", F.lit(True)), id_col, "left"

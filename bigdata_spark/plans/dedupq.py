@@ -226,8 +226,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dedup.semantic import semantic_dedup, semantic_dup_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = semantic_dup_pairs(e, n_clusters=16, threshold=0.35)
-    marked = semantic_dedup(e, n_clusters=16, threshold=0.35)
+    # persist the pair table: three consumers below (counts via marked,
+    # justification anti-join, min-cosine) share one computation —
+    # within the single fused job the cache is filled once and reused
+    pairs = semantic_dup_pairs(e, n_clusters=16, threshold=0.35).persist()
+    marked = semantic_dedup(e, n_clusters=16, threshold=0.35, pairs=pairs)
     counts = marked.agg(
         F.count("*").alias("n"),
         F.sum(F.col("is_dropped").cast("long")).alias("n_dropped"),
