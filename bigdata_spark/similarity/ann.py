@@ -214,6 +214,7 @@ def coarse_assign(
     table travels as a broadcast-joined 1-row DF (constant-size plan);
     the assignment is the only full-corpus pass."""
     from ..functions.distances import nearest_exemplar_index
+    from ..operators.parallelism import ensure_parallelism
 
     spark = corpus.sparkSession
     c = corpus.select(
@@ -221,8 +222,15 @@ def coarse_assign(
     )
     centroids = train_coarse_centroids(c, n_lists, seed, max_iter)
     cents = spark.createDataFrame([(centroids,)], "cents array<array<double>>")
-    lists = c.crossJoin(F.broadcast(cents)).withColumn(
-        "list_id", nearest_exemplar_index(F.col("c_vec"), F.col("cents"))
+    # the assignment is a NARROW map of n_lists interpreted distance
+    # folds per row — inherited from however few partitions the parquet
+    # scan produced (2 at sf1 → 2 of 32 cores busy, 27 s; spread → 3 s).
+    # CPU-heavy narrow maps must be repartitioned by hand; neither the
+    # scan splitter nor AQE sees compute cost, only bytes.
+    lists = (
+        ensure_parallelism(c)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("list_id", nearest_exemplar_index(F.col("c_vec"), F.col("cents")))
     )
     return lists, centroids
 

@@ -67,11 +67,18 @@ def pq_encode(
 ) -> DataFrame:
     """(corpus_id, codes): each vector reduced to M nearest-codeword
     indices — the compressed index representation."""
+    from ..operators.parallelism import ensure_parallelism
+
     spark = corpus.sparkSession
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"), _as_double_array(vec_col).alias("c_vec")
+    # encoding is a CPU-heavy narrow map (M × k codeword distances per
+    # row, interpreted) — spread it; the scan's byte-based splits give
+    # 1-2 partitions here (same lesson as ann.coarse_assign)
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("corpus_id"), _as_double_array(vec_col).alias("c_vec")
+        )
     )
     books = spark.createDataFrame(
         [(codebooks,)], "books array<array<array<double>>>"
