@@ -588,6 +588,84 @@ GROUP BY 1, 2
 """
 
 
+def evt_stream_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-micro-batch Structured Streaming (every other streaming
+    entry drains in one availableNow batch): events are re-staged as
+    four chronological part files and ``maxFilesPerTrigger=1`` forces
+    four micro-batches, so the watermark genuinely ADVANCES across
+    batches. The tumbling aggregation runs in APPEND mode — the mode
+    where the watermark has visible semantics: a window is emitted only
+    once the watermark passes its end, and the last 30 minutes of event
+    time stay in state, never emitted. The oracle replicates exactly
+    that: batch tumbling counts restricted to windows closed by the
+    final watermark (global max ts − 30 min)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    e = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_mb_")
+    try:
+        bounds = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+        lo, hi = bounds["lo"], bounds["hi"]
+        span = (hi - lo) / 4
+        indir = os.path.join(scratch, "in")
+        os.makedirs(indir)
+        for i in range(4):
+            q_lo = lo + i * span
+            q_hi = lo + (i + 1) * span
+            cond = (F.col("ts") >= F.lit(q_lo)) & (
+                (F.col("ts") < F.lit(q_hi)) if i < 3 else (F.col("ts") <= F.lit(hi))
+            )
+            part_dir = os.path.join(scratch, f"q{i}")
+            e.filter(cond).coalesce(1).write.mode("overwrite").parquet(part_dir)
+            src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+            shutil.copy(src, os.path.join(indir, f"{i:02d}.parquet"))
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir)
+            # NTZ vintage: watermarks demand TIMESTAMP (LTZ); the
+            # session is pinned UTC so the cast is value-preserving
+            # (same branch as _events_stream)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        windowed = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        qname = "evt_mb_" + uuid.uuid4().hex[:8]
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("evt_stream_multibatch: stream did not finish in 300s")
+        out = spark.table(qname).select(
+            F.col("window.start").alias("window_start"), "event_type", "n"
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+EVT_MULTIBATCH_SQL = """
+WITH cutoff AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS wm FROM events)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       COUNT(*) AS n
+FROM events, cutoff
+GROUP BY 1, 2, cutoff.wm
+HAVING window_start + INTERVAL 1 HOUR <= cutoff.wm
+"""
+
+
 def evt_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension Type-2 build (operators/scd.py):
     collapse each user's event_type history into validity intervals —
@@ -771,6 +849,7 @@ QUERIES = {
     "evt_session_10m": (evt_session_10m, EVT_SESSION_SQL),
     "evt_stream_tumbling": (evt_stream_tumbling, EVT_STREAM_SQL),
     "evt_stream_session": (evt_stream_session, EVT_STREAM_SESSION_SQL),
+    "evt_stream_multibatch": (evt_stream_multibatch, EVT_MULTIBATCH_SQL),
     "evt_scd2": (evt_scd2, EVT_SCD2_SQL),
     "evt_funnel": (evt_funnel, EVT_FUNNEL_SQL),
     "evt_anomaly_zscore": (evt_anomaly_zscore, EVT_ANOMALY_SQL),

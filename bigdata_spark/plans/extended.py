@@ -140,6 +140,41 @@ FROM orders GROUP BY 1
 """
 
 
+def a16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with ``grouping_id()`` — the general form
+    rollup/cube specialize (SURVEY §2.7 already covers those; this adds
+    arbitrary set lists + the set-identity function). Three sets:
+    (status, priority), (status), () — note (priority) alone is
+    deliberately absent, which no rollup/cube can express."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("a16_orders")
+    try:
+        return spark.sql(
+            """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                   COALESCE(o_orderpriority, 'ALL') AS priority,
+                   CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM a16_orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+            """
+        ).localCheckpoint()
+    finally:
+        spark.catalog.dropTempView("a16_orders")
+
+
+A16_GROUPING_SETS_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
 # --- rollup (grouping sets) -----------------------------------------------
 
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,6 +608,7 @@ QUERIES = {
     "o6_multiset_ops": (o6_multiset_ops, O6_MULTISET_SQL),
     "j5_full_outer": (j5_full_outer, J5_FULL_OUTER_SQL),
     "a15_histogram": (a15_histogram, A15_HISTOGRAM_SQL),
+    "a16_grouping_sets": (a16_grouping_sets, A16_GROUPING_SETS_SQL),
     "set_union_intersect": (set_union_intersect, SET_UNION_SQL),
     "hof_array_suite": (hof_array_suite, HOF_SQL),
     "regexp_text_suite": (regexp_text_suite, REGEXP_SQL),
