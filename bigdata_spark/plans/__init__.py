@@ -40,6 +40,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         tpch_ext,
         graphq,
         qualityq,
+        statsq,
     )
 
     out: dict[str, tuple[QueryFn, str | None]] = {}
@@ -58,6 +59,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         multimodalq,
         graphq,
         qualityq,
+        statsq,
     ):
         overlap = set(out) & set(mod.QUERIES)
         if overlap:

@@ -1,0 +1,263 @@
+"""Distributed statistics queries: grouped OLS regression, a one-pass
+correlation matrix, and Welch two-sample A/B analysis.
+
+All three reduce to *exact sufficient statistics* — DECIMAL sums of the
+2-decimal source columns and their pairwise products (products of
+DECIMAL(18,2) are exact DECIMAL(·,4); sums of those are exact and
+order-independent) — followed by the SAME closed-form IEEE-double
+expression in Spark and in the DuckDB oracle, so results hash-match
+across engines (the repo-wide float discipline, plans/__init__.py).
+
+Scale design: each query is ONE map-side-combinable aggregation over
+the fact table — O(groups · d²) result rows regardless of input size,
+no joins, no windows. On a 1000-executor cluster the only shuffle is
+the partial-aggregate merge of a few dozen decimal cells per group;
+the closed-form solve is a projection on the aggregated row. This is
+the classic "normal equations via Gram aggregation" pattern for
+linear models at 100 TB (X^T X as an aggregate, solve on O(d²) data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+
+def _dec2(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# stat_reg_group — per-group simple OLS (y = extendedprice ~ quantity)
+# ---------------------------------------------------------------------------
+
+# Shared closed-form (identical text in Spark and DuckDB; every input is
+# a double derived from an exact decimal sum, so the expression trees —
+# and therefore the IEEE results — are identical in both engines).
+_REG_SLOPE = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+_REG_INTERCEPT = "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n"
+_REG_R2 = (
+    "((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+    " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+)
+
+
+def stat_reg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped simple linear regression via exact normal equations.
+
+    One aggregation pass computes (n, Σx, Σy, Σx², Σxy, Σy²) per
+    l_returnflag as exact decimals; slope/intercept/R² are a driver-free
+    projection. At 100 TB this is a single partial-agg shuffle of 6
+    cells per group.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    x = _dec2("l_quantity")
+    y = _dec2("l_extendedprice")
+    agg = l.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr(_REG_SLOPE).alias("slope"),
+        F.expr(_REG_INTERCEPT).alias("intercept"),
+        F.expr(_REG_R2).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+STAT_REG_SQL = f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       {_REG_SLOPE} AS slope,
+       {_REG_INTERCEPT} AS intercept,
+       {_REG_R2} AS r2
+FROM s ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# stat_corr_matrix — all pairwise Pearson correlations in ONE pass
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_expr(a: str, b: str) -> str:
+    # corr(a,b) from exact sums; sqrt is correctly rounded in IEEE, so
+    # the two engines agree bit-for-bit given identical inputs.
+    return (
+        f"(n * s_{a}_{b} - s_{a} * s_{b})"
+        f" / (sqrt(n * s_{a}_{a} - s_{a} * s_{a})"
+        f" * sqrt(n * s_{b}_{b} - s_{b} * s_{b}))"
+    )
+
+
+def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix of the four lineitem measures.
+
+    A single aggregation computes all d + d(d+1)/2 exact sums (here 4
+    sums + 10 product sums); the 6 off-diagonal correlations are a
+    projection + `stack` over the one aggregated row. Cost at any scale:
+    one map-side-combined pass, 14 decimal cells shuffled.
+    """
+    short = {c: c.replace("l_", "") for c in _CORR_COLS}
+    l = load_table(spark, sf_dir, "lineitem").select(*_CORR_COLS)
+    aggs = [F.count("*").cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(_dec2(c)).cast("double").alias(f"s_{short[c]}"))
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i:]:
+            aggs.append(
+                F.sum(_dec2(a) * _dec2(b))
+                .cast("double")
+                .alias(f"s_{short[a]}_{short[b]}")
+            )
+    one = l.agg(*aggs)
+    pairs = [
+        (short[a], short[b])
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    stack_args = ", ".join(
+        f"'{a}~{b}', {_corr_expr(a, b)}" for a, b in pairs
+    )
+    return one.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr(f"stack({len(pairs)}, {stack_args}) AS (pair, pearson_r)"),
+    ).select("pair", "pearson_r", "n_rows").orderBy("pair")
+
+
+def _corr_sql() -> str:
+    short = {c: c.replace("l_", "") for c in _CORR_COLS}
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in _CORR_COLS:
+        sums.append(
+            f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS s_{short[c]}"
+        )
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i:]:
+            sums.append(
+                f"CAST(SUM(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2))) AS DOUBLE)"
+                f" AS s_{short[a]}_{short[b]}"
+            )
+    pairs = [
+        (short[a], short[b])
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{a}~{b}' AS pair, {_corr_expr(a, b)} AS pearson_r,"
+        f" CAST(n AS BIGINT) AS n_rows FROM s"
+        for a, b in pairs
+    )
+    return (
+        "WITH s AS (\n  SELECT " + ",\n         ".join(sums) + "\n  FROM lineitem\n)\n"
+        + arms
+        + "\nORDER BY pair"
+    )
+
+
+STAT_CORR_SQL = _corr_sql()
+
+
+# ---------------------------------------------------------------------------
+# stat_ab_welch — two-sample Welch t-test per event_type (A/B harness)
+# ---------------------------------------------------------------------------
+
+_WELCH_PRE = {
+    # per-arm means and sample variances from exact sums
+    "m0": "s0 / n0",
+    "m1": "s1 / n1",
+    "v0": "(ss0 - s0 * s0 / n0) / (n0 - 1)",
+    "v1": "(ss1 - s1 * s1 / n1) / (n1 - 1)",
+}
+_WELCH_T = (
+    "((s0 / n0) - (s1 / n1))"
+    " / sqrt(((ss0 - s0 * s0 / n0) / (n0 - 1)) / n0"
+    " + ((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1)"
+)
+_WELCH_DF = (
+    "(((ss0 - s0 * s0 / n0) / (n0 - 1)) / n0 + ((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1)"
+    " * (((ss0 - s0 * s0 / n0) / (n0 - 1)) / n0 + ((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1)"
+    " / ((((ss0 - s0 * s0 / n0) / (n0 - 1)) / n0) * (((ss0 - s0 * s0 / n0) / (n0 - 1)) / n0) / (n0 - 1)"
+    " + (((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1) * (((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1) / (n1 - 1))"
+)
+
+
+def stat_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between experiment arms.
+
+    Arm assignment is the standard deterministic hash split
+    (user_id mod 2 here; a production pipeline salts the hash per
+    experiment). Per event_type, one conditional aggregation produces
+    both arms' exact (n, Σv, Σv²) — no self-join, no second pass — and
+    the t statistic + Welch–Satterthwaite df are projected from it.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    v = _dec2("value")
+    arm_a = F.col("user_id") % 2 == 0
+    agg = e.groupBy("event_type").agg(
+        F.count(F.when(arm_a, 1)).cast("double").alias("n0"),
+        F.sum(F.when(arm_a, v)).cast("double").alias("s0"),
+        F.sum(F.when(arm_a, v * v)).cast("double").alias("ss0"),
+        F.count(F.when(~arm_a, 1)).cast("double").alias("n1"),
+        F.sum(F.when(~arm_a, v)).cast("double").alias("s1"),
+        F.sum(F.when(~arm_a, v * v)).cast("double").alias("ss1"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n0").cast("long").alias("n_arm_a"),
+        F.col("n1").cast("long").alias("n_arm_b"),
+        F.expr(_WELCH_PRE["m0"]).alias("mean_a"),
+        F.expr(_WELCH_PRE["m1"]).alias("mean_b"),
+        F.expr(_WELCH_T).alias("t_stat"),
+        F.expr(_WELCH_DF).alias("welch_df"),
+    ).orderBy("event_type")
+
+
+STAT_WELCH_SQL = f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) FILTER (user_id % 2 = 0) AS DOUBLE) AS n0,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (user_id % 2 = 0) AS DOUBLE) AS s0,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) FILTER (user_id % 2 = 0) AS DOUBLE) AS ss0,
+         CAST(COUNT(*) FILTER (user_id % 2 <> 0) AS DOUBLE) AS n1,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (user_id % 2 <> 0) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) FILTER (user_id % 2 <> 0) AS DOUBLE) AS ss1
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n0 AS BIGINT) AS n_arm_a,
+       CAST(n1 AS BIGINT) AS n_arm_b,
+       {_WELCH_PRE["m0"]} AS mean_a,
+       {_WELCH_PRE["m1"]} AS mean_b,
+       {_WELCH_T} AS t_stat,
+       {_WELCH_DF} AS welch_df
+FROM s ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "stat_reg_group": (stat_reg_group, STAT_REG_SQL),
+    "stat_corr_matrix": (stat_corr_matrix, STAT_CORR_SQL),
+    "stat_ab_welch": (stat_ab_welch, STAT_WELCH_SQL),
+}

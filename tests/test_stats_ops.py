@@ -1,0 +1,64 @@
+"""Invariant tests for the statistics query family (plans/statsq.py).
+
+The cross-engine value check lives in the oracle gate; these assert the
+mathematical invariants that a hash match alone would not explain."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_reg_group_matches_duckdb_builtin(spark):
+    """Our exact-sum closed form vs DuckDB's native regr_* aggregates
+    (an INDEPENDENT implementation, unlike the oracle which shares the
+    formula)."""
+    import duckdb
+
+    from bigdata_spark.plans.statsq import stat_reg_group
+
+    rows = {r["l_returnflag"]: r for r in stat_reg_group(spark, SF).collect()}
+    assert set(rows) == {"A", "N", "R"}
+    ref = duckdb.sql(
+        "SELECT l_returnflag, regr_slope(l_extendedprice, l_quantity) s,"
+        " regr_intercept(l_extendedprice, l_quantity) i,"
+        " regr_r2(l_extendedprice, l_quantity) r2"
+        f" FROM '{SF}/lineitem.parquet' GROUP BY 1"
+    ).fetchall()
+    for flag, s, i, r2 in ref:
+        got = rows[flag]
+        assert abs(got["slope"] - s) < 1e-6 * max(1.0, abs(s))
+        assert abs(got["intercept"] - i) < 1e-6 * max(1.0, abs(i))
+        assert abs(got["r2"] - r2) < 1e-9
+        assert 0.0 <= got["r2"] <= 1.0
+
+
+def test_corr_matrix_matches_duckdb_builtin(spark):
+    import duckdb
+
+    from bigdata_spark.plans.statsq import stat_corr_matrix
+
+    rows = stat_corr_matrix(spark, SF).collect()
+    assert len(rows) == 6
+    by_pair = {r["pair"]: r["pearson_r"] for r in rows}
+    for r in rows:
+        assert -1.0 <= r["pearson_r"] <= 1.0
+    ref = duckdb.sql(
+        "SELECT corr(l_quantity, l_extendedprice) a, corr(l_discount, l_tax) b"
+        f" FROM '{SF}/lineitem.parquet'"
+    ).fetchone()
+    assert abs(by_pair["quantity~extendedprice"] - ref[0]) < 1e-9
+    assert abs(by_pair["discount~tax"] - ref[1]) < 1e-9
+
+
+def test_ab_welch_invariants(spark):
+    from bigdata_spark.plans.statsq import stat_ab_welch
+
+    rows = stat_ab_welch(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_arm_a"] > 1 and r["n_arm_b"] > 1
+        # Welch df is bounded by (min single-arm df, pooled df)
+        assert r["welch_df"] >= min(r["n_arm_a"], r["n_arm_b"]) - 1
+        assert r["welch_df"] <= r["n_arm_a"] + r["n_arm_b"] - 2
+        # arm split is a hash of user_id, not value: means must be close
+        assert abs(r["mean_a"] - r["mean_b"]) < 0.5 * max(r["mean_a"], r["mean_b"])
