@@ -70,8 +70,81 @@ def p2_stratified_sample_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 P2_SQL = "SELECT TRUE AS all_classes_within_bounds"
 
 
+def p7_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size systematic sampling (exact).
+
+    Classic survey-sampling design: lay items on a line scaled by
+    weight (retail price in integer cents), drop k equally spaced
+    ticks, keep the item under each tick — heavy items are chosen with
+    probability proportional to weight, items with w ≥ W/k are chosen
+    with certainty. Everything is BIGINT arithmetic, so the draw is
+    deterministic and identical in any engine (no RNG, unlike P1/P2).
+
+    Scale shape: the cumulative weight uses the two-phase prefix-sum
+    pattern (same as llm_seq_pack): per-range-bucket partial sums (a
+    tiny aggregate), an exclusive prefix over the bucket totals (a
+    window over O(n/bucket_size) rows), then a bucket-local window.
+    No global ordering over the fact rows anywhere.
+    """
+    from pyspark.sql import Window
+
+    k = 200
+    bucket_size = 1000
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("w"),
+        F.expr(f"p_partkey div {bucket_size}").alias("bucket"),
+    )
+    totals = p.groupBy("bucket").agg(F.sum("w").alias("bw"))
+    # exclusive prefix over bucket totals: single-partition window is
+    # fine — totals has n_rows / bucket_size rows by construction
+    tw = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "bucket", F.coalesce(F.sum("bw").over(tw), F.lit(0)).alias("off")
+    )
+    wtot = totals.agg(F.sum("bw").alias("wtot"))
+    wloc = Window.partitionBy("bucket").orderBy("p_partkey")
+    c = (
+        p.join(F.broadcast(offs), "bucket")
+        .crossJoin(F.broadcast(wtot))
+        .withColumn("cum", F.col("off") + F.sum("w").over(wloc))
+    )
+    return (
+        c.filter(F.expr(f"(cum * {k}) div wtot > ((cum - w) * {k}) div wtot"))
+        .select(
+            "p_partkey",
+            F.col("w").alias("weight_cents"),
+            F.expr(f"(cum * {k}) div wtot").cast("long").alias("tick"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+P7_SQL = """
+WITH w AS (
+  SELECT p_partkey,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+  FROM part
+),
+c AS (
+  SELECT p_partkey, w,
+         SUM(w) OVER (ORDER BY p_partkey ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER () AS wtot
+  FROM w
+)
+SELECT p_partkey, w AS weight_cents,
+       CAST((cum * 200) // wtot AS BIGINT) AS tick
+FROM c
+WHERE (cum * 200) // wtot > ((cum - w) * 200) // wtot
+ORDER BY p_partkey
+"""
+
+
 QUERIES = {
     "p4_split_invariants": (p4_split_invariants, P4_SQL),
     "p1_sample_bounds": (p1_sample_bounds, P1_SQL),
     "p2_stratified_sample_bounds": (p2_stratified_sample_bounds, P2_SQL),
+    "p7_pps_systematic": (p7_pps_systematic, P7_SQL),
 }
