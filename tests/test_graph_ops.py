@@ -1,0 +1,56 @@
+"""Brute-force cross-checks for the co-purchase graph queries
+(plans/graphq.py): the Spark triangle census vs an itertools
+enumeration of the same edge set, and lift sanity for frequent pairs."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_triangle_census_matches_bruteforce(spark):
+    from bigdata_spark.plans.graphq import _copurchase_pairs, graph_triangles
+
+    edges = {
+        (r["pa"], r["pb"]) for r in _copurchase_pairs(spark, SF).collect()
+    }
+    nodes = {n for e in edges for n in e}
+    adj: dict[int, set[int]] = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = 0
+    for a, b in edges:
+        tri += len(adj[a] & adj[b])
+    tri //= 3  # each triangle counted once per edge
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+
+    row = graph_triangles(spark, SF).collect()[0]
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(edges)
+    assert row["n_wedges"] == wedges
+    assert row["n_triangles"] == tri
+    if wedges:
+        assert abs(row["global_clustering"] - 3.0 * tri / wedges) < 1e-12
+
+
+def test_frequent_pairs_support_and_lift(spark):
+    from bigdata_spark.plans.graphq import mb_frequent_pairs
+
+    rows = mb_frequent_pairs(spark, SF).collect()
+    assert rows, "sf0.001 must yield at least one frequent pair"
+    baskets: dict[int, set[int]] = {}
+    for r in (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ):
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    for r in rows[:50]:
+        want = sum(
+            1 for items in baskets.values() if {r["pa"], r["pb"]} <= items
+        )
+        assert r["support"] == want >= 2
+        assert r["pa"] < r["pb"]
+        assert r["lift"] > 0
