@@ -243,3 +243,38 @@ def pagerank_fixed_point(
         if i % 3 == 2 or i == iterations - 1:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def ancestor_closure(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Transitive ancestor closure of a forest by recursive doubling.
+
+    ``edges`` is (node, parent) — each node's single parent (roots
+    absent). Returns (node, anc, dist) for every proper ancestor.
+    Round r composes the closure with itself (dist adds), so known
+    path length doubles each round: O(log depth) Spark jobs instead of
+    the O(depth) rounds a naive parent-at-a-time walk needs — the
+    standard recursive-CTE replacement shape at 100 TB, where a
+    10-level hierarchy closes in 4 shuffles. In a forest each (node,
+    anc) pair has exactly one path, so the dedup after composition is
+    a plain distinct on identical rows.
+    """
+    from pyspark.sql import functions as F
+
+    closure = edges.select(
+        F.col("node"), F.col("parent").alias("anc"), F.lit(1).alias("dist")
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        a = closure.alias("a")
+        b = closure.alias("b")
+        composed = a.join(b, F.col("a.anc") == F.col("b.node")).select(
+            F.col("a.node").alias("node"),
+            F.col("b.anc").alias("anc"),
+            (F.col("a.dist") + F.col("b.dist")).alias("dist"),
+        )
+        grown = closure.unionAll(composed).distinct().localCheckpoint()
+        n_before = closure.count()
+        n_after = grown.count()
+        closure = grown
+        if n_after == n_before:
+            break
+    return closure

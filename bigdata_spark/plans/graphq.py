@@ -295,8 +295,85 @@ FROM tri
 """
 
 
+# ---------------------------------------------------------------------------
+# Hierarchy rollup via transitive closure (recursive-CTE parity)
+# ---------------------------------------------------------------------------
+
+
+def hier_rollup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree rollup over a part category tree — the recursive-CTE
+    workload Spark SQL lacks, expressed with the log-round doubling
+    closure (operators/graph.ancestor_closure).
+
+    The hierarchy is the deterministic 4-ary forest parent(k) =
+    (k-1) div 4 over p_partkey (a stand-in for a real category table;
+    the operator only sees (node, parent) rows). Per node: its depth,
+    descendant count (incl. self) and subtree retail value in exact
+    integer cents. The closure is O(n · depth) rows built in O(log
+    depth) shuffles; the rollup is one groupBy over it."""
+    from ..operators.graph import ancestor_closure
+
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("w"),
+    )
+    edges = p.filter(F.col("node") > 0).select(
+        "node", F.expr("(node - 1) div 4").alias("parent")
+    )
+    proper = ancestor_closure(edges)
+    closure = proper.unionAll(
+        p.select("node", F.col("node").alias("anc"), F.lit(0).alias("dist"))
+    )
+    depth = closure.groupBy("node").agg(F.max("dist").alias("depth"))
+    roll = (
+        closure.join(p, "node")
+        .groupBy("anc")
+        .agg(
+            F.count("*").alias("n_desc"),
+            F.sum("w").alias("subtree_value_cents"),
+        )
+    )
+    return (
+        roll.join(depth, roll.anc == depth.node)
+        .select(
+            F.col("anc").alias("p_partkey"),
+            "depth",
+            "n_desc",
+            "subtree_value_cents",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+HIER_ROLLUP_SQL = """
+WITH RECURSIVE anc AS (
+  SELECT p_partkey AS node, p_partkey AS anc, 0 AS dist FROM part
+  UNION ALL
+  SELECT node, (anc - 1) // 4 AS anc, dist + 1 FROM anc WHERE anc > 0
+),
+vals AS (
+  SELECT p_partkey,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+  FROM part
+),
+depth AS (SELECT node, CAST(MAX(dist) AS BIGINT) AS depth FROM anc GROUP BY node),
+roll AS (
+  SELECT a.anc AS p_partkey, COUNT(*) AS n_desc,
+         CAST(SUM(v.w) AS BIGINT) AS subtree_value_cents
+  FROM anc a JOIN vals v ON v.p_partkey = a.node
+  GROUP BY a.anc
+)
+SELECT r.p_partkey, d.depth, r.n_desc, r.subtree_value_cents
+FROM roll r JOIN depth d ON d.node = r.p_partkey
+ORDER BY r.p_partkey
+"""
+
+
 QUERIES = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "mb_frequent_pairs": (mb_frequent_pairs, MB_PAIRS_SQL),
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
+    "hier_rollup_closure": (hier_rollup_closure, HIER_ROLLUP_SQL),
 }

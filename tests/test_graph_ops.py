@@ -54,3 +54,22 @@ def test_frequent_pairs_support_and_lift(spark):
         assert r["support"] == want >= 2
         assert r["pa"] < r["pb"]
         assert r["lift"] > 0
+
+
+def test_ancestor_closure_doubling(spark):
+    """Closure of a known 15-node binary tree: exact pair set, and the
+    doubling loop converges in log rounds (depth 3 -> all dists 1..3)."""
+    from bigdata_spark.operators.graph import ancestor_closure
+
+    edges = spark.createDataFrame(
+        [(k, (k - 1) // 2) for k in range(1, 15)], "node long, parent long"
+    )
+    got = {(r["node"], r["anc"], r["dist"]) for r in ancestor_closure(edges).collect()}
+    want = set()
+    for k in range(1, 15):
+        a, d = k, 0
+        while a > 0:
+            a = (a - 1) // 2
+            d += 1
+            want.add((k, a, d))
+    assert got == want
