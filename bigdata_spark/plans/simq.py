@@ -318,8 +318,77 @@ SIM_PQ_SQL = (
 )
 
 
+def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join via grid bucketing (the 2-D analog of
+    the LSH band join): points land in r-sized grid cells; the left
+    side explodes to its 3x3 cell neighborhood, the right side keys by
+    its exact cell, so the equi-join on cell id yields every candidate
+    within radius r exactly once per ordered pair — then the exact
+    squared-distance filter verifies. Shuffle moves (id, x, y, cell)
+    only; candidate count is density-bounded per cell instead of the
+    n^2 cross join the oracle runs. Coordinates are the first two
+    embedding dims cast to DOUBLE (exact), the distance expression is
+    shared verbatim with the oracle."""
+    r = "2e-2"
+    r2 = "4e-4"
+    pts = _vecs(spark, sf_dir).select(
+        "vec_id",
+        F.expr("CAST(element_at(embedding, 1) AS DOUBLE)").alias("x"),
+        F.expr("CAST(element_at(embedding, 2) AS DOUBLE)").alias("y"),
+    )
+    cell = lambda c: F.expr(f"CAST(floor({c} / {r}) AS BIGINT)")  # noqa: E731
+    right = pts.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        cell("x").alias("cx"),
+        cell("y").alias("cy"),
+    )
+    left = (
+        pts.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            cell("x").alias("cx0"),
+            cell("y").alias("cy0"),
+        )
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "id_a",
+            "ax",
+            "ay",
+            (F.col("cx0") + F.col("dx")).alias("cx"),
+            (F.col("cy0") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = "(ax - bx) * (ax - bx) + (ay - by) * (ay - by)"
+    return (
+        left.join(right, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.expr(f"{d2} <= {r2}"))
+        .select("id_a", "id_b", F.expr(d2).alias("dist2"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+GEO_RADIUS_SQL = """
+WITH pts AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4e-4
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "dist_kernels": (dist_kernels, DIST_KERNELS_SQL),
+    "geo_radius_join": (geo_radius_join, GEO_RADIUS_SQL),
     "sim_topk_pq": (sim_topk_pq, SIM_PQ_SQL),
     "nearest_exemplar": (nearest_exemplar, NEAREST_EXEMPLAR_SQL),
     "sim_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
