@@ -664,7 +664,90 @@ WHERE len(toks) > 0
 """
 
 
+def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring, OOV-rate form.
+
+    A reference LM is trained on a held slice of the corpus (doc_id %
+    10 == 0 here; a real pipeline uses a trusted corpus): bigram →
+    occurrence count. Every document is then scored by its
+    out-of-vocabulary bigram rate and known-bigram mean frequency, and
+    band-filtered — the classic perplexity filter with an exact
+    rational score instead of a float log-sum, so the result is
+    bit-identical cross-engine (same reason txt_tfidf uses rational
+    idf).
+
+    Scale shape: training is one groupBy over exploded bigrams;
+    scoring is one hash join of doc-bigrams against the LM table (at
+    100 TB the LM side is large → shuffle hash join; the top-df
+    stop-bigrams are exactly the keys the skew salting in
+    operators/skew.py handles) plus one groupBy back to doc grain."""
+    from ..operators.parallelism import ensure_parallelism
+    from ..text.analysis import tokens
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens("text").alias("t")).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+            )
+        ).alias("bg"),
+    )
+    lm = (
+        bigrams.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("bg")
+        .agg(F.count("*").alias("cnt"))
+    )
+    scored = (
+        bigrams.join(lm, "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.count(F.when(F.col("cnt").isNull(), 1)).alias("n_oov"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("known_mass"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "n_oov",
+        "known_mass",
+        F.expr("CAST(n_oov AS DOUBLE) / n_bigrams").alias("oov_rate"),
+        F.expr("CAST(n_oov AS DOUBLE) / n_bigrams <= 0.5").alias("keep"),
+    ).orderBy("doc_id")
+
+
+LLM_BIGRAM_LM_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+  FROM base, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+),
+lm AS (
+  SELECT bg, COUNT(*) AS cnt FROM bg WHERE doc_id % 10 = 0 GROUP BY bg
+),
+scored AS (
+  SELECT b.doc_id,
+         COUNT(*) AS n_bigrams,
+         COUNT(*) FILTER (lm.cnt IS NULL) AS n_oov,
+         COALESCE(SUM(lm.cnt), 0) AS known_mass
+  FROM bg b LEFT JOIN lm ON lm.bg = b.bg
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams, n_oov, CAST(known_mass AS BIGINT) AS known_mass,
+       CAST(n_oov AS DOUBLE) / n_bigrams AS oov_rate,
+       CAST(n_oov AS DOUBLE) / n_bigrams <= 0.5 AS keep
+FROM scored ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "llm_bigram_lm": (llm_bigram_lm, LLM_BIGRAM_LM_SQL),
     "llm_corpus_filter": (llm_corpus_filter, LLM_CORPUS_FILTER_SQL),
     "llm_chunk_udtf": (llm_chunk_udtf, LLM_CHUNK_SQL),
     "llm_mix_sample": (llm_mix_sample, LLM_MIX_SQL),
