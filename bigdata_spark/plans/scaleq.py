@@ -871,7 +871,72 @@ S12_SQL = (
 )
 
 
+def s23_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO (operators/merge.py): one full-outer join
+    realizes WHEN MATCHED AND is_delete THEN DELETE / WHEN MATCHED
+    THEN UPDATE / WHEN NOT MATCHED THEN INSERT, with unmatched target
+    rows carried. Target = every 20th order; source = every 30th with
+    a +50 price revision, every 300th tombstoned. Result is audited
+    per (action, status) with exact decimal price sums."""
+    from ..operators.merge import merge_into
+
+    o = load_table(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    source = o.filter(F.col("o_orderkey") % 30 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 50.0).alias("o_totalprice"),
+        "o_orderstatus",
+        (F.col("o_orderkey") % 300 == 0).alias("is_delete"),
+    )
+    merged = merge_into(
+        target,
+        source,
+        ["o_orderkey"],
+        delete_when=F.col("s.is_delete"),
+        action_col="action",
+    )
+    return (
+        merged.groupBy("action", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_sum"),
+        )
+        .orderBy("action", "o_orderstatus")
+    )
+
+
+S23_MERGE_SQL = """
+WITH t AS (
+  SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st
+  FROM orders WHERE o_orderkey % 20 = 0
+),
+s AS (
+  SELECT o_orderkey AS k, o_totalprice + 50.0 AS p, o_orderstatus AS st,
+         o_orderkey % 300 = 0 AS is_del
+  FROM orders WHERE o_orderkey % 30 = 0
+),
+m AS (
+  SELECT CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN s.p
+              WHEN s.k IS NULL THEN t.p ELSE s.p END AS p,
+         CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN s.st
+              WHEN s.k IS NULL THEN t.st ELSE s.st END AS st,
+         CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN 'update'
+              WHEN s.k IS NULL THEN 'carry' ELSE 'insert' END AS action
+  FROM t FULL OUTER JOIN s ON t.k = s.k
+  WHERE NOT (t.k IS NOT NULL AND s.k IS NOT NULL AND s.is_del)
+)
+SELECT action, st AS o_orderstatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+FROM m GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "s23_merge_into": (s23_merge_into, S23_MERGE_SQL),
     "skew_salted_agg": (skew_salted_agg, SKEW_AGG_SQL),
     "skew_salted_join": (skew_salted_join, SKEW_JOIN_SQL),
     "skew_stress_agg": (skew_stress_agg, SKEW_STRESS_SQL),
