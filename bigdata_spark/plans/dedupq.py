@@ -617,7 +617,71 @@ FROM d LEFT JOIN s ON d.source = s.source
 """
 
 
+def dedup_symspell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 similarity self-join via the SymSpell
+    deletion-neighborhood: each distinct name emits itself plus its
+    |s| single-character deletions as join keys; two strings within
+    one edit ALWAYS share a key (equal, insertion/deletion: one is a
+    deletion of the other, substitution: both delete the differing
+    position), so an EQUI-join on the key finds every candidate — no
+    quadratic cross join, no length-band range join. Candidates dedupe
+    then verify with the native Levenshtein kernel (JVM codegen).
+
+    Scale shape: key expansion is a narrow flatMap (|s|+1 rows per
+    name), the join is a plain hash shuffle on short string keys, and
+    verification touches only candidates — the entity-resolution
+    blocking pattern that survives 10^9 names where a levenshtein
+    cross join cannot."""
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    keys = names.select(
+        F.col("p_name").alias("s"),
+        F.explode(
+            F.expr(
+                "array_distinct(array_append("
+                "transform(sequence(1, length(p_name)),"
+                " i -> concat(substring(p_name, 1, i - 1), substring(p_name, i + 1))),"
+                " p_name))"
+            )
+        ).alias("k"),
+    )
+    a = keys.alias("a")
+    b = keys.alias("b")
+    cand = (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("name_a"), F.col("b.s").alias("name_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("edit_dist") <= 1)
+        .orderBy("name_a", "name_b")
+    )
+
+
+DEDUP_SYMSPELL_SQL = """
+WITH n AS (SELECT DISTINCT p_name AS s FROM part),
+keys AS (
+  SELECT s,
+         unnest(list_distinct(list_append(
+           [substr(s, 1, i - 1) || substr(s, i + 1) for i in range(1, len(s) + 1)],
+           s))) AS k
+  FROM n
+),
+cand AS (
+  SELECT DISTINCT a.s AS name_a, b.s AS name_b
+  FROM keys a JOIN keys b ON a.k = b.k AND a.s < b.s
+)
+SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 1
+ORDER BY name_a, name_b
+"""
+
+
 QUERIES = {
+    "dedup_symspell_join": (dedup_symspell_join, DEDUP_SYMSPELL_SQL),
     "dedup_keep_one": (dedup_keep_one, DEDUP_KEEP_ONE_SQL),
     "dedup_exact_stats": (dedup_exact_stats, DEDUP_EXACT_SQL),
     "dedup_stream_firstseen": (dedup_stream_firstseen, DEDUP_STREAM_SQL),

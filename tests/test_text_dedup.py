@@ -102,3 +102,36 @@ def test_ngram_jaccard(docs):
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
     assert (1, 4) in got and got[(1, 4)] == pytest.approx(1.0)
     assert (1, 2) in got  # 9-token docs differing in last word
+
+
+def test_symspell_join_completeness_vs_bruteforce(spark):
+    """Deletion-neighborhood blocking must find EVERY lev<=1 pair:
+    cross-check against itertools brute force on real sf0.001 names."""
+    from itertools import combinations
+
+    from bigdata_spark.plans.dedupq import dedup_symspell_join
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["name_a"], r["name_b"], r["edit_dist"])
+        for r in dedup_symspell_join(spark, sf).collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    names = sorted(
+        {r["p_name"] for r in spark.read.parquet(f"{sf}/part.parquet").collect()}
+    )
+    want = {
+        (a, b, lev(a, b))
+        for a, b in combinations(names, 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want
