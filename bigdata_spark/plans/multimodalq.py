@@ -187,10 +187,41 @@ MM_FEATURES_SQL = values_oracle(
     "mm_decode_features", [("media_id", "bigint"), ("feat_sum", "double")]
 )
 
+
+def mm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio features: rFFT over each synthetic PCM16
+    clip (multimodal/media.decode_audio_spectral). The clips are pure
+    sines at 110*(1 + id mod 8) Hz, so the dominant-bin recovery is a
+    from-first-principles check (test) while the pinned oracle locks
+    the exact rounded values."""
+    media = synthetic_media_df(spark, n=64)
+    from ..multimodal.media import decode_audio_spectral
+
+    sp = decode_audio_spectral(media)
+    return sp.select(
+        "media_id",
+        F.round("dominant_hz", 6).alias("dominant_hz"),
+        F.round("centroid_hz", 6).alias("centroid_hz"),
+        F.round("rms", 9).alias("rms"),
+    )
+
+
+MM_AUDIO_SQL = values_oracle(
+    "mm_audio_spectral",
+    [
+        ("media_id", "bigint"),
+        ("dominant_hz", "double"),
+        ("centroid_hz", "double"),
+        ("rms", "double"),
+    ],
+)
+
+
 QUERIES = {
     "mm_decode_invariants": (mm_decode_invariants, MM_DECODE_SQL),
     "mm_resize_invariants": (mm_resize_invariants, MM_RESIZE_SQL),
     "mm_metadata": (mm_metadata, MM_METADATA_SQL),
     "mm_decode_features": (mm_decode_features, MM_FEATURES_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SQL),
+    "mm_audio_spectral": (mm_audio_spectral, MM_AUDIO_SQL),
 }

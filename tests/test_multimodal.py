@@ -129,3 +129,20 @@ def test_frame_sampling(media):
     # frame timestamps step by the interval
     one = out.filter(F.col("media_id") == sorted(durations)[0]).orderBy("frame_ix").collect()
     assert [r["frame_ts_ms"] for r in one] == [i * 1000 for i in range(len(one))]
+
+
+def test_audio_spectral_recovers_sine_frequency(spark):
+    """The synthetic audio clips are pure sines at 110*(1 + id mod 8)
+    Hz; the rFFT dominant bin must land within one bin (rate/frame =
+    3.90625 Hz) and RMS at amplitude 12000/32768 / sqrt(2)."""
+    import math
+
+    from bigdata_spark.multimodal.media import decode_audio_spectral, synthetic_media_df
+
+    rows = decode_audio_spectral(synthetic_media_df(spark, n=24)).collect()
+    assert rows, "audio rows expected"
+    for r in rows:
+        want_hz = 110.0 * (1 + r["media_id"] % 8)
+        assert abs(r["dominant_hz"] - want_hz) <= 16000 / 4096
+        assert abs(r["rms"] - 12000 / 32768 / math.sqrt(2)) < 1e-3
+        assert r["centroid_hz"] > 0
