@@ -465,6 +465,42 @@ FROM supplier GROUP BY s_nationkey
 """
 
 
+def s24_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source roundtrip (Spark 4 native XML datasource —
+    rowTag records, schema inference on read). Same real-value oracle
+    pattern as ORC/Avro: the rollup is computed from the XML copy and
+    must hash-match DuckDB's rollup of the original parquet. Dates are
+    round-tripped as ISO strings (XML is schema-light; the read-back
+    casts restore types explicitly rather than trusting inference)."""
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_xml_")
+    try:
+        c = load_table(spark, sf_dir, "customer")
+        c.write.format("xml").option("rowTag", "customer").mode(
+            "overwrite"
+        ).save(scratch)
+        back = spark.read.format("xml").option("rowTag", "customer").load(scratch)
+        rollup = back.groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey")).agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("acctbal_sum"),
+        )
+        rows = rollup.collect()
+        return spark.createDataFrame(rows, rollup.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S24_XML_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS acctbal_sum
+FROM customer GROUP BY c_nationkey
+"""
+
+
 def s17_delete_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned-table DELETE + row-level CDC (streaming/upsert_sink):
     v0 = an orders slice, v1 = keyed price update, v2 = GDPR-style
@@ -948,6 +984,7 @@ QUERIES = {
     "s14_orc_roundtrip": (s14_orc_roundtrip, S14_SQL),
     "s15_zorder_layout": (s15_zorder_layout, S15_ZORDER_SQL),
     "s16_avro_roundtrip": (s16_avro_roundtrip, S16_AVRO_SQL),
+    "s24_xml_roundtrip": (s24_xml_roundtrip, S24_XML_SQL),
     "s17_delete_cdc": (s17_delete_cdc, S17_CDC_SQL),
     "s18_incremental_agg": (s18_incremental_agg, S18_IVM_SQL),
     "s19_csv_quoting": (s19_csv_quoting, S19_CSV_SQL),
