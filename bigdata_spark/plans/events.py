@@ -7,7 +7,7 @@ time_bucket / gaps-and-islands SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -841,7 +841,99 @@ FROM filled
 """
 
 
+def evt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch revenue attribution with a 1-hour
+    lookback: each purchase joins its user's click/view touches in
+    [ts - 1h, ts), channel derived from the touch's props; the
+    first/last touch per purchase is a row_number over (ts, event_id)
+    — a deterministic total order shared with the oracle. Plan shape:
+    one equi-join shuffle on user_id with the range predicate applied
+    in-join, then purchase-grained windows (tiny partitions — one per
+    conversion), then the channel rollup."""
+    e = load_table(spark, sf_dir, "events")
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_eid"),
+        F.concat(
+            F.lit("ch"),
+            (F.get_json_object("props", "$.k").cast("int") % 5).cast("string"),
+        ).alias("channel"),
+    )
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_eid"),
+        "value",
+    )
+    cand = conv.join(touches, "user_id").filter(
+        F.expr("t_ts >= p_ts - INTERVAL 1 HOUR AND t_ts < p_ts")
+    )
+    w_first = Window.partitionBy("p_eid").orderBy(
+        F.col("t_ts").asc(), F.col("t_eid").asc()
+    )
+    w_last = Window.partitionBy("p_eid").orderBy(
+        F.col("t_ts").desc(), F.col("t_eid").desc()
+    )
+    first = (
+        cand.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .select(F.lit("first_touch").alias("model"), "channel", "value")
+    )
+    last = (
+        cand.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select(F.lit("last_touch").alias("model"), "channel", "value")
+    )
+    return (
+        first.unionAll(last)
+        .groupBy("model", "channel")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("model", "channel")
+    )
+
+
+EVT_ATTRIBUTION_SQL = """
+WITH touches AS (
+  SELECT user_id, ts AS t_ts, event_id AS t_eid,
+         'ch' || CAST(CAST(props->>'$.k' AS INTEGER) % 5 AS VARCHAR) AS channel
+  FROM events WHERE event_type IN ('click', 'view')
+),
+conv AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_eid, value
+  FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+  SELECT c.p_eid, c.value, t.channel, t.t_ts, t.t_eid
+  FROM conv c JOIN touches t ON t.user_id = c.user_id
+  WHERE t.t_ts >= c.p_ts - INTERVAL 1 HOUR AND t.t_ts < c.p_ts
+),
+first AS (
+  SELECT 'first_touch' AS model, channel, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY p_eid ORDER BY t_ts ASC, t_eid ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+last AS (
+  SELECT 'last_touch' AS model, channel, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY p_eid ORDER BY t_ts DESC, t_eid DESC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT model, channel, COUNT(*) AS n_conversions,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM (SELECT * FROM first UNION ALL SELECT * FROM last)
+GROUP BY model, channel ORDER BY model, channel
+"""
+
+
 QUERIES = {
+    "evt_attribution": (evt_attribution, EVT_ATTRIBUTION_SQL),
     "evt_resample_gapfill": (evt_resample_gapfill, EVT_GAPFILL_SQL),
     "evt_stream_dedup": (evt_stream_dedup, EVT_STREAM_DEDUP_SQL),
     "evt_tumbling_1h": (evt_tumbling_1h, EVT_TUMBLING_SQL),
