@@ -256,8 +256,98 @@ FROM s ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# stat_reg_multi — multivariate OLS via normal equations + Cramer
+# ---------------------------------------------------------------------------
+
+# Normal-equation system for y ~ 1 + x1 + x2:
+#   [ n    sx1   sx2  ] [b0]   [ sy   ]
+#   [ sx1  sx11  sx12 ] [b1] = [ sx1y ]
+#   [ sx2  sx12  sx22 ] [b2]   [ sx2y ]
+# solved by Cramer's rule with one shared expression per coefficient —
+# identical text in Spark and DuckDB, doubles derived from exact
+# decimal sums, so the solve is bit-identical cross-engine.
+_DET_A = (
+    "(n * (sx11 * sx22 - sx12 * sx12)"
+    " - sx1 * (sx1 * sx22 - sx12 * sx2)"
+    " + sx2 * (sx1 * sx12 - sx11 * sx2))"
+)
+_DET_B0 = (
+    "(sy * (sx11 * sx22 - sx12 * sx12)"
+    " - sx1 * (sx1y * sx22 - sx12 * sx2y)"
+    " + sx2 * (sx1y * sx12 - sx11 * sx2y))"
+)
+_DET_B1 = (
+    "(n * (sx1y * sx22 - sx12 * sx2y)"
+    " - sy * (sx1 * sx22 - sx12 * sx2)"
+    " + sx2 * (sx1 * sx2y - sx1y * sx2))"
+)
+_DET_B2 = (
+    "(n * (sx11 * sx2y - sx1y * sx12)"
+    " - sx1 * (sx1 * sx2y - sx1y * sx2)"
+    " + sy * (sx1 * sx12 - sx11 * sx2))"
+)
+
+
+def stat_reg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped MULTIVARIATE linear regression (y = extendedprice ~
+    quantity + discount) — the full normal-equations-at-scale pattern:
+    one map-side-combinable pass builds the exact Gram matrix (d = 2 →
+    9 decimal cells + 1 count per group), Cramer's rule solves the
+    3x3 system as a projection. No driver solve, no MLlib iteration;
+    at 100 TB the shuffle is 10 cells per group."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+    )
+    x1 = _dec2("l_quantity")
+    x2 = _dec2("l_discount")
+    y = _dec2("l_extendedprice")
+    agg = l.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x1).cast("double").alias("sx1"),
+        F.sum(x2).cast("double").alias("sx2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("double").alias("sx11"),
+        F.sum(x1 * x2).cast("double").alias("sx12"),
+        F.sum(x2 * x2).cast("double").alias("sx22"),
+        F.sum(x1 * y).cast("double").alias("sx1y"),
+        F.sum(x2 * y).cast("double").alias("sx2y"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr(f"{_DET_B0} / {_DET_A}").alias("intercept"),
+        F.expr(f"{_DET_B1} / {_DET_A}").alias("beta_quantity"),
+        F.expr(f"{_DET_B2} / {_DET_A}").alias("beta_discount"),
+    ).orderBy("l_returnflag")
+
+
+STAT_REG_MULTI_SQL = f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx1,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx11,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sx12,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sx22,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx1y,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx2y
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       {_DET_B0} / {_DET_A} AS intercept,
+       {_DET_B1} / {_DET_A} AS beta_quantity,
+       {_DET_B2} / {_DET_A} AS beta_discount
+FROM s ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "stat_reg_group": (stat_reg_group, STAT_REG_SQL),
+    "stat_reg_multi": (stat_reg_multi, STAT_REG_MULTI_SQL),
     "stat_corr_matrix": (stat_corr_matrix, STAT_CORR_SQL),
     "stat_ab_welch": (stat_ab_welch, STAT_WELCH_SQL),
 }

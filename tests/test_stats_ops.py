@@ -62,3 +62,30 @@ def test_ab_welch_invariants(spark):
         assert r["welch_df"] <= r["n_arm_a"] + r["n_arm_b"] - 2
         # arm split is a hash of user_id, not value: means must be close
         assert abs(r["mean_a"] - r["mean_b"]) < 0.5 * max(r["mean_a"], r["mean_b"])
+
+
+def test_reg_multi_matches_numpy_lstsq(spark):
+    """The Cramer closed form vs numpy's SVD-based lstsq — fully
+    independent solvers must agree to high precision."""
+    import numpy as np
+
+    from bigdata_spark.plans.statsq import stat_reg_multi
+
+    rows = {r["l_returnflag"]: r for r in stat_reg_multi(spark, SF).collect()}
+    import duckdb
+
+    data = duckdb.sql(
+        "SELECT l_returnflag, l_quantity, l_discount, l_extendedprice"
+        f" FROM '{SF}/lineitem.parquet'"
+    ).fetchall()
+    by_flag: dict[str, list] = {}
+    for flag, q, d, y in data:
+        by_flag.setdefault(flag, []).append((q, d, y))
+    for flag, rs in by_flag.items():
+        arr = np.array(rs)
+        X = np.column_stack([np.ones(len(arr)), arr[:, 0], arr[:, 1]])
+        beta, *_ = np.linalg.lstsq(X, arr[:, 2], rcond=None)
+        got = rows[flag]
+        assert abs(got["intercept"] - beta[0]) < 1e-5 * max(1, abs(beta[0]))
+        assert abs(got["beta_quantity"] - beta[1]) < 1e-5 * max(1, abs(beta[1]))
+        assert abs(got["beta_discount"] - beta[2]) < 1e-4 * max(1, abs(beta[2]))
