@@ -139,6 +139,47 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("no Python evaluation anywhere", r"(?s)\A(?!.*(BatchEvalPython|ArrowEvalPython))"),
         ("bucket means partially aggregated before the shuffle", r"partial_sum"),
     ],
+    "stat_reg_multi": [
+        ("map-side partial decimal Gram sums", r"partial_sum\(cast\(l_quantity"),
+        ("scan pruned to the regression columns", r"ReadSchema: (?![^\n]*l_shipdate)(?![^\n]*l_tax)"),
+        ("no Python in the solve (pure codegen projection)", r"^(?![\s\S]*BatchEvalPython)"),
+    ],
+    "stat_ab_welch": [
+        ("one conditional aggregation, no self-join", r"^(?![\s\S]*SortMergeJoin)(?![\s\S]*BroadcastHashJoin)"),
+        ("map-side partials for both arms", r"partial_sum"),
+    ],
+    "p7_pps_systematic": [
+        ("bucket offsets broadcast onto fact rows", r"BroadcastHashJoin"),
+        ("fact window is bucket-partitioned (no global sort of facts)", r"Window[\s\S]*partitionBy|windowspecdefinition\(bucket"),
+    ],
+    "mb_frequent_pairs": [
+        ("no cartesian/self-join pair expansion", r"^(?![\s\S]*CartesianProduct)"),
+        ("basket-local HOF pair generation", r"Generate[\s\S]*explode\(flatten\(transform"),
+        ("item counts broadcast onto edges", r"BroadcastHashJoin"),
+    ],
+    "geo_radius_join": [
+        ("equi-join on grid cells, not a cross join", r"^(?![\s\S]*CartesianProduct)(?![\s\S]*BroadcastNestedLoopJoin)"),
+        ("neighbor-cell explode present", r"Generate[\s\S]*explode\("),
+    ],
+    "llm_bigram_lm": [
+        ("LM join is a hash/merge join on the bigram key", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("no Python UDFs anywhere", r"^(?![\s\S]*BatchEvalPython)(?![\s\S]*ArrowEvalPython)"),
+    ],
+    "dedup_symspell_join": [
+        ("deletion-key blocking is an equi-join", r"^(?![\s\S]*CartesianProduct)(?![\s\S]*BroadcastNestedLoopJoin)"),
+        ("native levenshtein verification", r"levenshtein"),
+    ],
+    "evt_attribution": [
+        ("touch join is an equi-join on user_id", r"^(?![\s\S]*CartesianProduct)"),
+        ("range predicate applied inside the join", r"joincondition|SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+    ],
+    "s23_merge_into": [
+        ("single full-outer join realizes the merge", r"FullOuter"),
+    ],
+    "mm_audio_spectral": [
+        ("spectral decode is Arrow-batched mapInPandas", r"MapInPandas"),
+        ("payload pruned before anything downstream", r"^(?![\s\S]*Exchange[\s\S]*payload)"),
+    ],
 }
 
 
