@@ -657,6 +657,92 @@ FROM ranked WHERE rn = (n + 1) // 2
 """
 
 
+def f12_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-bucket feature discretization (the QuantileDiscretizer
+    workload, EXACT): per return-flag group, the quartile boundaries
+    are the values at ranks ceil(q·n) under a total order (the
+    w6_exact_median rank-selection pattern — one exchange carries both
+    rank and count), then every row bins against its group's broadcast
+    boundaries and the bins roll up. Sketch-free and deterministic in
+    any engine; at 100 TB the boundary table is O(groups) rows."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("l_returnflag")
+    ranked = l.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    bnd = ranked.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("l_extendedprice"))
+        ).alias("q1"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("l_extendedprice"))
+        ).alias("q2"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("l_extendedprice"))
+        ).alias("q3"),
+    )
+    binned = l.join(F.broadcast(bnd), "l_returnflag").withColumn(
+        "bin",
+        F.when(F.col("l_extendedprice") <= F.col("q1"), F.lit(1))
+        .when(F.col("l_extendedprice") <= F.col("q2"), F.lit(2))
+        .when(F.col("l_extendedprice") <= F.col("q3"), F.lit(3))
+        .otherwise(F.lit(4)),
+    )
+    return (
+        binned.groupBy("l_returnflag", "bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_sum"),
+            F.min("q1").alias("q1"),
+            F.min("q2").alias("q2"),
+            F.min("q3").alias("q3"),
+        )
+        .orderBy("l_returnflag", "bin")
+    )
+
+
+F12_QBINS_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+bnd AS (
+  SELECT l_returnflag,
+         MIN(CASE WHEN rn = (n + 3) // 4 THEN l_extendedprice END) AS q1,
+         MIN(CASE WHEN rn = (n + 1) // 2 THEN l_extendedprice END) AS q2,
+         MIN(CASE WHEN rn = (3 * n + 3) // 4 THEN l_extendedprice END) AS q3
+  FROM ranked GROUP BY l_returnflag
+),
+binned AS (
+  SELECT l.l_returnflag, l.l_extendedprice, b.q1, b.q2, b.q3,
+         CASE WHEN l.l_extendedprice <= b.q1 THEN 1
+              WHEN l.l_extendedprice <= b.q2 THEN 2
+              WHEN l.l_extendedprice <= b.q3 THEN 3
+              ELSE 4 END AS bin
+  FROM lineitem l JOIN bnd b USING (l_returnflag)
+)
+SELECT l_returnflag, bin, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+       MIN(q1) AS q1, MIN(q2) AS q2, MIN(q3) AS q3
+FROM binned GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "tpch_q7": (tpch_q7, TPCH_Q7_SQL),
     "tpch_q10": (tpch_q10, TPCH_Q10_SQL),
@@ -670,6 +756,7 @@ QUERIES = {
     "a13_per_class_prf": (a13_per_class_prf, A13_SQL),
     "w5_analytic_suite": (w5_analytic_suite, W5_SQL),
     "w6_exact_median": (w6_exact_median, W6_MEDIAN_SQL),
+    "f12_quantile_bins": (f12_quantile_bins, F12_QBINS_SQL),
     "o2_repartition_invariants": (o2_repartition_invariants, O2_SQL),
     "s2_tsv_roundtrip": (s2_tsv_roundtrip, S2_SQL),
     "p6_partition_local_sample": (p6_partition_local_sample, P6_SQL),

@@ -345,9 +345,89 @@ FROM s ORDER BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# stat_chi2_independence — chi-squared test over a contingency table
+# ---------------------------------------------------------------------------
+
+
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence (orderstatus × orderpriority).
+
+    One groupBy builds the contingency table; margins are window sums
+    over the handful of cells (the post-aggregation table is tiny at
+    any input scale, so the windows are free); the statistic folds the
+    cells with the shared (obs - exp)^2 / exp expression. Output also
+    carries the degrees of freedom and the per-cell max contribution
+    (which cell drives the dependence) — rounded to 6 dp to absorb
+    cross-engine float-summation order."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("obs")
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    w_row = Window.partitionBy("o_orderstatus")
+    w_col = Window.partitionBy("o_orderpriority")
+    with_m = cells.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "obs",
+        F.sum("obs").over(w_row).alias("row_tot"),
+        F.sum("obs").over(w_col).alias("col_tot"),
+        F.sum("obs").over(w_all).alias("n"),
+    )
+    contrib = with_m.withColumn(
+        "contrib",
+        F.expr(
+            "(CAST(obs AS DOUBLE) - CAST(row_tot AS DOUBLE) * col_tot / n)"
+            " * (CAST(obs AS DOUBLE) - CAST(row_tot AS DOUBLE) * col_tot / n)"
+            " / (CAST(row_tot AS DOUBLE) * col_tot / n)"
+        ),
+    )
+    return contrib.agg(
+        F.round(F.sum("contrib"), 6).alias("chi2"),
+        (
+            (F.countDistinct("o_orderstatus") - 1)
+            * (F.countDistinct("o_orderpriority") - 1)
+        ).alias("dof"),
+        F.round(F.max("contrib"), 6).alias("max_cell_contrib"),
+        F.max("n").alias("n_rows"),
+    )
+
+
+STAT_CHI2_SQL = """
+WITH cells AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS obs
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT o_orderstatus, o_orderpriority, obs,
+         SUM(obs) OVER (PARTITION BY o_orderstatus) AS row_tot,
+         SUM(obs) OVER (PARTITION BY o_orderpriority) AS col_tot,
+         SUM(obs) OVER () AS n
+  FROM cells
+),
+c AS (
+  SELECT *,
+         (CAST(obs AS DOUBLE) - CAST(row_tot AS DOUBLE) * col_tot / n)
+         * (CAST(obs AS DOUBLE) - CAST(row_tot AS DOUBLE) * col_tot / n)
+         / (CAST(row_tot AS DOUBLE) * col_tot / n) AS contrib
+  FROM m
+)
+SELECT ROUND(SUM(contrib), 6) AS chi2,
+       (COUNT(DISTINCT o_orderstatus) - 1)
+       * (COUNT(DISTINCT o_orderpriority) - 1) AS dof,
+       ROUND(MAX(contrib), 6) AS max_cell_contrib,
+       CAST(MAX(n) AS BIGINT) AS n_rows
+FROM c
+"""
+
+
 QUERIES = {
     "stat_reg_group": (stat_reg_group, STAT_REG_SQL),
     "stat_reg_multi": (stat_reg_multi, STAT_REG_MULTI_SQL),
+    "stat_chi2_independence": (stat_chi2_independence, STAT_CHI2_SQL),
     "stat_corr_matrix": (stat_corr_matrix, STAT_CORR_SQL),
     "stat_ab_welch": (stat_ab_welch, STAT_WELCH_SQL),
 }
