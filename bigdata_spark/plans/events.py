@@ -932,7 +932,65 @@ GROUP BY model, channel ORDER BY model, channel
 """
 
 
+def evt_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (the financial TWAP kernel): each
+    observation holds until the next one, so its weight is the
+    interval length. Weights are exact integer microseconds from a
+    lead() over (ts, event_id) — a deterministic total order — and the
+    value·duration products stay DECIMAL until the final ratio.
+
+    Scale note: the window partitions by event_type; a production
+    deployment over years of ticks partitions by (series, day) and
+    stitches the one boundary row per shard — same plan shape."""
+    # ts may load as TIMESTAMP_NTZ; with the session pinned to UTC the
+    # cast to TIMESTAMP is value-preserving (same branch as _events_stream)
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    iv = e.select(
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        iv.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dt_us").alias("total_dur_us"),
+            F.sum(F.col("v") * F.col("dt_us")).alias("vdt"),
+        )
+        .select(
+            "event_type",
+            "n_intervals",
+            "total_dur_us",
+            F.expr("CAST(vdt AS DOUBLE) / total_dur_us").alias("twap"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVT_TWAP_SQL = """
+WITH iv AS (
+  SELECT event_type,
+         CAST(value AS DECIMAL(18,2)) AS v,
+         epoch_us(LEAD(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id))
+         - epoch_us(ts) AS dt_us
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(dt_us) AS BIGINT) AS total_dur_us,
+       CAST(SUM(v * dt_us) AS DOUBLE) / CAST(SUM(dt_us) AS BIGINT) AS twap
+FROM iv WHERE dt_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "evt_twap": (evt_twap, EVT_TWAP_SQL),
     "evt_attribution": (evt_attribution, EVT_ATTRIBUTION_SQL),
     "evt_resample_gapfill": (evt_resample_gapfill, EVT_GAPFILL_SQL),
     "evt_stream_dedup": (evt_stream_dedup, EVT_STREAM_DEDUP_SQL),
