@@ -588,6 +588,44 @@ GROUP BY 1, 2
 """
 
 
+def _stage_chronological_stream(
+    spark: SparkSession, e: DataFrame, scratch: str, n_parts: int = 4
+) -> DataFrame:
+    """Re-stage a batch frame as ``n_parts`` chronological parquet
+    files and return a ``readStream`` over them with
+    ``maxFilesPerTrigger=1`` — the harness that forces REAL multi-
+    micro-batch execution (and genuine watermark advancement) out of a
+    static table."""
+    import glob
+    import os
+    import shutil
+
+    bounds = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo) / n_parts
+    indir = os.path.join(scratch, "in")
+    os.makedirs(indir, exist_ok=True)
+    for i in range(n_parts):
+        q_lo = lo + i * span
+        q_hi = lo + (i + 1) * span
+        cond = (F.col("ts") >= F.lit(q_lo)) & (
+            (F.col("ts") < F.lit(q_hi)) if i < n_parts - 1 else (F.col("ts") <= F.lit(hi))
+        )
+        part_dir = os.path.join(scratch, f"q{i}")
+        e.filter(cond).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        shutil.copy(src, os.path.join(indir, f"{i:02d}.parquet"))
+    return (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+        # NTZ vintage: watermarks demand TIMESTAMP (LTZ); the session
+        # is pinned UTC so the cast is value-preserving (same branch
+        # as _events_stream)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
 def evt_stream_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-micro-batch Structured Streaming (every other streaming
     entry drains in one availableNow batch): events are re-staged as
@@ -608,30 +646,7 @@ def evt_stream_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("ts", "event_type")
     scratch = tempfile.mkdtemp(prefix="bigdata_spark_mb_")
     try:
-        bounds = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
-        lo, hi = bounds["lo"], bounds["hi"]
-        span = (hi - lo) / 4
-        indir = os.path.join(scratch, "in")
-        os.makedirs(indir)
-        for i in range(4):
-            q_lo = lo + i * span
-            q_hi = lo + (i + 1) * span
-            cond = (F.col("ts") >= F.lit(q_lo)) & (
-                (F.col("ts") < F.lit(q_hi)) if i < 3 else (F.col("ts") <= F.lit(hi))
-            )
-            part_dir = os.path.join(scratch, f"q{i}")
-            e.filter(cond).coalesce(1).write.mode("overwrite").parquet(part_dir)
-            src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
-            shutil.copy(src, os.path.join(indir, f"{i:02d}.parquet"))
-        stream = (
-            spark.readStream.schema(e.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(indir)
-            # NTZ vintage: watermarks demand TIMESTAMP (LTZ); the
-            # session is pinned UTC so the cast is value-preserving
-            # (same branch as _events_stream)
-            .withColumn("ts", F.col("ts").cast("timestamp"))
-        )
+        stream = _stage_chronological_stream(spark, e, scratch, n_parts=4)
         windowed = (
             stream.withWatermark("ts", "30 minutes")
             .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -989,7 +1004,60 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def evt_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode across four real micro-batches — the third
+    output mode (append and complete are covered elsewhere). Each
+    batch emits the CHANGED (window × type) counts; a window touched
+    by several batches emits several monotonically growing rows, so
+    max(n) per key is the final state and must equal the plain batch
+    tumbling count (the oracle). That equality is exactly the
+    cross-batch state-continuity guarantee update mode makes: counts
+    accumulate in the state store, they don't restart per batch."""
+    import shutil
+    import tempfile
+    import uuid
+
+    e = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_upd_")
+    try:
+        stream = _stage_chronological_stream(spark, e, scratch, n_parts=4)
+        windowed = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        qname = "evt_upd_" + uuid.uuid4().hex[:8]
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "evt_stream_update_mode: stream did not finish in 300s"
+            )
+        out = (
+            spark.table(qname)
+            .groupBy(F.col("window.start").alias("window_start"), "event_type")
+            .agg(F.max("n").alias("n"))
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+EVT_UPDATE_MODE_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "evt_stream_update_mode": (evt_stream_update_mode, EVT_UPDATE_MODE_SQL),
     "evt_twap": (evt_twap, EVT_TWAP_SQL),
     "evt_attribution": (evt_attribution, EVT_ATTRIBUTION_SQL),
     "evt_resample_gapfill": (evt_resample_gapfill, EVT_GAPFILL_SQL),
