@@ -657,6 +657,47 @@ FROM ranked WHERE rn = (n + 1) // 2
 """
 
 
+def o7_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (min price, max size). Distinct (price, size) points sort by
+    (price asc, size desc); a point survives iff its size strictly
+    exceeds the running max size of every cheaper-or-tied predecessor
+    — the classic sort-filter skyline. Skyline is distributive
+    (skyline of local skylines = global skyline), so at 100 TB each
+    partition pre-filters locally before the small global pass; the
+    distinct-pair table here is already catalog-sized. Reports each
+    frontier point with how many parts sit on it."""
+    p = load_table(spark, sf_dir, "part")
+    pts = p.groupBy("p_retailprice", "p_size").agg(F.count("*").alias("n_parts"))
+    w = (
+        Window.orderBy(F.col("p_retailprice").asc(), F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("run_max", F.max("p_size").over(w))
+        .filter(F.col("run_max").isNull() | (F.col("p_size") > F.col("run_max")))
+        .select("p_retailprice", "p_size", "n_parts")
+        .orderBy("p_retailprice", "p_size")
+    )
+
+
+O7_SKYLINE_SQL = """
+WITH pts AS (
+  SELECT p_retailprice, p_size, COUNT(*) AS n_parts
+  FROM part GROUP BY 1, 2
+),
+m AS (
+  SELECT *,
+         MAX(p_size) OVER (ORDER BY p_retailprice ASC, p_size DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+  FROM pts
+)
+SELECT p_retailprice, p_size, n_parts
+FROM m WHERE run_max IS NULL OR p_size > run_max
+ORDER BY p_retailprice, p_size
+"""
+
+
 def f12_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-bucket feature discretization (the QuantileDiscretizer
     workload, EXACT): per return-flag group, the quartile boundaries
@@ -757,6 +798,7 @@ QUERIES = {
     "w5_analytic_suite": (w5_analytic_suite, W5_SQL),
     "w6_exact_median": (w6_exact_median, W6_MEDIAN_SQL),
     "f12_quantile_bins": (f12_quantile_bins, F12_QBINS_SQL),
+    "o7_skyline_pareto": (o7_skyline_pareto, O7_SKYLINE_SQL),
     "o2_repartition_invariants": (o2_repartition_invariants, O2_SQL),
     "s2_tsv_roundtrip": (s2_tsv_roundtrip, S2_SQL),
     "p6_partition_local_sample": (p6_partition_local_sample, P6_SQL),

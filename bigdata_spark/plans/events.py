@@ -1056,7 +1056,52 @@ FROM events GROUP BY 1, 2
 """
 
 
+def evt_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-path transition matrix (Markov first-order): per user,
+    events order on (ts, event_id) and each consecutive pair counts a
+    prev_type → next_type transition; probabilities are exact rationals
+    over the per-prev totals. One window shuffle on user_id, one
+    rollup — the product-analytics 'path analysis' kernel."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = t.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return (
+        counts.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("CAST(n AS DOUBLE) / tot").alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+EVT_TRANSITIONS_SQL = """
+WITH t AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, SUM(n) AS tot FROM counts GROUP BY 1)
+SELECT c.prev_type, c.next_type, c.n, CAST(c.n AS DOUBLE) / t.tot AS p
+FROM counts c JOIN tot t USING (prev_type)
+ORDER BY c.prev_type, c.next_type
+"""
+
+
 QUERIES = {
+    "evt_transitions": (evt_transitions, EVT_TRANSITIONS_SQL),
     "evt_stream_update_mode": (evt_stream_update_mode, EVT_UPDATE_MODE_SQL),
     "evt_twap": (evt_twap, EVT_TWAP_SQL),
     "evt_attribution": (evt_attribution, EVT_ATTRIBUTION_SQL),
