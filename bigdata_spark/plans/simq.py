@@ -5,7 +5,7 @@ SURVEY §2.8 U1/U6/U9/U10 distance kernels natively).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.distances import (
@@ -386,9 +386,102 @@ ORDER BY id_a, id_b
 """
 
 
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding space: a held-out query
+    slice (vec_id ≡ 7 mod 20) classifies by majority label of its 5
+    nearest corpus neighbors (cosine, native kernels), deterministic
+    tie-break (count desc, label asc). Reports per-class and overall
+    accuracy via rollup. The scale path swaps brute_force_topk for the
+    IVF/LSH candidate generators unchanged — the vote and rollup are
+    neighbor-source-agnostic."""
+    from ..similarity.ann import brute_force_topk
+
+    e = _vecs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 20 == 7)
+    corpus = e.filter(F.col("vec_id") % 20 != 7)
+    knn = brute_force_topk(q, corpus, k=5)
+    nbr = knn.join(
+        corpus.select(
+            F.col("vec_id").alias("corpus_id"), F.col("label").alias("nbr_label")
+        ),
+        "corpus_id",
+    )
+    votes = nbr.groupBy("query_id", "nbr_label").agg(F.count("*").alias("v"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("nbr_label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nbr_label").alias("pred"))
+    )
+    truth = q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("truth"))
+    scored = pred.join(truth, "query_id")
+    return (
+        scored.rollup("truth")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.count(F.when(F.col("pred") == F.col("truth"), 1)).alias("n_correct"),
+        )
+        .select(
+            F.coalesce(F.col("truth"), F.lit(-1)).alias("label"),
+            "n_queries",
+            "n_correct",
+            F.expr("CAST(n_correct AS DOUBLE) / n_queries").alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+SIM_KNN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS v, label AS truth
+  FROM embeddings WHERE vec_id % 20 = 7
+),
+c AS (
+  SELECT vec_id AS corpus_id, embedding AS v, label AS nbr_label
+  FROM embeddings WHERE vec_id % 20 <> 7
+),
+scored AS (
+  SELECT q.query_id, c.corpus_id, c.nbr_label,
+    CASE WHEN ({_duck_l2('q.v')} * {_duck_l2('c.v')}) != 0.0
+         THEN {_duck_dot('q.v', 'c.v')} / ({_duck_l2('q.v')} * {_duck_l2('c.v')})
+         ELSE 0.0 END AS cosine
+  FROM c CROSS JOIN q
+  WHERE q.query_id != c.corpus_id
+),
+knn AS (
+  SELECT * FROM (
+    SELECT query_id, nbr_label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, corpus_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+votes AS (
+  SELECT query_id, nbr_label, COUNT(*) AS v FROM knn GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, nbr_label AS pred FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY v DESC, nbr_label ASC) AS rn
+    FROM votes
+  ) WHERE rn = 1
+),
+j AS (
+  SELECT p.query_id, p.pred, q.truth FROM pred p JOIN q ON q.query_id = p.query_id
+)
+SELECT COALESCE(truth, -1) AS label,
+       COUNT(*) AS n_queries,
+       COUNT(*) FILTER (pred = truth) AS n_correct,
+       CAST(COUNT(*) FILTER (pred = truth) AS DOUBLE) / COUNT(*) AS accuracy
+FROM j GROUP BY ROLLUP(truth)
+ORDER BY label
+"""
+
+
 QUERIES = {
     "dist_kernels": (dist_kernels, DIST_KERNELS_SQL),
     "geo_radius_join": (geo_radius_join, GEO_RADIUS_SQL),
+    "sim_knn_classify": (sim_knn_classify, SIM_KNN_SQL),
     "sim_topk_pq": (sim_topk_pq, SIM_PQ_SQL),
     "nearest_exemplar": (nearest_exemplar, NEAREST_EXEMPLAR_SQL),
     "sim_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
