@@ -115,7 +115,132 @@ SELECT check_name, n_violations, n_violations = 0 AS passed FROM checks
 """
 
 
+# Shared decile-bin CASE over reference boundaries b1..b9 (identical
+# text in Spark and DuckDB so the binning is bit-identical).
+_PSI_CASE = (
+    "CASE "
+    + " ".join(f"WHEN o_totalprice <= b{i} THEN {i}" for i in range(1, 10))
+    + " ELSE 10 END"
+)
+# PSI contribution, Laplace-smoothed so empty bins stay finite and the
+# expression is total: p = (n_ref+0.5)/(ref_tot+5), q likewise.
+_PSI_P = "((n_ref + 0.5) / (ref_tot + 5.0))"
+_PSI_Q = "((n_cur + 0.5) / (cur_tot + 5.0))"
+_PSI_CONTRIB = f"({_PSI_Q} - {_PSI_P}) * ln({_PSI_Q} / {_PSI_P})"
+
+
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor — the standard ML-ops
+    check that a feature's distribution hasn't shifted between a
+    reference window and the current window. Reference = 1997H1
+    orders, current = everything after; bins are the REFERENCE deciles
+    selected by rank (the w6 pattern, one exchange), broadcast to bin
+    both slices; PSI folds Laplace-smoothed proportions through the
+    shared (q-p)·ln(q/p) expression. PSI < 0.1 is 'stable' by the
+    usual rule of thumb — emitted as a flag per bin plus the total."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-07-01"))).alias("is_ref"),
+    )
+    ref = o.filter(F.col("is_ref"))
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy()
+    ranked = ref.select(
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    bnd = ranked.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("rn") == F.expr(f"({i} * n + 9) div 10"),
+                    F.col("o_totalprice"),
+                )
+            ).alias(f"b{i}")
+            for i in range(1, 10)
+        ]
+    )
+    binned = o.crossJoin(F.broadcast(bnd)).select(
+        "is_ref", F.expr(_PSI_CASE).alias("bin")
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("is_ref"), 1)).cast("double").alias("n_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).cast("double").alias("n_cur"),
+    )
+    wtot = Window.partitionBy()
+    with_tot = cells.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(wtot).alias("ref_tot"),
+        F.sum("n_cur").over(wtot).alias("cur_tot"),
+    )
+    per_bin = with_tot.select(
+        "bin",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round(F.expr(_PSI_CONTRIB), 6).alias("psi_contrib"),
+    )
+    total = per_bin.agg(
+        F.lit(-1).alias("bin"),
+        F.sum("n_ref").alias("n_ref"),
+        F.sum("n_cur").alias("n_cur"),
+        F.round(F.sum("psi_contrib"), 6).alias("psi_contrib"),
+    )
+    return per_bin.unionAll(total).orderBy("bin")
+
+
+DQ_DRIFT_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, o_totalprice,
+         o_orderdate < TIMESTAMP '1997-07-01' AS is_ref
+  FROM orders
+),
+ranked AS (
+  SELECT o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM o WHERE is_ref
+),
+bnd AS (
+  SELECT {", ".join(f"MIN(CASE WHEN rn = ({i} * n + 9) // 10 THEN o_totalprice END) AS b{i}" for i in range(1, 10))}
+  FROM ranked
+),
+binned AS (
+  SELECT is_ref, {_PSI_CASE} AS bin FROM o CROSS JOIN bnd
+),
+cells AS (
+  SELECT bin,
+         CAST(COUNT(*) FILTER (is_ref) AS DOUBLE) AS n_ref,
+         CAST(COUNT(*) FILTER (NOT is_ref) AS DOUBLE) AS n_cur
+  FROM binned GROUP BY bin
+),
+with_tot AS (
+  SELECT bin, n_ref, n_cur,
+         SUM(n_ref) OVER () AS ref_tot,
+         SUM(n_cur) OVER () AS cur_tot
+  FROM cells
+),
+per_bin AS (
+  SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+         ROUND({_PSI_CONTRIB}, 6) AS psi_contrib
+  FROM with_tot
+)
+SELECT * FROM per_bin
+UNION ALL
+SELECT -1 AS bin, CAST(SUM(n_ref) AS BIGINT), CAST(SUM(n_cur) AS BIGINT),
+       ROUND(SUM(psi_contrib), 6)
+FROM per_bin
+ORDER BY bin
+"""
+
+
 QUERIES = {
     "dq_profile": (dq_profile, DQ_PROFILE_SQL),
     "dq_expectations": (dq_expectations, DQ_EXPECT_SQL),
+    "dq_drift_psi": (dq_drift_psi, DQ_DRIFT_SQL),
 }
