@@ -605,16 +605,33 @@ def _stage_chronological_stream(
     span = (hi - lo) / n_parts
     indir = os.path.join(scratch, "in")
     os.makedirs(indir, exist_ok=True)
+    # ONE pass: tag each row with its chronological quarter and write
+    # partitionBy — n_parts directories from a single scan (the old
+    # per-quarter filter loop scanned the source n_parts+1 times)
+    q_col = F.least(
+        F.lit(n_parts - 1),
+        F.floor(
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lit(lo).cast("timestamp"))
+            )
+            / F.lit(span.total_seconds() * 1e6)
+        ),
+    ).cast("int")
+    staged = os.path.join(scratch, "staged")
+    (
+        e.withColumn("_q", q_col)
+        .repartition("_q")
+        .write.partitionBy("_q")
+        .mode("overwrite")
+        .parquet(staged)
+    )
     for i in range(n_parts):
-        q_lo = lo + i * span
-        q_hi = lo + (i + 1) * span
-        cond = (F.col("ts") >= F.lit(q_lo)) & (
-            (F.col("ts") < F.lit(q_hi)) if i < n_parts - 1 else (F.col("ts") <= F.lit(hi))
-        )
-        part_dir = os.path.join(scratch, f"q{i}")
-        e.filter(cond).coalesce(1).write.mode("overwrite").parquet(part_dir)
-        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
-        shutil.copy(src, os.path.join(indir, f"{i:02d}.parquet"))
+        parts = sorted(glob.glob(os.path.join(staged, f"_q={i}", "*.parquet")))
+        if not parts:
+            continue
+        for j, src in enumerate(parts):
+            shutil.copy(src, os.path.join(indir, f"{i:02d}_{j}.parquet"))
     return (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1)
