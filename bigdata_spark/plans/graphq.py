@@ -214,7 +214,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     power-law co-purchase graph at 100 TB. The closing join checks the
     id-canonical undirected edge set. Counts are exact integers; the
     clustering coefficient shares its expression with the oracle."""
-    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb")
+    # the edge table is support-thresholded (small); checkpoint it so
+    # the basket-expansion subtree isn't recomputed for each of the
+    # degree/orientation/wedge/closure consumers below
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
     deg = (
         e.select(F.col("pa").alias("node"))
         .unionAll(e.select(F.col("pb").alias("node")))
