@@ -275,7 +275,161 @@ ML_DTW_SQL = keyed_values_oracle(
      ("approx_ge_exact", "boolean"), ("euclid_ub", "double")],
 )
 
+# ---------------------------------------------------------------------------
+# ml_naive_bayes — counts-based classifier, fully SQL-expressible
+# ---------------------------------------------------------------------------
+
+# Shared integer binning (identical text both engines; round() keeps the
+# 2-decimal doubles away from floor's ulp cliffs)
+# (floor, not bare CAST: DuckDB's double->int cast ROUNDS where
+# Spark's truncates — floor agrees everywhere and values are integral)
+_NB_QB = "CAST(least(4, greatest(0, CAST(floor((l_quantity - 1) / 10) AS INT))) AS INT)"
+_NB_DB = "CAST(floor(CAST(round(l_discount * 100) AS INT) / 2) AS INT)"
+_NB_TB = "CAST(floor(CAST(round(l_tax * 100) AS INT) / 2) AS INT)"
+
+
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Naive Bayes: train on even orderkeys, score odd.
+
+    Training is pure counting — class priors and per-feature
+    likelihood tables from three groupBys (map-side combined, output
+    O(classes × feature cardinality)). Scoring never touches test ROWS
+    individually: test data collapses to its distinct feature tuples
+    (~150 here, bounded by the bin grid at any scale) weighted by
+    count, each tuple crosses the 3 classes and joins the broadcast
+    likelihood tables, and the Laplace-smoothed posterior multiplies
+    in a fixed order so the scores — and thus the argmax — are
+    bit-identical in the SQL oracle. Accuracy reports per class +
+    total."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.expr(_NB_QB).alias("qb"),
+        F.expr(_NB_DB).alias("db"),
+        F.expr(_NB_TB).alias("tb"),
+    )
+    train = l.filter(F.col("l_orderkey") % 2 == 0)
+    test = l.filter(F.col("l_orderkey") % 2 == 1)
+
+    priors = train.groupBy(F.col("l_returnflag").alias("cls")).agg(
+        F.count("*").alias("c_cls")
+    )
+    n_train = train.count()
+    likel = {}
+    card = {}
+    for f in ("qb", "db", "tb"):
+        likel[f] = train.groupBy(
+            F.col("l_returnflag").alias("cls"), F.col(f).alias(f"{f}_v")
+        ).agg(F.count("*").alias(f"c_{f}"))
+        card[f] = train.select(f).distinct().count()
+
+    tuples = test.groupBy("qb", "db", "tb", F.col("l_returnflag").alias("truth")).agg(
+        F.count("*").alias("w")
+    )
+    scored = tuples.crossJoin(F.broadcast(priors))
+    for f in ("qb", "db", "tb"):
+        scored = scored.join(
+            F.broadcast(likel[f]),
+            (scored.cls == likel[f].cls) & (F.col(f) == F.col(f"{f}_v")),
+            "left",
+        ).drop(likel[f].cls).drop(f"{f}_v")
+    score_expr = (
+        f"(CAST(c_cls AS DOUBLE) / {n_train})"
+        f" * ((COALESCE(c_qb, 0) + 1.0) / (c_cls + {card['qb']}))"
+        f" * ((COALESCE(c_db, 0) + 1.0) / (c_cls + {card['db']}))"
+        f" * ((COALESCE(c_tb, 0) + 1.0) / (c_cls + {card['tb']}))"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qb", "db", "tb", "truth").orderBy(
+        F.desc("score"), F.asc("cls")
+    )
+    pred = (
+        scored.withColumn("score", F.expr(score_expr))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("truth", F.col("cls").alias("pred"), "w")
+    )
+    return (
+        pred.rollup("truth")
+        .agg(
+            F.sum("w").alias("n_test"),
+            F.coalesce(
+                F.sum(F.when(F.col("pred") == F.col("truth"), F.col("w"))), F.lit(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            F.coalesce(F.col("truth"), F.lit("ALL")).alias("label"),
+            "n_test",
+            "n_correct",
+            F.expr("CAST(n_correct AS DOUBLE) / n_test").alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+def _nb_sql() -> str:
+    feats = {"qb": _NB_QB, "db": _NB_DB, "tb": _NB_TB}
+    fsel = ", ".join(f"{e} AS {k}" for k, e in feats.items())
+    lik = "\n".join(
+        f"lik_{f} AS (SELECT l_returnflag AS cls, {f} AS {f}_v, COUNT(*) AS c_{f}"
+        f" FROM train GROUP BY 1, 2),"
+        for f in feats
+    )
+    cards = ", ".join(
+        f"(SELECT COUNT(DISTINCT {f}) FROM train) AS v_{f}" for f in feats
+    )
+    joins = "\n".join(
+        f"  LEFT JOIN lik_{f} ON lik_{f}.cls = p.cls AND lik_{f}.{f}_v = t.{f}"
+        for f in feats
+    )
+    score = (
+        "(CAST(p.c_cls AS DOUBLE) / (SELECT COUNT(*) FROM train))"
+        " * ((COALESCE(c_qb, 0) + 1.0) / (p.c_cls + c.v_qb))"
+        " * ((COALESCE(c_db, 0) + 1.0) / (p.c_cls + c.v_db))"
+        " * ((COALESCE(c_tb, 0) + 1.0) / (p.c_cls + c.v_tb))"
+    )
+    return f"""
+WITH base AS (
+  SELECT l_orderkey, l_returnflag, {fsel} FROM lineitem
+),
+train AS (SELECT * FROM base WHERE l_orderkey % 2 = 0),
+test AS (SELECT * FROM base WHERE l_orderkey % 2 = 1),
+priors AS (SELECT l_returnflag AS cls, COUNT(*) AS c_cls FROM train GROUP BY 1),
+{lik}
+cardv AS (SELECT {cards}),
+tuples AS (
+  SELECT qb, db, tb, l_returnflag AS truth, COUNT(*) AS w
+  FROM test GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT t.qb, t.db, t.tb, t.truth, t.w, p.cls,
+         {score} AS score
+  FROM tuples t CROSS JOIN priors p CROSS JOIN cardv c
+{joins}
+),
+pred AS (
+  SELECT truth, cls AS pred, w FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qb, db, tb, truth
+                                 ORDER BY score DESC, cls ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT COALESCE(truth, 'ALL') AS label,
+       CAST(SUM(w) AS BIGINT) AS n_test,
+       CAST(COALESCE(SUM(CASE WHEN pred = truth THEN w END), 0) AS BIGINT) AS n_correct,
+       CAST(COALESCE(SUM(CASE WHEN pred = truth THEN w END), 0) AS DOUBLE)
+       / CAST(SUM(w) AS BIGINT) AS accuracy
+FROM pred GROUP BY ROLLUP(truth)
+ORDER BY label
+"""
+
+
+ML_NB_SQL = _nb_sql()
+
+
 QUERIES = {
+    "ml_naive_bayes": (ml_naive_bayes, ML_NB_SQL),
     "ml_local_forest": (ml_local_forest, ML_FOREST_SQL),
     "ml_global_tree": (ml_global_tree, ML_TREE_SQL),
     "ml_dtw_distances": (ml_dtw_distances, ML_DTW_SQL),
