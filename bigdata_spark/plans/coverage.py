@@ -657,6 +657,68 @@ FROM ranked WHERE rn = (n + 1) // 2
 """
 
 
+def wh_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic warehouse scoring
+    workload: per customer, Recency (latest order date), Frequency
+    (order count), Monetary (exact decimal spend) each quintile-ranked
+    by NTILE over a deterministic total order (metric, then custkey),
+    concatenated into a 3-digit segment. One groupBy to customer grain
+    (map-side combined), three windows sharing that tiny table, one
+    rollup to segments."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.sum(_dec2("o_totalprice")).alias("spend_dec"),
+    )
+    w_r = Window.orderBy("last_order", "o_custkey")
+    w_f = Window.orderBy("freq", "o_custkey")
+    w_m = Window.orderBy("spend_dec", "o_custkey")
+    scored = cust.select(
+        "o_custkey",
+        "spend_dec",
+        F.ntile(5).over(w_r).alias("r"),
+        F.ntile(5).over(w_f).alias("f"),
+        F.ntile(5).over(w_m).alias("m"),
+    )
+    return (
+        scored.groupBy(
+            F.concat(
+                F.col("r").cast("string"),
+                F.col("f").cast("string"),
+                F.col("m").cast("string"),
+            ).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("spend_dec").cast("double").alias("segment_spend"),
+        )
+        .orderBy("segment")
+    )
+
+
+WH_RFM_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS freq,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, spend_dec,
+         NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r,
+         NTILE(5) OVER (ORDER BY freq, o_custkey) AS f,
+         NTILE(5) OVER (ORDER BY spend_dec, o_custkey) AS m
+  FROM cust
+)
+SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS segment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(spend_dec) AS DOUBLE) AS segment_spend
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
 def o7_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline (Pareto frontier): parts not dominated on
     (min price, max size). Distinct (price, size) points sort by
@@ -799,6 +861,7 @@ QUERIES = {
     "w6_exact_median": (w6_exact_median, W6_MEDIAN_SQL),
     "f12_quantile_bins": (f12_quantile_bins, F12_QBINS_SQL),
     "o7_skyline_pareto": (o7_skyline_pareto, O7_SKYLINE_SQL),
+    "wh_rfm_segments": (wh_rfm_segments, WH_RFM_SQL),
     "o2_repartition_invariants": (o2_repartition_invariants, O2_SQL),
     "s2_tsv_roundtrip": (s2_tsv_roundtrip, S2_SQL),
     "p6_partition_local_sample": (p6_partition_local_sample, P6_SQL),

@@ -180,6 +180,11 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("spectral decode is Arrow-batched mapInPandas", r"MapInPandas"),
         ("payload pruned before anything downstream", r"^(?![\s\S]*Exchange[\s\S]*payload)"),
     ],
+    "ml_naive_bayes": [
+        ("likelihood tables broadcast onto tuples", r"BroadcastHashJoin"),
+        ("training counts are map-side partial aggregates", r"partial_count"),
+        ("no Python anywhere in train or score", r"^(?![\s\S]*BatchEvalPython)(?![\s\S]*ArrowEvalPython)"),
+    ],
 }
 
 
