@@ -397,8 +397,12 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..similarity.ann import brute_force_topk
 
     e = _vecs(spark, sf_dir)
-    q = e.filter(F.col("vec_id") % 20 == 7)
-    corpus = e.filter(F.col("vec_id") % 20 != 7)
+    # the eval slice is FIXED-SIZE (250 queries), not corpus-
+    # proportional: the sf1 soak showed a %-of-corpus query set makes
+    # brute-force verification quadratic in scale (queries × corpus);
+    # capping the id range keeps cost linear in corpus size
+    q = e.filter((F.col("vec_id") % 20 == 7) & (F.col("vec_id") < 5000))
+    corpus = e.filter((F.col("vec_id") % 20 != 7) | (F.col("vec_id") >= 5000))
     knn = brute_force_topk(q, corpus, k=5)
     nbr = knn.join(
         corpus.select(
@@ -434,11 +438,11 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIM_KNN_SQL = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS v, label AS truth
-  FROM embeddings WHERE vec_id % 20 = 7
+  FROM embeddings WHERE vec_id % 20 = 7 AND vec_id < 5000
 ),
 c AS (
   SELECT vec_id AS corpus_id, embedding AS v, label AS nbr_label
-  FROM embeddings WHERE vec_id % 20 <> 7
+  FROM embeddings WHERE vec_id % 20 <> 7 OR vec_id >= 5000
 ),
 scored AS (
   SELECT q.query_id, c.corpus_id, c.nbr_label,
