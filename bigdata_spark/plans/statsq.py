@@ -1,7 +1,8 @@
-"""Distributed statistics queries: grouped OLS regression, a one-pass
-correlation matrix, and Welch two-sample A/B analysis.
+"""Distributed statistics queries: grouped simple + multivariate OLS
+regression, a one-pass correlation matrix, Welch two-sample A/B
+analysis, and a chi-squared independence test.
 
-All three reduce to *exact sufficient statistics* — DECIMAL sums of the
+All of them reduce to *exact sufficient statistics* — DECIMAL sums of the
 2-decimal source columns and their pairwise products (products of
 DECIMAL(18,2) are exact DECIMAL(·,4); sums of those are exact and
 order-independent) — followed by the SAME closed-form IEEE-double
