@@ -428,7 +428,162 @@ ORDER BY label
 ML_NB_SQL = _nb_sql()
 
 
+# ---------------------------------------------------------------------------
+# ml_kmeans_fixed — integer fixed-point Lloyd iterations, oracle-exact
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 3
+_KM_SCALE = 1_000_000  # float32 coords -> exact integer micro-units
+
+
+def ml_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means with INTEGER fixed-point arithmetic — the
+    same trick that made PageRank oracle-exact (operators/graph):
+    coordinates scale to exact integer micro-units, distances are
+    exact BIGINT sums of squares, and each Lloyd step's centroid is
+    the element-wise integer mean (floor division). Every quantity is
+    therefore engine-independent, so 3 full iterations unroll into
+    chained CTEs in DuckDB and hash-match bit-for-bit — a correctness
+    standard float k-means cannot meet.
+
+    Scale shape per iteration: assignment = corpus × k broadcast
+    centroids (narrow, argmin in one pass); update = posexplode to
+    (cluster, dim) cells and one map-side-combined sum — k·dim result
+    rows; the driver only ever sees the k×dim centroid table (the
+    bounded-collect rule, same as the IVF quantizer)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    iv = e.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT))"
+        ).alias("v"),
+    )
+    cents = [
+        (int(r["vec_id"]), list(r["v"]))
+        for r in iv.filter(F.col("vec_id") < _KM_K).collect()
+    ]
+    cents = [(i, v) for i, (_, v) in enumerate(sorted(cents))]
+
+    dist = (
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    assigned = None
+    for _ in range(_KM_ITERS):
+        cdf = F.broadcast(
+            spark.createDataFrame(cents, "cid int, cv array<bigint>")
+        )
+        assigned = (
+            iv.crossJoin(cdf)
+            .withColumn("d", F.expr(dist))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid", "d")
+        )
+        cells = (
+            assigned.select("cid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+            # integer mean truncates toward zero in BOTH engines
+            # (Spark `div` == DuckDB `//`: -7 div 2 = -3 in each)
+            .select("cid", "dim", F.expr("CAST(sx div n AS BIGINT)").alias("m"))
+        )
+        rows = cells.groupBy("cid").agg(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm")
+        ).collect()
+        new_cents = {
+            int(r["cid"]): [int(s["m"]) for s in r["dm"]] for r in rows
+        }
+        # empty clusters keep their previous centroid
+        cents = [
+            (cid, new_cents.get(cid, cv)) for cid, cv in cents
+        ]
+    stats = assigned.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.sum("d").alias("inertia"),
+    )
+    mass = spark.createDataFrame(
+        [(c, sum(v)) for c, v in cents], "cid int, centroid_mass long"
+    )
+    return (
+        mass.join(stats, "cid", "left")
+        .select(
+            "cid",
+            F.coalesce("n_members", F.lit(0)).alias("n_members"),
+            F.coalesce("inertia", F.lit(0)).alias("inertia"),
+            "centroid_mass",
+        )
+        .orderBy("cid")
+    )
+
+
+def _kmeans_sql() -> str:
+    dist = (
+        "list_sum([(a.v[i] - c.cv[i]) * (a.v[i] - c.cv[i])"
+        " for i in generate_series(1, len(a.v))])"
+    )
+    steps = [
+        f"""iv AS (
+  SELECT vec_id,
+         [CAST(round(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT) for x in embedding] AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
+  FROM iv WHERE vec_id < {_KM_K}
+)"""
+    ]
+    for it in range(_KM_ITERS):
+        steps.append(
+            f"""a{it + 1} AS (
+  SELECT vec_id, v, cid, d FROM (
+    SELECT a.vec_id, a.v, c.cid, {dist} AS d,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM iv a CROSS JOIN c{it} c
+  ) WHERE rn = 1
+)"""
+        )
+        steps.append(
+                f"""c{it + 1} AS (
+  SELECT p.cid,
+         COALESCE(m.cv, p.cv) AS cv
+  FROM c{it} p LEFT JOIN (
+    SELECT cid, list(m ORDER BY dim) AS cv FROM (
+      SELECT cid, dim, CAST(SUM(x) // COUNT(*) AS BIGINT) AS m
+      FROM (
+        SELECT cid, i AS dim, v[i] AS x
+        FROM a{it + 1}, unnest(range(1, len(v) + 1)) AS r(i)
+      ) GROUP BY cid, dim
+    ) GROUP BY cid
+  ) m ON m.cid = p.cid
+)"""
+            )
+    chain = ",\n".join(steps)
+    return f"""
+WITH {chain}
+SELECT c.cid,
+       COALESCE(s.n_members, 0) AS n_members,
+       COALESCE(s.inertia, 0) AS inertia,
+       CAST(list_sum(c.cv) AS BIGINT) AS centroid_mass
+FROM c{_KM_ITERS} c
+LEFT JOIN (
+  SELECT cid, COUNT(*) AS n_members, CAST(SUM(d) AS BIGINT) AS inertia
+  FROM a{_KM_ITERS} GROUP BY cid
+) s ON s.cid = c.cid
+ORDER BY c.cid
+"""
+
+
+ML_KMEANS_SQL = _kmeans_sql()
+
+
 QUERIES = {
+    "ml_kmeans_fixed": (ml_kmeans_fixed, ML_KMEANS_SQL),
     "ml_naive_bayes": (ml_naive_bayes, ML_NB_SQL),
     "ml_local_forest": (ml_local_forest, ML_FOREST_SQL),
     "ml_global_tree": (ml_global_tree, ML_TREE_SQL),
