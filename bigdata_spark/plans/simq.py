@@ -318,17 +318,10 @@ SIM_PQ_SQL = (
 )
 
 
-def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spatial radius self-join via grid bucketing (the 2-D analog of
-    the LSH band join): points land in r-sized grid cells; the left
-    side explodes to its 3x3 cell neighborhood, the right side keys by
-    its exact cell, so the equi-join on cell id yields every candidate
-    within radius r exactly once per ordered pair — then the exact
-    squared-distance filter verifies. Shuffle moves (id, x, y, cell)
-    only; candidate count is density-bounded per cell instead of the
-    n^2 cross join the oracle runs. Coordinates are the first two
-    embedding dims cast to DOUBLE (exact), the distance expression is
-    shared verbatim with the oracle."""
+def _radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a < id_b, dist2) pairs within radius 0.02 of each other in
+    the first-two-embedding-dims plane — the grid-bucketed candidate
+    generator shared by geo_radius_join and ml_dbscan_grid."""
     r = "2e-2"
     r2 = "4e-4"
     pts = _vecs(spark, sf_dir).select(
@@ -368,8 +361,19 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.expr(f"{d2} <= {r2}"))
         .select("id_a", "id_b", F.expr(d2).alias("dist2"))
-        .orderBy("id_a", "id_b")
     )
+
+
+def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join via grid bucketing (the 2-D analog of
+    the LSH band join): points land in r-sized grid cells; the left
+    side explodes to its 3x3 cell neighborhood, the right side keys by
+    its exact cell, so the equi-join on cell id yields every candidate
+    within radius r exactly once per ordered pair — then the exact
+    squared-distance filter verifies (_radius_pairs). Shuffle moves
+    (id, x, y, cell) only; candidate count is density-bounded per cell
+    instead of the n^2 cross join the oracle runs."""
+    return _radius_pairs(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 GEO_RADIUS_SQL = """
@@ -482,9 +486,122 @@ ORDER BY label
 """
 
 
+_DBSCAN_MINPTS = 4
+
+
+def ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering composed from two verified operators:
+    the grid-bucketed radius join supplies the eps-neighborhood graph
+    (no n² scan) and connected components resolves core-point clusters
+    (alternating-star at scale, exact). Core = ≥ minPts neighbors;
+    border points adopt the MIN cluster label among their core
+    neighbors (the deterministic variant of DBSCAN's order-dependent
+    border rule); the rest is noise (cluster -1). Exact arithmetic
+    end-to-end, so the oracle replays it with a cross join + recursive
+    CTE."""
+    from ..operators.graph import connected_components
+
+    pairs = _radius_pairs(spark, sf_dir).select("id_a", "id_b").localCheckpoint()
+    sym = pairs.unionAll(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    deg = sym.groupBy(F.col("id_a").alias("vec_id")).agg(
+        F.count("*").alias("n_nbrs")
+    )
+    core = deg.filter(F.col("n_nbrs") >= _DBSCAN_MINPTS).select("vec_id")
+    core_edges = (
+        pairs.join(core.withColumnRenamed("vec_id", "id_a"), "id_a", "leftsemi")
+        .join(core.withColumnRenamed("vec_id", "id_b"), "id_b", "leftsemi")
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    cc = connected_components(core_edges)
+    core_lbl = core.join(cc, core.vec_id == cc.vertex, "left").select(
+        "vec_id", F.coalesce("component", F.col("vec_id")).alias("cluster")
+    )
+    border = (
+        sym.join(  # non-core left sides only
+            core.withColumnRenamed("vec_id", "id_a"), "id_a", "left_anti"
+        )
+        .join(
+            core_lbl.select(
+                F.col("vec_id").alias("id_b"), F.col("cluster").alias("nbr_cluster")
+            ),
+            "id_b",
+        )
+        .groupBy(F.col("id_a").alias("vec_id"))
+        .agg(F.min("nbr_cluster").alias("cluster"))
+    )
+    pts = _vecs(spark, sf_dir).select("vec_id")
+    return (
+        pts.join(core_lbl.withColumnRenamed("cluster", "c_core"), "vec_id", "left")
+        .join(border.withColumnRenamed("cluster", "c_border"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("c_core").isNotNull(), F.lit("core"))
+            .when(F.col("c_border").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("c_core", "c_border", F.lit(-1)).alias("cluster"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ML_DBSCAN_SQL = f"""
+WITH RECURSIVE
+pts AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4e-4
+),
+sym AS (SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+core AS (
+  SELECT id_a AS vec_id FROM sym GROUP BY id_a
+  HAVING COUNT(*) >= {_DBSCAN_MINPTS}
+),
+ce AS (
+  SELECT p.id_a AS a, p.id_b AS b FROM pairs p
+  JOIN core c1 ON c1.vec_id = p.id_a
+  JOIN core c2 ON c2.vec_id = p.id_b
+),
+cesym AS (SELECT a, b FROM ce UNION ALL SELECT b, a FROM ce),
+reach(vtx, r) AS (
+  SELECT a, a FROM cesym
+  UNION
+  SELECT s.a, reach.r FROM cesym s JOIN reach ON s.b = reach.vtx
+),
+cc AS (SELECT vtx, MIN(r) AS comp FROM reach GROUP BY vtx),
+core_lbl AS (
+  SELECT c.vec_id, COALESCE(cc.comp, c.vec_id) AS cluster
+  FROM core c LEFT JOIN cc ON cc.vtx = c.vec_id
+),
+border AS (
+  SELECT s.id_a AS vec_id, MIN(k.cluster) AS cluster
+  FROM sym s JOIN core_lbl k ON k.vec_id = s.id_b
+  WHERE s.id_a NOT IN (SELECT vec_id FROM core)
+  GROUP BY s.id_a
+)
+SELECT p.vec_id,
+       CASE WHEN cl.vec_id IS NOT NULL THEN 'core'
+            WHEN bl.vec_id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(COALESCE(cl.cluster, bl.cluster, -1) AS BIGINT) AS cluster
+FROM pts p
+LEFT JOIN core_lbl cl ON cl.vec_id = p.vec_id
+LEFT JOIN border bl ON bl.vec_id = p.vec_id
+ORDER BY p.vec_id
+"""
+
+
 QUERIES = {
     "dist_kernels": (dist_kernels, DIST_KERNELS_SQL),
     "geo_radius_join": (geo_radius_join, GEO_RADIUS_SQL),
+    "ml_dbscan_grid": (ml_dbscan_grid, ML_DBSCAN_SQL),
     "sim_knn_classify": (sim_knn_classify, SIM_KNN_SQL),
     "sim_topk_pq": (sim_topk_pq, SIM_PQ_SQL),
     "nearest_exemplar": (nearest_exemplar, NEAREST_EXEMPLAR_SQL),
