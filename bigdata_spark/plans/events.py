@@ -588,34 +588,27 @@ GROUP BY 1, 2
 """
 
 
-def _stage_chronological_stream(
+def _stage_quarter_files(
     spark: SparkSession, e: DataFrame, scratch: str, n_parts: int = 4
-) -> DataFrame:
-    """Re-stage a batch frame as ``n_parts`` chronological parquet
-    files and return a ``readStream`` over them with
-    ``maxFilesPerTrigger=1`` — the harness that forces REAL multi-
-    micro-batch execution (and genuine watermark advancement) out of a
-    static table."""
+) -> list[list[str]]:
+    """Write a batch frame as ``n_parts`` chronological parquet file
+    groups (ONE partitionBy pass) and return the staged file paths per
+    quarter. Quarter boundaries are exact integer microseconds —
+    quarter(ts) = least(n-1, (us(ts) - lo) div max(1, (hi - lo) div n))
+    — so an oracle can replicate the per-quarter row assignment."""
     import glob
     import os
-    import shutil
 
-    bounds = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
-    lo, hi = bounds["lo"], bounds["hi"]
-    span = (hi - lo) / n_parts
-    indir = os.path.join(scratch, "in")
-    os.makedirs(indir, exist_ok=True)
-    # ONE pass: tag each row with its chronological quarter and write
-    # partitionBy — n_parts directories from a single scan (the old
-    # per-quarter filter loop scanned the source n_parts+1 times)
+    bounds = e.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("lo"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("hi"),
+    ).first()
+    lo_us, hi_us = int(bounds["lo"]), int(bounds["hi"])
+    span_us = max(1, (hi_us - lo_us) // n_parts)
     q_col = F.least(
         F.lit(n_parts - 1),
-        F.floor(
-            (
-                F.unix_micros(F.col("ts").cast("timestamp"))
-                - F.unix_micros(F.lit(lo).cast("timestamp"))
-            )
-            / F.lit(span.total_seconds() * 1e6)
+        F.expr(
+            f"(unix_micros(CAST(ts AS TIMESTAMP)) - {lo_us}L) div {span_us}L"
         ),
     ).cast("int")
     staged = os.path.join(scratch, "staged")
@@ -626,10 +619,27 @@ def _stage_chronological_stream(
         .mode("overwrite")
         .parquet(staged)
     )
-    for i in range(n_parts):
-        parts = sorted(glob.glob(os.path.join(staged, f"_q={i}", "*.parquet")))
-        if not parts:
-            continue
+    return [
+        sorted(glob.glob(os.path.join(staged, f"_q={i}", "*.parquet")))
+        for i in range(n_parts)
+    ]
+
+
+def _stage_chronological_stream(
+    spark: SparkSession, e: DataFrame, scratch: str, n_parts: int = 4
+) -> DataFrame:
+    """Re-stage a batch frame as ``n_parts`` chronological parquet
+    files and return a ``readStream`` over them with
+    ``maxFilesPerTrigger=1`` — the harness that forces REAL multi-
+    micro-batch execution (and genuine watermark advancement) out of a
+    static table."""
+    import os
+    import shutil
+
+    groups = _stage_quarter_files(spark, e, scratch, n_parts)
+    indir = os.path.join(scratch, "in")
+    os.makedirs(indir, exist_ok=True)
+    for i, parts in enumerate(groups):
         for j, src in enumerate(parts):
             shutil.copy(src, os.path.join(indir, f"{i:02d}_{j}.parquet"))
     return (
@@ -1117,7 +1127,129 @@ ORDER BY c.prev_type, c.next_type
 """
 
 
+def w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (vs the ROWS frames elsewhere): per event,
+    the user's rolling 1-hour value sum and event count — the frame is
+    defined by event-TIME distance, not row position, so ties and
+    irregular spacing behave correctly. Spark needs a numeric ordering
+    column for rangeBetween → exact integer microseconds; DuckDB uses
+    the equivalent RANGE INTERVAL frame over ts. One shuffle on
+    user_id."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-hour_us, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum("v").over(w).cast("double").alias("sum_last_hour"),
+    ).orderBy("event_id")
+
+
+W7_RANGE_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+def evt_stream_ckpt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed stop/restart EXACTLY-ONCE: run 1 streams the first
+    two chronological file groups under a checkpoint and terminates;
+    the remaining files then land in the source directory and run 2
+    restarts FROM THE SAME CHECKPOINT — the file-source log must admit
+    only the unseen files. Per-batch counts accumulate through
+    foreachBatch tagged by run; the oracle recomputes both runs' totals
+    from the exact integer-microsecond quarter rule, so any
+    reprocessing (double counts) or loss (missing counts) breaks the
+    hash match."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    e = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_ckpt_")
+    try:
+        groups = _stage_quarter_files(spark, e, scratch, n_parts=4)
+        indir = os.path.join(scratch, "in")
+        os.makedirs(indir, exist_ok=True)
+        ckpt = os.path.join(scratch, "ckpt_" + uuid.uuid4().hex[:8])
+        counts: list[tuple[int, str, int]] = []
+
+        def run(run_id: int) -> None:
+            def record(batch: DataFrame, batch_id: int) -> None:
+                for r in batch.groupBy("event_type").count().collect():
+                    counts.append((run_id, r["event_type"], int(r["count"])))
+
+            q = (
+                spark.readStream.schema(e.schema)
+                .parquet(indir)
+                .writeStream.foreachBatch(record)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("ckpt recovery stream did not finish in 300s")
+
+        for i, parts in enumerate(groups[:2]):
+            for j, src in enumerate(parts):
+                shutil.copy(src, os.path.join(indir, f"{i:02d}_{j}.parquet"))
+        run(1)
+        for i, parts in enumerate(groups[2:], start=2):
+            for j, src in enumerate(parts):
+                shutil.copy(src, os.path.join(indir, f"{i:02d}_{j}.parquet"))
+        run(2)
+
+        agg: dict[str, list[int]] = {}
+        for run_id, et, n in counts:
+            slot = agg.setdefault(et, [0, 0])
+            slot[run_id - 1] += n
+        rows = [
+            (et, v[0], v[1], v[0] + v[1]) for et, v in sorted(agg.items())
+        ]
+        return spark.createDataFrame(
+            rows, "event_type string, n_run1 long, n_run2 long, n_total long"
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+EVT_CKPT_SQL = """
+WITH b AS (
+  SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi FROM events
+),
+q AS (
+  SELECT event_type,
+         least(3, (epoch_us(ts) - b.lo) // greatest(1, (b.hi - b.lo) // 4)) AS qt
+  FROM events, b
+)
+SELECT event_type,
+       COUNT(*) FILTER (qt <= 1) AS n_run1,
+       COUNT(*) FILTER (qt >= 2) AS n_run2,
+       COUNT(*) AS n_total
+FROM q GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "evt_stream_ckpt_recovery": (evt_stream_ckpt_recovery, EVT_CKPT_SQL),
+    "w7_range_frame": (w7_range_frame, W7_RANGE_SQL),
     "evt_transitions": (evt_transitions, EVT_TRANSITIONS_SQL),
     "evt_stream_update_mode": (evt_stream_update_mode, EVT_UPDATE_MODE_SQL),
     "evt_twap": (evt_twap, EVT_TWAP_SQL),
