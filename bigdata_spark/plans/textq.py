@@ -746,7 +746,85 @@ FROM scored ORDER BY doc_id
 """
 
 
+def txt_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: bigrams with count ≥ 5 scored by
+    pointwise mutual information ln(N·c(ab) / (c(a)·c(b))) — the
+    classic phrase-detection step before tokenizer training (the
+    word2vec phrases recipe). Unigram counts broadcast onto the
+    thresholded bigram table; everything inside the log is an exact
+    integer ratio, so the rounded score is engine-stable. One exploded
+    pass each for unigrams and bigrams, map-side combined."""
+    from ..operators.parallelism import ensure_parallelism
+    from ..text.analysis import tokens
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    )
+    n_tokens = uni.agg(F.sum("cw").alias("n")).first()["n"]
+    bg = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cab")).filter(
+        F.col("cab") >= 5
+    )
+    scored = (
+        bgc.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("cw").alias("ca"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("cw").alias("cb"))),
+            "w2",
+        )
+        .select(
+            "w1",
+            "w2",
+            "cab",
+            "ca",
+            "cb",
+            F.round(
+                F.expr(f"ln(CAST({n_tokens} AS DOUBLE) * cab / (ca * cb))"), 6
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2")
+
+
+TXT_COLLOC_SQL = f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+uni AS (
+  SELECT u.w, COUNT(*) AS cw FROM base, unnest(t) AS u(w) GROUP BY u.w
+),
+n AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM uni),
+bg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM base, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+),
+bgc AS (
+  SELECT w1, w2, COUNT(*) AS cab FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT b.w1, b.w2, b.cab, a.cw AS ca, c.cw AS cb,
+       ROUND(ln(CAST(n.n AS DOUBLE) * b.cab / (a.cw * c.cw)), 6) AS pmi
+FROM bgc b
+JOIN uni a ON a.w = b.w1
+JOIN uni c ON c.w = b.w2
+CROSS JOIN n
+ORDER BY pmi DESC, b.w1, b.w2
+"""
+
+
 QUERIES = {
+    "txt_collocations": (txt_collocations, TXT_COLLOC_SQL),
     "llm_bigram_lm": (llm_bigram_lm, LLM_BIGRAM_LM_SQL),
     "llm_corpus_filter": (llm_corpus_filter, LLM_CORPUS_FILTER_SQL),
     "llm_chunk_udtf": (llm_chunk_udtf, LLM_CHUNK_SQL),
