@@ -299,6 +299,68 @@ FROM tri
 
 
 # ---------------------------------------------------------------------------
+# Multi-source BFS shortest hops over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_BFS_MAX_HOPS = 6
+_BFS_SEED_MOD = 25
+
+
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance histogram from seed parts over the co-purchase
+    graph (multi-source BFS, operators/graph.bfs_hops).
+
+    Seeds are the deterministic set ``node % 25 == 0`` among graph
+    nodes; distances are exact minimum hops capped at 6; unreached
+    nodes report dist = -1. The co-purchase edge subtree is
+    checkpointed once and symmetrized; each BFS round touches only the
+    frontier (delta iteration), so a 100 TB edge list costs
+    O(diameter) frontier-sized shuffles, not O(diameter) full scans.
+    """
+    from ..operators.graph import bfs_hops
+
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    sym = e.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(e.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    seeds = nodes.filter(F.col("node") % _BFS_SEED_MOD == 0)
+    dist = bfs_hops(sym, seeds, max_hops=_BFS_MAX_HOPS)
+    return (
+        nodes.join(dist, "node", "left_outer")
+        .select(F.coalesce("dist", F.lit(-1)).alias("dist"))
+        .groupBy("dist")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("dist")
+    )
+
+
+GRAPH_BFS_SQL = f"""
+WITH RECURSIVE {_COPURCHASE_CTE},
+sym AS (
+  SELECT pa AS src, pb AS dst FROM edges
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM edges
+),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+walk AS (
+  SELECT node, 0 AS dist FROM nodes WHERE node % {_BFS_SEED_MOD} = 0
+  UNION
+  SELECT s.dst AS node, w.dist + 1 AS dist
+  FROM walk w JOIN sym s ON s.src = w.node
+  WHERE w.dist < {_BFS_MAX_HOPS}
+),
+best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+SELECT dist, COUNT(*) AS n_nodes FROM (
+  SELECT COALESCE(b.dist, -1) AS dist
+  FROM nodes n LEFT JOIN best b ON b.node = n.node
+)
+GROUP BY dist
+ORDER BY dist
+"""
+
+
+# ---------------------------------------------------------------------------
 # Hierarchy rollup via transitive closure (recursive-CTE parity)
 # ---------------------------------------------------------------------------
 
@@ -378,5 +440,6 @@ QUERIES = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "mb_frequent_pairs": (mb_frequent_pairs, MB_PAIRS_SQL),
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
+    "graph_bfs_hops": (graph_bfs_hops, GRAPH_BFS_SQL),
     "hier_rollup_closure": (hier_rollup_closure, HIER_ROLLUP_SQL),
 }

@@ -425,10 +425,111 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# stat_mannwhitney — tie-corrected Mann-Whitney U rank-sum test
+# ---------------------------------------------------------------------------
+
+# Shared closed-form (identical text both engines; every input is a
+# double derived from exact integer aggregates). u1x2/r1x2 carry 2×U /
+# 2×R so tied average ranks (halves) stay integer-exact end to end.
+_MW_Z = (
+    "(CAST(u1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2)"
+    " / (CAST(2 AS DOUBLE) * sqrt((CAST(n1 AS DOUBLE) * n2 / CAST(12 AS DOUBLE))"
+    " * (CAST(n1 + n2 + 1 AS DOUBLE)"
+    " - CAST(tie_t AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))))"
+)
+_MW_EFFECT = "(CAST(n1 AS DOUBLE) * n2 - CAST(u1x2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) * n2)"
+
+
+def stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test (returnflag A vs R lineitems, value = quantity)
+    with the tie-corrected normal approximation.
+
+    Never ranks rows: quantity has a bounded integer domain, so the
+    average rank of value v is derivable from per-value counts —
+    2·rank(v) = 2·(# rows < v) + count(v) + 1, exact in integers. One
+    map-side-combinable aggregation collapses the fact table to ≤50
+    (value, count, count_group1) rows; the cumulative window runs over
+    that tiny domain table, NOT the fact table, so there is no global
+    row sort anywhere — the 100 TB cost is a single partial-agg
+    shuffle. 2×R1, 2×U1 and the tie term Σ(t³−t) are exact BIGINTs;
+    z and the rank-biserial effect size are the same IEEE expression
+    in both engines.
+    """
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    per_v = (
+        l.select(
+            F.col("l_quantity").cast("long").alias("v"),
+            (F.col("l_returnflag") == "A").cast("long").alias("g1"),
+        )
+        .groupBy("v")
+        .agg(F.count("*").alias("c"), F.sum("g1").alias("c1"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.withColumn(
+        "r2", 2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1
+    )
+    agg = ranked.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n2"),
+        F.sum(F.col("c1") * F.col("r2")).alias("r1x2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie_t"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).alias("u1x2"),
+        "tie_t",
+    ).select(
+        "n1",
+        "n2",
+        "u1x2",
+        "tie_t",
+        F.expr(_MW_Z).alias("z"),
+        F.expr(_MW_EFFECT).alias("rank_biserial"),
+    )
+
+
+STAT_MANNWHITNEY_SQL = f"""
+WITH per_v AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS c,
+         SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS c1
+  FROM lineitem
+  WHERE l_returnflag IN ('A', 'R')
+  GROUP BY 1
+),
+ranked AS (
+  SELECT v, c, c1,
+         2 * COALESCE(SUM(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+  FROM per_v
+),
+agg AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c - c1) AS BIGINT) AS n2,
+         CAST(SUM(c1 * r2) AS BIGINT) AS r1x2,
+         CAST(SUM(c * c * c - c) AS BIGINT) AS tie_t
+  FROM ranked
+),
+u AS (
+  SELECT n1, n2, CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1x2, tie_t FROM agg
+)
+SELECT n1, n2, u1x2, tie_t,
+       {_MW_Z} AS z,
+       {_MW_EFFECT} AS rank_biserial
+FROM u
+"""
+
+
 QUERIES = {
     "stat_reg_group": (stat_reg_group, STAT_REG_SQL),
     "stat_reg_multi": (stat_reg_multi, STAT_REG_MULTI_SQL),
     "stat_chi2_independence": (stat_chi2_independence, STAT_CHI2_SQL),
     "stat_corr_matrix": (stat_corr_matrix, STAT_CORR_SQL),
     "stat_ab_welch": (stat_ab_welch, STAT_WELCH_SQL),
+    "stat_mannwhitney": (stat_mannwhitney, STAT_MANNWHITNEY_SQL),
 }

@@ -73,3 +73,55 @@ def test_ancestor_closure_doubling(spark):
             d += 1
             want.add((k, a, d))
     assert got == want
+
+
+def test_bfs_hops_matches_bruteforce(spark):
+    from collections import deque
+
+    from bigdata_spark.plans.graphq import (
+        _BFS_MAX_HOPS,
+        _BFS_SEED_MOD,
+        _copurchase_pairs,
+        graph_bfs_hops,
+    )
+
+    edges = {
+        (r["pa"], r["pb"]) for r in _copurchase_pairs(spark, SF).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = [n for n in adj if n % _BFS_SEED_MOD == 0]
+    dist = {n: 0 for n in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= _BFS_MAX_HOPS:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    expected: dict[int, int] = {}
+    for n in adj:
+        d = dist.get(n, -1)
+        expected[d] = expected.get(d, 0) + 1
+
+    got = {r["dist"]: r["n_nodes"] for r in graph_bfs_hops(spark, SF).collect()}
+    assert got == expected
+
+
+def test_bfs_hops_small_graph(spark):
+    """Path graph 1-2-3-4-5 plus isolated 9; seed {1}: exact hop
+    distances, cap honored, unreached absent from the result."""
+    from bigdata_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in [(1, 2), (2, 3), (3, 4), (4, 5)]]
+        + [(b, a) for a, b in [(1, 2), (2, 3), (3, 4), (4, 5)]],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,), (1,)], "node long")  # dup seed
+    out = {r["node"]: r["dist"] for r in bfs_hops(edges, seeds, 2).collect()}
+    assert out == {1: 0, 2: 1, 3: 2}

@@ -89,3 +89,45 @@ def test_reg_multi_matches_numpy_lstsq(spark):
         assert abs(got["intercept"] - beta[0]) < 1e-5 * max(1, abs(beta[0]))
         assert abs(got["beta_quantity"] - beta[1]) < 1e-5 * max(1, abs(beta[1]))
         assert abs(got["beta_discount"] - beta[2]) < 1e-4 * max(1, abs(beta[2]))
+
+
+def test_mannwhitney_matches_bruteforce(spark):
+    """Exact average-rank U statistic recomputed in pure Python over
+    the same filtered sample."""
+    from bigdata_spark.plans.statsq import stat_mannwhitney
+    from bigdata_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf, "lineitem")
+        .filter("l_returnflag IN ('A', 'R')")
+        .select("l_returnflag", "l_quantity")
+        .collect()
+    )
+    sample = [(r["l_returnflag"] == "A", int(r["l_quantity"])) for r in rows]
+    vals = sorted({v for _, v in sample})
+    cnt = {v: 0 for v in vals}
+    cnt1 = {v: 0 for v in vals}
+    for g1, v in sample:
+        cnt[v] += 1
+        cnt1[v] += g1
+    cum, r2 = 0, {}
+    for v in vals:
+        r2[v] = 2 * cum + cnt[v] + 1
+        cum += cnt[v]
+    n1 = sum(cnt1.values())
+    n2 = sum(cnt.values()) - n1
+    r1x2 = sum(cnt1[v] * r2[v] for v in vals)
+    u1x2 = r1x2 - n1 * (n1 + 1)
+    tie_t = sum(c**3 - c for c in cnt.values())
+
+    got = stat_mannwhitney(spark, sf).collect()[0]
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert got["u1x2"] == u1x2
+    assert got["tie_t"] == tie_t
+    import math
+
+    sigma2 = (n1 * n2 / 12) * ((n1 + n2 + 1) - tie_t / ((n1 + n2) * (n1 + n2 - 1.0)))
+    z = (u1x2 - float(n1) * n2) / (2.0 * math.sqrt(sigma2))
+    assert abs(got["z"] - z) < 1e-9
+    assert abs(got["rank_biserial"] - (float(n1) * n2 - u1x2) / (n1 * n2)) < 1e-12
