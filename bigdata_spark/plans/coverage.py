@@ -816,6 +816,56 @@ def f12_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f13_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) null imputation per
+    event series — the standard time-series gap repair.
+
+    Nulls are injected deterministically (event_id % 7 == 0, ~14% of
+    rows) so the query is self-contained; the fill is
+    `last(value, ignorenulls)` over an UNBOUNDED-PRECEDING row frame
+    per user ordered by (ts, event_id) — one shuffle on user_id, one
+    sort, no self-joins. Leading nulls (no prior observation) stay
+    null, and the imputed flag + residual null count make the repair
+    auditable. Per-row output is the point: downstream training reads
+    the repaired column."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.when(F.col("event_id") % 7 != 0, F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+        (F.col("v").isNull() & F.last("v", ignorenulls=True).over(w).isNotNull())
+        .cast("long")
+        .alias("imputed"),
+    ).orderBy("event_id")
+
+
+F13_LOCF_SQL = """
+SELECT event_id, user_id,
+       LAST_VALUE(v IGNORE NULLS) OVER w AS value_filled,
+       CAST(CASE WHEN v IS NULL
+                  AND LAST_VALUE(v IGNORE NULLS) OVER w IS NOT NULL
+            THEN 1 ELSE 0 END AS BIGINT) AS imputed
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 7 <> 0 THEN value END AS v
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 F12_QBINS_SQL = """
 WITH ranked AS (
   SELECT l_returnflag, l_extendedprice,
@@ -860,6 +910,7 @@ QUERIES = {
     "w5_analytic_suite": (w5_analytic_suite, W5_SQL),
     "w6_exact_median": (w6_exact_median, W6_MEDIAN_SQL),
     "f12_quantile_bins": (f12_quantile_bins, F12_QBINS_SQL),
+    "f13_locf_impute": (f13_locf_impute, F13_LOCF_SQL),
     "o7_skyline_pareto": (o7_skyline_pareto, O7_SKYLINE_SQL),
     "wh_rfm_segments": (wh_rfm_segments, WH_RFM_SQL),
     "o2_repartition_invariants": (o2_repartition_invariants, O2_SQL),

@@ -1166,6 +1166,86 @@ ORDER BY event_id
 """
 
 
+def w8_islands_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: run-length encode consecutive same-type events
+    per user, then census the islands per event_type.
+
+    The classic sessionless streak workload (consecutive logins, retry
+    storms, sensor plateaus). Island ids come from the lag-change
+    cumulative-sum trick — two windows over the SAME (user_id; ts,
+    event_id) partitioning/order, so Catalyst evaluates them in one
+    sort + one pass, one shuffle on user_id total; the island census is
+    an ordinary two-level aggregation. Ordering ties on ts are broken
+    by the unique event_id, so the encoding is deterministic."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chg = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("long")
+    islands = (
+        e.withColumn("chg", chg)
+        .withColumn(
+            "island",
+            F.sum("chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "island", "event_type")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return (
+        islands.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.max("run_len").alias("max_run"),
+            F.sum("run_len").alias("n_events"),
+            F.sum(F.when(F.col("run_len") >= 3, 1).otherwise(0)).alias(
+                "n_streaks_3plus"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+W8_ISLANDS_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tagged AS (
+  SELECT user_id, event_type,
+         SUM(chg) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM ordered
+),
+islands AS (
+  SELECT user_id, island, event_type, COUNT(*) AS run_len
+  FROM tagged GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       COUNT(*) AS n_islands,
+       CAST(MAX(run_len) AS BIGINT) AS max_run,
+       CAST(SUM(run_len) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_streaks_3plus
+FROM islands
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def evt_stream_ckpt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed stop/restart EXACTLY-ONCE: run 1 streams the first
     two chronological file groups under a checkpoint and terminates;
@@ -1250,6 +1330,7 @@ FROM q GROUP BY event_type ORDER BY event_type
 QUERIES = {
     "evt_stream_ckpt_recovery": (evt_stream_ckpt_recovery, EVT_CKPT_SQL),
     "w7_range_frame": (w7_range_frame, W7_RANGE_SQL),
+    "w8_islands_rle": (w8_islands_rle, W8_ISLANDS_SQL),
     "evt_transitions": (evt_transitions, EVT_TRANSITIONS_SQL),
     "evt_stream_update_mode": (evt_stream_update_mode, EVT_UPDATE_MODE_SQL),
     "evt_twap": (evt_twap, EVT_TWAP_SQL),

@@ -87,3 +87,74 @@ def test_attribution_models_conserve_conversions(spark):
     rev_first = sum(r["revenue"] for r in rows if r["model"] == "first_touch")
     rev_last = sum(r["revenue"] for r in rows if r["model"] == "last_touch")
     assert abs(rev_first - rev_last) < 1e-6
+
+
+def test_islands_rle_matches_bruteforce(spark):
+    from collections import defaultdict
+
+    from bigdata_spark.plans.events import w8_islands_rle
+    from bigdata_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    stats = defaultdict(lambda: [0, 0, 0, 0])  # islands, max, events, streaks3
+    for evs in per_user.values():
+        evs.sort()
+        prev, run = None, 0
+        for _, _, et in evs + [(None, None, None)]:
+            if et == prev:
+                run += 1
+                continue
+            if prev is not None:
+                s = stats[prev]
+                s[0] += 1
+                s[1] = max(s[1], run)
+                s[2] += run
+                s[3] += run >= 3
+            prev, run = et, 1
+    got = {r["event_type"]: r for r in w8_islands_rle(spark, sf).collect()}
+    assert set(got) == set(stats)
+    for et, (ni, mx, ne, s3) in stats.items():
+        g = got[et]
+        assert (g["n_islands"], g["max_run"], g["n_events"], g["n_streaks_3plus"]) == (
+            ni, mx, ne, s3,
+        )
+
+
+def test_locf_impute_matches_bruteforce(spark):
+    from collections import defaultdict
+
+    from bigdata_spark.plans.coverage import f13_locf_impute
+    from bigdata_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in rows:
+        v = None if r["event_id"] % 7 == 0 else r["value"]
+        per_user[r["user_id"]].append((r["ts"], r["event_id"], v))
+    expected = {}
+    for evs in per_user.values():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        carry = None
+        for _, eid, v in evs:
+            if v is not None:
+                carry = v
+            expected[eid] = (carry, int(v is None and carry is not None))
+    got = f13_locf_impute(spark, sf).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        exp_v, exp_flag = expected[r["event_id"]]
+        assert r["value_filled"] == exp_v
+        assert r["imputed"] == exp_flag
