@@ -866,6 +866,49 @@ ORDER BY event_id
 """
 
 
+def f14_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive string semantics via Spark 4 collations.
+
+    Mixed-case text is synthesized deterministically (even part keys
+    lowercase their p_type), then compared under the default binary
+    collation vs ``UNICODE_CI`` — distinct counts, a CI literal match,
+    and a CI grouping cardinality. Collation travels in the column
+    TYPE, so every downstream comparison/aggregation/join inherits it
+    with zero per-row function calls — unlike the lower()-everywhere
+    idiom, which burns a string copy per comparison at 100 TB (the
+    oracle uses exactly that idiom, proving equivalence on ASCII
+    data)."""
+    p = load_table(spark, sf_dir, "part").select(
+        F.when(
+            F.col("p_partkey") % 2 == 0, F.lower(F.col("p_type"))
+        )
+        .otherwise(F.col("p_type"))
+        .alias("name_mc")
+    )
+    ci = F.collate(F.col("name_mc"), "UNICODE_CI")
+    return p.agg(
+        F.countDistinct("name_mc").alias("n_distinct_binary"),
+        F.countDistinct(ci).alias("n_distinct_ci"),
+        F.count(F.when(ci == F.lit("promo anodized tin"), 1)).alias(
+            "n_ci_literal_match"
+        ),
+    )
+
+
+F14_COLLATION_SQL = """
+WITH p AS (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN lower(p_type) ELSE p_type END
+           AS name_mc
+  FROM part
+)
+SELECT COUNT(DISTINCT name_mc) AS n_distinct_binary,
+       COUNT(DISTINCT lower(name_mc)) AS n_distinct_ci,
+       CAST(SUM(CASE WHEN lower(name_mc) = 'promo anodized tin' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ci_literal_match
+FROM p
+"""
+
+
 F12_QBINS_SQL = """
 WITH ranked AS (
   SELECT l_returnflag, l_extendedprice,
@@ -911,6 +954,7 @@ QUERIES = {
     "w6_exact_median": (w6_exact_median, W6_MEDIAN_SQL),
     "f12_quantile_bins": (f12_quantile_bins, F12_QBINS_SQL),
     "f13_locf_impute": (f13_locf_impute, F13_LOCF_SQL),
+    "f14_collation_ci": (f14_collation_ci, F14_COLLATION_SQL),
     "o7_skyline_pareto": (o7_skyline_pareto, O7_SKYLINE_SQL),
     "wh_rfm_segments": (wh_rfm_segments, WH_RFM_SQL),
     "o2_repartition_invariants": (o2_repartition_invariants, O2_SQL),

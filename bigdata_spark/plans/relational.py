@@ -756,6 +756,47 @@ ORDER BY 1
 """
 
 
+# --- J6: null-safe equi-join (<=> / IS NOT DISTINCT FROM) -----------------
+
+def j6_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join: customers ⋈ suppliers on nationkey where
+    key 0 is mapped to NULL on both sides (the dirty-dimension case —
+    unknown keys that must still pair with each other, not vanish the
+    way plain `=` drops them).
+
+    ``eqNullSafe`` keeps the join a hash equi-join (NULL hashes as a
+    value — no fallback to nested-loop), so the plan is the same
+    broadcast join a clean key would get; the NULL bucket is one more
+    key. Output: per joined key, pair count and the null-key flag."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("ck")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey"), F.lit(0)).alias("sk")
+    )
+    return (
+        c.join(F.broadcast(s), c.ck.eqNullSafe(s.sk))
+        .groupBy("ck")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            F.col("ck").alias("nationkey"),
+            F.col("ck").isNull().alias("is_null_bucket"),
+            "n_pairs",
+        )
+        .orderBy(F.col("nationkey").asc_nulls_first())
+    )
+
+
+J6_NULLSAFE_SQL = """
+WITH c AS (SELECT NULLIF(c_nationkey, 0) AS ck FROM customer),
+s AS (SELECT NULLIF(s_nationkey, 0) AS sk FROM supplier)
+SELECT ck AS nationkey, ck IS NULL AS is_null_bucket, COUNT(*) AS n_pairs
+FROM c JOIN s ON c.ck IS NOT DISTINCT FROM s.sk
+GROUP BY ck
+ORDER BY nationkey ASC NULLS FIRST
+"""
+
+
 QUERIES = {
     "s1_scan_project": (s1_scan_project, S1_SQL),
     "tpch_q4_adapted": (tpch_q4_adapted, TPCH_Q4_SQL),
@@ -765,6 +806,7 @@ QUERIES = {
     "tpch_q5": (tpch_q5, TPCH_Q5_SQL),
     "tpch_q6": (tpch_q6, TPCH_Q6_SQL),
     "j1_anti_join": (j1_anti_join, J1_SQL),
+    "j6_null_safe_join": (j6_null_safe_join, J6_NULLSAFE_SQL),
     "j3_left_outer_fillna": (j3_left_outer_fillna, J3_SQL),
     "a1_multi_minmax": (a1_multi_minmax, A1_SQL),
     "a2_group_count": (a2_group_count, A2_SQL),

@@ -971,8 +971,71 @@ FROM m GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def s26_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary ingestion via Spark's ``binaryFile`` datasource —
+    the front door a multimodal corpus (images/audio on shared
+    storage) enters the engine through.
+
+    Stages four deterministic PNGs plus a non-matching decoy into a
+    scratch dir, reads them back with ``pathGlobFilter`` (the decoy
+    must be pruned at LISTING time, before any bytes are read), and
+    reduces each file to (name, byte length, md5). At 100 TB the file
+    listing is distributed, content is never deserialized row-wise,
+    and per-file work is a constant-memory digest — the payload stays
+    an opaque BinaryType column exactly like documents/media pipelines
+    expect. Content is seed-deterministic, so the oracle pins the
+    digests."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from ..multimodal.codecs import encode_png
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_binfile_")
+    try:
+        for i in range(4):
+            h, w = 8 + 4 * i, 12 + 2 * i
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [(yy * 31 + i * 7) % 256, (xx * 17) % 256, (yy * xx + i) % 256],
+                axis=-1,
+            ).astype(np.uint8)
+            with open(f"{scratch}/img_{i}.png", "wb") as f:
+                f.write(encode_png(px, filter_type=i % 2))
+        with open(f"{scratch}/decoy.txt", "w") as f:
+            f.write("not an image")
+        df = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.png")
+            .load(scratch)
+            .select(
+                F.element_at(F.split("path", "/"), -1).alias("fname"),
+                F.col("length").alias("n_bytes"),
+                F.md5("content").alias("digest"),
+            )
+            .orderBy("fname")
+        )
+        rows = df.collect()  # materialize before the scratch dir dies
+        return spark.createDataFrame(rows, df.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S26_BINARYFILE_SQL = """
+SELECT * FROM (VALUES
+  ('img_0.png', CAST(309 AS BIGINT), 'ce174a7d1394b4e4d6665e197e65cdec'),
+  ('img_1.png', CAST(141 AS BIGINT), '2a345ab25cc5fd1573c276e1c5e5f354'),
+  ('img_2.png', CAST(744 AS BIGINT), '1f912108201329b2e1c10fec0969846d'),
+  ('img_3.png', CAST(180 AS BIGINT), 'eb3c37bb43c600f2c1bf4ec315dab0bf')
+) AS t(fname, n_bytes, digest)
+ORDER BY fname
+"""
+
+
 QUERIES = {
     "s23_merge_into": (s23_merge_into, S23_MERGE_SQL),
+    "s26_binaryfile_source": (s26_binaryfile_source, S26_BINARYFILE_SQL),
     "skew_salted_agg": (skew_salted_agg, SKEW_AGG_SQL),
     "skew_salted_join": (skew_salted_join, SKEW_JOIN_SQL),
     "skew_stress_agg": (skew_stress_agg, SKEW_STRESS_SQL),

@@ -284,3 +284,30 @@ def test_z2_matches_python_morton(spark):
     }
     for x, y in pts:
         assert got[(x, y)] == morton(x & 0xFFFF, y & 0xFFFF), (x, y)
+
+
+def test_null_safe_join_null_bucket(spark):
+    """The NULL bucket must pair every null-key customer with every
+    null-key supplier (what plain `=` would silently drop)."""
+    from bigdata_spark.plans.relational import j6_null_safe_join
+    from bigdata_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    nc = load_table(spark, sf, "customer").filter("c_nationkey = 0").count()
+    ns = load_table(spark, sf, "supplier").filter("s_nationkey = 0").count()
+    rows = {r["nationkey"]: r for r in j6_null_safe_join(spark, sf).collect()}
+    if nc * ns:
+        assert rows[None]["n_pairs"] == nc * ns
+        assert rows[None]["is_null_bucket"] is True
+    else:
+        assert None not in rows
+
+
+def test_binaryfile_source_prunes_decoy(spark):
+    from bigdata_spark.plans.scaleq import s26_binaryfile_source
+
+    rows = s26_binaryfile_source(spark, "/root/testdata/sf0.001").collect()
+    names = [r["fname"] for r in rows]
+    assert names == sorted(names) and len(names) == 4
+    assert all(n.endswith(".png") for n in names)
+    assert all(len(r["digest"]) == 32 for r in rows)
