@@ -582,8 +582,132 @@ ORDER BY c.cid
 ML_KMEANS_SQL = _kmeans_sql()
 
 
+# ---------------------------------------------------------------------------
+# ml_perceptron_fixed — batch perceptron, integer fixed-point, unrolled oracle
+# ---------------------------------------------------------------------------
+
+_PC_DIMS = 16
+_PC_EPOCHS = 5
+_PC_SCALE = 10_000          # feature unit: 1e-4
+_PC_SCALE2 = _PC_SCALE * _PC_SCALE  # bias unit matches w·x
+
+
+def _pc_margin(w: list[int], b: int, spark_side: bool) -> str:
+    """y * (w·x + b) with the weights inlined as exact integer
+    literals. Spark needs the L suffix so 32-bit-overflowing literals
+    stay BIGINT; DuckDB infers."""
+    suf = "L" if spark_side else ""
+    dot = " + ".join(
+        f"CAST({w[i]}{suf} AS BIGINT) * x{i + 1}" for i in range(_PC_DIMS)
+    )
+    return f"y * ({dot} + CAST({b}{suf} AS BIGINT))"
+
+
+def ml_perceptron_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BATCH perceptron (5 epochs) in integer fixed-point.
+
+    The online perceptron is order-dependent and so unreproducible on a
+    shuffled cluster; the batch variant updates once per epoch with the
+    SUM of y·x over currently-misclassified rows — a pure aggregate,
+    order-free, and integer-exact here because features quantize to
+    1e-4 units (BIGINT) and the bias lives in matching squared units.
+    Each epoch is ONE map-side-combinable aggregation (17 sums, no
+    shuffle of rows, no window); the driver holds only the 16-weight
+    vector — kmeans's bounded-collect discipline. The DuckDB oracle
+    unrolls all 5 epochs as chained CTEs over the same integers and
+    must hash-match bit-for-bit.
+
+    Label: y = +1 for even ``label``, −1 otherwise (embeddings table).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cols = [
+        F.expr(
+            f"CAST(round(CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+            f" * {_PC_SCALE}) AS BIGINT)"
+        ).alias(f"x{i + 1}")
+        for i in range(_PC_DIMS)
+    ]
+    data = e.select(
+        F.expr("CASE WHEN label % 2 = 0 THEN 1 ELSE -1 END")
+        .cast("long")
+        .alias("y"),
+        *cols,
+    )
+    w = [0] * _PC_DIMS
+    b = 0
+    for _ in range(_PC_EPOCHS):
+        mis = data.filter(F.expr(_pc_margin(w, b, True) + " <= 0"))
+        upd = mis.agg(
+            *[
+                F.sum(F.col("y") * F.col(f"x{i + 1}")).alias(f"u{i + 1}")
+                for i in range(_PC_DIMS)
+            ],
+            (F.sum("y") * _PC_SCALE2).alias("ub"),
+        ).collect()[0]
+        w = [w[i] + int(upd[f"u{i + 1}"] or 0) for i in range(_PC_DIMS)]
+        b = b + int(upd["ub"] or 0)
+    final_mis = data.filter(F.expr(_pc_margin(w, b, True) + " <= 0")).count()
+    n = data.count()
+    return spark.createDataFrame(
+        [(n, final_mis, sum(w), b)],
+        "n_rows long, n_misclassified long, weight_mass long, bias long",
+    )
+
+
+def _perceptron_sql() -> str:
+    feat = ",\n         ".join(
+        f"CAST(round(CAST(embedding[{i + 1}] AS DOUBLE) * {_PC_SCALE}) AS BIGINT)"
+        f" AS x{i + 1}"
+        for i in range(_PC_DIMS)
+    )
+    w_syms = [f"q.w{i + 1} * d.x{i + 1}" for i in range(_PC_DIMS)]
+    margin = "d.y * (" + " + ".join(w_syms) + " + q.b)"
+    e0 = ", ".join(f"CAST(0 AS BIGINT) AS w{i + 1}" for i in range(_PC_DIMS))
+    epochs = []
+    for t in range(1, _PC_EPOCHS + 1):
+        upd_cols = ", ".join(
+            f"CAST(SUM(d.y * d.x{i + 1}) AS BIGINT) AS u{i + 1}"
+            for i in range(_PC_DIMS)
+        )
+        new_w = ", ".join(
+            f"p.w{i + 1} + COALESCE(u.u{i + 1}, 0) AS w{i + 1}"
+            for i in range(_PC_DIMS)
+        )
+        epochs.append(
+            f"""e{t} AS (
+  SELECT {new_w}, p.b + COALESCE(u.ub, 0) AS b
+  FROM e{t - 1} p CROSS JOIN (
+    SELECT {upd_cols}, CAST(SUM(d.y) * {_PC_SCALE2} AS BIGINT) AS ub
+    FROM data d CROSS JOIN e{t - 1} q
+    WHERE {margin} <= 0
+  ) u
+)"""
+        )
+    chain = ",\n".join(epochs)
+    wmass = " + ".join(f"w{i + 1}" for i in range(_PC_DIMS))
+    last = f"e{_PC_EPOCHS}"
+    return f"""
+WITH data AS (
+  SELECT CAST(CASE WHEN label % 2 = 0 THEN 1 ELSE -1 END AS BIGINT) AS y,
+         {feat}
+  FROM embeddings
+),
+e0 AS (SELECT {e0}, CAST(0 AS BIGINT) AS b),
+{chain}
+SELECT (SELECT COUNT(*) FROM data) AS n_rows,
+       (SELECT COUNT(*) FROM data d CROSS JOIN {last} q WHERE {margin} <= 0)
+         AS n_misclassified,
+       (SELECT CAST({wmass} AS BIGINT) FROM {last}) AS weight_mass,
+       (SELECT b FROM {last}) AS bias
+"""
+
+
+ML_PERCEPTRON_SQL = _perceptron_sql()
+
+
 QUERIES = {
     "ml_kmeans_fixed": (ml_kmeans_fixed, ML_KMEANS_SQL),
+    "ml_perceptron_fixed": (ml_perceptron_fixed, ML_PERCEPTRON_SQL),
     "ml_naive_bayes": (ml_naive_bayes, ML_NB_SQL),
     "ml_local_forest": (ml_local_forest, ML_FOREST_SQL),
     "ml_global_tree": (ml_global_tree, ML_TREE_SQL),
