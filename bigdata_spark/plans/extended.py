@@ -603,8 +603,174 @@ FROM embeddings
 """
 
 
+# ---------------------------------------------------------------------------
+# approx_bloom_semijoin — runtime Bloom-filter join pruning, oracle-exact
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 16384
+_BLOOM_WORD = 32  # 32-bit words keep every mask positive in BIGINT
+_BLOOM_SEEDS = (1, 2, 3)
+_BLOOM_FPR = "(CAST(n_pass AS DOUBLE) - n_match) / (CAST(n_fact AS DOUBLE) - n_match)"
+
+
+def _bloom_hash_spark(expr: str, seed: int) -> str:
+    """Spark-SQL text of functions.hashing.portable_hash64 — the same
+    md5-derived 60-bit hash the DuckDB oracle recomputes, so the
+    Bloom bitmap (and therefore every pruning count) is engine-exact."""
+    return (
+        f"CAST(conv(substring(md5(concat('{seed}|', CAST({expr} AS STRING)))"
+        f", 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def approx_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join with a Bloom-filter runtime prefilter — the pattern
+    behind Spark's own runtime row-level filtering: hash the build
+    side's keys into a tiny bitmap, broadcast it as a CONSTANT into
+    the probe side's scan, and only the survivors reach the real join.
+
+    At 100 TB the payoff is shuffle volume: the 2 KB bitmap rides into
+    every probe task as a literal (no join, no shuffle) and discards
+    non-matching rows at the scan, where a plain semi-join would ship
+    them all to the join. False positives are then removed by the
+    exact (broadcast) semi-join, so the final aggregate is exact; no
+    false negatives is a structural Bloom guarantee. The bitmap uses
+    the portable md5 hash, so the DuckDB oracle rebuilds the identical
+    filter and even the false-positive count matches bit-for-bit."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-01-01")))
+        )
+        .select("o_orderkey")
+    )
+    pos = None
+    for s in _BLOOM_SEEDS:
+        part = o.select(
+            F.expr(f"{_bloom_hash_spark('o_orderkey', s)} % {_BLOOM_BITS}").alias("p")
+        )
+        pos = part if pos is None else pos.unionAll(part)
+    words = (
+        pos.distinct()
+        .select(
+            F.expr(f"p div {_BLOOM_WORD}").alias("w"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_BLOOM_WORD} AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+        .collect()
+    )  # bounded: <= 512 words
+    bitmap = [0] * (_BLOOM_BITS // _BLOOM_WORD)
+    for r in words:
+        bitmap[int(r["w"])] = int(r["mask"])
+
+    tests = []
+    for s in _BLOOM_SEEDS:
+        p = f"({_bloom_hash_spark('l_orderkey', s)} % {_BLOOM_BITS})"
+        tests.append(
+            f"(element_at(bits, CAST({p} div {_BLOOM_WORD} AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST({p} % {_BLOOM_WORD} AS INT))) != 0"
+        )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .withColumn("bits", F.lit(bitmap))
+        .withColumn("pass", F.expr(" AND ".join(tests)))
+    )
+    survivors = l.filter("pass").drop("bits", "pass")
+    matched = survivors.join(
+        F.broadcast(o), survivors.l_orderkey == o.o_orderkey, "left_semi"
+    )
+    stats = l.agg(
+        F.count("*").alias("n_fact"),
+        F.sum(F.col("pass").cast("long")).alias("n_pass"),
+    ).crossJoin(
+        matched.agg(
+            F.count("*").alias("n_match"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty_matched"),
+        )
+    )
+    return stats.select(
+        "n_fact",
+        "n_pass",
+        "n_match",
+        (F.col("n_pass") - F.col("n_match")).alias("n_false_pos"),
+        F.expr(_BLOOM_FPR).alias("fp_rate"),
+        "qty_matched",
+    )
+
+
+def _bloom_sql() -> str:
+    from .dedupq import _duck_hash
+
+    pos_arms = "\nUNION ALL\n".join(
+        f"SELECT ({_duck_hash('o_orderkey', str(s))}) % {_BLOOM_BITS} AS p FROM dim"
+        for s in _BLOOM_SEEDS
+    )
+    probes = []
+    for i, s in enumerate(_BLOOM_SEEDS, 1):
+        p = f"({_duck_hash('l_orderkey', str(s))}) % {_BLOOM_BITS}"
+        probes.append(f"{p} // {_BLOOM_WORD} AS wd{i}, CAST({p} % {_BLOOM_WORD} AS INT) AS bt{i}")
+    joins = "\n  ".join(
+        f"LEFT JOIN words w{i} ON w{i}.w = f.wd{i}" for i in range(1, 4)
+    )
+    pass_expr = " AND ".join(
+        f"(COALESCE(w{i}.mask, 0) & (CAST(1 AS BIGINT) << f.bt{i})) <> 0"
+        for i in range(1, 4)
+    )
+    return f"""
+WITH dim AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1996-01-01'
+),
+pos AS (SELECT DISTINCT p FROM ({pos_arms})),
+words AS (
+  SELECT p // {_BLOOM_WORD} AS w,
+         BIT_OR(CAST(1 AS BIGINT) << CAST(p % {_BLOOM_WORD} AS INT)) AS mask
+  FROM pos GROUP BY 1
+),
+fact AS (
+  SELECT l_orderkey, l_quantity,
+         {', '.join(probes)}
+  FROM lineitem
+),
+tested AS (
+  SELECT f.l_orderkey, f.l_quantity, ({pass_expr}) AS pass
+  FROM fact f
+  {joins}
+),
+matched AS (
+  SELECT t.l_quantity FROM tested t
+  WHERE t.pass AND EXISTS (SELECT 1 FROM dim d WHERE d.o_orderkey = t.l_orderkey)
+),
+s AS (
+  SELECT (SELECT COUNT(*) FROM tested) AS n_fact,
+         (SELECT CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) FROM tested) AS n_pass,
+         (SELECT COUNT(*) FROM matched) AS n_match,
+         (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) FROM matched) AS qty_matched
+)
+SELECT n_fact, n_pass, n_match,
+       CAST(n_pass - n_match AS BIGINT) AS n_false_pos,
+       {_BLOOM_FPR} AS fp_rate,
+       qty_matched
+FROM s
+"""
+
+
+APPROX_BLOOM_SQL = _bloom_sql()
+
+
 QUERIES = {
     "f10_map_in_arrow": (f10_map_in_arrow, F10_ARROW_SQL),
+    "approx_bloom_semijoin": (approx_bloom_semijoin, APPROX_BLOOM_SQL),
     "o6_multiset_ops": (o6_multiset_ops, O6_MULTISET_SQL),
     "j5_full_outer": (j5_full_outer, J5_FULL_OUTER_SQL),
     "a15_histogram": (a15_histogram, A15_HISTOGRAM_SQL),
