@@ -598,12 +598,89 @@ ORDER BY p.vec_id
 """
 
 
+
+# --- ColBERT-style MaxSim late-interaction retrieval ----------------------
+
+_MS_T, _MS_D = 8, 8  # 64-d vector viewed as 8 token-vectors of 8 dims
+
+
+def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector late-interaction retrieval (the ColBERT MaxSim
+    kernel): each 64-d embedding is treated as 8 per-token vectors of
+    8 dims; score(q, d) = sum over query tokens of the MAX dot product
+    against any document token — token-level soft alignment instead of
+    one pooled dot.
+
+    The whole kernel is ONE native Catalyst expression (nested
+    aggregate/transform/zip_with HOFs — no Python, stays inside
+    codegen); queries broadcast, per-query top-5 is a partitioned
+    window (group limit, never a global sort). The oracle evaluates
+    the same sequential-order double arithmetic via DuckDB nested list
+    comprehensions, so scores hash-match at round(9)."""
+    e = _vecs(spark, sf_dir)
+    tok = (
+        f"transform(sequence(0, {_MS_T - 1}),"
+        f" t -> slice(CAST(embedding AS ARRAY<DOUBLE>), t * {_MS_D} + 1, {_MS_D}))"
+    )
+    v = e.select("vec_id", F.expr(tok).alias("toks"))
+    q = v.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("toks").alias("qt")
+    )
+    c = v.select(F.col("vec_id").alias("corpus_id"), F.col("toks").alias("ct"))
+    score = (
+        "aggregate(qt, CAST(0 AS DOUBLE), (acc, qtok) -> acc +"
+        " array_max(transform(ct, ctok ->"
+        " aggregate(zip_with(qtok, ctok, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (a, x) -> a + x))))"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), "corpus_id")
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter("query_id != corpus_id")
+        .withColumn("maxsim", F.expr(score))
+        .withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 5")
+        .select(
+            "query_id",
+            "corpus_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("maxsim", 9).alias("maxsim"),
+        )
+    )
+
+
+_MS_DOT = (
+    f"list_sum([CAST(q.v[(i-1)*{_MS_D}+d] AS DOUBLE)"
+    f" * CAST(c.v[(j-1)*{_MS_D}+d] AS DOUBLE)"
+    f" for d in generate_series(1, {_MS_D})])"
+)
+SIM_MAXSIM_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS v FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id AS corpus_id, embedding AS v FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.corpus_id,
+    list_sum([list_max([{_MS_DOT}
+      for j in generate_series(1, {_MS_T})])
+      for i in generate_series(1, {_MS_T})]) AS maxsim
+  FROM c CROSS JOIN q
+  WHERE q.query_id != c.corpus_id
+), ranked AS (
+  SELECT query_id, corpus_id, maxsim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY maxsim DESC, corpus_id) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, ROUND(maxsim, 9) AS maxsim
+FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "dist_kernels": (dist_kernels, DIST_KERNELS_SQL),
     "geo_radius_join": (geo_radius_join, GEO_RADIUS_SQL),
     "ml_dbscan_grid": (ml_dbscan_grid, ML_DBSCAN_SQL),
     "sim_knn_classify": (sim_knn_classify, SIM_KNN_SQL),
     "sim_topk_pq": (sim_topk_pq, SIM_PQ_SQL),
+    "sim_maxsim_multivector": (sim_maxsim_multivector, SIM_MAXSIM_SQL),
     "nearest_exemplar": (nearest_exemplar, NEAREST_EXEMPLAR_SQL),
     "sim_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
     "sim_topk_lsh": (sim_topk_lsh, SIM_LSH_SQL),
