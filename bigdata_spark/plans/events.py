@@ -1246,6 +1246,74 @@ ORDER BY event_type
 """
 
 
+def evt_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar-spine dimension joined back to the fact —
+    the ubiquitous BI pattern that surfaces ZERO-activity days (a
+    plain GROUP BY date silently drops them).
+
+    The spine comes from `sequence()` over the observed [min, max]
+    date range — generated, never stored, no driver round-trip (the
+    min/max row feeds sequence+explode directly). Day-of-week avoids
+    the engines' conflicting dayofweek() conventions by deriving from
+    days-since-epoch arithmetic (1970-01-01 + 4 ≡ Thursday), identical
+    text both sides. The per-day rollup is one partial-agg shuffle;
+    the spine left-join is broadcast (a few thousand days even for a
+    decade of data)."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("d"),
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    spine = (
+        e.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("d"))
+    )
+    per_day = e.groupBy("d").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("v").cast("double").alias("value_sum"),
+    )
+    dow = "(datediff(d, DATE '1970-01-01') + 4) % 7"
+    return (
+        spine.join(per_day, "d", "left_outer")
+        .select(
+            "d",
+            F.expr(dow).cast("long").alias("dow"),
+            F.expr(f"({dow}) IN (0, 6)").alias("is_weekend"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_users", F.lit(0)).alias("n_users"),
+            F.coalesce("value_sum", F.lit(0.0)).alias("value_sum"),
+        )
+        .orderBy("d")
+    )
+
+
+EVT_CALENDAR_SQL = """
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS d, user_id, CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+),
+bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM e),
+spine AS (
+  SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+),
+per_day AS (
+  SELECT d, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+         CAST(SUM(v) AS DOUBLE) AS value_sum
+  FROM e GROUP BY d
+)
+SELECT s.d,
+       CAST((datediff('day', DATE '1970-01-01', s.d) + 4) % 7 AS BIGINT) AS dow,
+       ((datediff('day', DATE '1970-01-01', s.d) + 4) % 7) IN (0, 6) AS is_weekend,
+       COALESCE(p.n_events, 0) AS n_events,
+       COALESCE(p.n_users, 0) AS n_users,
+       COALESCE(p.value_sum, 0.0) AS value_sum
+FROM spine s LEFT JOIN per_day p ON p.d = s.d
+ORDER BY s.d
+"""
+
+
 def evt_stream_ckpt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed stop/restart EXACTLY-ONCE: run 1 streams the first
     two chronological file groups under a checkpoint and terminates;
@@ -1331,6 +1399,7 @@ QUERIES = {
     "evt_stream_ckpt_recovery": (evt_stream_ckpt_recovery, EVT_CKPT_SQL),
     "w7_range_frame": (w7_range_frame, W7_RANGE_SQL),
     "w8_islands_rle": (w8_islands_rle, W8_ISLANDS_SQL),
+    "evt_calendar_dim": (evt_calendar_dim, EVT_CALENDAR_SQL),
     "evt_transitions": (evt_transitions, EVT_TRANSITIONS_SQL),
     "evt_stream_update_mode": (evt_stream_update_mode, EVT_UPDATE_MODE_SQL),
     "evt_twap": (evt_twap, EVT_TWAP_SQL),

@@ -525,6 +525,95 @@ FROM u
 """
 
 
+# ---------------------------------------------------------------------------
+# stat_ks_test — two-sample Kolmogorov-Smirnov, exact via cross-multiplied
+# integer ECDF differences (the rankless bounded-domain pattern again)
+# ---------------------------------------------------------------------------
+
+_KS_D = "CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)"
+_KS_LAMBDA = (
+    "(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2))"
+    " * sqrt((CAST(n1 AS DOUBLE) * n2) / (CAST(n1 AS DOUBLE) + n2))"
+)
+
+
+def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the quantity
+    distributions of returnflag A vs R lineitems.
+
+    D = max_v |F1(v) − F2(v)| is kept EXACT until the last step by
+    cross-multiplying the two ECDFs to integers: d_num =
+    max |cum1·n2 − cum2·n1|, so no division happens before the single
+    closed-form projection. Like the Mann-Whitney query, the fact
+    table collapses to ≤50 per-value count rows in one partial-agg
+    shuffle; the cumulative window runs over that bounded domain
+    table, never over rows."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    per_v = (
+        l.select(
+            F.col("l_quantity").cast("long").alias("v"),
+            (F.col("l_returnflag") == "A").cast("long").alias("g1"),
+        )
+        .groupBy("v")
+        .agg(F.count("*").alias("c"), F.sum("g1").alias("c1"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_v.select(
+        F.sum("c1").over(w).alias("cum1"),
+        (F.sum("c").over(w) - F.sum("c1").over(w)).alias("cum2"),
+    )
+    tot = per_v.agg(
+        F.sum("c1").alias("n1"), F.sum(F.col("c") - F.col("c1")).alias("n2")
+    )
+    agg = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+        ).alias("d_num"),
+        F.min("n1").alias("n1"),
+        F.min("n2").alias("n2"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "d_num",
+        F.expr(_KS_D).alias("ks_d"),
+        F.expr(_KS_LAMBDA).alias("ks_lambda"),
+    )
+
+
+STAT_KS_SQL = f"""
+WITH per_v AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS c,
+         SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS c1
+  FROM lineitem
+  WHERE l_returnflag IN ('A', 'R')
+  GROUP BY 1
+),
+cum AS (
+  SELECT SUM(c1) OVER w AS cum1, SUM(c) OVER w - SUM(c1) OVER w AS cum2
+  FROM per_v
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c - c1) AS BIGINT) AS n2
+  FROM per_v
+),
+agg AS (
+  SELECT CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+         CAST(MIN(n1) AS BIGINT) AS n1, CAST(MIN(n2) AS BIGINT) AS n2
+  FROM cum CROSS JOIN tot
+)
+SELECT n1, n2, d_num,
+       {_KS_D} AS ks_d,
+       {_KS_LAMBDA} AS ks_lambda
+FROM agg
+"""
+
+
 QUERIES = {
     "stat_reg_group": (stat_reg_group, STAT_REG_SQL),
     "stat_reg_multi": (stat_reg_multi, STAT_REG_MULTI_SQL),
@@ -532,4 +621,5 @@ QUERIES = {
     "stat_corr_matrix": (stat_corr_matrix, STAT_CORR_SQL),
     "stat_ab_welch": (stat_ab_welch, STAT_WELCH_SQL),
     "stat_mannwhitney": (stat_mannwhitney, STAT_MANNWHITNEY_SQL),
+    "stat_ks_test": (stat_ks_test, STAT_KS_SQL),
 }

@@ -8,7 +8,7 @@ fingerprint matches bit-for-bit (functions/hashing.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -823,8 +823,117 @@ ORDER BY pmi DESC, b.w1, b.w2
 """
 
 
+
+# --- RAKE keyphrase extraction --------------------------------------------
+
+_RAKE_STOPS = ("a", "the")
+
+
+def txt_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction): candidate phrases
+    are maximal token runs between stopwords; each word scores
+    degree/frequency (degree = co-occurring phrase length summed over
+    its phrase instances); a phrase scores the sum of its word scores.
+    Returns the global top-20 phrases.
+
+    Distribution shape: phrase segmentation is the gaps-and-islands
+    trick (stopword-count prefix sum) — two windows sharing ONE
+    (doc_id; pos) sort, so one shuffle on doc_id; word stats broadcast
+    back onto phrase words; the only ordered float sum (word scores
+    within a phrase) is evaluated in explicit pos order in BOTH
+    engines, so scores are bit-identical and the top-20 cut is
+    deterministic."""
+    from ..operators.parallelism import ensure_parallelism
+    from ..text.analysis import tokens
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = (
+        d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "w"))
+        .withColumn("stop", F.col("w").isin(*_RAKE_STOPS))
+    )
+    wg = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pw = (
+        tok.withColumn("g", F.sum(F.col("stop").cast("long")).over(wg))
+        .filter(~F.col("stop"))
+        .withColumn("plen", F.count("*").over(Window.partitionBy("doc_id", "g")))
+    )
+    ws = pw.groupBy("w").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("deg")
+    )
+    inst = (
+        pw.join(F.broadcast(ws), "w")
+        .withColumn("wscore", F.expr("CAST(deg AS DOUBLE) / freq"))
+        .groupBy("doc_id", "g")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "w", "wscore"))).alias("s")
+        )
+        .select(
+            F.expr("array_join(transform(s, x -> x.w), ' ')").alias("phrase"),
+            F.expr("size(s)").alias("n_words"),
+            F.expr(
+                "aggregate(s, CAST(0 AS DOUBLE), (acc, x) -> acc + x.wscore)"
+            ).alias("score"),
+        )
+    )
+    return (
+        inst.groupBy("phrase")
+        .agg(
+            F.min("n_words").alias("n_words"),
+            F.count("*").alias("n_occurrences"),
+            F.min("score").alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(20)
+        .select("phrase", "n_words", "n_occurrences", F.round("score", 9).alias("score"))
+    )
+
+
+TXT_RAKE_SQL = f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+tok AS (
+  SELECT doc_id, r.i AS pos, t[r.i] AS w, t[r.i] IN ('a', 'the') AS stop
+  FROM base, unnest(range(1, len(t) + 1)) AS r(i)
+),
+grp AS (
+  SELECT doc_id, pos, w, stop,
+         SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM tok
+),
+pw AS (
+  SELECT doc_id, g, pos, w, COUNT(*) OVER (PARTITION BY doc_id, g) AS plen
+  FROM grp WHERE NOT stop
+),
+ws AS (
+  SELECT w, COUNT(*) AS freq, CAST(SUM(plen) AS BIGINT) AS deg
+  FROM pw GROUP BY w
+),
+inst AS (
+  SELECT p.doc_id, p.g,
+         string_agg(p.w, ' ' ORDER BY p.pos) AS phrase,
+         CAST(COUNT(*) AS INT) AS n_words,
+         list_sum(list(CAST(s.deg AS DOUBLE) / s.freq ORDER BY p.pos)) AS score
+  FROM pw p JOIN ws s ON s.w = p.w
+  GROUP BY p.doc_id, p.g
+),
+agg AS (
+  SELECT phrase, MIN(n_words) AS n_words, COUNT(*) AS n_occurrences,
+         MIN(score) AS score
+  FROM inst GROUP BY phrase
+)
+SELECT phrase, n_words, n_occurrences, ROUND(score, 9) AS score
+FROM agg ORDER BY score DESC, phrase LIMIT 20
+"""
+
+
 QUERIES = {
     "txt_collocations": (txt_collocations, TXT_COLLOC_SQL),
+    "txt_rake_keyphrases": (txt_rake_keyphrases, TXT_RAKE_SQL),
     "llm_bigram_lm": (llm_bigram_lm, LLM_BIGRAM_LM_SQL),
     "llm_corpus_filter": (llm_corpus_filter, LLM_CORPUS_FILTER_SQL),
     "llm_chunk_udtf": (llm_chunk_udtf, LLM_CHUNK_SQL),

@@ -158,3 +158,36 @@ def test_locf_impute_matches_bruteforce(spark):
         exp_v, exp_flag = expected[r["event_id"]]
         assert r["value_filled"] == exp_v
         assert r["imputed"] == exp_flag
+
+
+def test_calendar_dim_covers_gap_days(spark):
+    """Spine must be a contiguous daily range; zero-event days appear
+    with zeroed measures; totals reconcile with the raw table."""
+    import datetime
+
+    from bigdata_spark.plans.events import evt_calendar_dim
+    from bigdata_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = evt_calendar_dim(spark, sf).collect()
+    days = [r["d"] for r in out]
+    assert days == [days[0] + datetime.timedelta(days=i) for i in range(len(days))]
+    total = sum(r["n_events"] for r in out)
+    assert total == load_table(spark, sf, "events").count()
+    for r in out:
+        assert r["is_weekend"] == (r["dow"] in (0, 6))
+        assert r["dow"] == (r["d"].toordinal() - datetime.date(1970, 1, 1).toordinal() + 4) % 7
+
+
+def test_rake_scores_positive_and_stopword_free(spark):
+    from bigdata_spark.plans.textq import _RAKE_STOPS, txt_rake_keyphrases
+
+    rows = txt_rake_keyphrases(spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        words = r["phrase"].split(" ")
+        assert len(words) == r["n_words"]
+        assert not set(words) & set(_RAKE_STOPS)
+        assert r["score"] > 0

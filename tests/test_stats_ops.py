@@ -131,3 +131,27 @@ def test_mannwhitney_matches_bruteforce(spark):
     z = (u1x2 - float(n1) * n2) / (2.0 * math.sqrt(sigma2))
     assert abs(got["z"] - z) < 1e-9
     assert abs(got["rank_biserial"] - (float(n1) * n2 - u1x2) / (n1 * n2)) < 1e-12
+
+
+def test_ks_test_matches_bruteforce(spark):
+    from bigdata_spark.plans.statsq import stat_ks_test
+    from bigdata_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf, "lineitem")
+        .filter("l_returnflag IN ('A', 'R')")
+        .select("l_returnflag", "l_quantity")
+        .collect()
+    )
+    a = sorted(int(r["l_quantity"]) for r in rows if r["l_returnflag"] == "A")
+    b = sorted(int(r["l_quantity"]) for r in rows if r["l_returnflag"] == "R")
+    n1, n2 = len(a), len(b)
+    d_num = 0
+    for v in sorted(set(a) | set(b)):
+        c1 = sum(1 for x in a if x <= v)
+        c2 = sum(1 for x in b if x <= v)
+        d_num = max(d_num, abs(c1 * n2 - c2 * n1))
+    got = stat_ks_test(spark, sf).collect()[0]
+    assert (got["n1"], got["n2"], got["d_num"]) == (n1, n2, d_num)
+    assert abs(got["ks_d"] - d_num / (n1 * n2)) < 1e-12
