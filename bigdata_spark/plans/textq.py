@@ -856,10 +856,14 @@ def txt_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # checkpoint: ws (word stats) and inst (instance scoring) both
+    # consume pw — without it Catalyst re-scans and re-windows the
+    # whole corpus twice (a 2x cost at 100 TB for a diamond dataflow)
     pw = (
         tok.withColumn("g", F.sum(F.col("stop").cast("long")).over(wg))
         .filter(~F.col("stop"))
         .withColumn("plen", F.count("*").over(Window.partitionBy("doc_id", "g")))
+        .localCheckpoint()
     )
     ws = pw.groupBy("w").agg(
         F.count("*").alias("freq"), F.sum("plen").alias("deg")

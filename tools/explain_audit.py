@@ -245,6 +245,32 @@ AUDITS.update({
         ("single scan via Expand for multi-distinct", r"Expand"),
         ("scan pruned to the four profiled columns", r"ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_orderdate:timestamp"),
     ],
+    "stat_mannwhitney": [
+        ("fact collapses via map-side partial agg", r"partial_sum"),
+        ("rankless: no window over fact rows, only the value domain", NO_PYTHON),
+        ("scan pruned to (returnflag, quantity)", r"ReadSchema: struct<l_quantity:double,l_returnflag:string>"),
+    ],
+    "w8_islands_rle": [
+        ("both windows share ONE user_id exchange", r"Window \(\d+\)[\s\S]*Window \(\d+\)[\s\S]*hashpartitioning\(user_id"),
+        ("all-native expressions", NO_PYTHON),
+    ],
+    "txt_rake_keyphrases": [
+        ("word stats broadcast onto phrase words", r"BroadcastHashJoin"),
+        ("all-native expressions", NO_PYTHON),
+    ],
+    "approx_bloom_semijoin": [
+        ("bitmap rides as a literal: no extra join, exact verify is broadcast semi", r"BroadcastHashJoin LeftSemi"),
+        ("no shuffle join anywhere", r"^(?:(?!SortMergeJoin)[\s\S])*$"),
+        ("all-native expressions", NO_PYTHON),
+    ],
+    "sim_maxsim_multivector": [
+        ("queries broadcast to the corpus", r"BroadcastNestedLoopJoin"),
+        ("top-k is a group limit, not a global sort", r"WindowGroupLimit"),
+        ("MaxSim kernel stays native", NO_PYTHON),
+    ],
+    "graph_bfs_hops": [
+        ("frontier joins stay shuffle-hash/broadcast scale shape", NO_PYTHON),
+    ],
 })
 
 
