@@ -909,6 +909,72 @@ FROM p
 """
 
 
+def o8_range_partition_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-correct TOTAL ordering: ``repartitionByRange`` (sampled
+    range boundaries) + ``sortWithinPartitions`` — the distributed
+    sort that writes globally-ordered output WITHOUT funneling data
+    through one task the way a bare orderBy-collect would.
+
+    The query then PROVES the total order with two checks computed on
+    the sorted result itself: (a) zero within-partition inversions
+    (lag comparison under the same (pid; key) order) and (b) range
+    partitions tile — every partition's max key ≤ the next partition's
+    min key. The sort key ends in the unique (orderkey, linenumber)
+    so the order is total and engine-independent; the oracle pins the
+    invariants. This is exactly how a 100 TB sorted parquet export
+    (e.g. for downstream merge joins or Z-order-free clustering)
+    should be produced."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    parts = (
+        l.repartitionByRange(8, "price", "l_orderkey", "l_linenumber")
+        .sortWithinPartitions("price", "l_orderkey", "l_linenumber")
+        .select(
+            F.spark_partition_id().alias("pid"),
+            F.struct("price", "l_orderkey", "l_linenumber").alias("k"),
+        )
+    )
+    w = Window.partitionBy("pid").orderBy("k")
+    inversions = (
+        parts.withColumn("prev", F.lag("k").over(w))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("prev") > F.col("k"), 1).otherwise(0)
+            ).alias("n_inversions"),
+        )
+    )
+    bounds = parts.groupBy("pid").agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+    wb = Window.orderBy("pid")
+    tiling = (
+        bounds.withColumn("prev_hi", F.lag("hi").over(wb))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(
+                F.when(F.col("prev_hi") > F.col("lo"), 1).otherwise(0)
+            ).alias("n_overlaps"),
+        )
+    )
+    return inversions.crossJoin(tiling).select(
+        "n_rows",
+        F.col("n_parts").cast("long").alias("n_parts"),
+        (F.col("n_inversions") == 0).alias("within_sorted_ok"),
+        (F.col("n_overlaps") == 0).alias("partitions_tile_ok"),
+    )
+
+
+O8_RANGE_SORT_SQL = """
+SELECT COUNT(*) AS n_rows,
+       CAST(8 AS BIGINT) AS n_parts,
+       true AS within_sorted_ok,
+       true AS partitions_tile_ok
+FROM lineitem
+"""
+
+
 F12_QBINS_SQL = """
 WITH ranked AS (
   SELECT l_returnflag, l_extendedprice,
@@ -955,6 +1021,7 @@ QUERIES = {
     "f12_quantile_bins": (f12_quantile_bins, F12_QBINS_SQL),
     "f13_locf_impute": (f13_locf_impute, F13_LOCF_SQL),
     "f14_collation_ci": (f14_collation_ci, F14_COLLATION_SQL),
+    "o8_range_partition_sort": (o8_range_partition_sort, O8_RANGE_SORT_SQL),
     "o7_skyline_pareto": (o7_skyline_pareto, O7_SKYLINE_SQL),
     "wh_rfm_segments": (wh_rfm_segments, WH_RFM_SQL),
     "o2_repartition_invariants": (o2_repartition_invariants, O2_SQL),

@@ -1314,6 +1314,60 @@ ORDER BY s.d
 """
 
 
+def evt_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) plus daily actives (DAU) per
+    calendar day — the canonical engagement metric, done EXACTLY.
+
+    Set-valued rolling windows don't compose (you can't sum distinct
+    counts), so the scale-correct exact shape is: collapse the fact to
+    distinct (day, user) pairs ONCE, then let each pair vote into the
+    ≤7 target days it covers (a native explode of a 7-element range —
+    rows × 7, not rows × users) and count distinct users per target
+    day. One partial-agg'd distinct collapse + one 7× fanout shuffle,
+    no per-day self-joins, no state. Days beyond the observed range
+    are clipped so WAU(d) only aggregates real days."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("d"), "user_id"
+    )
+    du = e.distinct()
+    bounds = du.agg(F.max("d").alias("dmax"))
+    votes = (
+        du.crossJoin(F.broadcast(bounds))
+        .select(
+            F.explode(F.expr("sequence(0, 6)")).alias("off"), "d", "user_id", "dmax"
+        )
+        .select(F.expr("date_add(d, off)").alias("day"), "user_id", "dmax")
+        .filter(F.col("day") <= F.col("dmax"))
+    )
+    wau = votes.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    dau = du.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    return (
+        wau.join(dau, "day", "left_outer")
+        .select("day", F.coalesce("dau", F.lit(0)).alias("dau"), "wau")
+        .orderBy("day")
+    )
+
+
+EVT_WAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+bounds AS (SELECT MAX(d) AS dmax FROM du),
+votes AS (
+  SELECT d + r.off * INTERVAL 1 DAY AS day, user_id
+  FROM du CROSS JOIN bounds, unnest(range(0, 7)) AS r(off)
+  WHERE d + r.off * INTERVAL 1 DAY <= dmax
+),
+wau AS (SELECT CAST(day AS DATE) AS day, COUNT(DISTINCT user_id) AS wau FROM votes GROUP BY 1),
+dau AS (SELECT d AS day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY 1)
+SELECT w.day, COALESCE(a.dau, 0) AS dau, w.wau
+FROM wau w LEFT JOIN dau a ON a.day = w.day
+ORDER BY w.day
+"""
+
+
 def evt_stream_ckpt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed stop/restart EXACTLY-ONCE: run 1 streams the first
     two chronological file groups under a checkpoint and terminates;
@@ -1400,6 +1454,7 @@ QUERIES = {
     "w7_range_frame": (w7_range_frame, W7_RANGE_SQL),
     "w8_islands_rle": (w8_islands_rle, W8_ISLANDS_SQL),
     "evt_calendar_dim": (evt_calendar_dim, EVT_CALENDAR_SQL),
+    "evt_rolling_wau": (evt_rolling_wau, EVT_WAU_SQL),
     "evt_transitions": (evt_transitions, EVT_TRANSITIONS_SQL),
     "evt_stream_update_mode": (evt_stream_update_mode, EVT_UPDATE_MODE_SQL),
     "evt_twap": (evt_twap, EVT_TWAP_SQL),

@@ -614,6 +614,136 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# stat_mad_outliers — robust outlier detection via median absolute deviation
+# ---------------------------------------------------------------------------
+
+
+def _domain_median(per_v: DataFrame, grp: str) -> DataFrame:
+    """Lower median over a (grp, v, c) count table: smallest v whose
+    cumulative count reaches (n+1) div 2 — pure integer selection,
+    identical in any engine, never ranks raw rows."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(grp)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(grp)
+    return (
+        per_v.withColumn("cum", F.sum("c").over(w))
+        .withColumn("n", F.sum("c").over(wn))
+        .filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy(grp)
+        .agg(F.min("v").alias("med"), F.min("n").alias("n"))
+    )
+
+
+def stat_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier census: median absolute deviation with
+    the 3×MAD rule over quantity per return flag — the heavy-tail-safe
+    alternative to z-scores (evt_anomaly_zscore), kept EXACT.
+
+    Both medians (values, then absolute deviations) are selected from
+    the bounded value DOMAIN (≤50 distinct quantities), not from rows:
+    the fact collapses once per phase into a per-value count table and
+    the cumulative scan runs over that. Integer end to end — no
+    percentile sketch, no tolerance. Cost at 100 TB: two
+    map-side-combined aggregations and two ~50-row windows."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "N", "R")
+    )
+    per_v = (
+        l.select("l_returnflag", F.col("l_quantity").cast("long").alias("v"))
+        .groupBy("l_returnflag", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    med = _domain_median(per_v, "l_returnflag")
+    dev = (
+        per_v.join(F.broadcast(med), "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.abs(F.col("v") - F.col("med")).alias("v"),
+            "c",
+        )
+        .groupBy("l_returnflag", "v")
+        .agg(F.sum("c").alias("c"))
+    )
+    mad = _domain_median(dev, "l_returnflag").select(
+        "l_returnflag", F.col("med").alias("mad")
+    )
+    out = (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("v") > 3 * F.col("mad"), F.col("c")).otherwise(0)).alias(
+                "n_outliers"
+            )
+        )
+    )
+    return (
+        med.join(mad, "l_returnflag")
+        .join(out, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            F.col("med").alias("median_qty"),
+            "mad",
+            "n_outliers",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+STAT_MAD_SQL = """
+WITH per_v AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS c
+  FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R')
+  GROUP BY 1, 2
+),
+med AS (
+  SELECT l_returnflag, CAST(MIN(v) AS BIGINT) AS med, CAST(MIN(n) AS BIGINT) AS n
+  FROM (
+    SELECT l_returnflag, v,
+           SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(c) OVER (PARTITION BY l_returnflag) AS n
+    FROM per_v
+  ) WHERE cum >= (n + 1) // 2
+  GROUP BY 1
+),
+dev AS (
+  SELECT p.l_returnflag, ABS(p.v - m.med) AS v, CAST(SUM(p.c) AS BIGINT) AS c
+  FROM per_v p JOIN med m ON m.l_returnflag = p.l_returnflag
+  GROUP BY 1, 2
+),
+mad AS (
+  SELECT l_returnflag, CAST(MIN(v) AS BIGINT) AS mad
+  FROM (
+    SELECT l_returnflag, v,
+           SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(c) OVER (PARTITION BY l_returnflag) AS n
+    FROM dev
+  ) WHERE cum >= (n + 1) // 2
+  GROUP BY 1
+),
+outliers AS (
+  SELECT d.l_returnflag,
+         CAST(SUM(CASE WHEN d.v > 3 * a.mad THEN d.c ELSE 0 END) AS BIGINT)
+           AS n_outliers
+  FROM dev d JOIN mad a ON a.l_returnflag = d.l_returnflag
+  GROUP BY 1
+)
+SELECT m.l_returnflag, m.n, m.med AS median_qty, a.mad, o.n_outliers
+FROM med m
+JOIN mad a ON a.l_returnflag = m.l_returnflag
+JOIN outliers o ON o.l_returnflag = m.l_returnflag
+ORDER BY m.l_returnflag
+"""
+
+
 QUERIES = {
     "stat_reg_group": (stat_reg_group, STAT_REG_SQL),
     "stat_reg_multi": (stat_reg_multi, STAT_REG_MULTI_SQL),
@@ -622,4 +752,5 @@ QUERIES = {
     "stat_ab_welch": (stat_ab_welch, STAT_WELCH_SQL),
     "stat_mannwhitney": (stat_mannwhitney, STAT_MANNWHITNEY_SQL),
     "stat_ks_test": (stat_ks_test, STAT_KS_SQL),
+    "stat_mad_outliers": (stat_mad_outliers, STAT_MAD_SQL),
 }

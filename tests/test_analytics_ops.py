@@ -191,3 +191,60 @@ def test_rake_scores_positive_and_stopword_free(spark):
         assert len(words) == r["n_words"]
         assert not set(words) & set(_RAKE_STOPS)
         assert r["score"] > 0
+
+
+def test_rolling_wau_matches_bruteforce(spark):
+    import datetime
+    from collections import defaultdict
+
+    from bigdata_spark.plans.events import evt_rolling_wau
+    from bigdata_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf, "events")
+        .selectExpr("CAST(ts AS DATE) AS d", "user_id")
+        .collect()
+    )
+    du = {(r["d"], r["user_id"]) for r in rows}
+    dmax = max(d for d, _ in du)
+    wau = defaultdict(set)
+    dau = defaultdict(set)
+    for d, u in du:
+        dau[d].add(u)
+        for off in range(7):
+            day = d + datetime.timedelta(days=off)
+            if day <= dmax:
+                wau[day].add(u)
+    got = evt_rolling_wau(spark, sf).collect()
+    assert len(got) == len(wau)
+    for r in got:
+        assert r["wau"] == len(wau[r["day"]])
+        assert r["dau"] == len(dau.get(r["day"], set()))
+        assert r["wau"] >= r["dau"]
+
+
+def test_mad_outliers_matches_bruteforce(spark):
+    import statistics
+
+    from bigdata_spark.plans.statsq import stat_mad_outliers
+    from bigdata_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf, "lineitem")
+        .select("l_returnflag", "l_quantity")
+        .collect()
+    )
+    got = {r["l_returnflag"]: r for r in stat_mad_outliers(spark, sf).collect()}
+    for g in ("A", "N", "R"):
+        vals = sorted(int(r["l_quantity"]) for r in rows if r["l_returnflag"] == g)
+        n = len(vals)
+        med = vals[(n + 1) // 2 - 1]  # lower median
+        devs = sorted(abs(v - med) for v in vals)
+        mad = devs[(n + 1) // 2 - 1]
+        outliers = sum(1 for v in vals if abs(v - med) > 3 * mad)
+        r = got[g]
+        assert (r["n"], r["median_qty"], r["mad"], r["n_outliers"]) == (
+            n, med, mad, outliers,
+        ), (g, statistics.median(vals))
