@@ -158,6 +158,60 @@ def decode_image_features(df: DataFrame, n_features: int = 8) -> DataFrame:
     )
 
 
+def perceptual_hash(df: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) per image payload via mapInPandas.
+
+    Decode (our deterministic ppm/png/jpeg codecs) → grayscale → 8×8
+    box-mean downsample → threshold at the block-mean average → 64
+    bits packed MSB-first into a signed BIGINT. Constant memory per
+    batch; the payload never leaves the Arrow batch, only the 8-byte
+    hash is shuffled downstream — which is the entire point of
+    perceptual-hash dedup at 100 TB: pairwise comparison happens on
+    hashes, not pixels. Non-image / undecodable rows yield NULL."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("phash", LongType(), True),
+        ]
+    )
+
+    def _ahash(pix: np.ndarray) -> int:
+        g = pix.astype(np.float64).mean(axis=2)
+        h, w = g.shape
+        ys = (np.arange(9) * h) // 8
+        xs = (np.arange(9) * w) // 8
+        blocks = np.empty((8, 8))
+        for i in range(8):
+            for j in range(8):
+                blocks[i, j] = g[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+        bits = (blocks > blocks.mean()).flatten()
+        v = 0
+        for b in bits:
+            v = (v << 1) | int(b)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_png, decode_ppm
+        from .jpeg import decode_jpeg
+
+        decoders = {"ppm": decode_ppm, "png": decode_png, "jpeg": decode_jpeg}
+        for pdf in batches:
+            out = []
+            for p, f in zip(pdf["payload"], pdf["format"]):
+                dec = decoders.get(f)
+                if p is None or dec is None:
+                    out.append(None)
+                    continue
+                out.append(_ahash(np.asarray(dec(bytes(p)))))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": pd.array(out, dtype="Int64")}
+            )
+
+    return df.select(
+        "media_id", "payload", F.col("meta.format").alias("format")
+    ).mapInPandas(hash_batches, out_schema)
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize: REAL nearest-neighbor pixel resample for PPM, PNG, and
     JPEG payloads (full decode → resample → re-encode for the

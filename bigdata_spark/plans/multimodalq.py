@@ -217,8 +217,84 @@ MM_AUDIO_SQL = values_oracle(
 )
 
 
+_PHASH_BANDS, _PHASH_BAND_BITS, _PHASH_MAX_HAM = 4, 16, 3
+
+
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual hash with banded
+    candidate generation — the multimodal twin of MinHash-LSH dedup.
+
+    Pixels reduce to a 64-bit aHash inside Arrow batches
+    (multimodal/media.perceptual_hash); candidate pairs come from a
+    4×16-bit band equi-join, and by pigeonhole any pair within
+    Hamming distance 3 shares at least one identical band — so recall
+    at the ≤3 threshold is GUARANTEED, not probabilistic. Verification
+    is a native `bit_count(xor)` on the 8-byte hashes. At 100 TB only
+    (id, band, band_key) ever shuffles; pixels stay in the scan."""
+    from ..multimodal.media import perceptual_hash
+
+    media = synthetic_media_df(spark, n=64).filter(
+        F.col("meta.kind") == "image"
+    )
+    ph = perceptual_hash(media).filter(F.col("phash").isNotNull()).localCheckpoint()
+    bands = ph.select(
+        "media_id",
+        "phash",
+        F.explode(F.expr(f"sequence(0, {_PHASH_BANDS - 1})")).alias("b"),
+    ).select(
+        "media_id",
+        "phash",
+        "b",
+        F.expr(
+            f"shiftrightunsigned(phash, b * {_PHASH_BAND_BITS})"
+            f" & {(1 << _PHASH_BAND_BITS) - 1}"
+        ).alias("band_key"),
+    )
+    a = bands.select(
+        F.col("media_id").alias("id_a"), F.col("phash").alias("ph_a"), "b", "band_key"
+    )
+    bb = bands.select(
+        F.col("media_id").alias("id_b"), F.col("phash").alias("ph_b"), "b", "band_key"
+    )
+    cand = (
+        a.join(bb, ["b", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    scored = cand.withColumn("ham", F.expr("bit_count(ph_a ^ ph_b)"))
+    return (
+        ph.agg(
+            F.count("*").alias("n_images"),
+            F.countDistinct("phash").alias("n_distinct_hashes"),
+        )
+        .crossJoin(
+            scored.agg(
+                F.count("*").alias("n_candidate_pairs"),
+                F.sum(
+                    (F.col("ham") <= _PHASH_MAX_HAM).cast("long")
+                ).alias("n_dup_pairs"),
+                F.sum((F.col("ham") == 0).cast("long")).alias("n_exact_dup_pairs"),
+            )
+        )
+    )
+
+
+MM_PHASH_SQL = values_oracle(
+    "mm_phash_dedup",
+    [
+        ("n_images", "bigint"),
+        ("n_distinct_hashes", "bigint"),
+        ("n_candidate_pairs", "bigint"),
+        ("n_dup_pairs", "bigint"),
+        ("n_exact_dup_pairs", "bigint"),
+    ],
+)
+
+
 QUERIES = {
     "mm_decode_invariants": (mm_decode_invariants, MM_DECODE_SQL),
+    "mm_phash_dedup": (mm_phash_dedup, MM_PHASH_SQL),
     "mm_resize_invariants": (mm_resize_invariants, MM_RESIZE_SQL),
     "mm_metadata": (mm_metadata, MM_METADATA_SQL),
     "mm_decode_features": (mm_decode_features, MM_FEATURES_SQL),

@@ -146,3 +146,35 @@ def test_audio_spectral_recovers_sine_frequency(spark):
         assert abs(r["dominant_hz"] - want_hz) <= 16000 / 4096
         assert abs(r["rms"] - 12000 / 32768 / math.sqrt(2)) < 1e-3
         assert r["centroid_hz"] > 0
+
+
+def test_phash_banding_recall_guarantee(spark):
+    """Brute-force all-pairs Hamming vs the banded pipeline: at the
+    <=3 threshold the 4x16-bit band join must find EVERY pair
+    (pigeonhole), so n_dup_pairs == the exhaustive count."""
+    from bigdata_spark.multimodal.media import perceptual_hash, synthetic_media_df
+    from bigdata_spark.plans.multimodalq import _PHASH_MAX_HAM, mm_phash_dedup
+
+    media = synthetic_media_df(spark, n=64).filter("meta.kind = 'image'")
+    hashes = [
+        r["phash"]
+        for r in perceptual_hash(media).collect()
+        if r["phash"] is not None
+    ]
+    exhaustive = sum(
+        1
+        for i in range(len(hashes))
+        for j in range(i + 1, len(hashes))
+        if bin((hashes[i] ^ hashes[j]) & ((1 << 64) - 1)).count("1") <= _PHASH_MAX_HAM
+    )
+    exact = sum(
+        1
+        for i in range(len(hashes))
+        for j in range(i + 1, len(hashes))
+        if hashes[i] == hashes[j]
+    )
+    got = mm_phash_dedup(spark, "/root/testdata/sf0.001").collect()[0]
+    assert got["n_images"] == len(hashes)
+    assert got["n_dup_pairs"] == exhaustive
+    assert got["n_exact_dup_pairs"] == exact
+    assert got["n_candidate_pairs"] >= got["n_dup_pairs"]
