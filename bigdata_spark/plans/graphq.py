@@ -361,6 +361,84 @@ ORDER BY dist
 
 
 # ---------------------------------------------------------------------------
+# Synchronous label propagation (community detection), unrolled oracle
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    co-purchase graph, 3 rounds, deterministic: every node
+    simultaneously adopts the most frequent label among its neighbors,
+    ties broken by the smallest label. Async LPA (the textbook
+    default) is execution-order-dependent and thus unreproducible on a
+    cluster; the synchronous variant is a pure dataflow — per round
+    ONE frontier-free aggregation over (dst, neighbor_label) and an
+    argmax, both map-side combinable, labels table checkpointed so
+    lineage stays flat. Output: community size census."""
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    lbl = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            sym.join(lbl, sym.src == lbl.node)
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        lbl = (
+            votes.groupBy("dst")
+            .agg(F.min(F.struct(-F.col("cnt"), F.col("label"))).alias("best"))
+            .select(F.col("dst").alias("node"), F.col("best.label").alias("label"))
+            .localCheckpoint()
+        )
+    return (
+        lbl.groupBy("label")
+        .agg(F.count("*").alias("n_members"))
+        .select(F.col("label").alias("community"), "n_members")
+        .orderBy(F.desc("n_members"), "community")
+    )
+
+
+def _lpa_sql() -> str:
+    rounds = []
+    for t in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f"""l{t} AS (
+  SELECT dst AS node, label FROM (
+    SELECT s.dst, p.label,
+           ROW_NUMBER() OVER (PARTITION BY s.dst
+                              ORDER BY COUNT(*) DESC, p.label) AS rn
+    FROM sym s JOIN l{t - 1} p ON p.node = s.src
+    GROUP BY s.dst, p.label
+  ) WHERE rn = 1
+)"""
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_COPURCHASE_CTE},
+sym AS (
+  SELECT pa AS src, pb AS dst FROM edges
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM edges
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+{chain}
+SELECT label AS community, COUNT(*) AS n_members
+FROM l{_LPA_ROUNDS}
+GROUP BY label
+ORDER BY n_members DESC, community
+"""
+
+
+GRAPH_LPA_SQL = _lpa_sql()
+
+
+# ---------------------------------------------------------------------------
 # Hierarchy rollup via transitive closure (recursive-CTE parity)
 # ---------------------------------------------------------------------------
 
@@ -441,5 +519,6 @@ QUERIES = {
     "mb_frequent_pairs": (mb_frequent_pairs, MB_PAIRS_SQL),
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
     "graph_bfs_hops": (graph_bfs_hops, GRAPH_BFS_SQL),
+    "graph_label_propagation": (graph_label_propagation, GRAPH_LPA_SQL),
     "hier_rollup_closure": (hier_rollup_closure, HIER_ROLLUP_SQL),
 }

@@ -744,6 +744,88 @@ ORDER BY m.l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# stat_bootstrap_ci — engine-reproducible subsample bootstrap
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 20
+
+_BOOT_MEMBER_SPARK = (
+    "CAST(conv(substring(md5(concat(CAST(b AS STRING), '|',"
+    " CAST(o_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0"
+)
+_BOOT_MEMBER_DUCK = (
+    "('0x' || substr(md5(CAST(b AS VARCHAR) || '|' ||"
+    " CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 2 = 0"
+)
+
+
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed subsample bootstrap for the mean order value —
+    uncertainty quantification WITHOUT engine-specific RNG.
+
+    Seeded `rand()` never reproduces across engines, so replicate
+    membership comes from the portable md5 hash: order k joins
+    replicate b iff hash(b|k) is even — 20 deterministic half-samples
+    any engine regenerates bit-for-bit. ONE pass computes all
+    replicates (a native explode of b=1..20, then a 20-cell
+    map-side-combined decimal aggregation — no 20 separate jobs, no
+    driver loop); the CI is the min/max of the 20 replicate means
+    (the ±2.5% tail at B=20). The same shape scales to any B and any
+    aggregate with exact sufficient statistics."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _dec2("o_totalprice").alias("v")
+    )
+    reps = (
+        o.select(
+            F.explode(F.expr(f"sequence(1, {_BOOT_B})")).alias("b"),
+            "o_orderkey",
+            "v",
+        )
+        .filter(F.expr(_BOOT_MEMBER_SPARK))
+        .groupBy("b")
+        .agg(F.sum("v").alias("sd"), F.count("*").alias("n"))
+        .select(F.expr("CAST(sd AS DOUBLE) / n").alias("m"))
+    )
+    point = o.agg(F.sum("v").alias("sd"), F.count("*").alias("n")).select(
+        F.expr("CAST(sd AS DOUBLE) / n").alias("point_mean"), F.col("n").alias("n_rows")
+    )
+    band = reps.agg(
+        F.count("*").alias("n_replicates"),
+        F.min("m").alias("boot_lo"),
+        F.max("m").alias("boot_hi"),
+    )
+    return point.crossJoin(F.broadcast(band)).select(
+        "n_rows", "point_mean", "n_replicates", "boot_lo", "boot_hi"
+    )
+
+
+STAT_BOOT_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders
+),
+reps AS (
+  SELECT CAST(sd AS DOUBLE) / n AS m
+  FROM (
+    SELECT b, SUM(v) AS sd, COUNT(*) AS n
+    FROM o, unnest(range(1, {_BOOT_B + 1})) AS r(b)
+    WHERE {_BOOT_MEMBER_DUCK}
+    GROUP BY b
+  )
+),
+point AS (
+  SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) AS point_mean,
+         COUNT(*) AS n_rows
+  FROM o
+)
+SELECT p.n_rows, p.point_mean,
+       (SELECT COUNT(*) FROM reps) AS n_replicates,
+       (SELECT MIN(m) FROM reps) AS boot_lo,
+       (SELECT MAX(m) FROM reps) AS boot_hi
+FROM point p
+"""
+
+
 QUERIES = {
     "stat_reg_group": (stat_reg_group, STAT_REG_SQL),
     "stat_reg_multi": (stat_reg_multi, STAT_REG_MULTI_SQL),
@@ -753,4 +835,5 @@ QUERIES = {
     "stat_mannwhitney": (stat_mannwhitney, STAT_MANNWHITNEY_SQL),
     "stat_ks_test": (stat_ks_test, STAT_KS_SQL),
     "stat_mad_outliers": (stat_mad_outliers, STAT_MAD_SQL),
+    "stat_bootstrap_ci": (stat_bootstrap_ci, STAT_BOOT_SQL),
 }

@@ -125,3 +125,32 @@ def test_bfs_hops_small_graph(spark):
     seeds = spark.createDataFrame([(1,), (1,)], "node long")  # dup seed
     out = {r["node"]: r["dist"] for r in bfs_hops(edges, seeds, 2).collect()}
     assert out == {1: 0, 2: 1, 3: 2}
+
+
+def test_label_propagation_matches_bruteforce(spark):
+    from collections import Counter, defaultdict
+
+    from bigdata_spark.plans.graphq import (
+        _LPA_ROUNDS,
+        _copurchase_pairs,
+        graph_label_propagation,
+    )
+
+    edges = {
+        (r["pa"], r["pb"]) for r in _copurchase_pairs(spark, SF).collect()
+    }
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    lbl = {n: n for n in adj}
+    for _ in range(_LPA_ROUNDS):
+        nxt = {}
+        for v in adj:
+            counts = Counter(lbl[u] for u in adj[v])
+            best = min(counts, key=lambda c: (-counts[c], c))
+            nxt[v] = best
+        lbl = nxt
+    expected = Counter(lbl.values())
+    got = {r["community"]: r["n_members"] for r in graph_label_propagation(spark, SF).collect()}
+    assert got == dict(expected)

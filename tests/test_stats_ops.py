@@ -155,3 +155,33 @@ def test_ks_test_matches_bruteforce(spark):
     got = stat_ks_test(spark, sf).collect()[0]
     assert (got["n1"], got["n2"], got["d_num"]) == (n1, n2, d_num)
     assert abs(got["ks_d"] - d_num / (n1 * n2)) < 1e-12
+
+
+def test_bootstrap_ci_brackets_point_and_reproduces(spark):
+    import hashlib
+
+    from bigdata_spark.plans.statsq import _BOOT_B, stat_bootstrap_ci
+    from bigdata_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf, "orders")
+        .selectExpr("o_orderkey", "CAST(o_totalprice AS DECIMAL(18,2)) AS v")
+        .collect()
+    )
+    from decimal import Decimal
+
+    means = []
+    for b in range(1, _BOOT_B + 1):
+        tot, n = Decimal(0), 0
+        for r in rows:
+            h = int(hashlib.md5(f"{b}|{r['o_orderkey']}".encode()).hexdigest()[:15], 16)
+            if h % 2 == 0:
+                tot += r["v"]
+                n += 1
+        means.append(float(tot) / n)
+    got = stat_bootstrap_ci(spark, sf).collect()[0]
+    assert got["n_replicates"] == _BOOT_B
+    assert abs(got["boot_lo"] - min(means)) < 1e-9
+    assert abs(got["boot_hi"] - max(means)) < 1e-9
+    assert got["boot_lo"] <= got["point_mean"] <= got["boot_hi"]
