@@ -1314,6 +1314,110 @@ ORDER BY s.d
 """
 
 
+def j7_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: per user, sessionize each event
+    type independently (10-minute gap), then find cross-type session
+    pairs that overlap in time — "was the user's click session
+    concurrent with their purchase session?" — the temporal-join class
+    (range × range) that plain equi-joins can't express.
+
+    Scale shape: intervals are built with the shared gaps-and-islands
+    windows (one shuffle on user), and the overlap join is an
+    EQUI-join on user_id with the range predicates as residual
+    filters — co-partitioned by the join key, never a cross join;
+    per-user session counts are tiny, so the residual is cheap.
+    Overlap durations are exact integer microseconds."""
+    gap_us = 600_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us")
+    new_sess = (
+        F.lag("ts_us").over(w).isNull()
+        | (F.col("ts_us") - F.lag("ts_us").over(w) >= gap_us)
+    ).cast("long")
+    sess = (
+        e.withColumn("ns", new_sess)
+        .withColumn(
+            "sid",
+            F.sum("ns").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "event_type", "sid")
+        .agg(
+            F.min("ts_us").alias("start_us"),
+            (F.max("ts_us") + gap_us).alias("end_us"),
+        )
+    )
+    a = sess.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("start_us").alias("sa"),
+        F.col("end_us").alias("ea"),
+    )
+    b = sess.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("start_us").alias("sb"),
+        F.col("end_us").alias("eb"),
+    )
+    pairs = a.join(b, "user_id").filter(
+        (F.col("type_a") < F.col("type_b"))
+        & (F.col("sa") < F.col("eb"))
+        & (F.col("sb") < F.col("ea"))
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n_overlaps"),
+            F.sum(
+                F.least("ea", "eb") - F.greatest("sa", "sb")
+            ).alias("total_overlap_us"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+J7_INTERVAL_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_type, ts_us,
+         CASE WHEN LAG(ts_us) OVER w IS NULL
+                OR ts_us - LAG(ts_us) OVER w >= 600000000
+              THEN 1 ELSE 0 END AS ns
+  FROM e
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us)
+),
+tagged AS (
+  SELECT user_id, event_type, ts_us,
+         SUM(ns) OVER (PARTITION BY user_id, event_type ORDER BY ts_us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+),
+sess AS (
+  SELECT user_id, event_type,
+         CAST(MIN(ts_us) AS BIGINT) AS start_us,
+         CAST(MAX(ts_us) + 600000000 AS BIGINT) AS end_us
+  FROM tagged GROUP BY user_id, event_type, sid
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_overlaps,
+       CAST(SUM(LEAST(a.end_us, b.end_us) - GREATEST(a.start_us, b.start_us))
+            AS BIGINT) AS total_overlap_us
+FROM sess a JOIN sess b ON a.user_id = b.user_id
+WHERE a.event_type < b.event_type
+  AND a.start_us < b.end_us AND b.start_us < a.end_us
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def evt_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users (WAU) plus daily actives (DAU) per
     calendar day — the canonical engagement metric, done EXACTLY.
@@ -1455,6 +1559,7 @@ QUERIES = {
     "w8_islands_rle": (w8_islands_rle, W8_ISLANDS_SQL),
     "evt_calendar_dim": (evt_calendar_dim, EVT_CALENDAR_SQL),
     "evt_rolling_wau": (evt_rolling_wau, EVT_WAU_SQL),
+    "j7_interval_overlap": (j7_interval_overlap, J7_INTERVAL_SQL),
     "evt_transitions": (evt_transitions, EVT_TRANSITIONS_SQL),
     "evt_stream_update_mode": (evt_stream_update_mode, EVT_UPDATE_MODE_SQL),
     "evt_twap": (evt_twap, EVT_TWAP_SQL),

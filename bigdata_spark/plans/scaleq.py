@@ -971,6 +971,71 @@ FROM m GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def sql_params_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+/4): named parameter markers bound
+    through ``spark.sql(..., args=...)`` plus direct DataFrame
+    interpolation with ``{df}`` — the injection-safe way to template
+    queries (parameters are bound AFTER parsing, never string-spliced,
+    so a malicious value can't change the plan). The oracle inlines
+    the same constants."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM {lineitem}
+        WHERE l_quantity < :qmax AND l_returnflag != :skip
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+        args={"qmax": 10, "skip": "N"},
+        lineitem=l,
+    )
+
+
+SQL_PARAMS_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem
+WHERE l_quantity < 10 AND l_returnflag <> 'N'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def o9_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``Observation`` API: piggyback named metrics onto a query's
+    OWN single pass (no second scan) — how a production pipeline
+    collects row counts / control totals for reconciliation without
+    doubling its I/O. The observed metrics must equal what a separate
+    aggregation would report; both are returned side by side and the
+    oracle pins their equality."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_metrics")
+    l = load_table(spark, sf_dir, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_total"),
+    )
+    filtered_n = l.filter(F.col("l_quantity") < 10).count()  # the real action
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), float(m["qty_total"]), int(filtered_n))],
+        "observed_rows long, observed_qty double, filtered_rows long",
+    )
+
+
+O9_OBSERVE_SQL = """
+SELECT COUNT(*) AS observed_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS observed_qty,
+       CAST(SUM(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS filtered_rows
+FROM lineitem
+"""
+
+
 def s26_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque binary ingestion via Spark's ``binaryFile`` datasource —
     the front door a multimodal corpus (images/audio on shared
@@ -1036,6 +1101,8 @@ ORDER BY fname
 QUERIES = {
     "s23_merge_into": (s23_merge_into, S23_MERGE_SQL),
     "s26_binaryfile_source": (s26_binaryfile_source, S26_BINARYFILE_SQL),
+    "sql_params_api": (sql_params_api, SQL_PARAMS_SQL),
+    "o9_observe_metrics": (o9_observe_metrics, O9_OBSERVE_SQL),
     "skew_salted_agg": (skew_salted_agg, SKEW_AGG_SQL),
     "skew_salted_join": (skew_salted_join, SKEW_JOIN_SQL),
     "skew_stress_agg": (skew_stress_agg, SKEW_STRESS_SQL),
