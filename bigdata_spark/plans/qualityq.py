@@ -239,8 +239,64 @@ ORDER BY bin
 """
 
 
+
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity audit across the star schema: for each
+    declared FK edge, the count of child rows whose key has no parent
+    (left-anti join) plus the child row count — the reconciliation
+    report a warehouse runs after every load.
+
+    Each check is one anti-join; parent key sets are dim-sized or
+    key-projected, so at 100 TB each audit is a broadcast or
+    co-partitioned anti-join on a single pruned column — no full-row
+    shuffles. The testdata is referentially clean, so every orphan
+    count must be zero; the oracle recomputes the same anti-joins."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p_ = load_table(spark, sf_dir, "part")
+    s_ = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    checks = [
+        ("lineitem.l_orderkey -> orders", l.select(F.col("l_orderkey").alias("k")), o.select(F.col("o_orderkey").alias("k"))),
+        ("lineitem.l_partkey -> part", l.select(F.col("l_partkey").alias("k")), p_.select(F.col("p_partkey").alias("k"))),
+        ("lineitem.l_suppkey -> supplier", l.select(F.col("l_suppkey").alias("k")), s_.select(F.col("s_suppkey").alias("k"))),
+        ("orders.o_custkey -> customer", o.select(F.col("o_custkey").alias("k")), c.select(F.col("c_custkey").alias("k"))),
+        ("customer.c_nationkey -> nation", c.select(F.col("c_nationkey").alias("k")), n.select(F.col("n_nationkey").alias("k"))),
+    ]
+    rows = []
+    for name, child, parent in checks:
+        orphans = child.join(parent, "k", "left_anti").count()
+        rows.append((name, child.count(), orphans))
+    return spark.createDataFrame(
+        rows, "fk_edge string, n_child_rows long, n_orphans long"
+    ).orderBy("fk_edge")
+
+
+DQ_REFINT_SQL = """
+SELECT * FROM (VALUES
+  ('customer.c_nationkey -> nation',
+   (SELECT COUNT(*) FROM customer),
+   (SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))),
+  ('lineitem.l_orderkey -> orders',
+   (SELECT COUNT(*) FROM lineitem),
+   (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))),
+  ('lineitem.l_partkey -> part',
+   (SELECT COUNT(*) FROM lineitem),
+   (SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part))),
+  ('lineitem.l_suppkey -> supplier',
+   (SELECT COUNT(*) FROM lineitem),
+   (SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))),
+  ('orders.o_custkey -> customer',
+   (SELECT COUNT(*) FROM orders),
+   (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+) AS t(fk_edge, n_child_rows, n_orphans)
+ORDER BY fk_edge
+"""
+
 QUERIES = {
     "dq_profile": (dq_profile, DQ_PROFILE_SQL),
+    "dq_referential_integrity": (dq_referential_integrity, DQ_REFINT_SQL),
     "dq_expectations": (dq_expectations, DQ_EXPECT_SQL),
     "dq_drift_psi": (dq_drift_psi, DQ_DRIFT_SQL),
 }

@@ -142,9 +142,63 @@ ORDER BY p_partkey
 """
 
 
+# --- P8: bottom-k consistent sample (hash-priority reservoir) -------------
+
+_P8_K = 100
+
+
+def p8_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k consistent sampling: each order's priority is its
+    portable md5 hash; the sample is the k smallest priorities. Unlike
+    seeded `rand()` sampling this draw is (a) reproducible in ANY
+    engine, (b) consistent across runs and table growth (an order
+    keeps its priority forever — the classic bottom-k/min-hash sketch
+    property that lets two independently-sampled tables be joined on
+    their common sample), and (c) value-oracle-checkable — the
+    registry's only fully value-checked random sample.
+
+    Scale: priorities are a projection; the k-smallest cut is a
+    TakeOrdered (per-partition top-k then a k-sized driver merge, no
+    global sort shuffle). Output: the sample's exact aggregate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        F.expr(
+            "CAST(conv(substring(md5(concat('p8|', CAST(o_orderkey AS STRING)))"
+            ", 1, 15), 16, 10) AS BIGINT)"
+        ).alias("priority"),
+    )
+    sample = o.orderBy("priority").limit(_P8_K)
+    return sample.agg(
+        F.count("*").alias("k"),
+        F.min("priority").alias("min_priority"),
+        F.max("priority").alias("max_priority"),
+        F.sum("v").cast("double").alias("sample_value_sum"),
+        F.sum("o_orderkey").alias("key_checksum"),
+    )
+
+
+P8_SQL = f"""
+WITH pri AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+         ('0x' || substr(md5('p8|' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+           AS priority
+  FROM orders
+),
+sample AS (SELECT * FROM pri ORDER BY priority LIMIT {_P8_K})
+SELECT COUNT(*) AS k,
+       CAST(MIN(priority) AS BIGINT) AS min_priority,
+       CAST(MAX(priority) AS BIGINT) AS max_priority,
+       CAST(SUM(v) AS DOUBLE) AS sample_value_sum,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+FROM sample
+"""
+
+
 QUERIES = {
     "p4_split_invariants": (p4_split_invariants, P4_SQL),
     "p1_sample_bounds": (p1_sample_bounds, P1_SQL),
     "p2_stratified_sample_bounds": (p2_stratified_sample_bounds, P2_SQL),
     "p7_pps_systematic": (p7_pps_systematic, P7_SQL),
+    "p8_bottomk_sample": (p8_bottomk_sample, P8_SQL),
 }
