@@ -1314,6 +1314,82 @@ ORDER BY s.d
 """
 
 
+_DECAY_CAP = 31  # ages beyond 31 half-lives decay to exactly zero
+
+
+def evt_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential time-decay engagement score (half-life =
+    1 day), computed EXACTLY: weight 2^(−age_days) is a power of two,
+    so each contribution value·2^(cap−age) is an INTEGER (a bigint
+    shift), the per-user sum is an exact DECIMAL(38,0) — order-
+    independent, unlike naive float pow() accumulation whose result
+    depends on reduce order — and only the final rescale touches
+    doubles (one correctly-rounded cast + one division, identical in
+    both engines). Ages past 31 half-lives round to weight 0 (< 5e-10
+    of a current event — below any ranking relevance). One map-side-
+    combined aggregation; the reference clock is max(ts), computed in
+    the same pass shape and broadcast."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        (F.col("value").cast("decimal(18,3)") * 1000).cast("long").alias("v_mill"),
+    )
+    ref = e.agg(F.max("ts_us").alias("tmax"))
+    scaled = (
+        e.crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            F.expr("CAST((tmax - ts_us) div 86400000000 AS INT)").alias("age"),
+            "v_mill",
+        )
+        .select(
+            "user_id",
+            F.expr(
+                f"CASE WHEN age <= {_DECAY_CAP} THEN CAST(v_mill *"
+                f" shiftleft(CAST(1 AS BIGINT), {_DECAY_CAP} - age)"
+                f" AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END"
+            ).alias("contrib"),
+        )
+    )
+    denom = float(1000 * (1 << _DECAY_CAP))
+    return (
+        scaled.groupBy("user_id")
+        .agg(F.sum("contrib").alias("s"))
+        .select(
+            "user_id",
+            F.expr(f"CAST(s AS DOUBLE) / CAST({int(denom)} AS DOUBLE)").alias(
+                "decay_score"
+            ),
+        )
+        .orderBy(F.desc("decay_score"), "user_id")
+    )
+
+
+EVT_DECAY_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS v_mill
+  FROM events
+),
+ref AS (SELECT MAX(ts_us) AS tmax FROM e),
+scaled AS (
+  SELECT user_id,
+         CASE WHEN CAST((tmax - ts_us) // 86400000000 AS INT) <= {_DECAY_CAP}
+              THEN CAST(v_mill * (CAST(1 AS BIGINT)
+                   << ({_DECAY_CAP} - CAST((tmax - ts_us) // 86400000000 AS INT)))
+                   AS DECIMAL(38,0))
+              ELSE CAST(0 AS DECIMAL(38,0)) END AS contrib
+  FROM e CROSS JOIN ref
+)
+SELECT user_id,
+       CAST(SUM(contrib) AS DOUBLE) / CAST({1000 * (1 << _DECAY_CAP)} AS DOUBLE)
+         AS decay_score
+FROM scaled
+GROUP BY user_id
+ORDER BY decay_score DESC, user_id
+"""
+
+
 def j7_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap self-join: per user, sessionize each event
     type independently (10-minute gap), then find cross-type session
@@ -1560,6 +1636,7 @@ QUERIES = {
     "evt_calendar_dim": (evt_calendar_dim, EVT_CALENDAR_SQL),
     "evt_rolling_wau": (evt_rolling_wau, EVT_WAU_SQL),
     "j7_interval_overlap": (j7_interval_overlap, J7_INTERVAL_SQL),
+    "evt_decay_score": (evt_decay_score, EVT_DECAY_SQL),
     "evt_transitions": (evt_transitions, EVT_TRANSITIONS_SQL),
     "evt_stream_update_mode": (evt_stream_update_mode, EVT_UPDATE_MODE_SQL),
     "evt_twap": (evt_twap, EVT_TWAP_SQL),

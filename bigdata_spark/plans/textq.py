@@ -935,9 +935,61 @@ FROM agg ORDER BY score DESC, phrase LIMIT 20
 """
 
 
+
+# --- Differentially-private-style noisy counts ----------------------------
+
+_DP_EPS_INV = 1  # b = 1/epsilon = 1
+
+
+def llm_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy group counts over the corpus — the DP
+    release shape (sensitivity-1 count + Laplace(1/eps) noise) with
+    the noise draw made ENGINE-PORTABLE: u = md5-hash(group)/2^60 in
+    (0,1), noise = -b*sign(u-1/2)*ln(1-2|u-1/2|) (inverse-CDF
+    sampling). A production release would use a secret seed — here the
+    seed is public precisely so the oracle can regenerate the draw
+    bit-for-bit; everything else (mechanism, sensitivity, epsilon
+    accounting) is the real thing. One partial-agg pass; noise is a
+    projection on the group row."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("true_n"))
+    u = (
+        "CAST(conv(substring(md5(concat('dp|', source)), 1, 15), 16, 10)"
+        " AS BIGINT) / CAST(1152921504606846976 AS DOUBLE)"
+    )
+    noise = (
+        f"-{_DP_EPS_INV} * sign(({u}) - CAST(0.5 AS DOUBLE))"
+        f" * ln(CAST(1 AS DOUBLE) - 2 * abs(({u}) - CAST(0.5 AS DOUBLE)))"
+    )
+    return counts.select(
+        "source",
+        "true_n",
+        F.round(F.expr(noise), 6).alias("laplace_noise"),
+        F.round(F.expr(f"true_n + ({noise})"), 6).alias("dp_count"),
+    ).orderBy("source")
+
+
+LLM_DP_SQL = f"""
+WITH counts AS (SELECT source, COUNT(*) AS true_n FROM documents GROUP BY source)
+SELECT source, true_n,
+       ROUND(-{_DP_EPS_INV} * sign((('0x' || substr(md5('dp|' || source), 1, 15))::BIGINT
+             / CAST(1152921504606846976 AS DOUBLE)) - CAST(0.5 AS DOUBLE))
+         * ln(CAST(1 AS DOUBLE) - 2 * abs((('0x' || substr(md5('dp|' || source), 1, 15))::BIGINT
+             / CAST(1152921504606846976 AS DOUBLE)) - CAST(0.5 AS DOUBLE))), 6)
+         AS laplace_noise,
+       ROUND(true_n + (-{_DP_EPS_INV} * sign((('0x' || substr(md5('dp|' || source), 1, 15))::BIGINT
+             / CAST(1152921504606846976 AS DOUBLE)) - CAST(0.5 AS DOUBLE))
+         * ln(CAST(1 AS DOUBLE) - 2 * abs((('0x' || substr(md5('dp|' || source), 1, 15))::BIGINT
+             / CAST(1152921504606846976 AS DOUBLE)) - CAST(0.5 AS DOUBLE)))), 6)
+         AS dp_count
+FROM counts
+ORDER BY source
+"""
+
 QUERIES = {
     "txt_collocations": (txt_collocations, TXT_COLLOC_SQL),
     "txt_rake_keyphrases": (txt_rake_keyphrases, TXT_RAKE_SQL),
+    "llm_dp_count": (llm_dp_count, LLM_DP_SQL),
     "llm_bigram_lm": (llm_bigram_lm, LLM_BIGRAM_LM_SQL),
     "llm_corpus_filter": (llm_corpus_filter, LLM_CORPUS_FILTER_SQL),
     "llm_chunk_udtf": (llm_chunk_udtf, LLM_CHUNK_SQL),

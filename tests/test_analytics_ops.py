@@ -248,3 +248,48 @@ def test_mad_outliers_matches_bruteforce(spark):
         assert (r["n"], r["median_qty"], r["mad"], r["n_outliers"]) == (
             n, med, mad, outliers,
         ), (g, statistics.median(vals))
+
+
+def test_decay_score_matches_bruteforce(spark):
+    from collections import defaultdict
+    from decimal import Decimal
+    from fractions import Fraction
+
+    from bigdata_spark.plans.events import _DECAY_CAP, evt_decay_score
+    from bigdata_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf, "events")
+        .selectExpr(
+            "user_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+            "CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS v_mill",
+        )
+        .collect()
+    )
+    tmax = max(r["ts_us"] for r in rows)
+    acc = defaultdict(Fraction)
+    for r in rows:
+        age = (tmax - r["ts_us"]) // 86_400_000_000
+        if age <= _DECAY_CAP:
+            acc[r["user_id"]] += Fraction(int(r["v_mill"]), 1000 * (1 << age))
+    got = {r["user_id"]: r["decay_score"] for r in evt_decay_score(spark, sf).collect()}
+    assert set(got) == set(acc) | {
+        r["user_id"] for r in rows
+    }  # zero-score users still present
+    for u, frac in acc.items():
+        assert abs(got[u] - float(frac)) < 1e-9
+
+
+def test_dp_count_noise_properties(spark):
+    """Noise must be nonzero, mean-bounded, and dp_count == true_n + noise."""
+    from bigdata_spark.plans.textq import llm_dp_count
+
+    rows = llm_dp_count(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 1
+    noises = [r["laplace_noise"] for r in rows]
+    assert any(n > 0 for n in noises) and any(n < 0 for n in noises)
+    for r in rows:
+        assert abs(r["dp_count"] - (r["true_n"] + r["laplace_noise"])) < 2e-6
+        assert abs(r["laplace_noise"]) < 50  # Laplace(1) tail sanity
