@@ -361,6 +361,90 @@ ORDER BY dist
 
 
 # ---------------------------------------------------------------------------
+# Item-item collaborative-filtering recommender over co-purchases
+# ---------------------------------------------------------------------------
+
+
+def rec_item_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (the classic Amazon-style
+    recommender): similarity(a,b) = co-purchase count / sqrt(n_a·n_b)
+    (cosine over binary basket vectors), top-3 neighbors per item.
+
+    Everything upstream of the final cosine is exact integers from the
+    basket-local pair expansion (no fact self-join — _copurchase_pairs);
+    item frequencies broadcast onto the thresholded pair table; top-3
+    is a per-item window over the pair table (group limit, no global
+    sort). The cosine is one shared-text double expression, so ranks
+    and scores are engine-identical. At 100 TB this is the same
+    shuffle budget as mb_frequent_pairs plus one window."""
+    l = load_table(spark, sf_dir, "lineitem")
+    oi = l.select("l_orderkey", "l_partkey").distinct()
+    item_cnt = oi.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    e = _copurchase_pairs(spark, sf_dir)
+    # symmetrize so every item sees all its neighbors
+    sym = e.select(
+        F.col("pa").alias("item"), F.col("pb").alias("other"), "support"
+    ).unionAll(
+        e.select(F.col("pb").alias("item"), F.col("pa").alias("other"), "support")
+    )
+    scored = (
+        sym.join(
+            F.broadcast(item_cnt.select(F.col("l_partkey").alias("item"), F.col("cnt").alias("cnt_i"))),
+            "item",
+        )
+        .join(
+            F.broadcast(item_cnt.select(F.col("l_partkey").alias("other"), F.col("cnt").alias("cnt_o"))),
+            "other",
+        )
+        .withColumn(
+            "sim",
+            F.expr("support / sqrt(CAST(cnt_i AS DOUBLE) * cnt_o)"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("item").orderBy(F.desc("sim"), "other")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "item",
+            "other",
+            F.col("rank").cast("long").alias("rank"),
+            "support",
+            F.round("sim", 9).alias("sim"),
+        )
+        .orderBy("item", "rank")
+    )
+
+
+REC_ITEM_SQL = f"""
+WITH {_COPURCHASE_CTE},
+ic AS (SELECT l_partkey, COUNT(*) AS cnt FROM oi GROUP BY 1),
+sym AS (
+  SELECT pa AS item, pb AS other, support FROM edges
+  UNION ALL
+  SELECT pb AS item, pa AS other, support FROM edges
+),
+scored AS (
+  SELECT s.item, s.other, s.support,
+         s.support / sqrt(CAST(ci.cnt AS DOUBLE) * co.cnt) AS sim
+  FROM sym s
+  JOIN ic ci ON ci.l_partkey = s.item
+  JOIN ic co ON co.l_partkey = s.other
+),
+ranked AS (
+  SELECT item, other, support, sim,
+         ROW_NUMBER() OVER (PARTITION BY item ORDER BY sim DESC, other) AS rank
+  FROM scored
+)
+SELECT item, other, CAST(rank AS BIGINT) AS rank, support, ROUND(sim, 9) AS sim
+FROM ranked WHERE rank <= 3
+ORDER BY item, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # Synchronous label propagation (community detection), unrolled oracle
 # ---------------------------------------------------------------------------
 
@@ -520,5 +604,6 @@ QUERIES = {
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
     "graph_bfs_hops": (graph_bfs_hops, GRAPH_BFS_SQL),
     "graph_label_propagation": (graph_label_propagation, GRAPH_LPA_SQL),
+    "rec_item_item": (rec_item_item, REC_ITEM_SQL),
     "hier_rollup_closure": (hier_rollup_closure, HIER_ROLLUP_SQL),
 }

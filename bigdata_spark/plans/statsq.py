@@ -826,6 +826,71 @@ FROM point p
 """
 
 
+
+# ---------------------------------------------------------------------------
+# stat_ab_assignment — deterministic experiment bucketing + SRM guard
+# ---------------------------------------------------------------------------
+
+_SRM_CHI2 = (
+    "(CAST(n_control AS DOUBLE) - (CAST(n_users AS DOUBLE) / 2))"
+    " * (CAST(n_control AS DOUBLE) - (CAST(n_users AS DOUBLE) / 2))"
+    " / (CAST(n_users AS DOUBLE) / 2)"
+    " + (CAST(n_treatment AS DOUBLE) - (CAST(n_users AS DOUBLE) / 2))"
+    " * (CAST(n_treatment AS DOUBLE) - (CAST(n_users AS DOUBLE) / 2))"
+    " / (CAST(n_users AS DOUBLE) / 2)"
+)
+
+
+def stat_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment assignment the way production A/B systems do it:
+    arm = md5-hash(experiment_salt | user) % 100 against a 50/50
+    split — sticky (a user keeps their arm forever), stateless (no
+    assignment table to join), uniform, and engine-portable so the
+    oracle reproduces every user's arm bit-for-bit. The output row is
+    the sample-ratio-mismatch (SRM) guard: arm sizes plus the 1-dof
+    chi-square against the configured split — THE standard validity
+    check before reading any experiment metric (chi2 > 3.84 at p=.05
+    means the assignment itself is broken). One distinct + one
+    aggregation at any scale."""
+    e = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    bucket = (
+        "CAST(conv(substring(md5(concat('exp1|', CAST(user_id AS STRING)))"
+        ", 1, 15), 16, 10) AS BIGINT) % 100"
+    )
+    agg = e.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.expr(f"CASE WHEN {bucket} < 50 THEN 1 ELSE 0 END")).alias(
+            "n_control"
+        ),
+        F.sum(F.expr(f"CASE WHEN {bucket} >= 50 THEN 1 ELSE 0 END")).alias(
+            "n_treatment"
+        ),
+    )
+    return agg.select(
+        "n_users",
+        "n_control",
+        "n_treatment",
+        F.round(F.expr(_SRM_CHI2), 9).alias("srm_chi2"),
+        F.expr(f"({_SRM_CHI2}) > CAST(3.841 AS DOUBLE)").alias("srm_alarm"),
+    )
+
+
+STAT_SRM_SQL = f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+agg AS (
+  SELECT COUNT(*) AS n_users,
+         CAST(SUM(CASE WHEN ('0x' || substr(md5('exp1|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 50
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+         CAST(SUM(CASE WHEN ('0x' || substr(md5('exp1|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 50
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_treatment
+  FROM u
+)
+SELECT n_users, n_control, n_treatment,
+       ROUND({_SRM_CHI2}, 9) AS srm_chi2,
+       ({_SRM_CHI2}) > CAST(3.841 AS DOUBLE) AS srm_alarm
+FROM agg
+"""
+
 QUERIES = {
     "stat_reg_group": (stat_reg_group, STAT_REG_SQL),
     "stat_reg_multi": (stat_reg_multi, STAT_REG_MULTI_SQL),
@@ -836,4 +901,5 @@ QUERIES = {
     "stat_ks_test": (stat_ks_test, STAT_KS_SQL),
     "stat_mad_outliers": (stat_mad_outliers, STAT_MAD_SQL),
     "stat_bootstrap_ci": (stat_bootstrap_ci, STAT_BOOT_SQL),
+    "stat_ab_assignment": (stat_ab_assignment, STAT_SRM_SQL),
 }
