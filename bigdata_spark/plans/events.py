@@ -1314,6 +1314,196 @@ ORDER BY s.d
 """
 
 
+def evt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum concurrent user sessions (the classic sweep-line /
+    interval-counting problem): sessionize per user (10-min gap), emit
+    +1 at session start and −1 at session end, and the peak of the
+    running sum is the answer.
+
+    The naive sweep is a GLOBAL ordered cumsum — a one-task sort at
+    100 TB. Here it is two-level: deltas cumsum WITHIN their day
+    partition, and day-level prefix offsets (a tiny per-day table)
+    lift each day's running sum to the global value — the same
+    carry-propagation that llm_seq_pack uses for running offsets, so
+    parallelism = number of days while the result is exactly the
+    global sweep. Ties order (t, delta) so ends free slots before
+    same-instant starts (end-exclusive intervals)."""
+    gap_us = 600_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    new_sess = (
+        F.lag("ts_us").over(w).isNull()
+        | (F.col("ts_us") - F.lag("ts_us").over(w) >= gap_us)
+    ).cast("long")
+    sess = (
+        e.withColumn("ns", new_sess)
+        .withColumn(
+            "sid",
+            F.sum("ns").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts_us").alias("s"),
+            (F.max("ts_us") + gap_us).alias("e"),
+        )
+    )
+    deltas = sess.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        sess.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    day = F.expr("t div 86400000000")
+    wd = (
+        Window.partitionBy("day")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_day = deltas.withColumn("day", day).withColumn(
+        "cum_in_day", F.sum("d").over(wd)
+    )
+    day_tot = in_day.groupBy("day").agg(F.sum("d").alias("day_sum"))
+    wdays = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = day_tot.withColumn(
+        "offset", F.coalesce(F.sum("day_sum").over(wdays), F.lit(0))
+    ).select("day", "offset")
+    conc = in_day.join(F.broadcast(offsets), "day").withColumn(
+        "concurrency", F.col("offset") + F.col("cum_in_day")
+    )
+    peak = conc.agg(F.max("concurrency").alias("peak_concurrency"))
+    return (
+        peak.crossJoin(
+            sess.agg(F.count("*").alias("n_sessions"))
+        )
+        .crossJoin(
+            conc.join(F.broadcast(peak), conc.concurrency == peak.peak_concurrency)
+            .agg(F.min("t").alias("first_peak_us"))
+        )
+        .select("n_sessions", "peak_concurrency", "first_peak_us")
+    )
+
+
+EVT_PEAK_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+),
+marked AS (
+  SELECT user_id, ts_us,
+         CASE WHEN LAG(ts_us) OVER w IS NULL
+                OR ts_us - LAG(ts_us) OVER w >= 600000000
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+tagged AS (
+  SELECT user_id, ts_us,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+),
+sess AS (
+  SELECT user_id, CAST(MIN(ts_us) AS BIGINT) AS s,
+         CAST(MAX(ts_us) + 600000000 AS BIGINT) AS e
+  FROM tagged GROUP BY user_id, sid
+),
+deltas AS (
+  SELECT s AS t, 1 AS d FROM sess
+  UNION ALL
+  SELECT e AS t, -1 AS d FROM sess
+),
+swept AS (
+  SELECT t, SUM(d) OVER (ORDER BY t, d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS concurrency
+  FROM deltas
+),
+peak AS (SELECT CAST(MAX(concurrency) AS BIGINT) AS peak_concurrency FROM swept)
+SELECT (SELECT COUNT(*) FROM sess) AS n_sessions,
+       p.peak_concurrency,
+       (SELECT CAST(MIN(t) AS BIGINT) FROM swept s
+        WHERE s.concurrency = p.peak_concurrency) AS first_peak_us
+FROM peak p
+"""
+
+
+def evt_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift detection per event series, kept EXACT: the
+    classic statistic S_t = Σ(x_i − mean) needs the rational mean, so
+    everything is scaled by n — T_t = n·cumsum(x) − t·total is an
+    integer (value in exact millis), and the drift range
+    (max T − min T)/(n·scale) divides only at the end. A series whose
+    mean shifts mid-stream shows a large range; a stable series stays
+    near zero. One window per event_type (the same sort the other
+    per-series analytics share); the final statistic is a projection."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        (F.col("value").cast("decimal(18,3)") * 1000).cast("long").alias("v_mill"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    wc = Window.partitionBy("event_type")
+    t = (
+        e.withColumn(
+            "cum",
+            F.sum("v_mill").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wc))
+        .withColumn("total", F.sum("v_mill").over(wc))
+        .withColumn("t_stat", F.col("n") * F.col("cum") - F.col("rn") * F.col("total"))
+    )
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("t_stat").alias("t_max"),
+            F.min("t_stat").alias("t_min"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.expr(
+                "CAST(t_max - t_min AS DOUBLE) / (CAST(n AS DOUBLE) * 1000)"
+            ).alias("cusum_range"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVT_CUSUM_SQL = """
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS v_mill
+  FROM events
+),
+t AS (
+  SELECT event_type,
+         COUNT(*) OVER wc AS n,
+         COUNT(*) OVER wc
+           * SUM(v_mill) OVER (PARTITION BY event_type ORDER BY ts_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts_us, event_id)
+             * SUM(v_mill) OVER wc AS t_stat
+  FROM e
+  WINDOW wc AS (PARTITION BY event_type)
+),
+agg AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         CAST(MAX(t_stat) AS BIGINT) AS t_max,
+         CAST(MIN(t_stat) AS BIGINT) AS t_min
+  FROM t GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(t_max - t_min AS DOUBLE) / (CAST(n AS DOUBLE) * 1000) AS cusum_range
+FROM agg
+ORDER BY event_type
+"""
+
+
 _DECAY_CAP = 31  # ages beyond 31 half-lives decay to exactly zero
 
 
@@ -1637,6 +1827,8 @@ QUERIES = {
     "evt_rolling_wau": (evt_rolling_wau, EVT_WAU_SQL),
     "j7_interval_overlap": (j7_interval_overlap, J7_INTERVAL_SQL),
     "evt_decay_score": (evt_decay_score, EVT_DECAY_SQL),
+    "evt_peak_concurrency": (evt_peak_concurrency, EVT_PEAK_SQL),
+    "evt_cusum_drift": (evt_cusum_drift, EVT_CUSUM_SQL),
     "evt_transitions": (evt_transitions, EVT_TRANSITIONS_SQL),
     "evt_stream_update_mode": (evt_stream_update_mode, EVT_UPDATE_MODE_SQL),
     "evt_twap": (evt_twap, EVT_TWAP_SQL),

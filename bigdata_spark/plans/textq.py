@@ -986,10 +986,71 @@ FROM counts
 ORDER BY source
 """
 
+
+def txt_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram (token) entropy — the corpus-diversity
+    signal quality pipelines use to flag templated/boilerplate slices
+    (low entropy) before they poison a training mix.
+
+    H = ln(N) − (Σ c·ln c)/N over per-source token counts, so the
+    only float work is ln over exact integers (round(6) makes the
+    libm results engine-stable — the PSI/PMI convention). Shape: one
+    exploded token-count aggregation per source, then a projection;
+    token tables are the bounded vocabulary, not the corpus."""
+    from ..operators.parallelism import ensure_parallelism
+    from ..text.analysis import tokens
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    counts = (
+        d.select("source", F.explode(tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("vocab"),
+            F.sum(F.expr("c * ln(CAST(c AS DOUBLE))")).alias("sclnc"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            F.round(
+                F.expr(
+                    "ln(CAST(n_tokens AS DOUBLE)) - sclnc / CAST(n_tokens AS DOUBLE)"
+                ),
+                6,
+            ).alias("entropy_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+TXT_ENTROPY_SQL = f"""
+WITH counts AS (
+  SELECT source, u.w, COUNT(*) AS c
+  FROM (SELECT source, {_DUCK_TOKENS} AS t FROM documents), unnest(t) AS u(w)
+  GROUP BY source, u.w
+),
+agg AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS vocab,
+         SUM(c * ln(CAST(c AS DOUBLE))) AS sclnc
+  FROM counts GROUP BY source
+)
+SELECT source, n_tokens, vocab,
+       ROUND(ln(CAST(n_tokens AS DOUBLE)) - sclnc / CAST(n_tokens AS DOUBLE), 6)
+         AS entropy_nats
+FROM agg
+ORDER BY source
+"""
+
 QUERIES = {
     "txt_collocations": (txt_collocations, TXT_COLLOC_SQL),
     "txt_rake_keyphrases": (txt_rake_keyphrases, TXT_RAKE_SQL),
     "llm_dp_count": (llm_dp_count, LLM_DP_SQL),
+    "txt_entropy": (txt_entropy, TXT_ENTROPY_SQL),
     "llm_bigram_lm": (llm_bigram_lm, LLM_BIGRAM_LM_SQL),
     "llm_corpus_filter": (llm_corpus_filter, LLM_CORPUS_FILTER_SQL),
     "llm_chunk_udtf": (llm_chunk_udtf, LLM_CHUNK_SQL),

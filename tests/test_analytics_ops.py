@@ -293,3 +293,47 @@ def test_dp_count_noise_properties(spark):
     for r in rows:
         assert abs(r["dp_count"] - (r["true_n"] + r["laplace_noise"])) < 2e-6
         assert abs(r["laplace_noise"]) < 50  # Laplace(1) tail sanity
+
+
+def test_peak_concurrency_matches_global_sweep(spark):
+    """The two-level (per-day + offsets) sweep must equal a plain
+    global Python sweep over the same sessions."""
+    from collections import defaultdict
+
+    from bigdata_spark.plans.events import evt_peak_concurrency
+    from bigdata_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf, "events")
+        .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us")
+        .collect()
+    )
+    gap = 600_000_000
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append(r["ts_us"])
+    deltas = []
+    n_sessions = 0
+    for ts in per_user.values():
+        ts.sort()
+        start = prev = ts[0]
+        for t in ts[1:]:
+            if t - prev >= gap:
+                deltas += [(start, 1), (prev + gap, -1)]
+                n_sessions += 1
+                start = t
+            prev = t
+        deltas += [(start, 1), (prev + gap, -1)]
+        n_sessions += 1
+    deltas.sort()  # (t, -1) before (t, +1): ends free before starts
+    cur = peak = 0
+    first_peak = None
+    for t, d in deltas:
+        cur += d
+        if cur > peak:
+            peak, first_peak = cur, t
+    got = evt_peak_concurrency(spark, sf).collect()[0]
+    assert got["n_sessions"] == n_sessions
+    assert got["peak_concurrency"] == peak
+    assert got["first_peak_us"] == first_peak
