@@ -361,6 +361,94 @@ ORDER BY dist
 
 
 # ---------------------------------------------------------------------------
+# k-core decomposition by synchronous peeling (unrolled oracle)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 10
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph by synchronous peeling: each
+    round drops every node whose CURRENT degree is below k, then
+    recomputes degrees over the surviving subgraph. Peeling is the
+    standard dense-substructure filter (spam/bot rings, core
+    communities) and — unlike vertex-ordering core decomposition — the
+    synchronous round is a pure dataflow: one semi-join to restrict
+    edges + one degree aggregation per round, localCheckpointed so
+    lineage stays flat. 10 rounds are unrolled in the oracle; the test
+    asserts the fixpoint is reached before the cap (round 10 ≡ round
+    9), so the cap is a proof obligation, not a hidden approximation.
+    Output: the core's node/edge census."""
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    kept = sym.select(F.col("src").alias("node")).distinct()
+    for _ in range(_KCORE_ROUNDS):
+        alive = (
+            sym.join(kept.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(kept.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        )
+        kept = (
+            alive.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint()
+        )
+    core_edges = (
+        e.join(kept.withColumnRenamed("node", "pa"), "pa", "left_semi")
+        .join(kept.withColumnRenamed("node", "pb"), "pb", "left_semi")
+    )
+    return kept.agg(F.count("*").alias("n_core_nodes")).crossJoin(
+        core_edges.agg(
+            F.count("*").alias("n_core_edges"),
+            F.coalesce(F.sum(F.col("pa") + F.col("pb")), F.lit(0)).alias(
+                "edge_checksum"
+            ),
+        )
+    )
+
+
+def _kcore_sql() -> str:
+    rounds = []
+    for t in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""k{t} AS MATERIALIZED (
+  SELECT src AS node FROM sym s
+  JOIN k{t - 1} a ON a.node = s.src
+  JOIN k{t - 1} b ON b.node = s.dst
+  GROUP BY src HAVING COUNT(*) >= {_KCORE_K}
+)"""
+        )
+    chain = ",\n".join(rounds)
+    last = f"k{_KCORE_ROUNDS}"
+    return f"""
+WITH {_COPURCHASE_CTE},
+sym AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM edges
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM edges
+),
+k0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+{chain},
+core_edges AS (
+  SELECT e.pa, e.pb FROM edges e
+  JOIN {last} a ON a.node = e.pa
+  JOIN {last} b ON b.node = e.pb
+)
+SELECT (SELECT COUNT(*) FROM {last}) AS n_core_nodes,
+       (SELECT COUNT(*) FROM core_edges) AS n_core_edges,
+       (SELECT CAST(COALESCE(SUM(pa + pb), 0) AS BIGINT) FROM core_edges)
+         AS edge_checksum
+"""
+
+
+GRAPH_KCORE_SQL = _kcore_sql()
+
+
+# ---------------------------------------------------------------------------
 # Item-item collaborative-filtering recommender over co-purchases
 # ---------------------------------------------------------------------------
 
@@ -605,5 +693,6 @@ QUERIES = {
     "graph_bfs_hops": (graph_bfs_hops, GRAPH_BFS_SQL),
     "graph_label_propagation": (graph_label_propagation, GRAPH_LPA_SQL),
     "rec_item_item": (rec_item_item, REC_ITEM_SQL),
+    "graph_kcore": (graph_kcore, GRAPH_KCORE_SQL),
     "hier_rollup_closure": (hier_rollup_closure, HIER_ROLLUP_SQL),
 }

@@ -705,9 +705,69 @@ SELECT (SELECT COUNT(*) FROM data) AS n_rows,
 ML_PERCEPTRON_SQL = _perceptron_sql()
 
 
+# ---------------------------------------------------------------------------
+# ml_feature_hash — hashing-trick featurization (signed 64-bucket BoW)
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 64
+
+
+def ml_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al.): vocabulary-free bag-of-
+    words featurization — token t lands in bucket md5(t) % 64 with
+    sign from an independent hash bit, so the featurizer needs NO
+    fitted vocabulary, no driver state, and never re-trains as the
+    corpus grows (the property that matters at 100 TB: featurization
+    is a pure projection). Output: the corpus-level signed/absolute
+    mass per bucket — the marginal distribution a downstream linear
+    model would see — all exact integers via the portable hash."""
+    from ..operators.parallelism import ensure_parallelism
+    from ..text.analysis import tokens
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = d.select(F.explode(tokens("text")).alias("w"))
+    h = (
+        "CAST(conv(substring(md5(concat('fh|', w)), 1, 15), 16, 10)"
+        f" AS BIGINT) % {_FH_BUCKETS}"
+    )
+    sign = (
+        "CASE WHEN CAST(conv(substring(md5(concat('fs|', w)), 1, 15), 16, 10)"
+        " AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"
+    )
+    return (
+        tok.select(
+            F.expr(h).alias("bucket"), F.expr(sign).cast("long").alias("sign")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("sign").alias("signed_mass"),
+            F.count("*").alias("abs_mass"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ML_FEATURE_HASH_SQL = f"""
+WITH tok AS (
+  SELECT u.w
+  FROM (SELECT CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+        FROM documents), unnest(t) AS u(w)
+)
+SELECT ('0x' || substr(md5('fh|' || w), 1, 15))::BIGINT % {_FH_BUCKETS} AS bucket,
+       CAST(SUM(CASE WHEN ('0x' || substr(md5('fs|' || w), 1, 15))::BIGINT % 2 = 0
+                THEN 1 ELSE -1 END) AS BIGINT) AS signed_mass,
+       COUNT(*) AS abs_mass
+FROM tok
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "ml_kmeans_fixed": (ml_kmeans_fixed, ML_KMEANS_SQL),
     "ml_perceptron_fixed": (ml_perceptron_fixed, ML_PERCEPTRON_SQL),
+    "ml_feature_hash": (ml_feature_hash, ML_FEATURE_HASH_SQL),
     "ml_naive_bayes": (ml_naive_bayes, ML_NB_SQL),
     "ml_local_forest": (ml_local_forest, ML_FOREST_SQL),
     "ml_global_tree": (ml_global_tree, ML_TREE_SQL),

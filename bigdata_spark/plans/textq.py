@@ -1046,11 +1046,99 @@ FROM agg
 ORDER BY source
 """
 
+
+# --- Temperature-scaled source mixing weights ------------------------------
+
+_MIX_ALPHA_NUM, _MIX_ALPHA_DEN = 7, 10  # alpha = 0.7 (the multilingual-LM default)
+
+
+def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (the multilingual-LM sampling
+    recipe): source s is sampled proportionally to n_s^alpha with
+    alpha = 0.7 — upweighting tail sources, damping head dominance.
+    Outputs each source's natural share, temperature share, boost
+    factor, and the expected token draw from a 1M-token batch.
+
+    Shares are doubles but derive from one exp/ln pair over exact
+    integer counts evaluated with IDENTICAL expression text in both
+    engines (n^alpha = exp(alpha*ln(n))), normalized by a broadcast
+    1-row total — round(6) pins libm parity (the PSI/PMI rule). One
+    token-count aggregation; everything after is group-count-sized."""
+    from ..text.analysis import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(token_count("text")).alias("n_tokens")
+    )
+    pow_expr = (
+        f"exp((CAST({_MIX_ALPHA_NUM} AS DOUBLE) / {_MIX_ALPHA_DEN})"
+        " * ln(CAST(n_tokens AS DOUBLE)))"
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum(F.expr(pow_expr)).alias("tot_pow"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(
+                F.expr("CAST(n_tokens AS DOUBLE) / tot_tokens"), 6
+            ).alias("natural_share"),
+            F.round(F.expr(f"({pow_expr}) / tot_pow"), 6).alias("temp_share"),
+            F.round(
+                F.expr(
+                    f"(({pow_expr}) / tot_pow)"
+                    " / (CAST(n_tokens AS DOUBLE) / tot_tokens)"
+                ),
+                6,
+            ).alias("boost"),
+            F.round(F.expr(f"1000000 * (({pow_expr}) / tot_pow)"), 3).alias(
+                "tokens_per_million"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _mix_sql() -> str:
+    pow_expr = (
+        f"exp((CAST({_MIX_ALPHA_NUM} AS DOUBLE) / {_MIX_ALPHA_DEN})"
+        " * ln(CAST(n_tokens AS DOUBLE)))"
+    )
+    return f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN trim(lower(text)) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END)
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+         SUM({pow_expr}) AS tot_pow
+  FROM per_src
+)
+SELECT source, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS natural_share,
+       ROUND(({pow_expr}) / tot_pow, 6) AS temp_share,
+       ROUND((({pow_expr}) / tot_pow)
+             / (CAST(n_tokens AS DOUBLE) / tot_tokens), 6) AS boost,
+       ROUND(1000000 * (({pow_expr}) / tot_pow), 3) AS tokens_per_million
+FROM per_src CROSS JOIN tot
+ORDER BY source
+"""
+
+
+LLM_MIX_TEMP_SQL = _mix_sql()
+
 QUERIES = {
     "txt_collocations": (txt_collocations, TXT_COLLOC_SQL),
     "txt_rake_keyphrases": (txt_rake_keyphrases, TXT_RAKE_SQL),
     "llm_dp_count": (llm_dp_count, LLM_DP_SQL),
     "txt_entropy": (txt_entropy, TXT_ENTROPY_SQL),
+    "llm_mix_temperature": (llm_mix_temperature, LLM_MIX_TEMP_SQL),
     "llm_bigram_lm": (llm_bigram_lm, LLM_BIGRAM_LM_SQL),
     "llm_corpus_filter": (llm_corpus_filter, LLM_CORPUS_FILTER_SQL),
     "llm_chunk_udtf": (llm_chunk_udtf, LLM_CHUNK_SQL),

@@ -154,3 +154,38 @@ def test_label_propagation_matches_bruteforce(spark):
     expected = Counter(lbl.values())
     got = {r["community"]: r["n_members"] for r in graph_label_propagation(spark, SF).collect()}
     assert got == dict(expected)
+
+
+def test_kcore_converges_within_cap(spark):
+    """Python peel to TRUE fixpoint must match the 10-round query, and
+    must converge in <= 10 rounds (the cap is a proof, not a trim)."""
+    from collections import defaultdict
+
+    from bigdata_spark.plans.graphq import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        _copurchase_pairs,
+        graph_kcore,
+    )
+
+    edges = {
+        (r["pa"], r["pb"]) for r in _copurchase_pairs(spark, SF).collect()
+    }
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    kept = set(adj)
+    rounds = 0
+    while True:
+        nxt = {v for v in kept if sum(1 for u in adj[v] if u in kept) >= _KCORE_K}
+        rounds += 1
+        if nxt == kept:
+            break
+        kept = nxt
+    assert rounds <= _KCORE_ROUNDS
+    core_edges = [(a, b) for a, b in edges if a in kept and b in kept]
+    got = graph_kcore(spark, SF).collect()[0]
+    assert got["n_core_nodes"] == len(kept)
+    assert got["n_core_edges"] == len(core_edges)
+    assert got["edge_checksum"] == sum(a + b for a, b in core_edges)
