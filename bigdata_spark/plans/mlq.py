@@ -10,6 +10,7 @@ fixed-length-series table (64-d vectors, 10 classes).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -764,10 +765,132 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# ml_linear_probe — exact closed-form ridge "linear probe" on embeddings
+# ---------------------------------------------------------------------------
+
+_LP_DIMS = 16
+_LP_SCALE = 1_000
+_LP_LAMBDA = 1_000_000  # ridge, in squared quantized-feature units
+
+
+def ml_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-era evaluation workhorse: a RIDGE linear probe fit on
+    frozen embeddings, closed-form and EXACT. Features quantize to
+    integers (1e-3 units, 16 dims + bias), so the normal-equation
+    Gram X'X and moment X'y are exact BIGINT aggregates — ONE
+    map-side-combined pass shuffling 170 cells regardless of corpus
+    size (the statsq Gram pattern at d=17). The driver solves
+    (X'X + lambda·I) w = X'y in exact RATIONALS (Fractions — no float
+    linear algebra, no conditioning questions), and prediction is the
+    sign of an exact integer dot product evaluated with Python
+    bignums in an Arrow-batched UDF. Every number is therefore
+    layout- and engine-independent; the oracle pins the per-SF
+    results. Label: y = +1 for even ``label``."""
+    from fractions import Fraction
+
+    from pyspark.sql.functions import pandas_udf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    feats = [
+        F.expr(
+            f"CAST(round(CAST(element_at(embedding, {j + 1}) AS DOUBLE)"
+            f" * {_LP_SCALE}) AS BIGINT)"
+        ).alias(f"x{j + 1}")
+        for j in range(_LP_DIMS)
+    ]
+    data = e.select(
+        F.expr("CASE WHEN label % 2 = 0 THEN 1 ELSE -1 END").cast("long").alias("y"),
+        *feats,
+    )
+    d = _LP_DIMS + 1  # bias first
+    cols = ["1"] + [f"x{j + 1}" for j in range(_LP_DIMS)]
+    aggs = []
+    for j in range(d):
+        for k in range(j, d):
+            aggs.append(
+                F.sum(F.expr(f"CAST({cols[j]} AS BIGINT) * {cols[k]}")).alias(
+                    f"g_{j}_{k}"
+                )
+            )
+        aggs.append(F.sum(F.expr(f"y * {cols[j]}")).alias(f"t_{j}"))
+    row = data.agg(*aggs).first()
+
+    A = [[Fraction(0)] * d for _ in range(d)]
+    b = [Fraction(0)] * d
+    for j in range(d):
+        for k in range(j, d):
+            A[j][k] = A[k][j] = Fraction(int(row[f"g_{j}_{k}"]))
+        A[j][j] += _LP_LAMBDA
+        b[j] = Fraction(int(row[f"t_{j}"]))
+    # exact Gaussian elimination with partial (magnitude) pivoting
+    for c in range(d):
+        piv = max(range(c, d), key=lambda r: abs(A[r][c]))
+        A[c], A[piv] = A[piv], A[c]
+        b[c], b[piv] = b[piv], b[c]
+        for r in range(c + 1, d):
+            f = A[r][c] / A[c][c]
+            for k in range(c, d):
+                A[r][k] -= f * A[c][k]
+            b[r] -= f * b[c]
+    w = [Fraction(0)] * d
+    for r in range(d - 1, -1, -1):
+        acc = b[r] - sum(A[r][k] * w[k] for k in range(r + 1, d))
+        w[r] = acc / A[r][r]
+    # common positive denominator -> integer weights, exact sign tests
+    from math import lcm
+
+    den = lcm(*(f.denominator for f in w))
+    nums = [int(f * den) for f in w]
+
+    @pandas_udf("long")
+    def probe_sign(xs: pd.Series) -> pd.Series:
+        out = []
+        for vals in xs:
+            score = nums[0]  # bias (x0 == 1)
+            for nj, xv in zip(nums[1:], vals):
+                score += nj * int(xv)
+            out.append(1 if score > 0 else -1)
+        return pd.Series(out, dtype="int64")
+
+    scored = data.withColumn(
+        "pred",
+        probe_sign(F.array(*[F.col(f"x{j + 1}") for j in range(_LP_DIMS)])),
+    )
+    agg = scored.agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("pred") == F.col("y")).cast("long")).alias("n_correct"),
+    ).first()
+    n, correct = int(agg["n_rows"]), int(agg["n_correct"])
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                correct,
+                round(correct / n, 6),
+                sum(1 for v in nums[1:] if v > 0),
+            )
+        ],
+        "n_rows long, n_correct long, accuracy double, n_pos_weights long",
+    )
+
+
+ML_LINEAR_PROBE_SQL = keyed_values_oracle(
+    "ml_linear_probe",
+    [
+        ("n_rows", "bigint"),
+        ("n_correct", "bigint"),
+        ("accuracy", "double"),
+        ("n_pos_weights", "bigint"),
+    ],
+)
+
+
 QUERIES = {
     "ml_kmeans_fixed": (ml_kmeans_fixed, ML_KMEANS_SQL),
     "ml_perceptron_fixed": (ml_perceptron_fixed, ML_PERCEPTRON_SQL),
     "ml_feature_hash": (ml_feature_hash, ML_FEATURE_HASH_SQL),
+    "ml_linear_probe": (ml_linear_probe, ML_LINEAR_PROBE_SQL),
     "ml_naive_bayes": (ml_naive_bayes, ML_NB_SQL),
     "ml_local_forest": (ml_local_forest, ML_FOREST_SQL),
     "ml_global_tree": (ml_global_tree, ML_TREE_SQL),
