@@ -271,6 +271,31 @@ AUDITS.update({
     "graph_bfs_hops": [
         ("frontier joins stay shuffle-hash/broadcast scale shape", NO_PYTHON),
     ],
+    "rec_item_item": [
+        ("item frequencies broadcast onto the pair table", r"BroadcastHashJoin"),
+        ("top-3 neighbors is a group limit", r"WindowGroupLimit"),
+        ("all-native expressions", NO_PYTHON),
+    ],
+    "stat_bootstrap_ci": [
+        ("all 20 replicates in ONE partial-agg pass", r"partial_sum"),
+        ("replicate fanout stays native (constant-folded Generate)", r"(?s)Generate\b.*Arguments: explode"),
+        ("no Python evaluation", NO_PYTHON),
+    ],
+    "evt_peak_concurrency": [
+        ("sweep cumsum partitions by day, not global", r"hashpartitioning\(day"),
+        ("day offsets broadcast back", r"BroadcastHashJoin"),
+        ("all-native expressions", NO_PYTHON),
+    ],
+    "evt_rolling_wau": [
+        ("distinct collapse partially aggregated", r"partial_count|HashAggregate"),
+        ("7-day fanout stays native (constant-folded Generate)", r"(?s)Generate\b.*Arguments: explode"),
+        ("no Python evaluation", NO_PYTHON),
+    ],
+    "stat_mad_outliers": [
+        ("both medians selected on the value DOMAIN (partial-agg collapse)", r"partial_count"),
+        ("median/MAD tables broadcast back", r"BroadcastHashJoin"),
+        ("no Python evaluation", NO_PYTHON),
+    ],
 })
 
 
