@@ -975,6 +975,89 @@ FROM lineitem
 """
 
 
+def w9_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``percentile_cont`` semantics (linear interpolation between
+    the two bracketing order statistics) per return flag, for q =
+    .25/.5/.75 — the continuous companion to f12's discrete quantile
+    boundaries, engine-exact by construction.
+
+    The fractional position (n−1)·q is carried in integer QUARTERS
+    (pos = (n−1)·k, lo = pos div 4 + 1, frac = (pos mod 4)/4 ∈ {0,
+    .25, .5, .75}), so the only float step is one shared-text
+    interpolation over exact decimal-derived doubles — never an
+    engine's own percentile implementation, whose tie-breaking and
+    rounding differ. One ranked pass per group (the w6 exchange-
+    sharing shape), then a 6-row conditional aggregation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("l_returnflag")
+    ranked = l.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    aggs = []
+    for k in (1, 2, 3):
+        lo = f"((n - 1) * {k}) div 4 + 1"
+        aggs += [
+            F.min(F.when(F.expr(f"rn = {lo}"), F.col("v"))).alias(f"lo{k}"),
+            F.min(
+                F.when(F.expr(f"rn = least({lo} + 1, n)"), F.col("v"))
+            ).alias(f"hi{k}"),
+            F.min(F.expr(f"((n - 1) * {k}) % 4")).alias(f"rem{k}"),
+        ]
+    agg = ranked.groupBy("l_returnflag").agg(*aggs)
+    outs = [F.col("l_returnflag")]
+    for k, name in ((1, "p25"), (2, "p50"), (3, "p75")):
+        outs.append(
+            F.expr(
+                f"lo{k} + (CAST(rem{k} AS DOUBLE) / CAST(4 AS DOUBLE))"
+                f" * (hi{k} - lo{k})"
+            ).alias(name)
+        )
+    return agg.select(*outs).orderBy("l_returnflag")
+
+
+def _w9_sql() -> str:
+    cells = []
+    for k in (1, 2, 3):
+        lo = f"((n - 1) * {k}) // 4 + 1"
+        cells.append(
+            f"MIN(CASE WHEN rn = {lo} THEN v END) AS lo{k},\n"
+            f"         MIN(CASE WHEN rn = LEAST({lo} + 1, n) THEN v END) AS hi{k},\n"
+            f"         MIN(((n - 1) * {k}) % 4) AS rem{k}"
+        )
+    outs = ",\n       ".join(
+        f"lo{k} + (CAST(rem{k} AS DOUBLE) / CAST(4 AS DOUBLE)) * (hi{k} - lo{k}) AS {name}"
+        for k, name in ((1, "p25"), (2, "p50"), (3, "p75"))
+    )
+    return f"""
+WITH ranked AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+agg AS (
+  SELECT l_returnflag,
+         {','.join(cells)}
+  FROM ranked GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       {outs}
+FROM agg
+ORDER BY l_returnflag
+"""
+
+
+W9_PCONT_SQL = _w9_sql()
+
+
 F12_QBINS_SQL = """
 WITH ranked AS (
   SELECT l_returnflag, l_extendedprice,
@@ -1022,6 +1105,7 @@ QUERIES = {
     "f13_locf_impute": (f13_locf_impute, F13_LOCF_SQL),
     "f14_collation_ci": (f14_collation_ci, F14_COLLATION_SQL),
     "o8_range_partition_sort": (o8_range_partition_sort, O8_RANGE_SORT_SQL),
+    "w9_percentile_cont": (w9_percentile_cont, W9_PCONT_SQL),
     "o7_skyline_pareto": (o7_skyline_pareto, O7_SKYLINE_SQL),
     "wh_rfm_segments": (wh_rfm_segments, WH_RFM_SQL),
     "o2_repartition_invariants": (o2_repartition_invariants, O2_SQL),

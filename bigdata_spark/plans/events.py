@@ -1738,6 +1738,72 @@ ORDER BY w.day
 """
 
 
+def s27_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE streaming parquet file sink with its `_spark_metadata`
+    transaction log — the sink surface the other streaming queries
+    (memory sink, foreachBatch) don't touch, and the standard way a
+    100 TB pipeline lands streams on object storage.
+
+    An availableNow run writes the projected stream to parquet under a
+    checkpoint; a SECOND run over the same checkpoint must write
+    NOTHING (file-sink exactly-once comes from the checkpoint +
+    manifest pair, and readers resolve the manifest, so partial task
+    files can never be read). The returned row carries the read-back
+    census plus the rerun-delta — the oracle recomputes the census
+    from the batch table and pins the delta at zero."""
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_filesink_")
+    out_dir = f"{scratch}/out"
+    ckpt = f"{scratch}/ckpt"
+    try:
+        def run_once() -> None:
+            stream = _events_stream(spark, sf_dir).select(
+                "event_id",
+                "user_id",
+                F.col("value").cast("decimal(18,2)").alias("v"),
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("s27 file sink did not finish in 300s")
+
+        run_once()
+        first = spark.read.parquet(out_dir).agg(
+            F.count("*").alias("n"),
+            F.sum("v").cast("double").alias("value_sum"),
+        ).first()
+        run_once()  # same checkpoint: must be a no-op
+        second = spark.read.parquet(out_dir).count()
+        return spark.createDataFrame(
+            [
+                (
+                    int(first["n"]),
+                    float(first["value_sum"]),
+                    int(second) - int(first["n"]),
+                )
+            ],
+            "n_rows long, value_sum double, rerun_delta long",
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S27_FILESINK_SQL = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+       CAST(0 AS BIGINT) AS rerun_delta
+FROM events
+"""
+
+
 def evt_stream_ckpt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed stop/restart EXACTLY-ONCE: run 1 streams the first
     two chronological file groups under a checkpoint and terminates;
@@ -1829,6 +1895,7 @@ QUERIES = {
     "evt_decay_score": (evt_decay_score, EVT_DECAY_SQL),
     "evt_peak_concurrency": (evt_peak_concurrency, EVT_PEAK_SQL),
     "evt_cusum_drift": (evt_cusum_drift, EVT_CUSUM_SQL),
+    "s27_stream_file_sink": (s27_stream_file_sink, S27_FILESINK_SQL),
     "evt_transitions": (evt_transitions, EVT_TRANSITIONS_SQL),
     "evt_stream_update_mode": (evt_stream_update_mode, EVT_UPDATE_MODE_SQL),
     "evt_twap": (evt_twap, EVT_TWAP_SQL),

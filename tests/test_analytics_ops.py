@@ -337,3 +337,25 @@ def test_peak_concurrency_matches_global_sweep(spark):
     assert got["n_sessions"] == n_sessions
     assert got["peak_concurrency"] == peak
     assert got["first_peak_us"] == first_peak
+
+
+def test_percentile_cont_matches_numpy(spark):
+    """w9's integer-quarters interpolation must equal numpy's 'linear'
+    percentile (the ANSI percentile_cont definition)."""
+    import numpy as np
+
+    from bigdata_spark.plans.coverage import w9_percentile_cont
+    from bigdata_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf, "lineitem")
+        .selectExpr("l_returnflag", "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS v")
+        .collect()
+    )
+    got = {r["l_returnflag"]: r for r in w9_percentile_cont(spark, sf).collect()}
+    for g in ("A", "N", "R"):
+        vals = np.array(sorted(r["v"] for r in rows if r["l_returnflag"] == g))
+        for q, col in ((25, "p25"), (50, "p50"), (75, "p75")):
+            exp = float(np.percentile(vals, q, method="linear"))
+            assert abs(got[g][col] - exp) < 1e-6, (g, col)
