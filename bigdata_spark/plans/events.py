@@ -1738,6 +1738,84 @@ ORDER BY w.day
 """
 
 
+_M4_BUCKETS = 128
+
+
+def w10_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB'14): per pixel-
+    column bucket keep exactly the min, max, first and last points —
+    the four extremes that make a line chart at that width pixel-
+    perfect while shipping O(width) instead of O(n) points to the
+    renderer. THE standard dashboard-backend operator.
+
+    One map-side-combinable aggregation per (series, bucket):
+    min/max over value plus argmin/argmax over (ts, event_id) structs
+    (first/last), so a 100 TB series costs a single partial-agg
+    shuffle of 4 structs per bucket. Bucket edges derive from the
+    observed time range (broadcast 1-row bounds); everything is exact
+    integers/decimals."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.col("value").cast("decimal(18,3)").alias("v"),
+    )
+    bounds = e.agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+    b = (
+        e.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"CAST(least(CAST({_M4_BUCKETS} AS BIGINT) - 1,"
+                f" ((t - t0) * {_M4_BUCKETS}) div (t1 - t0 + 1)) AS INT)"
+            ),
+        )
+    )
+    agg = b.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n_points"),
+        F.min("v").cast("double").alias("v_min"),
+        F.max("v").cast("double").alias("v_max"),
+        F.min(F.struct("t", "event_id", "v")).alias("first_pt"),
+        F.max(F.struct("t", "event_id", "v")).alias("last_pt"),
+    )
+    return agg.select(
+        "event_type",
+        "bucket",
+        "n_points",
+        "v_min",
+        "v_max",
+        F.col("first_pt.t").alias("t_first"),
+        F.col("first_pt.v").cast("double").alias("v_first"),
+        F.col("last_pt.t").alias("t_last"),
+        F.col("last_pt.v").cast("double").alias("v_last"),
+    ).orderBy("event_type", "bucket")
+
+
+W10_M4_SQL = f"""
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+         CAST(value AS DECIMAL(18,3)) AS v
+  FROM events
+),
+bounds AS (SELECT MIN(t) AS t0, MAX(t) AS t1 FROM e),
+b AS (
+  SELECT e.*, CAST(LEAST(CAST({_M4_BUCKETS} AS BIGINT) - 1,
+              ((t - t0) * {_M4_BUCKETS}) // (t1 - t0 + 1)) AS INT) AS bucket
+  FROM e CROSS JOIN bounds
+)
+SELECT event_type, bucket, COUNT(*) AS n_points,
+       CAST(MIN(v) AS DOUBLE) AS v_min,
+       CAST(MAX(v) AS DOUBLE) AS v_max,
+       CAST(MIN({{'t': t, 'eid': event_id, 'v': v}}).t AS BIGINT) AS t_first,
+       CAST(MIN({{'t': t, 'eid': event_id, 'v': v}}).v AS DOUBLE) AS v_first,
+       CAST(MAX({{'t': t, 'eid': event_id, 'v': v}}).t AS BIGINT) AS t_last,
+       CAST(MAX({{'t': t, 'eid': event_id, 'v': v}}).v AS DOUBLE) AS v_last
+FROM b
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
 def s27_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The NATIVE streaming parquet file sink with its `_spark_metadata`
     transaction log — the sink surface the other streaming queries
@@ -1896,6 +1974,7 @@ QUERIES = {
     "evt_peak_concurrency": (evt_peak_concurrency, EVT_PEAK_SQL),
     "evt_cusum_drift": (evt_cusum_drift, EVT_CUSUM_SQL),
     "s27_stream_file_sink": (s27_stream_file_sink, S27_FILESINK_SQL),
+    "w10_m4_downsample": (w10_m4_downsample, W10_M4_SQL),
     "evt_transitions": (evt_transitions, EVT_TRANSITIONS_SQL),
     "evt_stream_update_mode": (evt_stream_update_mode, EVT_UPDATE_MODE_SQL),
     "evt_twap": (evt_twap, EVT_TWAP_SQL),

@@ -886,11 +886,174 @@ ML_LINEAR_PROBE_SQL = keyed_values_oracle(
 )
 
 
+# ---------------------------------------------------------------------------
+# ml_conformal_interval — split-conformal regression intervals, exact
+# ---------------------------------------------------------------------------
+
+_CF_ALPHA_NUM, _CF_ALPHA_DEN = 1, 10  # alpha = 0.1 -> 90% target coverage
+
+
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals — distribution-free
+    uncertainty with a finite-sample coverage GUARANTEE — for a
+    per-returnflag linear model (price ~ quantity), end to end exact.
+
+    The portable hash splits rows into train/calibration/test
+    (engine-reproducible, leakage-free by construction); the fit is
+    the exact-decimal normal-equation solve (statsq's shared
+    closed-form text); q-hat is the ceil((1-alpha)(n+1))-th smallest
+    absolute calibration residual, selected by rank under a total
+    order (residual, orderkey, linenumber) — the w6 selection pattern,
+    partitioned per group so no global sort exists; and coverage is an
+    integer count ratio. Split-conformal theory then guarantees
+    E[coverage] >= 90% regardless of the model being misspecified —
+    which the test asserts empirically."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("decimal(18,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+    )
+    arm = (
+        "CAST(conv(substring(md5(concat('cf|', CAST(l_orderkey AS STRING),"
+        " '#', CAST(l_linenumber AS STRING))), 1, 15), 16, 10) AS BIGINT) % 4"
+    )
+    l = l.withColumn("arm", F.expr(arm))
+    fit = (
+        l.filter(F.col("arm") >= 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.expr("x * x")).cast("double").alias("sxx"),
+            F.sum(F.expr("x * y")).cast("double").alias("sxy"),
+        )
+        .select(
+            "l_returnflag",
+            "n_train",
+            F.expr(
+                "(n_train * sxy - sx * sy) / (n_train * sxx - sx * sx)"
+            ).alias("slope"),
+            F.expr(
+                "(sy - ((n_train * sxy - sx * sy) / (n_train * sxx - sx * sx)) * sx)"
+                " / n_train"
+            ).alias("intercept"),
+        )
+    )
+    scored = l.join(F.broadcast(fit), "l_returnflag").withColumn(
+        "r", F.expr("abs(CAST(y AS DOUBLE) - (slope * CAST(x AS DOUBLE) + intercept))")
+    )
+    cal = scored.filter(F.col("arm") == 0)
+    w = Window.partitionBy("l_returnflag").orderBy("r", "l_orderkey", "l_linenumber")
+    wc = Window.partitionBy("l_returnflag")
+    qhat = (
+        cal.select(
+            "l_returnflag",
+            "r",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n_cal"),
+        )
+        .filter(
+            F.expr(
+                f"rn = (({_CF_ALPHA_DEN - _CF_ALPHA_NUM} * (n_cal + 1)"
+                f" + {_CF_ALPHA_DEN - 1}) div {_CF_ALPHA_DEN})"
+            )
+        )
+        .select("l_returnflag", F.col("r").alias("qhat"), "n_cal")
+    )
+    test = scored.filter(F.col("arm") == 1)
+    cov = (
+        test.join(F.broadcast(qhat), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(F.expr("CASE WHEN r <= qhat THEN 1 ELSE 0 END")).alias("n_covered"),
+        )
+    )
+    return (
+        fit.join(qhat, "l_returnflag")
+        .join(cov, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_train",
+            "n_cal",
+            "n_test",
+            F.round("qhat", 6).alias("qhat"),
+            "n_covered",
+            F.expr("CAST(n_covered AS DOUBLE) / n_test").alias("coverage"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ML_CONFORMAL_SQL = f"""
+WITH l AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         CAST(l_quantity AS DECIMAL(18,2)) AS x,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS y,
+         ('0x' || substr(md5('cf|' || CAST(l_orderkey AS VARCHAR) || '#'
+            || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 4 AS arm
+  FROM lineitem
+),
+fit AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_train,
+         (COUNT(*) * CAST(SUM(x * y) AS DOUBLE) - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+           / (COUNT(*) * CAST(SUM(x * x) AS DOUBLE) - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+           AS slope_raw,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(x * y) AS DOUBLE) AS sxy
+  FROM l WHERE arm >= 2 GROUP BY l_returnflag
+),
+fit2 AS (
+  SELECT l_returnflag, n_train,
+         (n_train * sxy - sx * sy) / (n_train * sxx - sx * sx) AS slope,
+         (sy - ((n_train * sxy - sx * sy) / (n_train * sxx - sx * sx)) * sx)
+           / n_train AS intercept
+  FROM fit
+),
+scored AS (
+  SELECT l.*, f.n_train, f.slope, f.intercept,
+         abs(CAST(y AS DOUBLE) - (f.slope * CAST(x AS DOUBLE) + f.intercept)) AS r
+  FROM l JOIN fit2 f USING (l_returnflag)
+),
+qhat AS (
+  SELECT l_returnflag, r AS qhat, n_cal FROM (
+    SELECT l_returnflag, r,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                              ORDER BY r, l_orderkey, l_linenumber) AS rn,
+           COUNT(*) OVER (PARTITION BY l_returnflag) AS n_cal
+    FROM scored WHERE arm = 0
+  ) WHERE rn = (({_CF_ALPHA_DEN - _CF_ALPHA_NUM} * (n_cal + 1)
+                 + {_CF_ALPHA_DEN - 1}) // {_CF_ALPHA_DEN})
+),
+cov AS (
+  SELECT s.l_returnflag, COUNT(*) AS n_test,
+         CAST(SUM(CASE WHEN s.r <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered
+  FROM scored s JOIN qhat q USING (l_returnflag)
+  WHERE s.arm = 1
+  GROUP BY s.l_returnflag
+)
+SELECT f.l_returnflag, f.n_train, CAST(q.n_cal AS BIGINT) AS n_cal,
+       c.n_test, ROUND(q.qhat, 6) AS qhat, c.n_covered,
+       CAST(c.n_covered AS DOUBLE) / c.n_test AS coverage
+FROM fit2 f
+JOIN qhat q USING (l_returnflag)
+JOIN cov c USING (l_returnflag)
+ORDER BY f.l_returnflag
+"""
+
+
 QUERIES = {
     "ml_kmeans_fixed": (ml_kmeans_fixed, ML_KMEANS_SQL),
     "ml_perceptron_fixed": (ml_perceptron_fixed, ML_PERCEPTRON_SQL),
     "ml_feature_hash": (ml_feature_hash, ML_FEATURE_HASH_SQL),
     "ml_linear_probe": (ml_linear_probe, ML_LINEAR_PROBE_SQL),
+    "ml_conformal_interval": (ml_conformal_interval, ML_CONFORMAL_SQL),
     "ml_naive_bayes": (ml_naive_bayes, ML_NB_SQL),
     "ml_local_forest": (ml_local_forest, ML_FOREST_SQL),
     "ml_global_tree": (ml_global_tree, ML_TREE_SQL),

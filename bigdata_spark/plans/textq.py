@@ -1133,12 +1133,137 @@ ORDER BY source
 
 LLM_MIX_TEMP_SQL = _mix_sql()
 
+
+# --- BM25 keyword retrieval ------------------------------------------------
+
+_BM25_K1_NUM, _BM25_K1_DEN = 12, 10   # k1 = 1.2
+_BM25_B_NUM, _BM25_B_DEN = 75, 100    # b = 0.75
+_BM25_QUERY = ("data", "table", "fast")
+
+
+def txt_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking — the retrieval baseline every search/RAG stack
+    starts from — for a fixed 3-term query, top-20 documents.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen))
+    with the Robertson idf ln((N−df+.5)/(df+.5)+1). All inputs (tf,
+    df, N, doc length, avg length) are exact integers from two
+    map-side aggregations; the per-term score is ONE shared-text
+    double expression (k1/b spelled as exact rational CASTs), summed
+    per doc in deterministic term order via a pivoted projection — so
+    ranks and scores hash-match. Query terms broadcast as a filter;
+    postings for 3 terms are a sliver of the index. Top-20 is a
+    TakeOrdered, not a global sort."""
+    from ..operators.parallelism import ensure_parallelism
+    from ..text.analysis import tokens
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    doclen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    qterms = list(_BM25_QUERY)
+    tf = (
+        tok.filter(F.col("w").isin(*qterms))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.count("*").alias("df"))
+    k1 = f"(CAST({_BM25_K1_NUM} AS DOUBLE) / {_BM25_K1_DEN})"
+    b = f"(CAST({_BM25_B_NUM} AS DOUBLE) / {_BM25_B_DEN})"
+    idf = (
+        "ln((CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))"
+        " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))"
+    )
+    term_score = (
+        f"({idf}) * (CAST(tf AS DOUBLE) * ({k1} + 1))"
+        f" / (CAST(tf AS DOUBLE) + {k1} * (1 - {b} + {b}"
+        " * (CAST(dl AS DOUBLE) * n_docs / CAST(total_len AS DOUBLE))))"
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("term_score", F.expr(term_score))
+    )
+    # deterministic summation order: pivot to fixed term columns
+    pivoted = scored.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("w") == t, F.col("term_score"))).alias(f"s_{i}")
+            for i, t in enumerate(qterms)
+        ]
+    )
+    total = " + ".join(f"COALESCE(s_{i}, CAST(0 AS DOUBLE))" for i in range(len(qterms)))
+    return (
+        pivoted.select("doc_id", F.round(F.expr(total), 9).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    k1 = f"(CAST({_BM25_K1_NUM} AS DOUBLE) / {_BM25_K1_DEN})"
+    b = f"(CAST({_BM25_B_NUM} AS DOUBLE) / {_BM25_B_DEN})"
+    idf = (
+        "ln((CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))"
+        " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))"
+    )
+    term_score = (
+        f"({idf}) * (CAST(tf AS DOUBLE) * ({k1} + 1))"
+        f" / (CAST(tf AS DOUBLE) + {k1} * (1 - {b} + {b}"
+        " * (CAST(dl AS DOUBLE) * n_docs / CAST(total_len AS DOUBLE))))"
+    )
+    arms = ",\n         ".join(
+        f"MIN(CASE WHEN w = '{t}' THEN term_score END) AS s_{i}"
+        for i, t in enumerate(_BM25_QUERY)
+    )
+    total = " + ".join(
+        f"COALESCE(s_{i}, CAST(0 AS DOUBLE))" for i in range(len(_BM25_QUERY))
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, u.w
+  FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents), unnest(t) AS u(w)
+),
+doclen AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len FROM doclen
+),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM tok
+  WHERE w IN ({terms}) GROUP BY doc_id, w
+),
+df_t AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT t.doc_id, t.w, {term_score} AS term_score
+  FROM tf t
+  JOIN df_t USING (w)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+),
+pivoted AS (
+  SELECT doc_id,
+         {arms}
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, ROUND({total}, 9) AS bm25
+FROM pivoted
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+TXT_BM25_SQL = _bm25_sql()
+
 QUERIES = {
     "txt_collocations": (txt_collocations, TXT_COLLOC_SQL),
     "txt_rake_keyphrases": (txt_rake_keyphrases, TXT_RAKE_SQL),
     "llm_dp_count": (llm_dp_count, LLM_DP_SQL),
     "txt_entropy": (txt_entropy, TXT_ENTROPY_SQL),
     "llm_mix_temperature": (llm_mix_temperature, LLM_MIX_TEMP_SQL),
+    "txt_bm25": (txt_bm25, TXT_BM25_SQL),
     "llm_bigram_lm": (llm_bigram_lm, LLM_BIGRAM_LM_SQL),
     "llm_corpus_filter": (llm_corpus_filter, LLM_CORPUS_FILTER_SQL),
     "llm_chunk_udtf": (llm_chunk_udtf, LLM_CHUNK_SQL),

@@ -227,3 +227,17 @@ def test_perceptron_fixed_matches_python(spark):
     assert got["weight_mass"] == sum(w)
     assert got["bias"] == b
     assert got["n_misclassified"] < got["n_rows"]  # it learned something
+
+
+def test_conformal_coverage_guarantee(spark):
+    """Split-conformal theory: coverage must land near (and in sample
+    sizes this large, above) 1 - alpha - small slack."""
+    from bigdata_spark.plans.mlq import ml_conformal_interval
+
+    rows = ml_conformal_interval(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["n_train"] + 0 > 0 and r["n_cal"] > 0 and r["n_test"] > 0
+        assert r["qhat"] > 0
+        assert r["coverage"] >= 0.85, (r["l_returnflag"], r["coverage"])
+        assert abs(r["coverage"] - r["n_covered"] / r["n_test"]) < 1e-12
