@@ -680,6 +680,79 @@ ORDER BY name_a, name_b
 """
 
 
+
+# --- Directed containment (quote / subset near-duplication) ---------------
+
+_CONT_THRESHOLD = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle CONTAINMENT |A∩B| / |A| ≥ 0.8 within same-lang
+    buckets — the asymmetric cousin of Jaccard that catches what
+    symmetric dedup misses: a short document (quote, boilerplate
+    header, excerpt) embedded inside a much longer one, where Jaccard
+    stays tiny because the union is dominated by the superset doc.
+
+    Same distributed inverted-index shape as dedup_ngram_jaccard
+    (explode → posting join on the shingle → group-count = exact
+    intersection; singleton postings dropped), but no size-ratio
+    prune — the whole point is size-asymmetric pairs — and pairs are
+    DIRECTED (contained-side, container-side). Output: directed pairs
+    with exact containment."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import shingles
+    from ..operators.parallelism import ensure_parallelism
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        force=True,
+    )
+    base = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.size(shingles(F.col("text"), n=3)).alias("sz"),
+            F.explode(shingles(F.col("text"), n=3)).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    w_tok = Window.partitionBy("lang", "tok")
+    idx = (
+        base.withColumn("_df", F.count(F.lit(1)).over(w_tok))
+        .filter(F.col("_df") >= 2)
+        .drop("_df")
+        .persist()
+    )
+    a = idx.select(
+        F.col("doc_id").alias("sub_id"), "lang", "tok", F.col("sz").alias("sub_sz")
+    )
+    b = idx.select(F.col("doc_id").alias("super_id"), "lang", "tok")
+    return (
+        a.join(b.hint("shuffle_hash"), ["lang", "tok"])
+        .filter(F.col("sub_id") != F.col("super_id"))
+        .groupBy("sub_id", "super_id", "sub_sz")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "containment", F.col("inter").cast("double") / F.col("sub_sz")
+        )
+        .filter(F.col("containment") >= _CONT_THRESHOLD)
+        .select("sub_id", "super_id", F.round("containment", 9).alias("containment"))
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH base AS (SELECT doc_id, lang, {_DUCK_TOKENS} AS toks FROM documents),
+sh AS (SELECT doc_id, lang, {_DUCK_SHINGLES} AS shingles FROM base)
+SELECT a.doc_id AS sub_id, b.doc_id AS super_id,
+       ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(a.shingles), 9) AS containment
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+WHERE len(a.shingles) > 0
+  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(a.shingles) >= {_CONT_THRESHOLD}
+"""
+
 QUERIES = {
     "dedup_symspell_join": (dedup_symspell_join, DEDUP_SYMSPELL_SQL),
     "dedup_keep_one": (dedup_keep_one, DEDUP_KEEP_ONE_SQL),
@@ -689,6 +762,7 @@ QUERIES = {
     "dedup_minhash_pairs": (dedup_minhash_pairs, _duck_minhash_pairs_sql()),
     "dedup_simhash_values": (dedup_simhash_values, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_containment": (dedup_containment, DEDUP_CONTAINMENT_SQL),
     "dedup_substring": (dedup_substring, DEDUP_SUBSTR_SQL),
     "dedup_semantic": (dedup_semantic, DEDUP_SEMANTIC_SQL),
     "dedup_skew_stress": (dedup_skew_stress, DEDUP_SKEW_STRESS_SQL),

@@ -294,9 +294,68 @@ SELECT * FROM (VALUES
 ORDER BY fk_edge
 """
 
+
+def dq_uniqueness_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across the schema — the other half
+    of the dq_referential_integrity contract check: for every declared
+    key, row count vs distinct-key count and the duplicate surplus
+    (all zeros on clean data). lineitem's compound key proves the
+    multi-column case. Each check is one map-side-combinable
+    distinct-count aggregation over the key projection only."""
+    checks = [
+        ("customer(c_custkey)", "customer", ["c_custkey"]),
+        ("lineitem(l_orderkey,l_linenumber)", "lineitem", ["l_orderkey", "l_linenumber"]),
+        ("nation(n_nationkey)", "nation", ["n_nationkey"]),
+        ("orders(o_orderkey)", "orders", ["o_orderkey"]),
+        ("part(p_partkey)", "part", ["p_partkey"]),
+        ("supplier(s_suppkey)", "supplier", ["s_suppkey"]),
+    ]
+    rows = []
+    for name, table, keys in checks:
+        t = load_table(spark, sf_dir, table).select(*keys)
+        r = t.agg(
+            F.count("*").alias("n"), F.countDistinct(*keys).alias("nd")
+        ).first()
+        rows.append((name, int(r["n"]), int(r["nd"]), int(r["n"] - r["nd"])))
+    return spark.createDataFrame(
+        rows, "pk string, n_rows long, n_distinct long, n_duplicates long"
+    ).orderBy("pk")
+
+
+DQ_UNIQUE_SQL = """
+SELECT * FROM (VALUES
+  ('customer(c_custkey)',
+   (SELECT COUNT(*) FROM customer),
+   (SELECT COUNT(DISTINCT c_custkey) FROM customer),
+   (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)),
+  ('lineitem(l_orderkey,l_linenumber)',
+   (SELECT COUNT(*) FROM lineitem),
+   (SELECT COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem),
+   (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem)),
+  ('nation(n_nationkey)',
+   (SELECT COUNT(*) FROM nation),
+   (SELECT COUNT(DISTINCT n_nationkey) FROM nation),
+   (SELECT COUNT(*) - COUNT(DISTINCT n_nationkey) FROM nation)),
+  ('orders(o_orderkey)',
+   (SELECT COUNT(*) FROM orders),
+   (SELECT COUNT(DISTINCT o_orderkey) FROM orders),
+   (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)),
+  ('part(p_partkey)',
+   (SELECT COUNT(*) FROM part),
+   (SELECT COUNT(DISTINCT p_partkey) FROM part),
+   (SELECT COUNT(*) - COUNT(DISTINCT p_partkey) FROM part)),
+  ('supplier(s_suppkey)',
+   (SELECT COUNT(*) FROM supplier),
+   (SELECT COUNT(DISTINCT s_suppkey) FROM supplier),
+   (SELECT COUNT(*) - COUNT(DISTINCT s_suppkey) FROM supplier))
+) AS t(pk, n_rows, n_distinct, n_duplicates)
+ORDER BY pk
+"""
+
 QUERIES = {
     "dq_profile": (dq_profile, DQ_PROFILE_SQL),
     "dq_referential_integrity": (dq_referential_integrity, DQ_REFINT_SQL),
+    "dq_uniqueness_pk": (dq_uniqueness_pk, DQ_UNIQUE_SQL),
     "dq_expectations": (dq_expectations, DQ_EXPECT_SQL),
     "dq_drift_psi": (dq_drift_psi, DQ_DRIFT_SQL),
 }

@@ -1257,6 +1257,53 @@ LIMIT 20
 
 TXT_BM25_SQL = _bm25_sql()
 
+
+def txt_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval harness over the language-ID heuristic: the
+    predicted language vs the corpus's ground-truth ``lang`` column as
+    a full confusion matrix plus per-language precision/recall — the
+    same evaluation loop a real pipeline runs before trusting a
+    filter. Shares txt_langid's native marker-count expressions; the
+    confusion rollup is one partial-agg'd groupBy and the P/R columns
+    are shared-text rational-to-double projections."""
+    preds = txt_langid(spark, sf_dir)
+    conf = preds.groupBy("lang", "lang_guess").agg(F.count("*").alias("n"))
+    w_true = conf.groupBy("lang").agg(F.sum("n").alias("n_true"))
+    w_pred = conf.groupBy("lang_guess").agg(F.sum("n").alias("n_pred"))
+    return (
+        conf.join(F.broadcast(w_true), "lang")
+        .join(F.broadcast(w_pred), "lang_guess")
+        .select(
+            "lang",
+            "lang_guess",
+            "n",
+            F.expr("CAST(n AS DOUBLE) / n_true").alias("recall_contrib"),
+            F.expr("CAST(n AS DOUBLE) / n_pred").alias("precision_contrib"),
+        )
+        .orderBy("lang", "lang_guess")
+    )
+
+
+TXT_LANGID_EVAL_SQL = (
+    "WITH preds AS (\n"
+    + TXT_LANGID_SQL
+    + """
+),
+conf AS (
+  SELECT lang, lang_guess, COUNT(*) AS n FROM preds GROUP BY 1, 2
+),
+w_true AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true FROM conf GROUP BY 1),
+w_pred AS (SELECT lang_guess, CAST(SUM(n) AS BIGINT) AS n_pred FROM conf GROUP BY 1)
+SELECT c.lang, c.lang_guess, c.n,
+       CAST(c.n AS DOUBLE) / t.n_true AS recall_contrib,
+       CAST(c.n AS DOUBLE) / p.n_pred AS precision_contrib
+FROM conf c
+JOIN w_true t ON t.lang = c.lang
+JOIN w_pred p ON p.lang_guess = c.lang_guess
+ORDER BY c.lang, c.lang_guess
+"""
+)
+
 QUERIES = {
     "txt_collocations": (txt_collocations, TXT_COLLOC_SQL),
     "txt_rake_keyphrases": (txt_rake_keyphrases, TXT_RAKE_SQL),
@@ -1264,6 +1311,7 @@ QUERIES = {
     "txt_entropy": (txt_entropy, TXT_ENTROPY_SQL),
     "llm_mix_temperature": (llm_mix_temperature, LLM_MIX_TEMP_SQL),
     "txt_bm25": (txt_bm25, TXT_BM25_SQL),
+    "txt_langid_eval": (txt_langid_eval, TXT_LANGID_EVAL_SQL),
     "llm_bigram_lm": (llm_bigram_lm, LLM_BIGRAM_LM_SQL),
     "llm_corpus_filter": (llm_corpus_filter, LLM_CORPUS_FILTER_SQL),
     "llm_chunk_udtf": (llm_chunk_udtf, LLM_CHUNK_SQL),
