@@ -1738,6 +1738,100 @@ ORDER BY w.day
 """
 
 
+def evt_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (STL-lite) of the hourly event
+    value series: trend = centered 25-hour moving average, seasonal =
+    hour-of-day mean of the detrended series, residual = remainder —
+    the decomposition every monitoring stack runs before alerting on
+    "anomalies" that are just Tuesday mornings.
+
+    Exactness: hourly sums are exact decimals; the moving average and
+    the seasonal means are (sum, count) pairs divided once in a
+    shared-text double expression, so no running float accumulation
+    exists anywhere. One bucketing aggregation + one 25-row window
+    over the HOURLY series (8.7k rows/year — series-length-, not
+    event-count-sized) + one broadcast join back."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000"
+        ).alias("hour_id"),
+        F.col("value").cast("decimal(18,3)").alias("v"),
+    )
+    hourly = e.groupBy("hour_id").agg(
+        F.sum("v").alias("hv"), F.count("*").alias("hn")
+    )
+    w = Window.orderBy("hour_id").rowsBetween(-12, 12)
+    trended = hourly.withColumn("tv", F.sum("hv").over(w)).withColumn(
+        "tn", F.sum("hn").over(w)
+    )
+    base = trended.select(
+        "hour_id",
+        F.expr("CAST(hv AS DOUBLE) / hn").alias("level"),
+        F.expr("CAST(tv AS DOUBLE) / tn").alias("trend"),
+        F.expr("hour_id % 24").alias("hod"),
+        F.expr("CAST(hv AS DOUBLE) / hn - CAST(tv AS DOUBLE) / tn").alias("detr"),
+    )
+    # float sums are merge-order-dependent; force hour_id order via a
+    # sorted-list sequential reduction (identical in the oracle)
+    seq_sum = (
+        "aggregate(transform(array_sort(collect_list(struct(hour_id, {c}))),"
+        " s -> s.{c}), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    seasonal = base.groupBy("hod").agg(
+        F.expr(seq_sum.format(c="detr") + " / count(1)").alias("seasonal")
+    )
+    resid = base.join(F.broadcast(seasonal), "hod").withColumn(
+        "ar", F.expr("abs(detr - seasonal)")
+    )
+    return (
+        resid.groupBy("hod")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.min("seasonal").alias("seasonal"),
+            F.round(F.expr(seq_sum.format(c="ar") + " / count(1)"), 9).alias(
+                "mean_abs_residual"
+            ),
+        )
+        .orderBy("hod")
+    )
+
+
+EVT_SEASONAL_SQL = """
+WITH e AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_id,
+         CAST(value AS DECIMAL(18,3)) AS v
+  FROM events
+),
+hourly AS (
+  SELECT hour_id, SUM(v) AS hv, COUNT(*) AS hn FROM e GROUP BY hour_id
+),
+trended AS (
+  SELECT hour_id, hv, hn,
+         SUM(hv) OVER w AS tv, SUM(hn) OVER w AS tn
+  FROM hourly
+  WINDOW w AS (ORDER BY hour_id ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+base AS (
+  SELECT hour_id,
+         CAST(hv AS DOUBLE) / hn AS level,
+         CAST(tv AS DOUBLE) / tn AS trend,
+         hour_id % 24 AS hod,
+         CAST(hv AS DOUBLE) / hn - CAST(tv AS DOUBLE) / tn AS detr
+  FROM trended
+),
+seasonal AS (
+  SELECT hod, list_sum(list(detr ORDER BY hour_id)) / COUNT(*) AS seasonal
+  FROM base GROUP BY hod
+)
+SELECT b.hod, COUNT(*) AS n_hours, MIN(s.seasonal) AS seasonal,
+       ROUND(list_sum(list(abs(b.detr - s.seasonal) ORDER BY b.hour_id))
+             / COUNT(*), 9) AS mean_abs_residual
+FROM base b JOIN seasonal s ON s.hod = b.hod
+GROUP BY b.hod
+ORDER BY b.hod
+"""
+
+
 _M4_BUCKETS = 128
 
 
@@ -1975,6 +2069,7 @@ QUERIES = {
     "evt_cusum_drift": (evt_cusum_drift, EVT_CUSUM_SQL),
     "s27_stream_file_sink": (s27_stream_file_sink, S27_FILESINK_SQL),
     "w10_m4_downsample": (w10_m4_downsample, W10_M4_SQL),
+    "evt_seasonal_decompose": (evt_seasonal_decompose, EVT_SEASONAL_SQL),
     "evt_transitions": (evt_transitions, EVT_TRANSITIONS_SQL),
     "evt_stream_update_mode": (evt_stream_update_mode, EVT_UPDATE_MODE_SQL),
     "evt_twap": (evt_twap, EVT_TWAP_SQL),

@@ -686,6 +686,92 @@ ORDER BY r.p_partkey
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Link prediction: common-neighbor / neighborhood-Jaccard scores
+# ---------------------------------------------------------------------------
+
+_LINK_MIN_CN = 1
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the co-purchase graph: for NON-edges with
+    >= 2 common neighbors, the common-neighbor count and neighborhood
+    Jaccard cn/(deg_a + deg_b - cn) — the classic "customers also
+    bought" candidate generator before any learned ranker.
+
+    Scale shape: candidate pairs come from the WEDGE join (two edges
+    sharing a midpoint), so only 2-hop pairs are ever materialized —
+    never the n² non-edge set; existing edges drop via one anti-join
+    on the canonical edge table; degrees broadcast. All integers until
+    the one shared-text Jaccard projection. Top-20 by (jaccard, pair)
+    keeps the output stable."""
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    x = sym.alias("x")
+    y = sym.alias("y")
+    wedges = (
+        x.join(y, F.col("x.src") == F.col("y.src"))
+        .filter(F.col("x.dst") < F.col("y.dst"))
+        .groupBy(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+        .agg(F.count("*").alias("cn"))
+        .filter(F.col("cn") >= _LINK_MIN_CN)
+    )
+    non_edges = wedges.join(
+        e.withColumnRenamed("pa", "a").withColumnRenamed("pb", "b"),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        non_edges.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.expr("CAST(cn AS DOUBLE) / (deg_a + deg_b - cn)"), 9
+            ).alias("nbr_jaccard"),
+        )
+        .orderBy(F.desc("nbr_jaccard"), "a", "b")
+        .limit(20)
+    )
+
+
+GRAPH_LINK_SQL = f"""
+WITH {_COPURCHASE_CTE},
+sym AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM edges
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM edges
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+wedges AS (
+  SELECT x.dst AS a, y.dst AS b, COUNT(*) AS cn
+  FROM sym x JOIN sym y ON x.src = y.src AND x.dst < y.dst
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_LINK_MIN_CN}
+),
+non_edges AS (
+  SELECT w.* FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.pa = w.a AND e.pb = w.b)
+)
+SELECT n.a, n.b, n.cn, da.deg AS deg_a, db.deg AS deg_b,
+       ROUND(CAST(n.cn AS DOUBLE) / (da.deg + db.deg - n.cn), 9) AS nbr_jaccard
+FROM non_edges n
+JOIN deg da ON da.src = n.a
+JOIN deg db ON db.src = n.b
+ORDER BY nbr_jaccard DESC, n.a, n.b
+LIMIT 20
+"""
+
 QUERIES = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "mb_frequent_pairs": (mb_frequent_pairs, MB_PAIRS_SQL),
@@ -694,5 +780,6 @@ QUERIES = {
     "graph_label_propagation": (graph_label_propagation, GRAPH_LPA_SQL),
     "rec_item_item": (rec_item_item, REC_ITEM_SQL),
     "graph_kcore": (graph_kcore, GRAPH_KCORE_SQL),
+    "graph_link_prediction": (graph_link_prediction, GRAPH_LINK_SQL),
     "hier_rollup_closure": (hier_rollup_closure, HIER_ROLLUP_SQL),
 }
