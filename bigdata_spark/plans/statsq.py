@@ -891,6 +891,116 @@ SELECT n_users, n_control, n_treatment,
 FROM agg
 """
 
+
+# ---------------------------------------------------------------------------
+# stat_cuped — CUPED variance reduction from pre-period covariates
+# ---------------------------------------------------------------------------
+
+_CUPED_VAR_Y = "(syy - sy * sy / n) / (n - 1)"
+_CUPED_THETA = "((sxy - sx * sy / n) / (sxx - sx * sx / n))"
+_CUPED_VAR_ADJ = (
+    "((syy - sy * sy / n)"
+    " - ((sxy - sx * sy / n) * (sxy - sx * sy / n)) / (sxx - sx * sx / n))"
+    " / (n - 1)"
+)
+
+
+def stat_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment using pre-experiment data): adjust
+    each user's experiment-period metric by theta x their pre-period
+    covariate, shrinking metric variance by rho-squared and therefore
+    the sample size an A/B test needs — the single highest-leverage
+    trick in industrial experimentation.
+
+    Pre/post user totals are exact decimals (first/second half of the
+    event window); theta and both variances derive from ONE
+    map-side-combined aggregation of five exact sums over the
+    user-level table — the same sufficient-statistics shape as the
+    regression queries, so every output is a shared-text IEEE
+    projection. The variance identity var_adj = var_y − cov²/var_x is
+    computed symbolically from the sums (no per-row adjusted metric
+    materialized — nothing to re-shuffle)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("day_id"),
+        F.col("value").cast("decimal(18,3)").alias("v"),
+    )
+    cut = e.agg(
+        F.expr("CAST(min(day_id) + (max(day_id) - min(day_id)) div 2 AS BIGINT)").alias(
+            "mid"
+        )
+    )
+    per_user = (
+        e.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day_id") < F.col("mid"), F.col("v")).otherwise(
+                F.lit(0).cast("decimal(18,3)")
+            )).alias("x_dec"),
+            F.sum(F.when(F.col("day_id") >= F.col("mid"), F.col("v")).otherwise(
+                F.lit(0).cast("decimal(18,3)")
+            )).alias("y_dec"),
+        )
+    )
+    agg = per_user.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x_dec").cast("double").alias("sx"),
+        F.sum("y_dec").cast("double").alias("sy"),
+        F.sum(F.expr("x_dec * x_dec")).cast("double").alias("sxx"),
+        F.sum(F.expr("x_dec * y_dec")).cast("double").alias("sxy"),
+        F.sum(F.expr("y_dec * y_dec")).cast("double").alias("syy"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(F.expr(_CUPED_THETA), 9).alias("theta"),
+        F.round(F.expr(_CUPED_VAR_Y), 6).alias("var_y"),
+        F.round(F.expr(_CUPED_VAR_ADJ), 6).alias("var_cuped"),
+        F.round(
+            F.expr(
+                f"100 * (1 - ({_CUPED_VAR_ADJ}) / ({_CUPED_VAR_Y}))"
+            ),
+            6,
+        ).alias("variance_reduction_pct"),
+    )
+
+
+STAT_CUPED_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_id,
+         CAST(value AS DECIMAL(18,3)) AS v
+  FROM events
+),
+cut AS (
+  SELECT CAST(MIN(day_id) + (MAX(day_id) - MIN(day_id)) // 2 AS BIGINT) AS mid
+  FROM e
+),
+per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN day_id < mid THEN v ELSE CAST(0 AS DECIMAL(18,3)) END) AS x_dec,
+         SUM(CASE WHEN day_id >= mid THEN v ELSE CAST(0 AS DECIMAL(18,3)) END) AS y_dec
+  FROM e CROSS JOIN cut
+  GROUP BY user_id
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x_dec) AS DOUBLE) AS sx,
+         CAST(SUM(y_dec) AS DOUBLE) AS sy,
+         CAST(SUM(x_dec * x_dec) AS DOUBLE) AS sxx,
+         CAST(SUM(x_dec * y_dec) AS DOUBLE) AS sxy,
+         CAST(SUM(y_dec * y_dec) AS DOUBLE) AS syy
+  FROM per_user
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       ROUND({_CUPED_THETA}, 9) AS theta,
+       ROUND({_CUPED_VAR_Y}, 6) AS var_y,
+       ROUND({_CUPED_VAR_ADJ}, 6) AS var_cuped,
+       ROUND(100 * (1 - ({_CUPED_VAR_ADJ}) / ({_CUPED_VAR_Y})), 6)
+         AS variance_reduction_pct
+FROM agg
+"""
+
 QUERIES = {
     "stat_reg_group": (stat_reg_group, STAT_REG_SQL),
     "stat_reg_multi": (stat_reg_multi, STAT_REG_MULTI_SQL),
@@ -902,4 +1012,5 @@ QUERIES = {
     "stat_mad_outliers": (stat_mad_outliers, STAT_MAD_SQL),
     "stat_bootstrap_ci": (stat_bootstrap_ci, STAT_BOOT_SQL),
     "stat_ab_assignment": (stat_ab_assignment, STAT_SRM_SQL),
+    "stat_cuped": (stat_cuped, STAT_CUPED_SQL),
 }
