@@ -1098,10 +1098,90 @@ ORDER BY fname
 """
 
 
+
+def s30_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record semantics for CSV ingestion — the unglamorous
+    behavior that decides whether a 100 TB load silently corrupts or
+    fails loudly. A staged file carries 8 clean rows and 4 suspect
+    ones; the pinned census documents what Spark ACTUALLY does:
+    an unparseable int and a short row are quarantined with the raw
+    line in ``columnNameOfCorruptRecord``; an EXTRA column is
+    quarantined; but an unclosed quote parses LENIENTLY as clean data.
+    The census also pins the infamous DROPMALFORMED footgun: ``count()``
+    reports 12 because column pruning skips parsing entirely (Spark's
+    documented CSV behavior), while materializing the columns yields 9
+    rows — the discrepancy every production CSV pipeline must know
+    exists before trusting row counts."""
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_badcsv_")
+    try:
+        lines = ["id,qty,name"]
+        for i in range(8):
+            lines.append(f"{i},{i * 10},item_{i}")
+        lines += [
+            "8,notanint,item_8",      # unparseable int -> corrupt
+            "9,90",                    # missing column -> corrupt
+            '10,100,"unclosed',        # bare quote -> corrupt
+            "11,110,item_11,extra",    # extra column -> corrupt
+        ]
+        path = f"{scratch}/data.csv"
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        schema = "id INT, qty INT, name STRING, _bad STRING"
+        permissive = (
+            spark.read.schema(schema)
+            .option("header", "true")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_bad")
+            .csv(path)
+            .cache()
+        )
+        n_perm = permissive.count()
+        n_quarantined = permissive.filter(F.col("_bad").isNotNull()).count()
+        qty_clean = permissive.filter(F.col("_bad").isNull()).agg(
+            F.sum("qty")
+        ).first()[0]
+        drop_df = (
+            spark.read.schema("id INT, qty INT, name STRING")
+            .option("header", "true")
+            .option("mode", "DROPMALFORMED")
+            .csv(path)
+        )
+        n_drop_count_pruned = drop_df.count()  # prunes all columns: 12!
+        n_drop_parsed = len(drop_df.collect())  # forces the parse: 9
+        permissive.unpersist()
+        return spark.createDataFrame(
+            [
+                (
+                    n_perm,
+                    n_quarantined,
+                    int(qty_clean),
+                    int(n_drop_parsed),
+                    int(n_drop_count_pruned),
+                )
+            ],
+            "n_permissive long, n_quarantined long, qty_clean_sum long,"
+            " n_dropmalformed long, n_drop_count_pruned long",
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S30_BADCSV_SQL = """
+SELECT CAST(12 AS BIGINT) AS n_permissive,
+       CAST(3 AS BIGINT) AS n_quarantined,
+       CAST(380 AS BIGINT) AS qty_clean_sum,
+       CAST(9 AS BIGINT) AS n_dropmalformed,
+       CAST(12 AS BIGINT) AS n_drop_count_pruned
+"""
+
 QUERIES = {
     "s23_merge_into": (s23_merge_into, S23_MERGE_SQL),
     "s26_binaryfile_source": (s26_binaryfile_source, S26_BINARYFILE_SQL),
     "sql_params_api": (sql_params_api, SQL_PARAMS_SQL),
+    "s30_csv_malformed": (s30_csv_malformed, S30_BADCSV_SQL),
     "o9_observe_metrics": (o9_observe_metrics, O9_OBSERVE_SQL),
     "skew_salted_agg": (skew_salted_agg, SKEW_AGG_SQL),
     "skew_salted_join": (skew_salted_join, SKEW_JOIN_SQL),
