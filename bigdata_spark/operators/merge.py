@@ -46,16 +46,20 @@ def merge_into(
     update/insert/delete-survivor bookkeeping: 'update', 'insert',
     'carry') when requested — deleted rows do not appear.
     """
-    t = target.alias("t")
-    s = source.alias("s")
+    # Presence markers, not key nullability: the join is null-safe
+    # (eqNullSafe), so a NULL merge key is a legal match — classifying
+    # matched/target-only off keys[0].isNull() would silently turn a
+    # matched NULL-key row into a 'carry' and drop the source action.
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
     cond = None
     for k in keys:
         c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
         cond = c if cond is None else cond & c
     j = t.join(s, cond, "full_outer")
 
-    matched = F.col(f"t.{keys[0]}").isNotNull() & F.col(f"s.{keys[0]}").isNotNull()
-    t_only = F.col(f"s.{keys[0]}").isNull()
+    matched = F.col("t._t_present").isNotNull() & F.col("s._s_present").isNotNull()
+    t_only = F.col("s._s_present").isNull()
     src_cols = set(source.columns)
     if update_set is None:
         update_set = {

@@ -20,28 +20,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _qcol(name: str):
+    """Column reference robust to dots/quotes/spaces in the name
+    (backtick-quoted, embedded backticks doubled)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """Long-format profile: (column, n_rows, n_nulls, n_distinct,
     min_value, max_value) with min/max rendered as strings so every
     column type fits one schema. Distinct counts are EXACT (the
     approx_* sketch path lives in plans/scaleq.approx_sketches)."""
+    # Internal aliases are positional (_c{i}_*), never derived from the
+    # user's column names, and the long-format rows are built with typed
+    # Column expressions (F.stack) — a name containing quotes, spaces,
+    # or dots profiles correctly instead of breaking an F.expr string.
     aggs = [F.count("*").alias("_n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
+            F.sum(_qcol(c).isNull().cast("long")).alias(f"_c{i}_nulls"),
+            F.countDistinct(_qcol(c)).alias(f"_c{i}_distinct"),
+            F.min(_qcol(c)).cast("string").alias(f"_c{i}_min"),
+            F.max(_qcol(c)).cast("string").alias(f"_c{i}_max"),
         ]
     wide = df.agg(*aggs)
-    stacked = ", ".join(
-        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
-    )
+    parts: list = [F.lit(len(cols))]
+    for i, c in enumerate(cols):
+        parts += [
+            F.lit(c),
+            F.col(f"_c{i}_nulls"),
+            F.col(f"_c{i}_distinct"),
+            F.col(f"_c{i}_min"),
+            F.col(f"_c{i}_max"),
+        ]
     return wide.select(
         F.col("_n").alias("n_rows"),
-        F.expr(
-            f"stack({len(cols)}, {stacked}) AS "
-            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        F.stack(*parts).alias(
+            "column_name", "n_nulls", "n_distinct", "min_value", "max_value"
         ),
     ).select(
         "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"

@@ -28,13 +28,20 @@ def scd2_from_changes(
     """Collapse consecutive equal attribute values per key into SCD2
     validity intervals."""
     w = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    # _prev_seen (lag of a literal) is NULL only on the first row per
+    # key; boundary detection must be null-SAFE on the attribute —
+    # a plain != yields NULL when the attr transitions to/from NULL and
+    # the filter would silently merge NULL-valued runs into the
+    # preceding run.
     changes = (
         df.select(*key_cols, attr_col, ts_col, tiebreak_col)
         .withColumn("_prev", F.lag(attr_col).over(w))
+        .withColumn("_prev_seen", F.lag(F.lit(True)).over(w))
         .filter(
-            F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
+            F.col("_prev_seen").isNull()
+            | ~F.col(attr_col).eqNullSafe(F.col("_prev"))
         )
-        .drop("_prev")
+        .drop("_prev", "_prev_seen")
     )
     # run boundaries only survive, so lead(ts) over the same window IS
     # the next version's start

@@ -162,23 +162,50 @@ def keyed_upsert_batch(
 ) -> None:
     """MERGE one micro-batch into ``table``: keep the top-1 row per key
     by ``order_cols`` across the existing snapshot plus the batch.
-    Designed as the body of a ``foreachBatch`` callback."""
+    Designed as the body of a ``foreachBatch`` callback.
+
+    Every column referenced by ``order_cols`` must survive the
+    key+value projection (validated up front — the snapshot only
+    retains those columns, so an order column outside them would raise
+    an AnalysisException on the NEXT batch). Ties on ``order_cols``
+    between a snapshot row and a batch row resolve batch-wins
+    (deterministic last-writer-wins via a provenance flag appended to
+    the window ordering)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    kept = set(key_cols) | set(value_cols)
+    order_exprs = [
+        F.col(c) if isinstance(c, str) else c for c in order_cols
+    ]
+    missing = [
+        c for c in order_cols if isinstance(c, str) and c not in kept
+    ]
+    if missing:
+        raise ValueError(
+            "order_cols must be drawn from key_cols + value_cols (the "
+            f"published snapshot keeps only those); missing: {missing}"
+        )
+
+    w_batch = Window.partitionBy(*key_cols).orderBy(*order_exprs)
     latest = (
-        batch.withColumn("_rk", F.row_number().over(w))
+        batch.withColumn("_rk", F.row_number().over(w_batch))
         .filter(F.col("_rk") == 1)
         .select(*key_cols, *value_cols)
     )
     existing = table.read()
     if existing is not None:
+        # batch-wins tiebreak: _from_batch descending after the caller's
+        # ordering, so equal order values resolve to the incoming row.
+        w_merge = Window.partitionBy(*key_cols).orderBy(
+            *order_exprs, F.col("_from_batch").desc()
+        )
         latest = (
-            existing.unionByName(latest)
-            .withColumn("_rk", F.row_number().over(w))
+            existing.withColumn("_from_batch", F.lit(0))
+            .unionByName(latest.withColumn("_from_batch", F.lit(1)))
+            .withColumn("_rk", F.row_number().over(w_merge))
             .filter(F.col("_rk") == 1)
-            .drop("_rk")
+            .drop("_rk", "_from_batch")
         )
     table.publish(latest)
 
