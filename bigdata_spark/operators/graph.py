@@ -29,6 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Introspection for tests/audits: which path the last
+#: connected_components call took and how many star rounds it ran.
+#: ({"path": "driver"|"distributed", "rounds": int, "n_edges": int})
+last_run_info: dict = {}
+
 
 def connected_components(
     edges: DataFrame,
@@ -61,6 +66,8 @@ def connected_components(
         .localCheckpoint()
     )
     n_edges = e.count()
+    last_run_info.clear()
+    last_run_info.update({"path": "driver", "rounds": 0, "n_edges": n_edges})
     if n_edges <= driver_threshold:
         from pyspark.sql.types import StructField, StructType
 
@@ -120,7 +127,9 @@ def connected_components(
         return (row["n"], row["h"])
 
     sig = _signature(cur)
-    for _ in range(max_iter):
+    last_run_info["path"] = "distributed"
+    for _round in range(max_iter):
+        last_run_info["rounds"] = _round + 1
         # large-star(u): connect every strictly-larger neighbor of u to
         # m(u) = min(N(u) ∪ {u}). Operates on the symmetrized edges.
         sym = cur.unionAll(
@@ -129,11 +138,14 @@ def connected_components(
         mins = sym.groupBy("a").agg(
             F.least(F.min("b"), F.first("a")).alias("m")
         )
+        # no distinct here: duplicate (b, m) rows (two a-neighborhoods
+        # emitting the same rewired edge) are absorbed by small-star's
+        # groupBy and the final distinct — dropping it saves one full
+        # shuffle per round.
         large = (
             sym.join(mins, "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .distinct()
         )
         # small-star(u): u's strictly-smaller neighborhood N⁻(u) plus u
         # itself all re-point at m(u) = min(N⁻(u)). ``large`` is already

@@ -772,8 +772,78 @@ ORDER BY nbr_jaccard DESC, n.a, n.b
 LIMIT 20
 """
 
+_CC_CHAIN = 64  # block length of the synthetic chain graph
+
+
+def graph_cc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components with the DISTRIBUTED alternating
+    large-star/small-star path forced (``driver_threshold=0`` — no
+    driver union-find shortcut), on a deterministic high-diameter
+    graph: vertex ids are the dense o_orderkey domain 0..N-1, chain
+    edges (v, v+1) within blocks of {chain} plus skip edges (v, v+3)
+    every 7th vertex. A
+    {chain}-long path is exactly the shape the driver shortcut hides:
+    min-label propagation would need {chain} rounds; the star loop
+    (operators/graph.py:94+) closes it in O(log²) shuffling rounds.
+    Components are contiguous blocks, so the oracle is closed-form
+    (component = floor(v/{chain})·{chain}) — no recursive CTE needed.
+    Output is the per-component census, which verifies every vertex's
+    label (a wrong label moves a vertex across blocks and breaks the
+    census). Edge count grows linearly with SF; per-round work is one
+    groupBy + join + two distincts on the edge set — the 100 TB shape.
+    """.format(chain=_CC_CHAIN)
+    from ..operators.graph import connected_components
+
+    o = load_table(spark, sf_dir, "orders")
+    # o_orderkey is dense 0..N-1 in this corpus, so it IS the vertex id
+    # — no global-sort row_number (a 1-partition window would be the
+    # scale bug this query exists to avoid).
+    v = o.select(F.col("o_orderkey").alias("v"))
+    mx = v.agg(F.max("v")).first()[0]
+    chain = v.filter(
+        (F.col("v") % _CC_CHAIN != _CC_CHAIN - 1) & (F.col("v") < F.lit(mx))
+    ).select(F.col("v").alias("src"), (F.col("v") + 1).alias("dst"))
+    skips = v.filter(
+        (F.col("v") % _CC_CHAIN <= _CC_CHAIN - 4)
+        & (F.col("v") % 7 == 0)
+        & (F.col("v") + 3 <= F.lit(mx))
+    ).select(F.col("v").alias("src"), (F.col("v") + 3).alias("dst"))
+    cc = connected_components(chain.unionAll(skips), driver_threshold=0)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("vertex").alias("min_vertex"),
+            F.max("vertex").alias("max_vertex"),
+        )
+        .orderBy("component")
+    )
+
+
+GRAPH_CC_DIST_SQL = f"""
+WITH o AS (SELECT o_orderkey AS v FROM orders),
+mx AS (SELECT MAX(v) AS mx FROM o),
+e AS (
+  SELECT v AS a, v + 1 AS b FROM o, mx
+  WHERE v % {_CC_CHAIN} != {_CC_CHAIN - 1} AND v < mx
+  UNION ALL
+  SELECT v, v + 3 FROM o, mx
+  WHERE v % {_CC_CHAIN} <= {_CC_CHAIN - 4} AND v % 7 = 0 AND v + 3 <= mx
+),
+verts AS (SELECT a AS v FROM e UNION SELECT b FROM e)
+SELECT (v // {_CC_CHAIN}) * {_CC_CHAIN} AS component,
+       COUNT(*) AS cluster_size,
+       MIN(v) AS min_vertex,
+       MAX(v) AS max_vertex
+FROM verts
+GROUP BY 1
+ORDER BY component
+"""
+
+
 QUERIES = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
+    "graph_cc_distributed": (graph_cc_distributed, GRAPH_CC_DIST_SQL),
     "mb_frequent_pairs": (mb_frequent_pairs, MB_PAIRS_SQL),
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
     "graph_bfs_hops": (graph_bfs_hops, GRAPH_BFS_SQL),

@@ -189,3 +189,30 @@ def test_kcore_converges_within_cap(spark):
     assert got["n_core_nodes"] == len(kept)
     assert got["n_core_edges"] == len(core_edges)
     assert got["edge_checksum"] == sum(a + b for a, b in core_edges)
+
+
+def test_cc_distributed_path_runs_star_rounds(spark):
+    """graph_cc_distributed must take the DISTRIBUTED alternating-star
+    path (driver_threshold=0) and need multiple rewiring rounds on the
+    high-diameter chain graph — this is the gate entry that keeps the
+    100 TB code path exercised, not just unit-tested."""
+    from bigdata_spark.operators import graph as G
+    from bigdata_spark.plans.graphq import _CC_CHAIN, graph_cc_distributed
+
+    out = graph_cc_distributed(spark, "/root/testdata/sf0.001")
+    assert G.last_run_info["path"] == "distributed"
+    assert G.last_run_info["rounds"] >= 3  # chain diameter forces real rounds
+    rows = {r["component"]: r for r in out.collect()}
+    # components are contiguous blocks of the dense o_orderkey domain
+    assert rows[0]["cluster_size"] == _CC_CHAIN
+    assert rows[0]["max_vertex"] == _CC_CHAIN - 1
+
+
+def test_cc_driver_path_reported(spark):
+    from bigdata_spark.operators import graph as G
+    from bigdata_spark.operators.graph import connected_components
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (9, 9)], "src long, dst long")
+    out = {r["vertex"]: r["component"] for r in connected_components(e).collect()}
+    assert G.last_run_info["path"] == "driver"
+    assert out == {1: 1, 2: 1, 3: 1, 9: 9}

@@ -291,6 +291,10 @@ AUDITS.update({
         ("7-day fanout stays native (constant-folded Generate)", r"(?s)Generate\b.*Arguments: explode"),
         ("no Python evaluation", NO_PYTHON),
     ],
+    "graph_cc_distributed": [
+        ("census is a partial-agg groupBy over the star forest", r"partial_count|partial_min"),
+        ("no Python evaluation", NO_PYTHON),
+    ],
     "stat_mad_outliers": [
         ("both medians selected on the value DOMAIN (partial-agg collapse)", r"partial_count"),
         ("median/MAD tables broadcast back", r"BroadcastHashJoin"),
