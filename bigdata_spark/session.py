@@ -122,7 +122,13 @@ def get_spark(
     # Python processes on a real cluster cannot import bigdata_spark
     # from the driver's filesystem (reference controller_loop.py ships
     # its sources the same way).
+    # ("local-cluster[...]" counts as a cluster: its executors are
+    # separate JVMs whose Python workers do not inherit the driver's
+    # sys.path — only plain "local"/"local[...]" skips shipping.)
     effective = spark.conf.get("spark.master", master or "")
-    if effective and not effective.startswith("local"):
+    is_single_jvm = effective == "local" or (
+        effective.startswith("local[") and not effective.startswith("local-cluster")
+    )
+    if effective and not is_single_jvm:
         ship_package(spark)
     return spark
