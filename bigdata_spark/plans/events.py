@@ -625,6 +625,29 @@ def _stage_quarter_files(
     ]
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _stream_state_partitions(spark: SparkSession, n: int = 4):
+    """Temporarily shrink ``spark.sql.shuffle.partitions`` for a
+    multi-trigger stateful stream and restore it afterwards.
+
+    A streaming agg opens one state store PER shuffle partition PER
+    micro-batch; at this harness's state size (thousands of windows)
+    32 stores × 4 triggers is pure fixed overhead (~1.2 s/trigger at
+    32 → ~0.6 s at 4, measured). Safe here because every bench stream starts
+    from a fresh checkpoint — a production stream sizes this to state
+    volume once at first start (the checkpoint pins it thereafter)."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def _stage_chronological_stream(
     spark: SparkSession, e: DataFrame, scratch: str, n_parts: int = 4
 ) -> DataFrame:
@@ -673,23 +696,24 @@ def evt_stream_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("ts", "event_type")
     scratch = tempfile.mkdtemp(prefix="bigdata_spark_mb_")
     try:
-        stream = _stage_chronological_stream(spark, e, scratch, n_parts=4)
-        windowed = (
-            stream.withWatermark("ts", "30 minutes")
-            .groupBy(F.window("ts", "1 hour"), "event_type")
-            .agg(F.count("*").alias("n"))
-        )
-        qname = "evt_mb_" + uuid.uuid4().hex[:8]
-        q = (
-            windowed.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("evt_stream_multibatch: stream did not finish in 300s")
+        with _stream_state_partitions(spark):
+            stream = _stage_chronological_stream(spark, e, scratch, n_parts=4)
+            windowed = (
+                stream.withWatermark("ts", "30 minutes")
+                .groupBy(F.window("ts", "1 hour"), "event_type")
+                .agg(F.count("*").alias("n"))
+            )
+            qname = "evt_mb_" + uuid.uuid4().hex[:8]
+            q = (
+                windowed.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("evt_stream_multibatch: stream did not finish in 300s")
         out = spark.table(qname).select(
             F.col("window.start").alias("window_start"), "event_type", "n"
         )
@@ -1047,25 +1071,26 @@ def evt_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("ts", "event_type")
     scratch = tempfile.mkdtemp(prefix="bigdata_spark_upd_")
     try:
-        stream = _stage_chronological_stream(spark, e, scratch, n_parts=4)
-        windowed = (
-            stream.withWatermark("ts", "30 minutes")
-            .groupBy(F.window("ts", "1 hour"), "event_type")
-            .agg(F.count("*").alias("n"))
-        )
-        qname = "evt_upd_" + uuid.uuid4().hex[:8]
-        q = (
-            windowed.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "evt_stream_update_mode: stream did not finish in 300s"
+        with _stream_state_partitions(spark):
+            stream = _stage_chronological_stream(spark, e, scratch, n_parts=4)
+            windowed = (
+                stream.withWatermark("ts", "30 minutes")
+                .groupBy(F.window("ts", "1 hour"), "event_type")
+                .agg(F.count("*").alias("n"))
             )
+            qname = "evt_upd_" + uuid.uuid4().hex[:8]
+            q = (
+                windowed.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "evt_stream_update_mode: stream did not finish in 300s"
+                )
         out = (
             spark.table(qname)
             .groupBy(F.col("window.start").alias("window_start"), "event_type")
