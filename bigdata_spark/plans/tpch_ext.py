@@ -598,8 +598,307 @@ LIMIT 100
 """
 
 
+# --- True Q2/Q11/Q16/Q20 over a DERIVED partsupp --------------------------
+#
+# The driver corpus has no partsupp table, so the four queries above
+# run ADAPTED shapes. Here partsupp is DERIVED deterministically with
+# the TPC-H spec's own structure (dbgen: 4 suppliers per part,
+# ps_suppkey = (p + i·(S/4 + p div S)) mod S, 0-based keys) and
+# md5-portable ps_availqty / ps_supplycost, so the UNADAPTED query
+# shapes — correlated min over partsupp, stock-value scalar subquery,
+# NOT-IN supplier exclusion, availqty-vs-shipped correlated threshold
+# — run against the same relation in both engines. At toy supplier
+# counts the spec stride can collide (S=10 → step ≡ 0 mod S for some
+# parts); the DISTINCT keeps (partkey, suppkey) a key, exactly like
+# the real table. ps_supplycost is carried as integer CENTS so every
+# aggregate is exact BIGINT math; division by 100 happens once, in
+# DOUBLE, at the output edge (cross-engine float discipline).
+# Scale shape: partsupp = part × explode(sequence(0,3)) — narrow, no
+# shuffle to build; one distinct on (pk, sk); the supplier count S is
+# a driver scalar (dim-table count, bounded).
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s_count = load_table(spark, sf_dir, "supplier").count()
+    step = max(1, s_count // 4)
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    ps = (
+        p.select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.explode(F.expr("sequence(0, 3)")).alias("i"),
+        )
+        .select(
+            "ps_partkey",
+            F.expr(
+                f"(ps_partkey + i * ({step} + ps_partkey div {s_count}))"
+                f" % {s_count}"
+            ).alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    h = (
+        "CAST(conv(substring(md5(concat('{tag}|', CAST(ps_partkey AS STRING),"
+        " '|', CAST(ps_suppkey AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return ps.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (F.expr(h.format(tag="psq")) % 9999 + 1).alias("ps_availqty"),
+        (F.expr(h.format(tag="psc")) % 99900 + 100).alias("ps_cost_cents"),
+    )
+
+
+_PS_SQL = """
+ps AS (
+  WITH sc AS (SELECT COUNT(*) AS s FROM supplier),
+  raw AS (
+    SELECT DISTINCT p_partkey AS ps_partkey,
+           (p_partkey + i * (GREATEST(1, s // 4) + p_partkey // s)) % s
+             AS ps_suppkey
+    FROM part, sc, generate_series(0, 3) AS t(i)
+  )
+  SELECT ps_partkey, ps_suppkey,
+    ('0x' || substr(md5('psq|' || CAST(ps_partkey AS VARCHAR) || '|'
+      || CAST(ps_suppkey AS VARCHAR)), 1, 15))::BIGINT % 9999 + 1
+      AS ps_availqty,
+    ('0x' || substr(md5('psc|' || CAST(ps_partkey AS VARCHAR) || '|'
+      || CAST(ps_suppkey AS VARCHAR)), 1, 15))::BIGINT % 99900 + 100
+      AS ps_cost_cents
+  FROM raw
+)
+"""
+
+
+def tpch_q2_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Q2 over the derived partsupp: minimum-cost EUROPE supplier
+    per qualifying part — the correlated MIN subquery decorrelated
+    into a per-part min joined back on equality. partsupp shuffles
+    once; every dim (supplier/nation/region/part) broadcasts."""
+    ps = _derived_partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 4) & (F.col("p_type") == "SMALL")
+    )
+    eu = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    best = eu.groupBy(F.col("ps_partkey").alias("bp_key")).agg(
+        F.min("ps_cost_cents").alias("min_cents")
+    )
+    return (
+        eu.join(F.broadcast(p), eu.ps_partkey == p.p_partkey)
+        .join(F.broadcast(best), eu.ps_partkey == F.col("bp_key"))
+        .filter(F.col("ps_cost_cents") == F.col("min_cents"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            (F.col("ps_cost_cents").cast("double") / 100.0).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+TPCH_Q2_TRUE_SQL = f"""
+WITH {_PS_SQL.strip()},
+eu AS (
+  SELECT ps.*, s_acctbal, s_name, n_name
+  FROM ps
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+best AS (
+  SELECT ps_partkey AS bp_key, MIN(ps_cost_cents) AS min_cents
+  FROM eu GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, p_partkey,
+       CAST(ps_cost_cents AS DOUBLE) / 100.0 AS supply_cost
+FROM eu
+JOIN part ON ps_partkey = p_partkey
+JOIN best ON ps_partkey = bp_key
+WHERE p_size = 4 AND p_type = 'SMALL' AND ps_cost_cents = min_cents
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def tpch_q11_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Q11: stock value = ps_supplycost · ps_availqty of NATION_7
+    suppliers, per part, above 0.001 of the national total (the scalar
+    subquery is a 1-row broadcast crossJoin). All sums are exact
+    BIGINT cent-units; the ratio compare happens in DOUBLE with
+    identical op order in both engines."""
+    ps = _derived_partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    base = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("v_cents"),
+        )
+    )
+    per_part = base.groupBy("ps_partkey").agg(F.sum("v_cents").alias("value_cents"))
+    total = base.agg(F.sum("v_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_cents").cast("double")
+            > F.col("total_cents").cast("double") * 0.001
+        )
+        .select(
+            "ps_partkey",
+            (F.col("value_cents").cast("double") / 100.0).alias("value"),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+TPCH_Q11_TRUE_SQL = f"""
+WITH {_PS_SQL.strip()},
+base AS (
+  SELECT ps_partkey, ps_cost_cents * ps_availqty AS v_cents
+  FROM ps
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+),
+per_part AS (
+  SELECT ps_partkey, CAST(SUM(v_cents) AS BIGINT) AS value_cents
+  FROM base GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(v_cents) AS BIGINT) AS total_cents FROM base)
+SELECT ps_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS value
+FROM per_part CROSS JOIN tot
+WHERE CAST(value_cents AS DOUBLE) > CAST(total_cents AS DOUBLE) * 0.001
+ORDER BY value DESC, ps_partkey
+"""
+
+
+def tpch_q16_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Q16: distinct partsupp suppliers per (brand, type, size)
+    for non-excluded parts, minus the 'complaints' supplier set. The
+    corpus has no s_comment, so the excluded set is a deterministic
+    md5 bucket of s_name (≈1/7 of suppliers) — the NOT IN compiles to
+    the same broadcast anti-join the spec's predicate does."""
+    ps = _derived_partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(
+            F.expr(
+                "CAST(conv(substring(md5(concat('cmpl|', s_name)), 1, 15),"
+                " 16, 10) AS BIGINT) % 7 = 0"
+            )
+        )
+        .select(F.col("s_suppkey").alias("bad_key"))
+    )
+    return (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(bad), ps.ps_suppkey == F.col("bad_key"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+TPCH_Q16_TRUE_SQL = f"""
+WITH {_PS_SQL.strip()}
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier
+    WHERE ('0x' || substr(md5('cmpl|' || s_name), 1, 15))::BIGINT % 7 = 0
+  )
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def tpch_q20_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Q20: NATION_5 suppliers holding excess stock — partsupp
+    rows for 'small%' parts where ps_availqty exceeds half the 1997
+    shipped quantity of that (part, supplier). The correlated inner
+    subquery decorrelates into a (partkey, suppkey) aggregate joined
+    to partsupp; the outer supplier probe is a left-semi join, exactly
+    the spec's nested-IN chain."""
+    ps = _derived_partsupp(spark, sf_dir)
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    shipped = l.groupBy(
+        F.col("l_partkey").alias("sq_part"), F.col("l_suppkey").alias("sq_supp")
+    ).agg(F.sum(_dec2("l_quantity")).alias("qty"))
+    qualifying = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == F.col("sq_part")) & (ps.ps_suppkey == F.col("sq_supp")),
+        )
+        .filter(
+            F.col("ps_availqty").cast("double")
+            > F.col("qty").cast("double") * 0.5
+        )
+        .select("ps_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(qualifying, s.s_suppkey == qualifying.ps_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+TPCH_Q20_TRUE_SQL = f"""
+WITH {_PS_SQL.strip()},
+shipped AS (
+  SELECT l_partkey AS sq_part, l_suppkey AS sq_supp,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND s_suppkey IN (
+    SELECT ps_suppkey
+    FROM ps
+    JOIN part ON ps_partkey = p_partkey
+    JOIN shipped ON ps_partkey = sq_part AND ps_suppkey = sq_supp
+    WHERE p_name LIKE 'small%'
+      AND CAST(ps_availqty AS DOUBLE) > CAST(qty AS DOUBLE) * 0.5
+  )
+ORDER BY s_name
+"""
+
+
 QUERIES = {
     "tpch_q2_adapted": (tpch_q2, TPCH_Q2_SQL),
+    "tpch_q2": (tpch_q2_true, TPCH_Q2_TRUE_SQL),
+    "tpch_q11": (tpch_q11_true, TPCH_Q11_TRUE_SQL),
+    "tpch_q16": (tpch_q16_true, TPCH_Q16_TRUE_SQL),
+    "tpch_q20": (tpch_q20_true, TPCH_Q20_TRUE_SQL),
     "tpch_q11_adapted": (tpch_q11, TPCH_Q11_SQL),
     "tpch_q20_adapted": (tpch_q20, TPCH_Q20_SQL),
     "tpch_q21_adapted": (tpch_q21, TPCH_Q21_SQL),
