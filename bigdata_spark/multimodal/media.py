@@ -3,13 +3,15 @@ with typed struct metadata (driver brief, SURVEY §2.9).
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shapes,
 mapInPandas signatures — is real and tested. Decode is REAL for every
-image/audio format here: binary PPM, zlib PNG (codecs.py), baseline
-JFIF JPEG (jpeg.py — pure-numpy Huffman + IDCT), and PCM16 WAV —
-actual pixel/sample statistics, actual nearest-neighbor resize. Only
-video (mp4/H.264) still goes through the deterministic
-``_decode_stub``: no stdlib path exists and the container ships no
-ffmpeg; swapping it in is a one-function change (``_decode_real``)
-that does not touch any distributed plumbing.
+format here: binary PPM, zlib PNG (codecs.py), baseline JFIF JPEG
+(jpeg.py — pure-numpy Huffman + IDCT), PCM16 WAV, and MP4 video
+(mp4.py — real ISO-BMFF box/sample-table parse; Motion-JPEG samples
+decode to real pixels with the in-repo JPEG decoder). H.264 bitstream
+decode is out of scope (no entropy decoder here, no ffmpeg in the
+container): an H.264 mp4 still parses — metadata, duration, frame
+offsets/timestamps — but its samples are not pixel-decodable, and
+``_decode_payload`` reports that as a zero-feature row rather than
+faking statistics.
 
 Scale notes:
 - payloads stay in executors end-to-end (no collect; feature columns
@@ -22,7 +24,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -62,21 +63,9 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
-# Formats decodable with the in-repo pure-numpy codecs (codecs.py, jpeg.py).
-REAL_FORMATS = {"ppm", "wav", "png", "jpeg"}
-REAL_CODECS_AVAILABLE = False  # flip when ffmpeg/torchaudio are installed
-
-
-def _decode_stub(payload: bytes, n_features: int = 8) -> np.ndarray:
-    """Deterministic fake decode for formats we cannot really parse
-    (mp4 — H.264, no stdlib path in this container): md5-seeded
-    feature vector, standing in for pixel/spectrogram statistics so the
-    distributed plumbing (batch shapes, schemas, dtypes) is exercised
-    honestly."""
-    if payload is None:
-        return np.zeros(n_features)
-    h = hashlib.md5(payload).digest()
-    return np.frombuffer(h[: n_features * 2], dtype=np.uint8)[:n_features].astype(np.float64) / 255.0
+# Formats decodable with the in-repo pure-numpy codecs
+# (codecs.py, jpeg.py, mp4.py).
+REAL_FORMATS = {"ppm", "wav", "png", "jpeg", "mp4"}
 
 
 def _fit_length(v: np.ndarray, n_features: int) -> np.ndarray:
@@ -90,33 +79,32 @@ def _fit_length(v: np.ndarray, n_features: int) -> np.ndarray:
 
 
 def _decode_payload(payload: bytes, fmt: str | None, n_features: int = 8) -> np.ndarray:
-    """Real statistics for ppm/wav via codecs.py; compressed formats go
-    through the stub (or _decode_real once codec libs exist). All paths
-    emit exactly n_features values so the column is never ragged."""
+    """Real statistics for every supported format (codecs.py, jpeg.py,
+    mp4.py). Unknown formats and undecodable sample codecs (e.g. an
+    H.264 mp4 — container parses, bitstream doesn't) yield a zero
+    vector: an honest 'no features', never fabricated statistics. All
+    paths emit exactly n_features values so the column is never
+    ragged."""
     from .codecs import audio_features, image_features, png_features
     from .jpeg import jpeg_features
+    from .mp4 import mp4_features
 
     if payload is None:
         return np.zeros(n_features)
-    if fmt == "ppm":
-        return _fit_length(image_features(bytes(payload)), n_features)
-    if fmt == "png":
-        return _fit_length(png_features(bytes(payload)), n_features)
-    if fmt == "jpeg":
-        return _fit_length(jpeg_features(bytes(payload)), n_features)
-    if fmt == "wav":
-        return _fit_length(audio_features(bytes(payload)), n_features)
-    if REAL_CODECS_AVAILABLE:
-        return _fit_length(_decode_real(bytes(payload), {"format": fmt}), n_features)
-    return _decode_stub(payload, n_features)
-
-
-def _decode_real(payload: bytes, meta: dict) -> np.ndarray:
-    raise NotImplementedError(
-        "STUB: mp4 decode needs ffmpeg, not present in this container. "
-        "Wire it here; the Spark plumbing is complete. ppm/wav/png/jpeg "
-        "decode IS real — see codecs.py and jpeg.py."
-    )
+    try:
+        if fmt == "ppm":
+            return _fit_length(image_features(bytes(payload)), n_features)
+        if fmt == "png":
+            return _fit_length(png_features(bytes(payload)), n_features)
+        if fmt == "jpeg":
+            return _fit_length(jpeg_features(bytes(payload)), n_features)
+        if fmt == "wav":
+            return _fit_length(audio_features(bytes(payload)), n_features)
+        if fmt == "mp4":
+            return _fit_length(mp4_features(bytes(payload)), n_features)
+    except ValueError:
+        pass
+    return np.zeros(n_features)
 
 
 def media_metadata(df: DataFrame) -> DataFrame:
@@ -213,11 +201,11 @@ def perceptual_hash(df: DataFrame) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize: REAL nearest-neighbor pixel resample for PPM, PNG, and
-    JPEG payloads (full decode → resample → re-encode for the
-    compressed formats); video passes through unchanged (its decode is
-    stubbed). The meta struct is rewritten with the new dimensions
-    either way."""
+    """Resize: REAL nearest-neighbor pixel resample for PPM, PNG, JPEG
+    and MJPEG-MP4 payloads (full decode → resample → re-encode; for
+    mp4, every frame through the sample table). Unknown formats pass
+    through unchanged. The meta struct is rewritten with the new
+    dimensions either way."""
     from .codecs import decode_png, encode_png, resize_ppm
     from .jpeg import resize_jpeg
 
@@ -232,6 +220,24 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             return encode_png(pix[ys][:, xs])
         if fmt == "jpeg":
             return resize_jpeg(bytes(payload), width, height)
+        if fmt == "mp4":
+            from .jpeg import decode_jpeg
+            from .mp4 import encode_mp4, parse_mp4
+
+            info = parse_mp4(bytes(payload))
+            if info["codec"] != "jpeg" or not info["samples"]:
+                return payload  # container fine, samples not decodable
+            frames = []
+            for off, size, _ts in info["samples"]:
+                pix = decode_jpeg(bytes(payload[off : off + size]))
+                h, w, _ = pix.shape
+                ys = (np.arange(height) * h // height).clip(0, h - 1)
+                xs = (np.arange(width) * w // width).clip(0, w - 1)
+                frames.append(pix[ys][:, xs])
+            fps = max(
+                1, info["n_samples"] * 1000 // max(1, info["duration_ms"])
+            )
+            return encode_mp4(frames, fps=fps)
         return payload
 
     out_schema = MEDIA_SCHEMA
@@ -256,9 +262,11 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling plan: one row per sampled timestamp (the
-    decode of each frame is the stubbed step). Explodes a sequence — no
-    Python in the expansion, only in the (stubbed) per-frame decode."""
+    """Video frame sampling plan: one row per sampled timestamp, from
+    metadata only — the payload is never read (column pruning drops
+    it). Explodes a sequence natively; pair with
+    ``decode_sampled_frames`` when the sampled frames' pixels are
+    actually needed."""
     n_frames = (F.col("meta.duration_ms") / every_ms).cast("int")
     return (
         df.filter(F.col("meta.kind") == "video")
@@ -270,15 +278,110 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+_MEDIA_ROWS_CACHE: dict[int, list] = {}
+
+
+def decode_sampled_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame sampling: parse each mp4's sample table
+    (mp4.py), pick the on-screen frame at every ``every_ms`` tick, and
+    decode its pixels (MJPEG → real JPEG decode). Output one row per
+    sampled frame: (media_id, frame_ts_ms, sample_ix, mean_r, mean_g,
+    mean_b, gray_std) — only small scalars leave the Arrow batch, the
+    payload never shuffles. An mp4 whose codec we can't pixel-decode
+    (e.g. H.264) still yields rows with NULL pixel stats — the sample
+    TABLE is codec-agnostic."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_ts_ms", LongType(), False),
+            StructField("sample_ix", IntegerType(), False),
+            StructField("mean_r", DoubleType(), True),
+            StructField("mean_g", DoubleType(), True),
+            StructField("mean_b", DoubleType(), True),
+            StructField("gray_std", DoubleType(), True),
+        ]
+    )
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg
+        from .mp4 import parse_mp4
+
+        for pdf in batches:
+            rows = []
+            for mid, payload, fmt in zip(
+                pdf["media_id"], pdf["payload"], pdf["format"]
+            ):
+                if payload is None or fmt != "mp4":
+                    continue
+                try:
+                    info = parse_mp4(bytes(payload))
+                except ValueError:
+                    continue
+                samples = info["samples"]
+                if not samples:
+                    continue
+                decodable = info["codec"] == "jpeg"
+                si = 0
+                for ts in range(0, max(info["duration_ms"], 1), every_ms):
+                    while si + 1 < len(samples) and samples[si + 1][2] <= ts:
+                        si += 1
+                    off, size, _ = samples[si]
+                    if decodable:
+                        pix = decode_jpeg(bytes(payload[off : off + size]))
+                        p = pix.astype(np.float64) / 255.0
+                        g = p.mean(axis=2)
+                        stats = (
+                            float(p[:, :, 0].mean()),
+                            float(p[:, :, 1].mean()),
+                            float(p[:, :, 2].mean()),
+                            float(g.std()),
+                        )
+                    else:
+                        stats = (None, None, None, None)
+                    rows.append((int(mid), ts, si) + stats)
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_ts_ms", "sample_ix",
+                    "mean_r", "mean_g", "mean_b", "gray_std",
+                ],
+            )
+            # empty batches must still carry Arrow-convertible dtypes
+            yield out.astype(
+                {
+                    "media_id": "int64",
+                    "frame_ts_ms": "int64",
+                    "sample_ix": "int32",
+                    "mean_r": "float64",
+                    "mean_g": "float64",
+                    "mean_b": "float64",
+                    "gray_std": "float64",
+                }
+            )
+
+    return (
+        df.filter(F.col("meta.kind") == "video")
+        .select("media_id", "payload", F.col("meta.format").alias("format"))
+        .mapInPandas(frame_batches, out_schema)
+    )
+
+
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table for tests/queries (no binary
     fixtures ship with the testdata). Image rows cycle REAL binary
     PPMs, REAL zlib-compressed PNGs (all five scanline filters), and
     REAL baseline JPEGs (4:4:4 and 4:2:0, with and without restart
     markers — every decoder branch runs); audio rows are REAL PCM16
-    WAVs; video rows stay opaque fake mp4 bytes (the stubbed path)."""
+    WAVs; video rows are REAL Motion-JPEG MP4s (mp4.py — full
+    ISO-BMFF container, every frame decodable). Payload construction
+    is memoized per ``n`` (pure-python encode cost; rows are
+    deterministic so the cache is safe)."""
     from .codecs import encode_png, encode_ppm, encode_wav
     from .jpeg import encode_jpeg
+    from .mp4 import encode_mp4
+
+    if n in _MEDIA_ROWS_CACHE:
+        return spark.createDataFrame(_MEDIA_ROWS_CACHE[n], MEDIA_SCHEMA)
 
     rows = []
     kinds = ["image", "audio", "video"]
@@ -319,8 +422,26 @@ def synthetic_media_df(spark, n: int = 64) -> DataFrame:
             payload, fmt = encode_wav(samples, rate), "wav"
             w = h = None
         else:
-            payload, fmt = hashlib.sha256(str(i).encode()).digest() * 4, "mp4"
-            w = h = rate = None
+            # REAL MJPEG mp4: fps=4 and 4·(1+i%5) frames keeps the
+            # duration formula 1000·(1+i%5) ms that the frame-sample
+            # oracle derives from first principles.
+            n_frames = 4 * (1 + i % 5)
+            w, h = 48, 32
+            frames = []
+            for k in range(n_frames):
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames.append(
+                    np.stack(
+                        [
+                            ((xx * 5 + k * 20 + i) % 256).astype(np.uint8),
+                            ((yy * 7 + k * 11) % 256).astype(np.uint8),
+                            np.full((h, w), (i * 3 + k * 40) % 256, dtype=np.uint8),
+                        ],
+                        axis=2,
+                    )
+                )
+            payload, fmt = encode_mp4(frames, fps=4), "mp4"
+            rate = None
             duration = 1000 * (1 + i % 5)
         rows.append(
             (
@@ -336,6 +457,7 @@ def synthetic_media_df(spark, n: int = 64) -> DataFrame:
                 },
             )
         )
+    _MEDIA_ROWS_CACHE[n] = rows
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

@@ -188,6 +188,29 @@ MM_FEATURES_SQL = values_oracle(
 )
 
 
+def mm_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling + decode: each synthetic MJPEG mp4's
+    ISO-BMFF sample table (multimodal/mp4.py) picks the on-screen
+    frame every 500 ms, the frame's JPEG decodes to real pixels, and
+    per-frame channel means/gray-std come back as scalars. This is the
+    100 TB video-pipeline kernel — seek via sample table, decode only
+    sampled frames, ship only features. Per-video rollup keeps the
+    pinned oracle small while covering every frame's values (a wrong
+    pixel anywhere moves a sum)."""
+    from ..multimodal.media import decode_sampled_frames
+
+    media = synthetic_media_df(spark, n=64)
+    frames = decode_sampled_frames(media, every_ms=500)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("sample_ix").cast("long").alias("last_sample_ix"),
+        F.round(F.sum("mean_r"), 9).alias("sum_mean_r"),
+        F.round(F.sum("mean_g"), 9).alias("sum_mean_g"),
+        F.round(F.sum("mean_b"), 9).alias("sum_mean_b"),
+        F.round(F.sum("gray_std"), 9).alias("sum_gray_std"),
+    )
+
+
 def mm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-domain audio features: rFFT over each synthetic PCM16
     clip (multimodal/media.decode_audio_spectral). The clips are pure
@@ -292,8 +315,23 @@ MM_PHASH_SQL = values_oracle(
 )
 
 
+MM_MP4_FRAMES_SQL = values_oracle(
+    "mm_mp4_frames",
+    [
+        ("media_id", "bigint"),
+        ("n_frames", "bigint"),
+        ("last_sample_ix", "bigint"),
+        ("sum_mean_r", "double"),
+        ("sum_mean_g", "double"),
+        ("sum_mean_b", "double"),
+        ("sum_gray_std", "double"),
+    ],
+)
+
+
 QUERIES = {
     "mm_decode_invariants": (mm_decode_invariants, MM_DECODE_SQL),
+    "mm_mp4_frames": (mm_mp4_frames, MM_MP4_FRAMES_SQL),
     "mm_phash_dedup": (mm_phash_dedup, MM_PHASH_SQL),
     "mm_resize_invariants": (mm_resize_invariants, MM_RESIZE_SQL),
     "mm_metadata": (mm_metadata, MM_METADATA_SQL),

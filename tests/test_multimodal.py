@@ -178,3 +178,83 @@ def test_phash_banding_recall_guarantee(spark):
     assert got["n_dup_pairs"] == exhaustive
     assert got["n_exact_dup_pairs"] == exact
     assert got["n_candidate_pairs"] >= got["n_dup_pairs"]
+
+
+def test_mp4_roundtrip_and_sample_table():
+    """Real ISO-BMFF: encode MJPEG frames, re-extract every frame via
+    the sample table, decode pixels, and check timing metadata."""
+    import numpy as np
+
+    from bigdata_spark.multimodal.jpeg import decode_jpeg
+    from bigdata_spark.multimodal.mp4 import (
+        encode_mp4,
+        extract_sample,
+        parse_mp4,
+        sample_at_ms,
+    )
+
+    frames = []
+    for k in range(6):
+        yy, xx = np.mgrid[0:32, 0:48]
+        frames.append(
+            np.stack(
+                [(xx * 3 + k * 17) % 256, (yy * 5) % 256, np.full((32, 48), k * 30)],
+                axis=2,
+            ).astype(np.uint8)
+        )
+    payload = encode_mp4(frames, fps=4)
+    assert encode_mp4(frames, fps=4) == payload  # deterministic bytes
+    info = parse_mp4(payload)
+    assert info["codec"] == "jpeg" and info["n_samples"] == 6
+    assert (info["width"], info["height"]) == (48, 32)
+    assert info["duration_ms"] == 1500  # 6 frames @ 4 fps
+    assert [s[2] for s in info["samples"]] == [0, 250, 500, 750, 1000, 1250]
+    for i in range(6):
+        assert decode_jpeg(extract_sample(payload, i)).shape == (32, 48, 3)
+    # frame on screen at 620 ms is sample 2 (ts 500)
+    assert sample_at_ms(payload, 620) == extract_sample(payload, 2)
+
+
+def test_mp4_rejects_non_bmff():
+    import pytest as _pytest
+
+    from bigdata_spark.multimodal.mp4 import parse_mp4
+
+    with _pytest.raises(ValueError):
+        parse_mp4(b"\x00\x01\x02 definitely not a movie " * 4)
+
+
+def test_resize_mp4_resamples_every_frame(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_spark.multimodal.media import resize_images, synthetic_media_df
+    from bigdata_spark.multimodal.mp4 import parse_mp4
+
+    media = synthetic_media_df(spark, n=12)
+    out = resize_images(media, 16, 8).filter(F.col("meta.kind") == "video")
+    rows = out.select("payload", "meta").collect()
+    assert rows
+    for r in rows:
+        info = parse_mp4(bytes(r["payload"]))
+        assert (info["width"], info["height"]) == (16, 8)
+        assert info["n_samples"] >= 4
+        assert r["meta"]["width"] == 16 and r["meta"]["height"] == 8
+
+
+def test_decode_sampled_frames_real_pixels(spark):
+    from bigdata_spark.multimodal.media import (
+        decode_sampled_frames,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, n=12)
+    rows = decode_sampled_frames(media, every_ms=500).collect()
+    assert rows
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+        assert 0.0 <= r["mean_r"] <= 1.0 and r["gray_std"] is not None
+    # video ids are ≡ 2 (mod 3) with duration 1000·(1 + id mod 5) ms:
+    # 500 ms sampling → 2·(1+id%5) frames
+    for mid, rs in by_media.items():
+        assert len(rs) == 2 * (1 + mid % 5)
