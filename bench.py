@@ -111,6 +111,17 @@ def main() -> None:
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
 
+    # Bench hygiene (VERDICT r4 #7): a details file that doesn't cover
+    # the WHOLE registry is worse than none — a stale partial artifact
+    # reads as "covered everything". Refuse to write one.
+    expected = len(registry) - len(EXCLUDED)
+    if len(timings) != expected:
+        raise SystemExit(
+            f"bench covered {len(timings)} queries but the registry has "
+            f"{expected} non-excluded entries — refusing to write a "
+            "partial details file"
+        )
+
     details_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAILS",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_details.json"),
@@ -119,6 +130,7 @@ def main() -> None:
         json.dump(
             {
                 "sf": float(sf),
+                "n_queries": len(timings),
                 "warm_total": total,
                 "warm_median_total": median_total,
                 "cold_total": cold_total,
