@@ -603,6 +603,97 @@ FROM embeddings
 """
 
 
+def f11_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas`` API surface — the two-sided Arrow
+    hook (``groupBy().cogroup().applyInPandas``), the one rung of the
+    Python batch ladder f10_map_in_arrow's docstring lists that had no
+    registry entry. Funnel reconciliation per user: align each user's
+    view stream against their purchase stream and count views that
+    happened strictly before the first purchase (first = min ts,
+    event_id tiebreak). Both groups arrive as pandas frames in ONE
+    task per key — the pattern for per-entity reconciliation logic too
+    twisty for a join (here it IS SQL-expressible, which is what makes
+    the value oracle possible; the entry pins the API, like
+    a14_udaf_mode does for UDAFs). All outputs are integers — no float
+    drift across engines. One co-shuffle on user_id; ~150 users per
+    SF-slice keeps groups small, and at 100 TB the shape holds because
+    group state is per-user, never global."""
+    import pandas as pd
+
+    from ..sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+
+    def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        uid = int(left["user_id"].iloc[0] if len(left) else right["user_id"].iloc[0])
+        n_views = len(left)
+        n_purchases = len(right)
+        if n_purchases:
+            first = right.sort_values(["ts", "event_id"]).iloc[0]
+            fp_ts, fp_id = first["ts"], int(first["event_id"])
+            before = int((left["ts"] < fp_ts).sum()) if n_views else 0
+        else:
+            fp_id, before = None, 0
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": uid,
+                    "n_views": n_views,
+                    "n_purchases": n_purchases,
+                    "n_views_before_first_purchase": before,
+                    "first_purchase_event_id": fp_id,
+                }
+            ]
+        ).astype(
+            {
+                "user_id": "int64",
+                "n_views": "int64",
+                "n_purchases": "int64",
+                "n_views_before_first_purchase": "int64",
+                "first_purchase_event_id": "Int64",
+            }
+        )
+
+    return (
+        views.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            reconcile,
+            "user_id long, n_views long, n_purchases long, "
+            "n_views_before_first_purchase long, first_purchase_event_id long",
+        )
+    )
+
+
+F11_COGROUP_SQL = """
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+fp AS (
+  SELECT user_id, ts AS fp_ts, event_id AS fp_id
+  FROM (SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+        FROM p) t
+  WHERE rk = 1
+),
+users AS (SELECT user_id FROM v UNION SELECT user_id FROM p)
+SELECT u.user_id,
+       (SELECT COUNT(*) FROM v WHERE v.user_id = u.user_id) AS n_views,
+       (SELECT COUNT(*) FROM p WHERE p.user_id = u.user_id) AS n_purchases,
+       COALESCE((SELECT COUNT(*) FROM v, fp
+                 WHERE v.user_id = u.user_id AND fp.user_id = u.user_id
+                   AND v.ts < fp.fp_ts), 0) AS n_views_before_first_purchase,
+       (SELECT fp_id FROM fp WHERE fp.user_id = u.user_id)
+         AS first_purchase_event_id
+FROM users u
+"""
+
+
 # ---------------------------------------------------------------------------
 # approx_bloom_semijoin — runtime Bloom-filter join pruning, oracle-exact
 # ---------------------------------------------------------------------------
@@ -770,6 +861,7 @@ APPROX_BLOOM_SQL = _bloom_sql()
 
 QUERIES = {
     "f10_map_in_arrow": (f10_map_in_arrow, F10_ARROW_SQL),
+    "f11_cogroup_reconcile": (f11_cogroup_reconcile, F11_COGROUP_SQL),
     "approx_bloom_semijoin": (approx_bloom_semijoin, APPROX_BLOOM_SQL),
     "o6_multiset_ops": (o6_multiset_ops, O6_MULTISET_SQL),
     "j5_full_outer": (j5_full_outer, J5_FULL_OUTER_SQL),

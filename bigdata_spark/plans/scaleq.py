@@ -1177,11 +1177,101 @@ SELECT CAST(12 AS BIGINT) AS n_permissive,
        CAST(12 AS BIGINT) AS n_drop_count_pruned
 """
 
+
+def s31_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record semantics for JSON ingestion — the schema-on-
+    read contrasts with the CSV census (s30) that decide how a 100 TB
+    JSONL load degrades. The staged file carries 8 clean records plus:
+    a syntactically broken line (quarantined, raw text in
+    ``_corrupt_record``); a TYPE mismatch (JSON's partial-result
+    semantics: the good fields survive AND the record is flagged —
+    CSV nulls the whole row); a MISSING field (plain null, NOT corrupt
+    — schema-on-read); and an EXTRA field (ignored, NOT corrupt —
+    where CSV quarantines the whole row). FAILFAST raises on the first
+    bad record (pinned as a boolean), and DROPMALFORMED's parsed
+    row count is pinned next to PERMISSIVE's."""
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_badjson_")
+    try:
+        lines = [
+            f'{{"id": {i}, "qty": {i * 10}, "name": "item_{i}"}}'
+            for i in range(8)
+        ]
+        lines += [
+            '{"id": 8, "qty": "notanint", "name": "item_8"}',  # type clash
+            '{"id": 9, "name": "item_9"}',                     # missing field
+            '{"id": 10, "qty": 100, "name": "item_10", "extra": 1}',
+            '{"id": 11, "qty": 110, "name": "item_11"',        # broken syntax
+        ]
+        path = f"{scratch}/data.jsonl"
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        schema = "id INT, qty INT, name STRING, _bad STRING"
+        permissive = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_bad")
+            .json(path)
+            .cache()
+        )
+        n_perm = permissive.count()
+        n_quarantined = permissive.filter(F.col("_bad").isNotNull()).count()
+        # partial-result semantics: the type-clash record keeps its
+        # parseable fields, so id=8 survives WITH a _bad marker
+        n_partial = permissive.filter(
+            F.col("_bad").isNotNull() & F.col("id").isNotNull()
+        ).count()
+        qty_sum = permissive.agg(F.sum("qty")).first()[0]
+        drop_df = (
+            spark.read.schema("id INT, qty INT, name STRING")
+            .option("mode", "DROPMALFORMED")
+            .json(path)
+        )
+        n_drop_parsed = len(drop_df.collect())
+        failfast_raises = False
+        try:
+            spark.read.schema("id INT, qty INT, name STRING").option(
+                "mode", "FAILFAST"
+            ).json(path).collect()
+        except Exception:
+            failfast_raises = True
+        permissive.unpersist()
+        return spark.createDataFrame(
+            [
+                (
+                    int(n_perm),
+                    int(n_quarantined),
+                    int(n_partial),
+                    int(qty_sum),
+                    int(n_drop_parsed),
+                    bool(failfast_raises),
+                )
+            ],
+            "n_permissive long, n_quarantined long, n_partial_results long,"
+            " qty_sum long, n_dropmalformed long, failfast_raises boolean",
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# pinned from the observed census (see docstring for what each pins)
+S31_BADJSON_SQL = """
+SELECT CAST(12 AS BIGINT) AS n_permissive,
+       CAST(2 AS BIGINT) AS n_quarantined,
+       CAST(1 AS BIGINT) AS n_partial_results,
+       CAST(380 AS BIGINT) AS qty_sum,
+       CAST(10 AS BIGINT) AS n_dropmalformed,
+       TRUE AS failfast_raises
+"""
+
 QUERIES = {
     "s23_merge_into": (s23_merge_into, S23_MERGE_SQL),
     "s26_binaryfile_source": (s26_binaryfile_source, S26_BINARYFILE_SQL),
     "sql_params_api": (sql_params_api, SQL_PARAMS_SQL),
     "s30_csv_malformed": (s30_csv_malformed, S30_BADCSV_SQL),
+    "s31_json_malformed": (s31_json_malformed, S31_BADJSON_SQL),
     "o9_observe_metrics": (o9_observe_metrics, O9_OBSERVE_SQL),
     "skew_salted_agg": (skew_salted_agg, SKEW_AGG_SQL),
     "skew_salted_join": (skew_salted_join, SKEW_JOIN_SQL),
