@@ -38,6 +38,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         simq,
         textq,
         tpch_ext,
+        tpch_full,
         graphq,
         qualityq,
         statsq,
@@ -47,6 +48,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     for mod in (
         relational,
         tpch_ext,
+        tpch_full,
         coverage,
         extended,
         events,

@@ -80,6 +80,37 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("map-side partial aggregation", r"partial_sum"),
         ("lineitem scan pruned to 2 cols", r"ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp"),
     ],
+    "tpch_q4": [
+        ("EXISTS compiled to a semi join", r"LeftSemi"),
+        ("orders date range pushed to scan", r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate,1996-07-01"),
+        ("lineitem pruned to derivation inputs", r"ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_shipdate:timestamp"),
+    ],
+    "tpch_q9": [
+        ("part name filter pushed to scan", r"PushedFilters: \[.*StringContains\(p_name,bolt\)"),
+        ("lineitem scan drops l_tax/flags", r"ReadSchema: (?![^\n]*l_tax)[^\n]*l_extendedprice"),
+        ("dims broadcast", r"BroadcastHashJoin"),
+        ("map-side partial profit sum", r"partial_sum\(amount_e4"),
+    ],
+    "tpch_q12": [
+        ("map-side partial CASE sums", r"partial_sum\(CASE WHEN o_orderpriority"),
+        ("lineitem pruned to derivation inputs", r"ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_shipdate:timestamp"),
+    ],
+    "tpch_q13": [
+        ("comment filter join stays outer", r"LeftOuter"),
+        ("map-side partial per-customer count", r"partial_count\(o_orderkey"),
+        ("customer scan pruned to key", r"ReadSchema: struct<c_custkey:bigint>"),
+    ],
+    "tpch_q21": [
+        ("nation filter pushed to scan", r"PushedFilters: \[.*EqualTo\(n_name,NATION_3\)"),
+        ("order status pushed to scan", r"PushedFilters: \[.*EqualTo\(o_orderstatus,F\)"),
+        ("one-pass two-distinct census", r"partial_count\(l_suppkey[^\n]*FILTER"),
+        ("supplier/nation broadcast", r"BroadcastExchange"),
+    ],
+    "tpch_q22": [
+        ("NOT EXISTS compiled to anti join", r"LeftAnti"),
+        ("positive-balance filter pushed", r"PushedFilters: \[.*GreaterThan\(c_acctbal,0\.0\)"),
+        ("exact decimal balance sums", r"partial_sum\(cast\(c_acctbal[^\n]*decimal"),
+    ],
     "sim_topk_lsh": [
         ("query side broadcast", r"BroadcastExchange"),
         ("per-query top-k became a group limit (no full sort of scores)", r"WindowGroupLimit"),
