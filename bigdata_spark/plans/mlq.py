@@ -886,6 +886,49 @@ ML_LINEAR_PROBE_SQL = keyed_values_oracle(
 )
 
 
+def ml_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the 64-dim embedding column (ml/pca.py):
+    ONE Arrow-batched pass reduces the corpus to exact int64
+    sufficient statistics (quantized 1e-3 units; d + d(d+1)/2 + 1
+    cells shuffled, independent of row count), the driver builds the
+    sample covariance from exact integers and runs a BLAS-free cyclic
+    Jacobi eigensolve — bit-reproducible, hence the per-SF pinned
+    value oracle. Emits the top-5 components: eigenvalue (squared
+    1e-3 units), variance-explained ratio, and the dominant loading
+    dim (sign-invariant). The 100 TB shape: data-linear map work,
+    O(d²) shuffle, O(d³) driver solve."""
+    from ..ml.pca import pca_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = pca_components(e, dim=64, top_k=5)
+    return spark.createDataFrame(
+        [
+            (
+                r["component"],
+                r["eigenvalue"],
+                r["var_ratio"],
+                r["top_dim"],
+                r["top_loading_abs"],
+            )
+            for r in rows
+        ],
+        "component long, eigenvalue double, var_ratio double,"
+        " top_dim long, top_loading_abs double",
+    )
+
+
+ML_PCA_SQL = keyed_values_oracle(
+    "ml_pca_embeddings",
+    [
+        ("component", "bigint"),
+        ("eigenvalue", "double"),
+        ("var_ratio", "double"),
+        ("top_dim", "bigint"),
+        ("top_loading_abs", "double"),
+    ],
+)
+
+
 # ---------------------------------------------------------------------------
 # ml_conformal_interval — split-conformal regression intervals, exact
 # ---------------------------------------------------------------------------
@@ -1053,6 +1096,7 @@ QUERIES = {
     "ml_perceptron_fixed": (ml_perceptron_fixed, ML_PERCEPTRON_SQL),
     "ml_feature_hash": (ml_feature_hash, ML_FEATURE_HASH_SQL),
     "ml_linear_probe": (ml_linear_probe, ML_LINEAR_PROBE_SQL),
+    "ml_pca_embeddings": (ml_pca_embeddings, ML_PCA_SQL),
     "ml_conformal_interval": (ml_conformal_interval, ML_CONFORMAL_SQL),
     "ml_naive_bayes": (ml_naive_bayes, ML_NB_SQL),
     "ml_local_forest": (ml_local_forest, ML_FOREST_SQL),

@@ -1266,8 +1266,91 @@ SELECT CAST(12 AS BIGINT) AS n_permissive,
        TRUE AS failfast_raises
 """
 
+def s32_bucketed_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed sort-merge join — pay the partitioning shuffle ONCE at
+    write time, join shuffle-free forever after (sources/bucketing.py,
+    until now only unit-tested, never under the gate). lineitem and
+    orders are written as co-bucketed sorted tables on the order key
+    (8 buckets); the join of the two bucketed scans plans with ZERO
+    shuffle Exchange (asserted in-query via exchange_count and pinned
+    as a boolean next to the un-bucketed twin's has-shuffle flag),
+    then revenue rolls up per priority with the package's exact
+    DECIMAL discipline. At 100 TB this is THE co-location strategy:
+    every repeated fact-fact equi-join on the bucket key skips both
+    sides' exchanges, trading one write-time shuffle for all of them."""
+    from ..sources.bucketing import exchange_count, write_bucketed
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # repartition to the bucket layout before writing: otherwise every
+    # input task writes its own copy of every bucket (32×8 small files
+    # per table — the classic bucketed-write file explosion)
+    write_bucketed(
+        l.repartition(8, "l_orderkey"), "s32_lineitem_b", "l_orderkey", 8,
+        sort_col="l_orderkey",
+    )
+    write_bucketed(
+        o.repartition(8, "o_orderkey"), "s32_orders_b", "o_orderkey", 8,
+        sort_col="o_orderkey",
+    )
+    try:
+        bl, bo = spark.table("s32_lineitem_b"), spark.table("s32_orders_b")
+        vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,6)"
+        )
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        agg = (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(vol).cast("double").alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        bucketed_shuffle_free = exchange_count(joined) == 0
+        # the un-bucketed twin must compare like-for-like: force the
+        # sort-merge strategy (at toy SF the planner would otherwise
+        # broadcast orders and dodge the shuffle the bucketing saves)
+        plain_has_shuffle = (
+            exchange_count(l.hint("merge").join(o, l.l_orderkey == o.o_orderkey))
+            >= 1
+        )
+        rows = [
+            (
+                r["o_orderpriority"],
+                r["n_lines"],
+                r["revenue"],
+                bucketed_shuffle_free,
+                plain_has_shuffle,
+            )
+            for r in agg.collect()
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS s32_lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS s32_orders_b")
+    return spark.createDataFrame(
+        rows,
+        "o_orderpriority string, n_lines long, revenue double,"
+        " bucketed_shuffle_free boolean, plain_has_shuffle boolean",
+    )
+
+
+S32_BUCKETED_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       TRUE AS bucketed_shuffle_free, TRUE AS plain_has_shuffle
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "s23_merge_into": (s23_merge_into, S23_MERGE_SQL),
+    "s32_bucketed_smb_join": (s32_bucketed_smb_join, S32_BUCKETED_SQL),
     "s26_binaryfile_source": (s26_binaryfile_source, S26_BINARYFILE_SQL),
     "sql_params_api": (sql_params_api, SQL_PARAMS_SQL),
     "s30_csv_malformed": (s30_csv_malformed, S30_BADCSV_SQL),

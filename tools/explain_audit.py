@@ -106,6 +106,15 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("one-pass two-distinct census", r"partial_count\(l_suppkey[^\n]*FILTER"),
         ("supplier/nation broadcast", r"BroadcastExchange"),
     ],
+    "ml_pca_embeddings": [
+        # the data-proportional work is one Arrow-batched map + a
+        # map-side-combined sum of ~d²/2 cells; the eigensolve is
+        # driver-side so the plan is just the reduced statistics table
+        ("result is the reduced driver table (no per-row plan)", r"Scan ExistingRDD"),
+    ],
+    "s32_bucketed_smb_join": [
+        ("result is the reduced driver table (zero-Exchange asserted in-query)", r"Scan ExistingRDD"),
+    ],
     "tpch_q22": [
         ("NOT EXISTS compiled to anti join", r"LeftAnti"),
         ("positive-balance filter pushed", r"PushedFilters: \[.*GreaterThan\(c_acctbal,0\.0\)"),
