@@ -917,6 +917,88 @@ def ml_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS matrix factorization (ml/als.py) over the implicit ratings
+    matrix events build: user × item (= the JSON ``props.k`` id),
+    rating = exact-decimal mean event value. Two full alternations,
+    rank 4: each half-step is an ``applyInPandas`` solve of one 4×4
+    normal-equation system per entity with the opposite factor table
+    broadcast — the canonical distributed-ALS shape (ratings-parallel
+    work, entity×k factor tables moving between steps). All arithmetic
+    is BLAS-free and sorted-order deterministic, so the output pins as
+    a per-SF value oracle. Emits the top recommended UNSEEN item for
+    the 8 lowest user ids plus a summary row (user_id=-1) carrying the
+    training RMSE. At 100 TB the final scoring step becomes the ANN
+    problem sim_topk_* already covers; here the 8-user sample scores
+    driver-side against the bounded item table."""
+    from ..ml.als import _K, als_rmse, als_train
+
+    e = load_table(spark, sf_dir, "events")
+    ratings = (
+        e.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item_id"),
+            F.col("value").cast("decimal(18,3)").alias("v"),
+        )
+        .filter(F.col("item_id").isNotNull())
+        .groupBy("user_id", "item_id")
+        .agg((F.sum("v").cast("double") / F.count(F.lit(1))).alias("rating"))
+    )
+    # center on the exact-decimal global mean (the usual bias term):
+    # factors then model residuals and unseen-item scores stay on the
+    # rating scale instead of extrapolating past it
+    mu_row = ratings.agg(
+        (F.sum(F.col("rating").cast("decimal(28,10)")).cast("double") / F.count(F.lit(1))).alias("mu")
+    ).first()
+    mu = float(mu_row["mu"])
+    # the bounded ratings table (users × items) feeds 4 half-steps +
+    # the RMSE pass — materialize once instead of re-aggregating the
+    # raw event log each time
+    centered = ratings.withColumn("rating", F.col("rating") - F.lit(mu)).persist()
+    # each half-step is a tiny-shuffle Python-UDF stage: 32 shuffle
+    # partitions means 32 worker spin-ups per stage for a bounded
+    # (users × items) table — 8 partitions cuts the fixed overhead
+    # without changing any value (solves are per-group)
+    part_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(part_key)
+    spark.conf.set(part_key, "8")
+    try:
+        p, q = als_train(centered, n_iter=2)
+        rmse = als_rmse(centered, p, q, "user_id", "item_id")
+        seen = {
+            (int(r[0]), int(r[1]))
+            for r in centered.select("user_id", "item_id").collect()
+        }
+    finally:
+        spark.conf.set(part_key, prev_parts)
+        centered.unpersist()
+    sample_users = sorted(p)[:8]
+    out = []
+    for u in sample_users:
+        best = max(
+            (
+                (mu + sum(p[u][f] * q[i][f] for f in range(_K)), -i, i)
+                for i in q
+                if (u, i) not in seen
+            ),
+        )
+        out.append((u, best[2], round(best[0], 6)))
+    out.append((-1, -1, round(rmse, 6)))
+    return spark.createDataFrame(
+        sorted(out), "user_id long, rec_item long, score double"
+    )
+
+
+ML_ALS_SQL = keyed_values_oracle(
+    "ml_als_factorize",
+    [
+        ("user_id", "bigint"),
+        ("rec_item", "bigint"),
+        ("score", "double"),
+    ],
+)
+
+
 ML_PCA_SQL = keyed_values_oracle(
     "ml_pca_embeddings",
     [
@@ -1097,6 +1179,7 @@ QUERIES = {
     "ml_feature_hash": (ml_feature_hash, ML_FEATURE_HASH_SQL),
     "ml_linear_probe": (ml_linear_probe, ML_LINEAR_PROBE_SQL),
     "ml_pca_embeddings": (ml_pca_embeddings, ML_PCA_SQL),
+    "ml_als_factorize": (ml_als_factorize, ML_ALS_SQL),
     "ml_conformal_interval": (ml_conformal_interval, ML_CONFORMAL_SQL),
     "ml_naive_bayes": (ml_naive_bayes, ML_NB_SQL),
     "ml_local_forest": (ml_local_forest, ML_FOREST_SQL),

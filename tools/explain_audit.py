@@ -106,6 +106,9 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("one-pass two-distinct census", r"partial_count\(l_suppkey[^\n]*FILTER"),
         ("supplier/nation broadcast", r"BroadcastExchange"),
     ],
+    "ml_als_factorize": [
+        ("result is the reduced driver table (bucketed applyInPandas solves)", r"Scan ExistingRDD"),
+    ],
     "ml_pca_embeddings": [
         # the data-proportional work is one Arrow-batched map + a
         # map-side-combined sum of ~d²/2 cells; the eigensolve is
