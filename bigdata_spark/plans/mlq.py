@@ -917,6 +917,215 @@ def ml_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CV_FOLDS = 5
+_CV_H = (
+    "CAST(conv(substring(md5(concat('fold|', CAST(vec_id AS STRING))), 1, 15),"
+    " 16, 10) AS BIGINT)"
+)
+_CV_H_DUCK = "('0x' || substr(md5('fold|' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+
+
+def ml_cv_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation of a nearest-class-centroid classifier
+    over the embeddings — fully SQL-expressible, so the oracle is a
+    TRUE DuckDB value check, not a pin. Folds come from the portable
+    md5 hash of vec_id; every fold's model is the LEAVE-ONE-FOLD-OUT
+    class centroid, derived algebraically from per-(label,fold) sums
+    (total − fold) rather than retraining 5 times — one long-format
+    aggregation serves all 5 folds. Exactness: features quantize to
+    1e-3 integers, centroids stay as exact rational (s, n) pairs, and
+    the squared distance comparison uses Σ(x·n − s)² as an exact
+    BIGINT before ONE double division — identical IEEE in both
+    engines (int64 headroom to ~1e5 vectors; re-scale beyond).
+    Scale shape: explode to (row × dim), two bounded aggs, and a
+    (rows×dim) ⋈ (labels) broadcast-ish join — everything linear in
+    the corpus, models bounded by labels×folds×dim."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.col("label").cast("long").alias("truth"),
+        (F.expr(_CV_H) % _CV_FOLDS).alias("fold"),
+        F.posexplode(
+            F.expr(
+                "transform(embedding, v ->"
+                " CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))"
+            )
+        ).alias("pos", "xi"),
+    )
+    lf = q.groupBy(
+        F.col("truth").alias("cl"), "fold", F.col("pos").alias("p")
+    ).agg(F.sum("xi").alias("s_lf"), F.count(F.lit(1)).alias("n_lf"))
+    tot = lf.groupBy("cl", "p").agg(
+        F.sum("s_lf").alias("s_l"), F.sum("n_lf").alias("n_l")
+    )
+    folds = spark.range(_CV_FOLDS).select(F.col("id").alias("fold"))
+    lofo = (
+        tot.crossJoin(F.broadcast(folds))
+        .join(lf, ["cl", "fold", "p"], "left")
+        .fillna(0, subset=["s_lf", "n_lf"])
+        .select(
+            "cl",
+            "fold",
+            "p",
+            (F.col("s_l") - F.col("s_lf")).alias("s"),
+            (F.col("n_l") - F.col("n_lf")).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    scored = (
+        q.join(lofo, (q.fold == lofo.fold) & (q.pos == lofo.p))
+        .groupBy("vec_id", "truth", q.fold, "cl", "n")
+        .agg(
+            F.sum(
+                (F.col("xi") * F.col("n") - F.col("s"))
+                * (F.col("xi") * F.col("n") - F.col("s"))
+            ).alias("a2")
+        )
+        .select(
+            "vec_id",
+            "truth",
+            "fold",
+            "cl",
+            (F.col("a2").cast("double") / (F.col("n") * F.col("n"))).alias("dist"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("dist", "cl")
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "truth", "fold", F.col("cl").alias("pred"))
+    )
+    return (
+        pred.rollup("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.when(F.col("pred") == F.col("truth"), 1).otherwise(0)).alias(
+                "n_correct"
+            ),
+        )
+        .select(
+            F.coalesce("fold", F.lit(-1)).alias("fold"),
+            "n_test",
+            "n_correct",
+            (F.col("n_correct").cast("double") / F.col("n_test")).alias("accuracy"),
+        )
+        .orderBy("fold")
+    )
+
+
+ML_CV_SQL = f"""
+WITH q AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS truth,
+         {_CV_H_DUCK} % {_CV_FOLDS} AS fold,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS xi
+  FROM embeddings
+),
+lf AS (
+  SELECT truth AS cl, fold, pos AS p,
+         CAST(SUM(xi) AS BIGINT) AS s_lf, CAST(COUNT(*) AS BIGINT) AS n_lf
+  FROM q GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT cl, p, CAST(SUM(s_lf) AS BIGINT) AS s_l,
+         CAST(SUM(n_lf) AS BIGINT) AS n_l
+  FROM lf GROUP BY 1, 2
+),
+lofo AS (
+  SELECT tot.cl, f.fold, tot.p,
+         s_l - COALESCE(s_lf, 0) AS s, n_l - COALESCE(n_lf, 0) AS n
+  FROM tot
+  CROSS JOIN (SELECT unnest(generate_series(0, {_CV_FOLDS - 1})) AS fold) f
+  LEFT JOIN lf ON lf.cl = tot.cl AND lf.fold = f.fold AND lf.p = tot.p
+  WHERE s_l - COALESCE(s_lf, 0) IS NOT NULL
+    AND n_l - COALESCE(n_lf, 0) > 0
+),
+scored AS (
+  SELECT q.vec_id, q.truth, q.fold, lofo.cl, lofo.n,
+         CAST(SUM((q.xi * lofo.n - lofo.s) * (q.xi * lofo.n - lofo.s))
+              AS BIGINT) AS a2
+  FROM q JOIN lofo ON q.fold = lofo.fold AND q.pos = lofo.p
+  GROUP BY 1, 2, 3, 4, 5
+),
+pred AS (
+  SELECT vec_id, truth, fold, cl AS pred
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id
+      ORDER BY CAST(a2 AS DOUBLE) / (n * n), cl) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT COALESCE(fold, -1) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS accuracy
+FROM pred
+GROUP BY ROLLUP(fold)
+ORDER BY fold
+"""
+
+
+def ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe categorical
+    feature for gradient models: each order's priority is encoded as
+    the mean total price of all OTHER orders sharing that priority,
+    enc = (S_cat − v) / (n_cat − 1). The category statistics are one
+    tiny broadcast-joined aggregate (5 rows), so at 100 TB the fact
+    table never shuffles — the encode is a map-side join + arithmetic.
+    Exactness: S_cat accumulates as DECIMAL(18,2) (order-independent),
+    the numerator subtraction stays decimal, and ONE double division
+    finishes — verbatim expression text in both engines. Output: the
+    10 lowest order keys with their category stats and encoding."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    stats = o.groupBy(F.col("o_orderpriority").alias("cat")).agg(
+        F.sum("v").alias("s_cat"), F.count(F.lit(1)).alias("n_cat")
+    )
+    return (
+        o.join(F.broadcast(stats), o.o_orderpriority == stats.cat)
+        .filter(F.col("o_orderkey") < 10)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "n_cat",
+            F.col("s_cat").cast("double").alias("cat_sum"),
+            (
+                (F.col("s_cat") - F.col("v")).cast("double")
+                / (F.col("n_cat") - 1)
+            ).alias("loo_enc"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ML_TARGET_ENC_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders
+),
+stats AS (
+  SELECT o_orderpriority AS cat, SUM(v) AS s_cat,
+         CAST(COUNT(*) AS BIGINT) AS n_cat
+  FROM o GROUP BY 1
+)
+SELECT o_orderkey, o_orderpriority, n_cat,
+       CAST(s_cat AS DOUBLE) AS cat_sum,
+       CAST(s_cat - v AS DOUBLE) / (n_cat - 1) AS loo_enc
+FROM o JOIN stats ON o_orderpriority = cat
+WHERE o_orderkey < 10
+ORDER BY o_orderkey
+"""
+
+
 def ml_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS matrix factorization (ml/als.py) over the implicit ratings
     matrix events build: user × item (= the JSON ``props.k`` id),
@@ -1180,6 +1389,8 @@ QUERIES = {
     "ml_linear_probe": (ml_linear_probe, ML_LINEAR_PROBE_SQL),
     "ml_pca_embeddings": (ml_pca_embeddings, ML_PCA_SQL),
     "ml_als_factorize": (ml_als_factorize, ML_ALS_SQL),
+    "ml_cv_kfold": (ml_cv_kfold, ML_CV_SQL),
+    "ml_target_encode": (ml_target_encode, ML_TARGET_ENC_SQL),
     "ml_conformal_interval": (ml_conformal_interval, ML_CONFORMAL_SQL),
     "ml_naive_bayes": (ml_naive_bayes, ML_NB_SQL),
     "ml_local_forest": (ml_local_forest, ML_FOREST_SQL),

@@ -106,6 +106,16 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("one-pass two-distinct census", r"partial_count\(l_suppkey[^\n]*FILTER"),
         ("supplier/nation broadcast", r"BroadcastExchange"),
     ],
+    "ml_cv_kfold": [
+        ("fold grid broadcast", r"BroadcastExchange"),
+        ("map-side partial centroid sums", r"partial_sum\(xi"),
+        ("embeddings scan pruned to 3 cols", r"ReadSchema: struct<vec_id:bigint,embedding:array<float>,label:int>"),
+    ],
+    "ml_target_encode": [
+        ("sample filter pushed to scan", r"PushedFilters: \[.*LessThan\(o_orderkey,10\)"),
+        ("category stats broadcast (facts never shuffle)", r"BroadcastHashJoin"),
+        ("exact decimal category sums", r"partial_sum\(v"),
+    ],
     "ml_als_factorize": [
         ("result is the reduced driver table (bucketed applyInPandas solves)", r"Scan ExistingRDD"),
     ],
