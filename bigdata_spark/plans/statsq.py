@@ -20,7 +20,7 @@ linear models at 100 TB (X^T X as an aggregate, solve on O(d²) data).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -1001,6 +1001,315 @@ SELECT CAST(n AS BIGINT) AS n_users,
 FROM agg
 """
 
+# ---------------------------------------------------------------------------
+# stat_acf — sample autocorrelation of the daily event-count series
+# ---------------------------------------------------------------------------
+
+# Closed-form ACF at lag k from INTEGER sufficient statistics (shared
+# verbatim across engines).  With x̄ = s/n, expanding the usual
+# Σ(x_t−x̄)(x_{t−k}−x̄) numerator over the t>k overlap gives
+#   num_k = Σ x_t·x_{t−k}  −  x̄·(tail_sum + head_sum)  +  (n−k)·x̄²
+# and the denominator Σ(x_t−x̄)² = Σx² − n·x̄².  Every Σ term is an
+# exact BIGINT (products of daily counts), so the only float work is
+# this one projection.
+_ACF_EXPR = (
+    "(sxy - mean * (tail_s + head_s) + (n - k) * mean * mean)"
+    " / (sxx - n * mean * mean)"
+)
+
+
+def stat_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation (lags 1–5) of daily event counts.
+
+    Two map-side-combinable aggregations: (1) daily counts — one
+    shuffle of ~days rows; (2) lag-k cross-products via a window over
+    the TINY aggregated series (days rows, one partition is fine
+    because the windowed input is already ≤ O(days), not O(events)).
+    At 100 TB the heavy table is only touched by step (1).  Integer
+    sufficient stats keep the result bit-identical across engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count("*").alias("x")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d", "x", *[F.lag("x", k).over(w).alias(f"x_{k}") for k in range(1, 6)]
+    )
+    per_lag = None
+    for k in range(1, 6):
+        part = lagged.filter(F.col(f"x_{k}").isNotNull()).agg(
+            F.lit(k).alias("k"),
+            F.sum(F.col("x") * F.col(f"x_{k}")).alias("sxy"),
+            F.sum("x").alias("tail_s"),
+            F.sum(f"x_{k}").alias("head_s"),
+        )
+        per_lag = part if per_lag is None else per_lag.unionByName(part)
+    glob = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return (
+        per_lag.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("k").cast("int").alias("lag"),
+            F.round(
+                F.expr(_ACF_EXPR.replace("mean", "(CAST(s AS DOUBLE) / n)")), 9
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+STAT_ACF_SQL = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, COUNT(*) AS x FROM events GROUP BY 1
+), lagged AS (
+  SELECT x,
+         LAG(x, 1) OVER (ORDER BY d) AS x_1,
+         LAG(x, 2) OVER (ORDER BY d) AS x_2,
+         LAG(x, 3) OVER (ORDER BY d) AS x_3,
+         LAG(x, 4) OVER (ORDER BY d) AS x_4,
+         LAG(x, 5) OVER (ORDER BY d) AS x_5
+  FROM daily
+), per_lag AS (
+  {" UNION ALL ".join(
+    f'''SELECT {k} AS k, SUM(x * x_{k}) AS sxy, SUM(x) AS tail_s,
+               SUM(x_{k}) AS head_s
+        FROM lagged WHERE x_{k} IS NOT NULL'''
+    for k in range(1, 6)
+  )}
+), g AS (
+  SELECT COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS sxx FROM daily
+)
+SELECT CAST(k AS INT) AS lag,
+       ROUND({_ACF_EXPR.replace("mean", "(CAST(s AS DOUBLE) / n)")}, 9) AS acf
+FROM per_lag, g ORDER BY lag
+"""
+
+
+# ---------------------------------------------------------------------------
+# stat_ewma — exponentially-weighted moving average of monthly revenue
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_LAGS = 10
+
+
+def stat_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-window EWMA (α=0.3, 10 taps) of monthly order revenue.
+
+    Monthly totals are exact DECIMAL sums (one shuffle over orders —
+    the only pass that touches the big table); the EWMA itself is a
+    fixed 10-term weighted sum written as one literal expression so
+    Spark and DuckDB evaluate the same IEEE operation sequence.  The
+    truncated-kernel form (vs the recursive definition) is what makes
+    EWMA embarrassingly parallel: each output row needs only its own
+    10 lags, no sequential scan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.sum(_dec2("o_totalprice")).cast("double").alias("rev")
+    )
+    w = Window.orderBy("m")
+    lagged = monthly.select(
+        "m",
+        "rev",
+        *[F.lag("rev", j).over(w).alias(f"r{j}") for j in range(1, _EWMA_LAGS)],
+    ).withColumn("r0", F.col("rev"))
+    num = " + ".join(
+        f"({_EWMA_ALPHA} * {(1 - _EWMA_ALPHA) ** j!r}) * COALESCE(r{j}, 0.0)"
+        for j in range(_EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN r{j} IS NOT NULL THEN"
+        f" ({_EWMA_ALPHA} * {(1 - _EWMA_ALPHA) ** j!r}) ELSE 0.0 END)"
+        for j in range(_EWMA_LAGS)
+    )
+    return (
+        lagged.select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.expr(f"({num}) / ({den})"), 6).alias("ewma"),
+        )
+        .orderBy("month")
+        .limit(24)
+    )
+
+
+def _ewma_sql() -> str:
+    lag_cols = ",\n         ".join(
+        f"LAG(rev, {j}) OVER (ORDER BY m) AS r{j}"
+        for j in range(1, _EWMA_LAGS)
+    )
+    num = " + ".join(
+        f"({_EWMA_ALPHA} * {(1 - _EWMA_ALPHA) ** j!r}) * COALESCE(r{j}, 0.0)"
+        for j in range(_EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN r{j} IS NOT NULL THEN"
+        f" ({_EWMA_ALPHA} * {(1 - _EWMA_ALPHA) ** j!r}) ELSE 0.0 END)"
+        for j in range(_EWMA_LAGS)
+    )
+    return f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT m, rev, rev AS r0,
+         {lag_cols}
+  FROM monthly
+)
+SELECT strftime(m, '%Y-%m') AS month,
+       ROUND(rev, 2) AS revenue,
+       ROUND(({num}) / ({den}), 6) AS ewma
+FROM lagged ORDER BY month LIMIT 24
+"""
+
+
+STAT_EWMA_SQL = _ewma_sql()
+
+
+# ---------------------------------------------------------------------------
+# stat_theil_sen — robust trend: median of pairwise monthly-revenue slopes
+# ---------------------------------------------------------------------------
+
+
+def stat_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust slope of monthly revenue vs month index.
+
+    The big-table pass is one aggregation (monthly DECIMAL totals);
+    the pairwise-slope set is O(months²) on the TINY aggregated series
+    (80 months → 3 160 pairs), built with a self-join and reduced with
+    an exact middle-element median (sorted row_number, avg of the two
+    central slopes).  Slopes are double quotients of exact decimals
+    with identical operand order in both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(F.sum(_dec2("o_totalprice")).cast("double").alias("rev"))
+        .withColumn(
+            "i",
+            F.months_between(
+                F.col("m"), F.lit("1995-01-01").cast("timestamp")
+            ).cast("long"),
+        )
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    slopes = (
+        a.join(b, F.col("a.i") < F.col("b.i"))
+        .select(
+            (
+                (F.col("b.rev") - F.col("a.rev"))
+                / (F.col("b.i") - F.col("a.i")).cast("double")
+            ).alias("slope")
+        )
+    )
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(Window.orderBy("slope")).alias("r"),
+        F.count("*").over(Window.partitionBy()).alias("cnt"),
+    )
+    # Middle element(s): (cnt+1) div 2 and cnt div 2 + 1 coincide for
+    # odd cnt and are the two central ranks for even cnt (`div` is the
+    # truncating integer division — Spark `/` would be float).
+    return ranked.filter(
+        F.expr("r = (cnt + 1) div 2 OR r = cnt div 2 + 1")
+    ).agg(
+        F.count("*").cast("long").alias("n_mid"),
+        F.round(F.avg("slope"), 6).alias("theil_sen_slope"),
+        F.max("cnt").cast("long").alias("n_pairs"),
+    )
+
+
+STAT_THEIL_SEN_SQL = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+         CAST(datediff('month', TIMESTAMP '1995-01-01',
+                       date_trunc('month', o_orderdate)) AS BIGINT) AS i
+  FROM orders GROUP BY 1
+), slopes AS (
+  SELECT (b.rev - a.rev) / CAST(b.i - a.i AS DOUBLE) AS slope
+  FROM monthly a JOIN monthly b ON a.i < b.i
+), ranked AS (
+  SELECT slope,
+         ROW_NUMBER() OVER (ORDER BY slope) AS r,
+         COUNT(*) OVER () AS cnt
+  FROM slopes
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_mid,
+       ROUND(AVG(slope), 6) AS theil_sen_slope,
+       CAST(MAX(cnt) AS BIGINT) AS n_pairs
+FROM ranked
+WHERE r = (cnt + 1) // 2 OR r = cnt // 2 + 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# stat_gini_lorenz — Gini coefficient of customer spend concentration
+# ---------------------------------------------------------------------------
+
+_GINI_EXPR = "(2.0 * swx / (n * sx)) - (n + 1.0) / n"
+
+
+def stat_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer order spend (Lorenz form).
+
+    Pass 1 aggregates spend per customer (exact DECIMAL, one shuffle
+    over orders).  Pass 2 ranks customers by (spend, custkey) and
+    reduces Σ rank·spend — rank·DECIMAL products stay exact, so the
+    Gini is one closed-form double at the end.  At scale the rank is
+    the only global sort, over the already-aggregated per-customer
+    table (orders-table cardinality never hits the window).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(_dec2("o_totalprice")).alias("spend")
+    )
+    ranked = spend.select(
+        "spend",
+        F.row_number()
+        .over(Window.orderBy("spend", "o_custkey"))
+        .cast("long")
+        .alias("rk"),
+    )
+    agg = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("spend").cast("double").alias("sx"),
+        F.sum(F.col("rk") * F.col("spend")).cast("double").alias("swx"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round("sx", 2).alias("total_spend"),
+        F.round(F.expr(_GINI_EXPR), 9).alias("gini"),
+    )
+
+
+STAT_GINI_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT spend,
+         ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS rk
+  FROM spend
+), agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(spend) AS DOUBLE) AS sx,
+         CAST(SUM(rk * spend) AS DOUBLE) AS swx
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       ROUND(sx, 2) AS total_spend,
+       ROUND({_GINI_EXPR}, 9) AS gini
+FROM agg
+"""
+
+
 QUERIES = {
     "stat_reg_group": (stat_reg_group, STAT_REG_SQL),
     "stat_reg_multi": (stat_reg_multi, STAT_REG_MULTI_SQL),
@@ -1013,4 +1322,8 @@ QUERIES = {
     "stat_bootstrap_ci": (stat_bootstrap_ci, STAT_BOOT_SQL),
     "stat_ab_assignment": (stat_ab_assignment, STAT_SRM_SQL),
     "stat_cuped": (stat_cuped, STAT_CUPED_SQL),
+    "stat_acf": (stat_acf, STAT_ACF_SQL),
+    "stat_ewma": (stat_ewma, STAT_EWMA_SQL),
+    "stat_theil_sen": (stat_theil_sen, STAT_THEIL_SEN_SQL),
+    "stat_gini_lorenz": (stat_gini_lorenz, STAT_GINI_SQL),
 }
