@@ -859,10 +859,112 @@ FROM s
 APPROX_BLOOM_SQL = _bloom_sql()
 
 
+# ---------------------------------------------------------------------------
+# approx_cms_topk — count-min sketch, evaluated against exact counts
+# ---------------------------------------------------------------------------
+
+_CMS_W = 512
+_CMS_SEEDS = (11, 12, 13)
+
+
+def approx_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of per-user event frequencies, audited row by
+    row against the exact counts for the true top-10 users.
+
+    The sketch is d×w = 3×512 integer cells built as ONE
+    map-side-combinable aggregation (each executor folds its partition
+    into a partial grid; the shuffle merges ≤1536 cells per task —
+    this mergeability is the whole point of CMS at 100 TB, where exact
+    per-key counts would shuffle every distinct key). Estimates use
+    the classic min-over-rows read; `overestimate = est − true` is
+    structurally ≥ 0, and because the bucket hash is the portable md5
+    the DuckDB oracle rebuilds the *identical* grid, so even the
+    collision noise matches bit-for-bit.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    sketch = None
+    for s in _CMS_SEEDS:
+        part = ev.select(
+            F.lit(s).alias("seed"),
+            F.expr(
+                f"{_bloom_hash_spark('user_id', s)} % {_CMS_W}"
+            ).alias("bucket"),
+        )
+        sketch = part if sketch is None else sketch.unionAll(part)
+    sketch = sketch.groupBy("seed", "bucket").agg(F.count("*").alias("cell"))
+
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+    top = exact.orderBy(F.desc("true_cnt"), F.asc("user_id")).limit(10)
+
+    probes = top.select(
+        "user_id",
+        "true_cnt",
+        F.explode(
+            F.array(*[F.lit(s) for s in _CMS_SEEDS])
+        ).alias("seed"),
+    )
+    # the bucket depends on the exploded seed column — a CASE over the
+    # 3 compile-time seeds keeps the hash expression a literal per arm
+    bucket_case = "CASE " + " ".join(
+        f"WHEN seed = {s} THEN ({_bloom_hash_spark('user_id', s)} % {_CMS_W})"
+        for s in _CMS_SEEDS
+    ) + " END"
+    probes = probes.withColumn("bucket", F.expr(bucket_case))
+
+    est = (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"], "left")
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        "true_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_cnt")).alias("overestimate"),
+    ).orderBy(F.desc("true_cnt"), F.asc("user_id"))
+
+
+def _cms_sql() -> str:
+    from .dedupq import _duck_hash
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {s} AS seed, ({_duck_hash('user_id', str(s))}) % {_CMS_W}"
+        f" AS bucket FROM events"
+        for s in _CMS_SEEDS
+    )
+    bucket_case = "CASE " + " ".join(
+        f"WHEN seed = {s} THEN ({_duck_hash('p.user_id', str(s))}) % {_CMS_W}"
+        for s in _CMS_SEEDS
+    ) + " END"
+    return f"""
+WITH sketch AS (
+  SELECT seed, bucket, COUNT(*) AS cell FROM ({arms}) GROUP BY 1, 2
+), exact AS (
+  SELECT user_id, COUNT(*) AS true_cnt FROM events GROUP BY 1
+), top AS (
+  SELECT * FROM exact ORDER BY true_cnt DESC, user_id ASC LIMIT 10
+), probes AS (
+  SELECT p.user_id, p.true_cnt, s.seed, {bucket_case} AS bucket
+  FROM top p CROSS JOIN (VALUES (11), (12), (13)) AS s(seed)
+), est AS (
+  SELECT pr.user_id, pr.true_cnt, MIN(sk.cell) AS cms_est
+  FROM probes pr LEFT JOIN sketch sk
+    ON sk.seed = pr.seed AND sk.bucket = pr.bucket
+  GROUP BY 1, 2
+)
+SELECT user_id, true_cnt, cms_est, cms_est - true_cnt AS overestimate
+FROM est ORDER BY true_cnt DESC, user_id ASC
+"""
+
+
+APPROX_CMS_SQL = _cms_sql()
+
+
 QUERIES = {
     "f10_map_in_arrow": (f10_map_in_arrow, F10_ARROW_SQL),
     "f11_cogroup_reconcile": (f11_cogroup_reconcile, F11_COGROUP_SQL),
     "approx_bloom_semijoin": (approx_bloom_semijoin, APPROX_BLOOM_SQL),
+    "approx_cms_topk": (approx_cms_topk, APPROX_CMS_SQL),
     "o6_multiset_ops": (o6_multiset_ops, O6_MULTISET_SQL),
     "j5_full_outer": (j5_full_outer, J5_FULL_OUTER_SQL),
     "a15_histogram": (a15_histogram, A15_HISTOGRAM_SQL),

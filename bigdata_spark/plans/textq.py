@@ -1304,7 +1304,263 @@ ORDER BY c.lang, c.lang_guess
 """
 )
 
+# ---------------------------------------------------------------------------
+# llm_url_dedup — URL canonicalization + host-level duplicate accounting
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic URL per document (md5-driven noise: scheme,
+# www., host case, utm params, fragment, trailing slash) — identical
+# CASE text in both engines, so the dedup accounting is value-exact.
+_URL_NOISE_BITS = (
+    "('0x' || substring(md5(concat('url|', CAST(doc_id AS STRING))), 1, 8))"
+)
+
+
+def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize crawl URLs and account duplicates per host — the
+    first dedup pass of every web-scale corpus build (CommonCrawl
+    pipelines dedup by canonical URL before any content hashing).
+
+    Canonicalization: force https, strip `www.`, lowercase the host,
+    drop utm_* query params and fragments, trim trailing slashes —
+    each a single anchored regexp so Catalyst keeps the whole chain in
+    one codegen'd projection (no UDF). The dedup itself is one
+    groupBy(canonical) and one groupBy(host): at 100 TB both shuffles
+    carry only the *distinct* keys thanks to partial aggregation, and
+    host-grain skew (a mega-site) is exactly the shape the salted-agg
+    pattern in operators/skew.py absorbs.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    nz = F.expr(f"CAST(conv(substring(md5(concat('url|', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.when(nz % 2 == 0, F.lit("http://")).otherwise(F.lit("https://")),
+            F.when((nz % 4).isin(0, 1), F.lit("www.")).otherwise(F.lit("")),
+            F.when(nz % 8 < 2, F.lit("Site")).otherwise(F.lit("site")),
+            ((nz % 16)).cast("string"),
+            F.lit(".example.com/docs/"),
+            (F.col("doc_id") % 500).cast("string"),
+            F.when(nz % 32 < 8, F.lit("/")).otherwise(F.lit("")),
+            F.when(nz % 64 < 16, F.lit("?utm_source=feed")).otherwise(F.lit("")),
+            F.when(nz % 128 < 32, F.lit("#section-2")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    canon = raw.withColumn(
+        "u1", F.regexp_replace("url", r"#.*$", "")
+    ).withColumn(
+        "u2", F.regexp_replace("u1", r"\?utm_[^#]*$", "")
+    ).withColumn(
+        "u3", F.regexp_replace("u2", r"^http://", "https://")
+    ).withColumn(
+        "u4", F.regexp_replace("u3", r"^https://www\.", "https://")
+    ).withColumn(
+        "host", F.lower(F.regexp_extract("u4", r"^https://([^/]+)", 1))
+    ).withColumn(
+        "path", F.regexp_replace(F.regexp_replace("u4", r"^https://[^/]+", ""), r"/+$", "")
+    ).withColumn("canonical", F.concat(F.lit("https://"), "host", "path"))
+    per_canon = canon.groupBy("host", "canonical").agg(
+        F.count("*").alias("n_raw"),
+        F.countDistinct("url").alias("n_raw_distinct"),
+    )
+    return (
+        per_canon.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_canonical"),
+            F.sum("n_raw").cast("long").alias("n_urls"),
+            F.sum("n_raw_distinct").cast("long").alias("n_raw_forms"),
+            F.round(
+                F.sum("n_raw").cast("double") / F.count("*"), 6
+            ).alias("dup_factor"),
+        )
+        .orderBy(F.desc("n_urls"), F.asc("host"))
+        .limit(10)
+    )
+
+
+LLM_URL_DEDUP_SQL = f"""
+WITH nzt AS (
+  SELECT doc_id,
+         {_URL_NOISE_BITS}::BIGINT AS nz
+  FROM documents
+), raw AS (
+  SELECT doc_id,
+         (CASE WHEN nz % 2 = 0 THEN 'http://' ELSE 'https://' END)
+      || (CASE WHEN nz % 4 IN (0, 1) THEN 'www.' ELSE '' END)
+      || (CASE WHEN nz % 8 < 2 THEN 'Site' ELSE 'site' END)
+      || CAST(nz % 16 AS VARCHAR)
+      || '.example.com/docs/'
+      || CAST(doc_id % 500 AS VARCHAR)
+      || (CASE WHEN nz % 32 < 8 THEN '/' ELSE '' END)
+      || (CASE WHEN nz % 64 < 16 THEN '?utm_source=feed' ELSE '' END)
+      || (CASE WHEN nz % 128 < 32 THEN '#section-2' ELSE '' END) AS url
+  FROM nzt
+), canon AS (
+  SELECT url,
+         lower(regexp_extract(u4, '^https://([^/]+)', 1)) AS host,
+         'https://' || lower(regexp_extract(u4, '^https://([^/]+)', 1))
+           || regexp_replace(regexp_replace(u4, '^https://[^/]+', ''), '/+$', '')
+           AS canonical
+  FROM (
+    SELECT url,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(url, '#.*$', ''),
+               '\\?utm_[^#]*$', ''),
+             '^http://', 'https://'),
+           '^https://www\\.', 'https://') AS u4
+    FROM raw
+  )
+), per_canon AS (
+  SELECT host, canonical, COUNT(*) AS n_raw,
+         COUNT(DISTINCT url) AS n_raw_distinct
+  FROM canon GROUP BY 1, 2
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_canonical,
+       CAST(SUM(n_raw) AS BIGINT) AS n_urls,
+       CAST(SUM(n_raw_distinct) AS BIGINT) AS n_raw_forms,
+       ROUND(CAST(SUM(n_raw) AS DOUBLE) / COUNT(*), 6) AS dup_factor
+FROM per_canon GROUP BY host
+ORDER BY n_urls DESC, host ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# llm_perplexity_buckets — smoothed bigram-LM perplexity tertiles
+# ---------------------------------------------------------------------------
+
+_PPL_TRAIN = "('src0', 'src1', 'src2', 'src3', 'src4')"
+
+
+def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram-LM perplexity filter with integer-exact
+    surprisal (the CCNet recipe: train an LM on a trusted slice, score
+    every document, keep by perplexity band).
+
+    The LM is trained on the src0–src4 slice: unigram counts c1(w),
+    bigram counts c12(w1,w2), vocab size V. Each document bigram's
+    surprisal −ln((c12+1)/(c1+V)) is quantized to integer micro-nats
+    *per LM entry* — ln only ever sees integer arguments, and
+    floor(ln(k)·1e6 + 0.5) is engine-stable — so the per-document sum
+    is an exact BIGINT in any aggregation order. Only the 3 bucket-
+    level exp() calls are float. Scale: two LM groupBys + one shuffle
+    join of doc-bigrams against the LM (big-big hash join — the 100 TB
+    shape) + ntile over doc-grain rows.
+    """
+    from ..text.analysis import tokens
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = d.select(
+        "doc_id", "source", tokens("text").alias("t")
+    ).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "source", "bg.w1", "bg.w2")
+    train = bigrams.filter(F.expr(f"source IN {_PPL_TRAIN}"))
+    uni = train.groupBy("w1").agg(F.count("*").alias("c1"))
+    bi = train.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    vocab = train.select("w1").union(train.select("w2")).distinct().count()
+
+    scored = (
+        bigrams.join(bi, ["w1", "w2"], "left")
+        .join(uni, ["w1"], "left")
+        .withColumn(
+            "s_micro",
+            F.expr(
+                f"CAST(floor(ln(COALESCE(c1, 0) + {vocab}) * 1000000 + 0.5) AS BIGINT)"
+                " - CAST(floor(ln(COALESCE(c12, 0) + 1) * 1000000 + 0.5) AS BIGINT)"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("s_micro").alias("surprisal_micro"),
+        )
+    )
+    bucketed = scored.withColumn(
+        "bucket",
+        F.ntile(3).over(
+            Window.orderBy(
+                (F.col("surprisal_micro").cast("double") / F.col("n_bigrams")),
+                F.col("doc_id"),
+            )
+        ),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("surprisal_micro").alias("sum_surprisal_micro"),
+            F.sum("n_bigrams").alias("sum_bigrams"),
+            F.round(
+                F.expr(
+                    "exp((CAST(sum(surprisal_micro) AS DOUBLE)"
+                    " / sum(n_bigrams)) / 1000000.0)"
+                ),
+                4,
+            ).alias("bucket_perplexity"),
+        )
+        .orderBy("bucket")
+    )
+
+
+LLM_PPL_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, {_DUCK_TOKENS} AS t FROM documents
+), bg AS (
+  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+  FROM base, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+), train AS (
+  SELECT * FROM bg WHERE source IN {_PPL_TRAIN}
+), uni AS (
+  SELECT w1, COUNT(*) AS c1 FROM train GROUP BY w1
+), bi AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM train GROUP BY w1, w2
+), voc AS (
+  SELECT COUNT(*) AS v FROM (
+    SELECT w1 FROM train UNION SELECT w2 FROM train
+  )
+), scored AS (
+  SELECT g.doc_id,
+         COUNT(*) AS n_bigrams,
+         SUM(CAST(floor(ln(COALESCE(u.c1, 0) + voc.v) * 1000000 + 0.5) AS BIGINT)
+             - CAST(floor(ln(COALESCE(b.c12, 0) + 1) * 1000000 + 0.5) AS BIGINT))
+           AS surprisal_micro
+  FROM bg g
+  LEFT JOIN bi b ON b.w1 = g.w1 AND b.w2 = g.w2
+  LEFT JOIN uni u ON u.w1 = g.w1
+  CROSS JOIN voc
+  GROUP BY g.doc_id
+), bucketed AS (
+  SELECT *,
+         NTILE(3) OVER (
+           ORDER BY CAST(surprisal_micro AS DOUBLE) / n_bigrams, doc_id
+         ) AS bucket
+  FROM scored
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(surprisal_micro) AS BIGINT) AS sum_surprisal_micro,
+       CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+       ROUND(exp((CAST(SUM(surprisal_micro) AS DOUBLE)
+                  / SUM(n_bigrams)) / 1000000.0), 4) AS bucket_perplexity
+FROM bucketed GROUP BY bucket ORDER BY bucket
+"""
+
+
 QUERIES = {
+    "llm_url_dedup": (llm_url_dedup, LLM_URL_DEDUP_SQL),
+    "llm_perplexity_buckets": (llm_perplexity_buckets, LLM_PPL_SQL),
     "txt_collocations": (txt_collocations, TXT_COLLOC_SQL),
     "txt_rake_keyphrases": (txt_rake_keyphrases, TXT_RAKE_SQL),
     "llm_dp_count": (llm_dp_count, LLM_DP_SQL),

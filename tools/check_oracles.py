@@ -104,6 +104,10 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}", flush=True)
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
