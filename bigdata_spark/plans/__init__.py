@@ -27,6 +27,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from . import (
         coverage,
         dedupq,
+        erq,
         events,
         extended,
         graphq,
@@ -62,6 +63,7 @@ def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
         graphq,
         qualityq,
         statsq,
+        erq,
     ):
         overlap = set(out) & set(mod.QUERIES)
         if overlap:
