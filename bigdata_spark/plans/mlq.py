@@ -1382,7 +1382,369 @@ ORDER BY f.l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# ml_logreg_gd — full-batch logistic regression, quantized gradients
+# ---------------------------------------------------------------------------
+
+_LR_ITERS = 3
+_LR_RATE = 5.0
+_LR_DIMS = 4
+_LR_Q = 1_000_000_000  # gradient quantizer (nano-units)
+
+
+def _lr_feats_spark() -> list:
+    return [
+        F.expr(f"CAST(element_at(embedding, {j + 1}) AS DOUBLE)").alias(f"x{j + 1}")
+        for j in range(_LR_DIMS)
+    ]
+
+
+def _lr_z(w: list[float]) -> str:
+    """Fixed-order affine score — identical literal text both engines."""
+    terms = [f"{w[0]!r}"] + [f"{w[j + 1]!r} * x{j + 1}" for j in range(_LR_DIMS)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch gradient-descent logistic regression with QUANTIZED
+    gradients (y = 1 iff label ≥ 5, 4 embedding dims + bias).
+
+    Each iteration is ONE map-side-combinable aggregation: every row
+    contributes floor((σ(w·x) − y)·x_j·1e9 + 0.5) per weight, so the
+    shuffled state is d+1 BIGINT cells and the sum is exact in any
+    order — gradient quantization (the QSGD trick used to cut
+    all-reduce traffic in distributed training) is here what also
+    makes the result bit-stable across engines. The driver applies
+    the O(d) update between rounds (bounded driver state, like
+    ml_linear_probe); weights are plain IEEE doubles reproduced
+    identically by the DuckDB oracle's CTE chain. Complements
+    ml_linear_probe (closed-form ridge): this is the ITERATIVE
+    optimizer shape — k rounds × one aggregate, never a per-row
+    driver loop.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    data = e.select(
+        F.expr("CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END").alias("y"),
+        *_lr_feats_spark(),
+    )
+    w = [0.0] * (_LR_DIMS + 1)
+    n = None
+    for _ in range(_LR_ITERS):
+        p = f"(1.0 / (1.0 + exp(-{_lr_z(w)})))"
+        aggs = [F.count("*").alias("n")]
+        xs = ["1.0"] + [f"x{j + 1}" for j in range(_LR_DIMS)]
+        for j, xj in enumerate(xs):
+            aggs.append(
+                F.sum(
+                    F.expr(
+                        f"CAST(floor(({p} - y) * {xj} * {_LR_Q} + 0.5) AS BIGINT)"
+                    )
+                ).alias(f"g{j}")
+            )
+        row = data.agg(*aggs).first()
+        n = row["n"]
+        w = [
+            w[j]
+            - _LR_RATE
+            * (float(row[f"g{j}"]) / (float(n) * float(_LR_Q)))
+            for j in range(_LR_DIMS + 1)
+        ]
+    acc = data.agg(
+        F.sum(
+            F.expr(
+                f"CASE WHEN (CASE WHEN {_lr_z(w)} >= 0.0 THEN 1.0 ELSE 0.0 END) = y"
+                " THEN 1 ELSE 0 END"
+            )
+        ).alias("n_right")
+    ).first()
+    out = [
+        (
+            int(n),
+            _LR_ITERS,
+            *w,
+            int(acc["n_right"]) / int(n),
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "n bigint, iters int, "
+        + ", ".join(f"w{j} double" for j in range(_LR_DIMS + 1))
+        + ", train_acc double",
+    )
+
+
+def _lr_sql() -> str:
+    feats = ", ".join(
+        f"CAST(embedding[{j + 1}] AS DOUBLE) AS x{j + 1}" for j in range(_LR_DIMS)
+    )
+    xs = ["1.0"] + [f"x{j + 1}" for j in range(_LR_DIMS)]
+
+    def zexpr(wcols: list[str]) -> str:
+        terms = [wcols[0]] + [f"{wcols[j + 1]} * x{j + 1}" for j in range(_LR_DIMS)]
+        return "(" + " + ".join(terms) + ")"
+
+    ctes = [
+        "d AS (SELECT CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y, "
+        f"{feats} FROM embeddings)",
+        "w0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(_LR_DIMS + 1))
+        + ")",
+    ]
+    for it in range(_LR_ITERS):
+        wcols = [f"w{j}" for j in range(_LR_DIMS + 1)]
+        p = f"(1.0 / (1.0 + exp(-{zexpr(wcols)})))"
+        gsums = ", ".join(
+            f"SUM(CAST(floor(({p} - y) * {xj} * {_LR_Q} + 0.5) AS BIGINT)) AS g{j}"
+            for j, xj in enumerate(xs)
+        )
+        ctes.append(
+            f"g{it + 1} AS (SELECT COUNT(*) AS n, {gsums} FROM d CROSS JOIN w{it})"
+        )
+        upd = ", ".join(
+            f"w{it}.w{j} - {_LR_RATE!r} * (CAST(g{it + 1}.g{j} AS DOUBLE)"
+            f" / (CAST(g{it + 1}.n AS DOUBLE) * CAST({_LR_Q} AS DOUBLE))) AS w{j}"
+            for j in range(_LR_DIMS + 1)
+        )
+        ctes.append(
+            f"w{it + 1} AS (SELECT g{it + 1}.n AS n, {upd}"
+            f" FROM w{it} CROSS JOIN g{it + 1})"
+        )
+    wf = f"w{_LR_ITERS}"
+    wcols = [f"w{j}" for j in range(_LR_DIMS + 1)]
+    acc = (
+        f"SUM(CASE WHEN (CASE WHEN {zexpr(wcols)} >= 0.0 THEN 1.0 ELSE 0.0 END) = y"
+        " THEN 1 ELSE 0 END)"
+    )
+    final_w = ", ".join(f"w{j}" for j in range(_LR_DIMS + 1))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST({wf}.n AS BIGINT) AS n,
+       CAST({_LR_ITERS} AS INT) AS iters,
+       {final_w},
+       CAST(({acc}) AS DOUBLE) / {wf}.n AS train_acc
+FROM d CROSS JOIN {wf}
+GROUP BY {wf}.n, {', '.join('w' + str(j) for j in range(_LR_DIMS + 1))}
+"""
+    )
+
+
+ML_LOGREG_SQL = _lr_sql()
+
+
+# ---------------------------------------------------------------------------
+# ml_gbt_stumps — histogram gradient boosting, integer-exact end to end
+# ---------------------------------------------------------------------------
+
+_GBT_ROUNDS = 3
+_GBT_BINS = 16
+_GBT_DIMS = 4
+_GBT_Q = 1_000_000  # residual micro-units
+
+
+def _gbt_bin(j: int, engine: str) -> str:
+    """Fixed-width 16-bin histogram of dim j over [-0.4, 0.4] — floor of
+    an identical double expression, so bins match across engines (only
+    the array accessor differs: element_at is 1-based in Spark, [] is
+    1-based in DuckDB but 0-based in Spark SQL)."""
+    x = (
+        f"CAST(element_at(embedding, {j}) AS DOUBLE)"
+        if engine == "spark"
+        else f"CAST(embedding[{j}] AS DOUBLE)"
+    )
+    return (
+        f"CAST(least(greatest(floor(({x} + 0.4) / 0.05), 0.0), 15.0) AS INT)"
+    )
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """C-style integer division (truncate toward zero) — matches Spark
+    `div` and DuckDB `//`, unlike Python's floor `//`."""
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
+def ml_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted depth-1 trees (squared loss on ``label`` from 4
+    embedding dims), the LightGBM histogram recipe made engine-exact.
+
+    Everything after the one-time binning is INTEGER: labels quantize
+    to micro-units, each boosting round is ONE map-side-combinable
+    aggregation producing the 4×16 (n, Σresidual) histogram — the
+    shuffled state per round is 128 BIGINT cells no matter the corpus
+    size, which is precisely why histogram GBT is the standard at
+    scale (XGBoost/LightGBM hist mode). The driver scans the 64-cell
+    histogram for the best split (prefix sums + an IEEE score both
+    engines compute bit-identically from the exact sums), quantizes
+    the two leaf values with truncating division, and folds the stump
+    into the residual EXPRESSION for the next round — so Spark never
+    materializes per-row state and the DuckDB oracle replays the same
+    three rounds as a CTE chain. Residuals, leaves, and per-round SSE
+    are exact BIGINTs.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    data = e.select(
+        (F.col("label").cast("long") * _GBT_Q).alias("y"),
+        *[
+            F.expr(_gbt_bin(j + 1, "spark")).alias(f"b{j + 1}")
+            for j in range(_GBT_DIMS)
+        ],
+    )
+    f0_row = data.agg(
+        F.count("*").alias("n"), F.sum("y").alias("s")
+    ).first()
+    n_all = int(f0_row["n"])
+    f0 = _trunc_div(int(f0_row["s"]), n_all)
+    r_expr = f"(y - {f0})"
+
+    rows = []
+    for t in range(1, _GBT_ROUNDS + 1):
+        hist = (
+            data.select(
+                F.expr(r_expr).alias("r"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j + 1).alias("j"),
+                                F.col(f"b{j + 1}").alias("bin"),
+                            )
+                            for j in range(_GBT_DIMS)
+                        ]
+                    )
+                ).alias("fb"),
+            )
+            .groupBy("fb.j", "fb.bin")
+            .agg(F.count("*").alias("n"), F.sum("r").alias("s"))
+            .collect()
+        )
+        cells = {(int(r["j"]), int(r["bin"])): (int(r["n"]), int(r["s"])) for r in hist}
+        # every feature's cells sum to the same total residual mass
+        s_all = sum(s for (j, _), (_, s) in cells.items() if j == 1)
+        best = None  # (score, j, b, nl, sl)
+        for j in range(1, _GBT_DIMS + 1):
+            nl = sl = 0
+            for b in range(_GBT_BINS - 1):
+                if (j, b) in cells:
+                    nl += cells[(j, b)][0]
+                    sl += cells[(j, b)][1]
+                nr, sr = n_all - nl, s_all - sl
+                if nl == 0 or nr == 0:
+                    continue
+                score = (
+                    float(sl) * float(sl) / float(nl)
+                    + float(sr) * float(sr) / float(nr)
+                )
+                key = (-score, j, b)
+                if best is None or key < best[0]:
+                    best = (key, j, b, nl, sl)
+        _, j, b, nl, sl = best
+        nr, sr = n_all - nl, s_all - sl
+        ll, lr = _trunc_div(sl, nl), _trunc_div(sr, nr)
+        r_expr = (
+            f"({r_expr} - (CASE WHEN b{j} <= {b} THEN {ll} ELSE {lr} END))"
+        )
+        sse = int(
+            data.select(F.expr(r_expr).alias("r"))
+            .agg(F.sum(F.expr("r * r")).alias("sse"))
+            .first()["sse"]
+        )
+        rows.append((t, j, b, ll, lr, sse, n_all))
+    return spark.createDataFrame(
+        rows,
+        "round int, feat int, thr_bin int, leaf_l_micro bigint,"
+        " leaf_r_micro bigint, sse_micro2 bigint, n bigint",
+    )
+
+
+def _gbt_sql() -> str:
+    bins = ", ".join(
+        f"{_gbt_bin(j + 1, 'duckdb')} AS b{j + 1}" for j in range(_GBT_DIMS)
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT {j + 1} AS j, b{j + 1} AS bin, r FROM r{{t}}"
+        for j in range(_GBT_DIMS)
+    )
+    bin_of_j = (
+        "CASE bt.j "
+        + " ".join(f"WHEN {j + 1} THEN r.b{j + 1}" for j in range(_GBT_DIMS))
+        + " END"
+    )
+    ctes = [
+        f"base AS (SELECT CAST(label AS BIGINT) * {_GBT_Q} AS y, {bins} FROM embeddings)",
+        "f0 AS (SELECT SUM(y) // COUNT(*) AS f0 FROM base)",
+        "r0 AS (SELECT base.*, y - f0.f0 AS r FROM base CROSS JOIN f0)",
+    ]
+    unions = []
+    for t in range(1, _GBT_ROUNDS + 1):
+        prev = t - 1
+        ctes.append(
+            f"h{t} AS (SELECT j, bin, COUNT(*) AS n, SUM(r) AS s FROM"
+            f" ({arms.format(t=prev)}) GROUP BY j, bin)"
+        )
+        ctes.append(
+            f"tot{t} AS (SELECT COUNT(*) AS n_all, SUM(r) AS s_all FROM r{prev})"
+        )
+        ctes.append(
+            f"""cand{t} AS (
+  SELECT j, bin AS b,
+         SUM(n) OVER (PARTITION BY j ORDER BY bin) AS nl,
+         SUM(s) OVER (PARTITION BY j ORDER BY bin) AS sl
+  FROM h{t} WHERE bin < {_GBT_BINS - 1}
+)"""
+        )
+        ctes.append(
+            f"""best{t} AS (
+  SELECT j, b, nl, sl, n_all - nl AS nr, s_all - sl AS sr,
+         CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+           + CAST(s_all - sl AS DOUBLE) * CAST(s_all - sl AS DOUBLE)
+             / CAST(n_all - nl AS DOUBLE) AS score
+  FROM cand{t} CROSS JOIN tot{t}
+  WHERE nl > 0 AND n_all - nl > 0
+  ORDER BY score DESC, j ASC, b ASC LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"leaf{t} AS (SELECT j, b, sl // nl AS ll, sr // nr AS lr"
+            f" FROM best{t})"
+        )
+        ctes.append(
+            f"r{t} AS (SELECT r.* REPLACE (r.r - (CASE WHEN ({bin_of_j.replace('bt.', f'leaf{t}.').replace('r.b', 'r.b')}) <= leaf{t}.b"
+            f" THEN leaf{t}.ll ELSE leaf{t}.lr END) AS r)"
+            f" FROM r{prev} r CROSS JOIN leaf{t})"
+        )
+        ctes.append(
+            f"sse{t} AS (SELECT SUM(r * r) AS sse FROM r{t})"
+        )
+        unions.append(
+            f"SELECT {t} AS round, l.j AS feat, l.b AS thr_bin,"
+            f" l.ll AS leaf_l_micro, l.lr AS leaf_r_micro,"
+            f" s.sse AS sse_micro2, t.n_all AS n"
+            f" FROM leaf{t} l CROSS JOIN sse{t} s CROSS JOIN tot{t} t"
+        )
+    body = " UNION ALL ".join(unions)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(round AS INT) AS round, CAST(feat AS INT) AS feat,
+       CAST(thr_bin AS INT) AS thr_bin,
+       CAST(leaf_l_micro AS BIGINT) AS leaf_l_micro,
+       CAST(leaf_r_micro AS BIGINT) AS leaf_r_micro,
+       CAST(sse_micro2 AS BIGINT) AS sse_micro2,
+       CAST(n AS BIGINT) AS n
+FROM ({body}) ORDER BY round
+"""
+    )
+
+
+ML_GBT_SQL = _gbt_sql()
+
+
 QUERIES = {
+    "ml_logreg_gd": (ml_logreg_gd, ML_LOGREG_SQL),
+    "ml_gbt_stumps": (ml_gbt_stumps, ML_GBT_SQL),
     "ml_kmeans_fixed": (ml_kmeans_fixed, ML_KMEANS_SQL),
     "ml_perceptron_fixed": (ml_perceptron_fixed, ML_PERCEPTRON_SQL),
     "ml_feature_hash": (ml_feature_hash, ML_FEATURE_HASH_SQL),
