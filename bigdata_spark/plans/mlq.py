@@ -1405,25 +1405,12 @@ def _lr_z(w: list[float]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-batch gradient-descent logistic regression with QUANTIZED
-    gradients (y = 1 iff label ≥ 5, 4 embedding dims + bias).
-
-    Each iteration is ONE map-side-combinable aggregation: every row
-    contributes floor((σ(w·x) − y)·x_j·1e9 + 0.5) per weight, so the
-    shuffled state is d+1 BIGINT cells and the sum is exact in any
-    order — gradient quantization (the QSGD trick used to cut
-    all-reduce traffic in distributed training) is here what also
-    makes the result bit-stable across engines. The driver applies
-    the O(d) update between rounds (bounded driver state, like
-    ml_linear_probe); weights are plain IEEE doubles reproduced
-    identically by the DuckDB oracle's CTE chain. Complements
-    ml_linear_probe (closed-form ridge): this is the ITERATIVE
-    optimizer shape — k rounds × one aggregate, never a per-row
-    driver loop.
-    """
+def _lr_train(spark: SparkSession, sf_dir: str):
+    """The shared GD loop: k rounds of one quantized-gradient aggregate
+    each; returns (labelled feature frame, weights, n)."""
     e = load_table(spark, sf_dir, "embeddings")
     data = e.select(
+        "vec_id",
         F.expr("CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END").alias("y"),
         *_lr_feats_spark(),
     )
@@ -1449,6 +1436,27 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (float(row[f"g{j}"]) / (float(n) * float(_LR_Q)))
             for j in range(_LR_DIMS + 1)
         ]
+    return data, w, n
+
+
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch gradient-descent logistic regression with QUANTIZED
+    gradients (y = 1 iff label ≥ 5, 4 embedding dims + bias).
+
+    Each iteration is ONE map-side-combinable aggregation: every row
+    contributes floor((σ(w·x) − y)·x_j·1e9 + 0.5) per weight, so the
+    shuffled state is d+1 BIGINT cells and the sum is exact in any
+    order — gradient quantization (the QSGD trick used to cut
+    all-reduce traffic in distributed training) is here what also
+    makes the result bit-stable across engines. The driver applies
+    the O(d) update between rounds (bounded driver state, like
+    ml_linear_probe); weights are plain IEEE doubles reproduced
+    identically by the DuckDB oracle's CTE chain. Complements
+    ml_linear_probe (closed-form ridge): this is the ITERATIVE
+    optimizer shape — k rounds × one aggregate, never a per-row
+    driver loop.
+    """
+    data, w, n = _lr_train(spark, sf_dir)
     acc = data.agg(
         F.sum(
             F.expr(
@@ -1473,18 +1481,21 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lr_sql() -> str:
+def _lr_zexpr(wcols: list[str]) -> str:
+    terms = [wcols[0]] + [f"{wcols[j + 1]} * x{j + 1}" for j in range(_LR_DIMS)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lr_ctes() -> list[str]:
+    """The shared DuckDB CTE chain replaying the GD rounds."""
     feats = ", ".join(
         f"CAST(embedding[{j + 1}] AS DOUBLE) AS x{j + 1}" for j in range(_LR_DIMS)
     )
     xs = ["1.0"] + [f"x{j + 1}" for j in range(_LR_DIMS)]
-
-    def zexpr(wcols: list[str]) -> str:
-        terms = [wcols[0]] + [f"{wcols[j + 1]} * x{j + 1}" for j in range(_LR_DIMS)]
-        return "(" + " + ".join(terms) + ")"
+    zexpr = _lr_zexpr
 
     ctes = [
-        "d AS (SELECT CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y, "
+        "d AS (SELECT vec_id, CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y, "
         f"{feats} FROM embeddings)",
         "w0 AS (SELECT "
         + ", ".join(f"0.0 AS w{j}" for j in range(_LR_DIMS + 1))
@@ -1509,10 +1520,15 @@ def _lr_sql() -> str:
             f"w{it + 1} AS (SELECT g{it + 1}.n AS n, {upd}"
             f" FROM w{it} CROSS JOIN g{it + 1})"
         )
+    return ctes
+
+
+def _lr_sql() -> str:
+    ctes = _lr_ctes()
     wf = f"w{_LR_ITERS}"
     wcols = [f"w{j}" for j in range(_LR_DIMS + 1)]
     acc = (
-        f"SUM(CASE WHEN (CASE WHEN {zexpr(wcols)} >= 0.0 THEN 1.0 ELSE 0.0 END) = y"
+        f"SUM(CASE WHEN (CASE WHEN {_lr_zexpr(wcols)} >= 0.0 THEN 1.0 ELSE 0.0 END) = y"
         " THEN 1 ELSE 0 END)"
     )
     final_w = ", ".join(f"w{j}" for j in range(_LR_DIMS + 1))
@@ -1531,6 +1547,97 @@ GROUP BY {wf}.n, {', '.join('w' + str(j) for j in range(_LR_DIMS + 1))}
 
 
 ML_LOGREG_SQL = _lr_sql()
+
+
+# ---------------------------------------------------------------------------
+# ml_calibration_bins — reliability report for the logreg scores
+# ---------------------------------------------------------------------------
+
+
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) report of the trained logreg: score
+    every row, split into SCORE-QUANTILE deciles (ntile over the
+    quantized probability — equal-mass bins, the form used when scores
+    cluster), and compare mean predicted probability against observed
+    positive rate per bin — the table behind every calibration curve /
+    ECE metric.
+
+    Per-row probabilities quantize to micro-units so bin sums are
+    exact BIGINTs and the ntile order (p_micro, vec_id) is total in
+    both engines. The ntile window runs over the embeddings-grain
+    rows — at a 100 TB score table you would bin by fixed thresholds
+    or sampled quantile cut points instead of a global window.
+    """
+    from pyspark.sql import Window
+
+    data, w, n = _lr_train(spark, sf_dir)
+    p = f"(1.0 / (1.0 + exp(-{_lr_z(w)})))"
+    binned = data.select(
+        "vec_id",
+        F.expr(f"CAST(floor({p} * {_LR_Q} + 0.5) AS BIGINT)").alias("p_micro"),
+        F.col("y").cast("long").alias("pos"),
+    ).withColumn(
+        "bin",
+        F.ntile(10).over(Window.orderBy("p_micro", "vec_id")),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("p_micro").alias("sum_p_micro"),
+            F.sum("pos").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            "n_rows",
+            F.expr(
+                f"CAST(sum_p_micro AS DOUBLE) / n_rows / CAST({_LR_Q} AS DOUBLE)"
+            ).alias("mean_predicted"),
+            F.expr("CAST(n_pos AS DOUBLE) / n_rows").alias("observed_rate"),
+            F.expr(
+                "CAST(n_pos AS DOUBLE) / n_rows"
+                f" - CAST(sum_p_micro AS DOUBLE) / n_rows / CAST({_LR_Q} AS DOUBLE)"
+            ).alias("calibration_gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _calib_sql() -> str:
+    ctes = _lr_ctes()
+    wf = f"w{_LR_ITERS}"
+    wcols = [f"w{j}" for j in range(_LR_DIMS + 1)]
+    p = f"(1.0 / (1.0 + exp(-{_lr_zexpr(wcols)})))"
+    ctes.append(
+        f"""scoredc AS (
+  SELECT vec_id,
+         CAST(floor({p} * {_LR_Q} + 0.5) AS BIGINT) AS p_micro,
+         CAST(y AS BIGINT) AS pos
+  FROM d CROSS JOIN {wf}
+)"""
+    )
+    ctes.append(
+        "calib AS (SELECT *, NTILE(10) OVER (ORDER BY p_micro, vec_id)"
+        " AS bin FROM scoredc)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(bin AS INT) AS bin,
+       COUNT(*) AS n_rows,
+       CAST(SUM(p_micro) AS DOUBLE) / COUNT(*) / CAST({_LR_Q} AS DOUBLE)
+         AS mean_predicted,
+       CAST(SUM(pos) AS DOUBLE) / COUNT(*) AS observed_rate,
+       CAST(SUM(pos) AS DOUBLE) / COUNT(*)
+         - CAST(SUM(p_micro) AS DOUBLE) / COUNT(*) / CAST({_LR_Q} AS DOUBLE)
+         AS calibration_gap
+FROM calib GROUP BY bin ORDER BY bin
+"""
+    )
+
+
+ML_CALIB_SQL = _calib_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1745,6 +1852,7 @@ ML_GBT_SQL = _gbt_sql()
 QUERIES = {
     "ml_logreg_gd": (ml_logreg_gd, ML_LOGREG_SQL),
     "ml_gbt_stumps": (ml_gbt_stumps, ML_GBT_SQL),
+    "ml_calibration_bins": (ml_calibration_bins, ML_CALIB_SQL),
     "ml_kmeans_fixed": (ml_kmeans_fixed, ML_KMEANS_SQL),
     "ml_perceptron_fixed": (ml_perceptron_fixed, ML_PERCEPTRON_SQL),
     "ml_feature_hash": (ml_feature_hash, ML_FEATURE_HASH_SQL),

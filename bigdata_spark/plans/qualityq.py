@@ -352,7 +352,82 @@ SELECT * FROM (VALUES
 ORDER BY pk
 """
 
+# ---------------------------------------------------------------------------
+# dq_benford — Benford's-law first-digit audit (fraud/synthetic-data tell)
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) as exact double literals shared by both engines
+_BENFORD_P = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of o_totalprice vs
+    Benford's law, with the chi-squared distance — the classic audit
+    for fabricated or truncated numeric columns.
+
+    One map-side-combinable groupBy over the fact column (9 result
+    rows at any scale); the expected frequencies are compile-time
+    literals and the chi² term is a closed-form double from exact
+    counts. First digit via string head of the integer part — no
+    log/pow per row.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.expr(
+        "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT)"
+    )
+    counts = (
+        o.filter(F.col("o_totalprice") >= 1.0)
+        .select(digit.alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    exp_map = "MAP(" + ", ".join(
+        f"{d}, CAST({p!r} AS DOUBLE)" for d, p in _BENFORD_P.items()
+    ) + ")"
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("expected_p", F.expr(f"element_at({exp_map}, d)"))
+        .select(
+            "d",
+            "n",
+            F.expr("CAST(n AS DOUBLE) / t").alias("observed_p"),
+            "expected_p",
+            F.expr(
+                "(CAST(n AS DOUBLE) / t - element_at(" + exp_map + ", d))"
+                " * (CAST(n AS DOUBLE) / t - element_at(" + exp_map + ", d))"
+                " / element_at(" + exp_map + ", d) * t"
+            ).alias("chi2_term"),
+        )
+        .orderBy("d")
+    )
+
+
+def _benford_sql() -> str:
+    exp_case = "CASE d " + " ".join(
+        f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in _BENFORD_P.items()
+    ) + " END"
+    return f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d,
+         COUNT(*) AS n
+  FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1
+), tot AS (SELECT SUM(n) AS t FROM counts)
+SELECT d, n,
+       CAST(n AS DOUBLE) / t AS observed_p,
+       {exp_case} AS expected_p,
+       (CAST(n AS DOUBLE) / t - {exp_case})
+         * (CAST(n AS DOUBLE) / t - {exp_case})
+         / {exp_case} * t AS chi2_term
+FROM counts CROSS JOIN tot ORDER BY d
+"""
+
+
+DQ_BENFORD_SQL = _benford_sql()
+
+
 QUERIES = {
+    "dq_benford": (dq_benford, DQ_BENFORD_SQL),
     "dq_profile": (dq_profile, DQ_PROFILE_SQL),
     "dq_referential_integrity": (dq_referential_integrity, DQ_REFINT_SQL),
     "dq_uniqueness_pk": (dq_uniqueness_pk, DQ_UNIQUE_SQL),
