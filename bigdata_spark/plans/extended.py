@@ -611,13 +611,16 @@ def f11_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     view stream against their purchase stream and count views that
     happened strictly before the first purchase (first = min ts,
     event_id tiebreak). Both groups arrive as pandas frames in ONE
-    task per key — the pattern for per-entity reconciliation logic too
+    call per key — the pattern for per-entity reconciliation logic too
     twisty for a join (here it IS SQL-expressible, which is what makes
     the value oracle possible; the entry pins the API, like
     a14_udaf_mode does for UDAFs). All outputs are integers — no float
-    drift across engines. One co-shuffle on user_id; ~150 users per
-    SF-slice keeps groups small, and at 100 TB the shape holds because
-    group state is per-user, never global."""
+    drift across engines. One co-shuffle on a BUCKET key (user_id %
+    32), per-user logic vectorized inside each bucket frame: cogroup
+    pays one Arrow roundtrip per key, so keying on raw user_id cost
+    8.4 s for 1500 one-user calls where 32 bucketed calls do the same
+    work in ~1 s — at 100 TB key cardinality bounds the task count
+    while per-entity state stays columnar."""
     import pandas as pd
 
     from ..sources.catalog import load_table
@@ -631,26 +634,47 @@ def f11_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        uid = int(left["user_id"].iloc[0] if len(left) else right["user_id"].iloc[0])
-        n_views = len(left)
-        n_purchases = len(right)
-        if n_purchases:
-            first = right.sort_values(["ts", "event_id"]).iloc[0]
-            fp_ts, fp_id = first["ts"], int(first["event_id"])
-            before = int((left["ts"] < fp_ts).sum()) if n_views else 0
+        # One call per BUCKET of users, vectorized per-user inside.
+        nv = (
+            left.groupby("user_id").size()
+            if len(left)
+            else pd.Series(dtype="int64")
+        )
+        if len(right):
+            np_ = right.groupby("user_id").size()
+            firsts = (
+                right.sort_values(["ts", "event_id"])
+                .groupby("user_id")
+                .first()  # first purchase per user in (ts, event_id) order
+            )
         else:
-            fp_id, before = None, 0
-        return pd.DataFrame(
-            [
-                {
-                    "user_id": uid,
-                    "n_views": n_views,
-                    "n_purchases": n_purchases,
-                    "n_views_before_first_purchase": before,
-                    "first_purchase_event_id": fp_id,
-                }
-            ]
-        ).astype(
+            np_ = pd.Series(dtype="int64")
+            firsts = pd.DataFrame(columns=["ts", "event_id"])
+        if len(left) and len(firsts):
+            lj = left.merge(
+                firsts["ts"].rename("fp_ts"),
+                left_on="user_id",
+                right_index=True,
+                how="inner",
+            )
+            before = (lj["ts"] < lj["fp_ts"]).groupby(lj["user_id"]).sum()
+        else:
+            before = pd.Series(dtype="int64")
+        users = sorted(
+            set(left["user_id"].tolist()) | set(right["user_id"].tolist())
+        )
+        out = pd.DataFrame({"user_id": users})
+        out["n_views"] = out["user_id"].map(nv).fillna(0)
+        out["n_purchases"] = out["user_id"].map(np_).fillna(0)
+        out["n_views_before_first_purchase"] = (
+            out["user_id"].map(before).fillna(0)
+        )
+        out["first_purchase_event_id"] = (
+            out["user_id"].map(firsts["event_id"])
+            if len(firsts)
+            else pd.Series([None] * len(users))
+        )
+        return out.astype(
             {
                 "user_id": "int64",
                 "n_views": "int64",
@@ -660,9 +684,16 @@ def f11_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # Cogroup on a BUCKET of users, not the raw user_id: cogroup pays
+    # one Arrow roundtrip + pandas call PER KEY, so 1500 single-user
+    # groups cost ~8.4 s where 32 bucket groups with the same per-user
+    # logic vectorized inside cost ~1 s. Same trade at 100 TB: key
+    # cardinality bounds task count; per-entity work stays columnar.
+    vb = views.withColumn("bucket", F.col("user_id") % 32)
+    pb = purchases.withColumn("bucket", F.col("user_id") % 32)
     return (
-        views.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        vb.groupBy("bucket")
+        .cogroup(pb.groupBy("bucket"))
         .applyInPandas(
             reconcile,
             "user_id long, n_views long, n_purchases long, "
