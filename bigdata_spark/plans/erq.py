@@ -49,6 +49,13 @@ def er_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     RIGHT entity — the standard blocking-recall report.
     """
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # Block width scales with the data: k = max(4, digits(n) - 1) keeps
+    # expected block size ~O(10) at every SF. A FIXED-width key is the
+    # classic ER scaling bug — 10⁴ blocks over 150k records means
+    # 15-member blocks and O(n²/10⁴) pairs (measured 42× at the 10×
+    # soak before this); width-∝-log(n) keys keep pair counts linear.
+    n_cust = c.count()
+    k = max(4, len(str(n_cust)) - 1)
     nz = F.expr(_spark_hash("c_custkey", "er"))
     dirty = (
         c.withColumn("nz", nz)
@@ -69,15 +76,15 @@ def er_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("dirty_name", F.concat(F.lit("Customer#"), "dd"))
-        .withColumn("bk1", F.expr("substr(dd, length(dd) - 3)"))
-        .withColumn("bk2", F.expr("substr(dd, greatest(length(dd) - 4, 1), 4)"))
+        .withColumn("bk1", F.expr(f"substr(dd, greatest(length(dd) - {k - 1}, 1))"))
+        .withColumn("bk2", F.expr(f"substr(dd, greatest(length(dd) - {k}, 1), {k})"))
         .select("c_custkey", "edit_type", "dirty_name", "bk1", "bk2")
     )
     clean = c.select(
         F.col("c_custkey").alias("clean_key"),
         F.col("c_name").alias("clean_name"),
-        F.expr("substr(c_name, 15, 4)").alias("ck1"),
-        F.expr("substr(c_name, 14, 4)").alias("ck2"),
+        F.expr(f"substr(c_name, {19 - k})").alias("ck1"),
+        F.expr(f"substr(c_name, {18 - k}, {k})").alias("ck2"),
     )
     # Both blocking passes ride ONE equi-join: explode each side to
     # (pass, key) and join on the pair — half the join/broadcast stages
@@ -161,7 +168,9 @@ def er_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _er_sql() -> str:
     duck_hash = "('0x' || substr(md5('er' || '|' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT"
     return f"""
-WITH src AS (
+WITH kk AS (
+  SELECT GREATEST(4, length(CAST((SELECT COUNT(*) FROM customer) AS VARCHAR)) - 1) AS k
+), src AS (
   SELECT c_custkey, c_name, {duck_hash} AS nz FROM customer
 ), dirty0 AS (
   SELECT c_custkey,
@@ -172,9 +181,9 @@ WITH src AS (
 ), dirty AS (
   SELECT c_custkey, edit_type,
          'Customer#' || dd AS dirty_name,
-         substr(dd, length(dd) - 3) AS bk1,
-         substr(dd, greatest(length(dd) - 4, 1), 4) AS bk2
-  FROM (
+         substr(dd, greatest(length(dd) - (kk.k - 1), 1)) AS bk1,
+         substr(dd, greatest(length(dd) - kk.k, 1), kk.k) AS bk2
+  FROM kk, (
     SELECT c_custkey, edit_type,
            CASE edit_type
              WHEN 0 THEN substr(digits, 1, p - 1) || substr(digits, p + 1)
@@ -188,9 +197,9 @@ WITH src AS (
   )
 ), clean AS (
   SELECT c_custkey AS clean_key, c_name AS clean_name,
-         substr(c_name, 15, 4) AS ck1,
-         substr(c_name, 14, 4) AS ck2
-  FROM customer
+         substr(c_name, 19 - kk.k) AS ck1,
+         substr(c_name, 18 - kk.k, kk.k) AS ck2
+  FROM kk, customer
 ), pairs AS (
   SELECT DISTINCT c_custkey, edit_type, dirty_name, clean_key, clean_name
   FROM (

@@ -58,12 +58,18 @@ def main() -> None:
 
     write("customer", f"""
         SELECT c_custkey + r * {strides['customer']} AS c_custkey,
-               c_name, c_nationkey, c_acctbal, c_mktsegment
+               -- re-derive the name from the SHIFTED key: names are an
+               -- entity identity (er_blocked_linkage links on them), and
+               -- replicating 10 rows per name silently turns the sf1
+               -- roster into 10-way ambiguous entities
+               'Customer#' || lpad(CAST(c_custkey + r * {strides['customer']} AS VARCHAR), 9, '0') AS c_name,
+               c_nationkey, c_acctbal, c_mktsegment
         FROM {src('customer')} CROSS JOIN reps
     """)
     write("supplier", f"""
         SELECT s_suppkey + r * {strides['supplier']} AS s_suppkey,
-               s_name, s_nationkey, s_acctbal
+               'Supplier#' || lpad(CAST(s_suppkey + r * {strides['supplier']} AS VARCHAR), 9, '0') AS s_name,
+               s_nationkey, s_acctbal
         FROM {src('supplier')} CROSS JOIN reps
     """)
     write("part", f"""
