@@ -650,9 +650,110 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# geo_quadkey_rollup — Z-order (quadkey) spatial index cells + rollup
+# ---------------------------------------------------------------------------
+
+_QK_LEVELS = 12  # 4096×4096 leaf grid
+_QK_PARENT = 6  # rollup level
+
+
+def _qk_interleave(xi: str, yi: str) -> str:
+    """Bit-interleave two 12-bit ints into a Z-order key — unrolled
+    integer arithmetic (div/mod by powers of two), identical text in
+    both engines; no bit intrinsics needed."""
+    terms = []
+    for j in range(_QK_LEVELS):
+        terms.append(f"(({xi} div {2 ** j}) % 2) * {4 ** j}")
+        terms.append(f"(({yi} div {2 ** j}) % 2) * {2 * 4 ** j}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def geo_quadkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order / quadkey spatial indexing of the embedding plane: map
+    each point to a level-12 Morton cell (bit-interleaved 12-bit grid
+    coords — the Bing-maps quadkey / Uber-style spatial key), then
+    roll up to level-6 parents with leaf-cell diversity, emitting the
+    10 densest parents.
+
+    This is the storage-layout half of geo: s15_zorder_layout proves
+    Z-ordered FILES prune; this cell key is what you GROUP and range-
+    scan by (a parent cell is one contiguous Z range, so a spatial
+    region is O(few) key ranges). One shuffle: groupBy leaf cell with
+    partial aggregation; parents derive by integer division of the
+    leaf key — no second pass over points.
+    """
+    pts = _vecs(spark, sf_dir).select(
+        F.expr(
+            "CAST(least(greatest(floor((CAST(element_at(embedding, 1) AS DOUBLE)"
+            f" + 0.5) * {2 ** _QK_LEVELS}), 0.0), {2 ** _QK_LEVELS - 1}.0) AS BIGINT)"
+        ).alias("xi"),
+        F.expr(
+            "CAST(least(greatest(floor((CAST(element_at(embedding, 2) AS DOUBLE)"
+            f" + 0.5) * {2 ** _QK_LEVELS}), 0.0), {2 ** _QK_LEVELS - 1}.0) AS BIGINT)"
+        ).alias("yi"),
+    )
+    leaf = (
+        pts.select(F.expr(_qk_interleave("xi", "yi")).alias("z"))
+        .groupBy("z")
+        .agg(F.count("*").alias("n"))
+    )
+    parent_shift = 4 ** (_QK_LEVELS - _QK_PARENT)
+    return (
+        leaf.groupBy(F.expr(f"z div {parent_shift}").alias("parent_cell"))
+        .agg(
+            F.sum("n").cast("long").alias("n_points"),
+            F.count("*").cast("long").alias("n_leaf_cells"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+        .withColumn(
+            "z_range_contiguous",
+            # a parent is ONE contiguous Z interval: both extremes must
+            # sit inside [parent*4^6, (parent+1)*4^6)
+            F.expr(
+                f"z_min >= parent_cell * {parent_shift}"
+                f" AND z_max < (parent_cell + 1) * {parent_shift}"
+            ),
+        )
+        .orderBy(F.desc("n_points"), F.asc("parent_cell"))
+        .limit(10)
+    )
+
+
+def _qk_sql() -> str:
+    mk = (
+        "CAST(least(greatest(floor((CAST(embedding[{d}] AS DOUBLE)"
+        f" + 0.5) * {2 ** _QK_LEVELS}), 0.0), {2 ** _QK_LEVELS - 1}.0) AS BIGINT)"
+    )
+    inter = _qk_interleave("xi", "yi").replace(" div ", " // ")
+    parent_shift = 4 ** (_QK_LEVELS - _QK_PARENT)
+    return f"""
+WITH pts AS (
+  SELECT {mk.format(d=1)} AS xi, {mk.format(d=2)} AS yi FROM embeddings
+), leaf AS (
+  SELECT {inter} AS z, COUNT(*) AS n FROM pts GROUP BY 1
+)
+SELECT z // {parent_shift} AS parent_cell,
+       CAST(SUM(n) AS BIGINT) AS n_points,
+       CAST(COUNT(*) AS BIGINT) AS n_leaf_cells,
+       MIN(z) AS z_min,
+       MAX(z) AS z_max,
+       MIN(z) >= (z // {parent_shift}) * {parent_shift}
+         AND MAX(z) < ((z // {parent_shift}) + 1) * {parent_shift}
+         AS z_range_contiguous
+FROM leaf GROUP BY 1
+ORDER BY n_points DESC, parent_cell ASC LIMIT 10
+"""
+
+
+GEO_QUADKEY_SQL = _qk_sql()
+
+
 QUERIES = {
     "dist_kernels": (dist_kernels, DIST_KERNELS_SQL),
     "geo_radius_join": (geo_radius_join, GEO_RADIUS_SQL),
+    "geo_quadkey_rollup": (geo_quadkey_rollup, GEO_QUADKEY_SQL),
     "ml_dbscan_grid": (ml_dbscan_grid, ML_DBSCAN_SQL),
     "sim_knn_classify": (sim_knn_classify, SIM_KNN_SQL),
     "sim_topk_pq": (sim_topk_pq, SIM_PQ_SQL),

@@ -1310,7 +1310,90 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# stat_power_analysis — two-proportion A/B sample-size planning
+# ---------------------------------------------------------------------------
+
+_PW_Z_ALPHA = 1.959963984540054  # two-sided 5%
+_PW_Z_BETA = 0.8416212335729143  # 80% power
+_PW_DELTAS = (0.01, 0.02, 0.05)
+# shared closed form: n/arm = (zα+zβ)² · (p0(1−p0) + p1(1−p1)) / δ²
+_PW_N = (
+    f"ceil((({_PW_Z_ALPHA!r} + {_PW_Z_BETA!r}) * ({_PW_Z_ALPHA!r} + {_PW_Z_BETA!r}))"
+    " * (p0 * (1.0 - p0) + p1 * (1.0 - p1)) / (delta * delta))"
+)
+
+
+def stat_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sample-size planning from observed baselines: the
+    purchase share of events (purchase events / all events — the
+    event-level proportion; per-user conversion is degenerate 1.0 in
+    this corpus) feeds the standard two-proportion normal-approximation formula at
+    80% power / 5% α for a grid of absolute MDEs.
+
+    One distinct-aggregation over events (two exact counts at any
+    scale); the MDE grid is a 3-row literal join and the n-per-arm is
+    a closed-form double both engines evaluate identically. The
+    planning table every experimentation platform ships — here it
+    composes with stat_ab_welch (the analysis) and
+    stat_ab_assignment (the assignment audit).
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.agg(
+        F.count("*").alias("n_events"),
+        F.count(
+            F.when(F.col("event_type") == "purchase", 1)
+        ).alias("n_purchases"),
+    )
+    deltas = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(d) for d in _PW_DELTAS])
+        ).alias("delta")
+    )
+    return (
+        base.crossJoin(deltas)
+        .withColumn("p0", F.expr("CAST(n_purchases AS DOUBLE) / n_events"))
+        .withColumn("p1", F.expr("p0 + delta"))
+        .select(
+            F.col("delta").alias("mde_abs"),
+            "n_events",
+            F.col("p0").alias("baseline_rate"),
+            F.expr(f"CAST({_PW_N} AS BIGINT)").alias("n_per_arm"),
+            F.expr(f"CAST({_PW_N} AS BIGINT) * 2").alias("n_total"),
+            F.expr(
+                f"CAST({_PW_N} AS BIGINT) * 2 <= n_events"
+            ).alias("feasible_with_current_traffic"),
+        )
+        .orderBy("mde_abs")
+    )
+
+
+STAT_POWER_SQL = f"""
+WITH base AS (
+  SELECT COUNT(*) AS n_events,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+  FROM events
+), grid AS (
+  SELECT CAST(u.delta AS DOUBLE) AS delta
+  FROM (VALUES ({_PW_DELTAS[0]!r}), ({_PW_DELTAS[1]!r}), ({_PW_DELTAS[2]!r})) u(delta)
+), p AS (
+  SELECT delta, n_events,
+         CAST(n_purchases AS DOUBLE) / n_events AS p0,
+         CAST(n_purchases AS DOUBLE) / n_events + delta AS p1
+  FROM base CROSS JOIN grid
+)
+SELECT delta AS mde_abs,
+       n_events,
+       p0 AS baseline_rate,
+       CAST({_PW_N} AS BIGINT) AS n_per_arm,
+       CAST({_PW_N} AS BIGINT) * 2 AS n_total,
+       CAST({_PW_N} AS BIGINT) * 2 <= n_events AS feasible_with_current_traffic
+FROM p ORDER BY mde_abs
+"""
+
+
 QUERIES = {
+    "stat_power_analysis": (stat_power_analysis, STAT_POWER_SQL),
     "stat_reg_group": (stat_reg_group, STAT_REG_SQL),
     "stat_reg_multi": (stat_reg_multi, STAT_REG_MULTI_SQL),
     "stat_chi2_independence": (stat_chi2_independence, STAT_CHI2_SQL),
