@@ -122,6 +122,41 @@ def test_perplexity_buckets_partition_docs(spark):
         assert r["bucket_perplexity"] > 1.0
 
 
+# --- spatial / planning ------------------------------------------------------
+
+
+def test_quadkey_parents_are_contiguous_z_ranges(spark):
+    from bigdata_spark.plans.simq import geo_quadkey_rollup
+
+    rows = geo_quadkey_rollup(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["z_range_contiguous"] is True
+        assert r["n_points"] >= r["n_leaf_cells"] >= 1
+        assert 0 <= r["parent_cell"] < 4**6
+
+
+def test_power_analysis_monotone_in_mde(spark):
+    from bigdata_spark.plans.statsq import stat_power_analysis
+
+    rows = sorted(
+        stat_power_analysis(spark, SF).collect(), key=lambda r: r["mde_abs"]
+    )
+    assert [round(r["mde_abs"], 2) for r in rows] == [0.01, 0.02, 0.05]
+    ns = [r["n_per_arm"] for r in rows]
+    # bigger detectable effects need fewer samples
+    assert ns == sorted(ns, reverse=True)
+    p0 = rows[0]["baseline_rate"]
+    assert 0.0 < p0 < 1.0
+    # closed form sanity at the first delta
+    za, zb = 1.959963984540054, 0.8416212335729143
+    p1 = p0 + 0.01
+    expect = math.ceil(
+        (za + zb) ** 2 * (p0 * (1 - p0) + p1 * (1 - p1)) / 0.01**2
+    )
+    assert abs(ns[0] - expect) <= 1
+
+
 # --- time-series stats -------------------------------------------------------
 
 
