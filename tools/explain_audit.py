@@ -353,6 +353,37 @@ AUDITS.update({
         ("median/MAD tables broadcast back", r"BroadcastHashJoin"),
         ("no Python evaluation", NO_PYTHON),
     ],
+    "er_blocked_linkage": [
+        ("blocking is an equi-join (hash/broadcast, never a cross join)", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
+        ("no cartesian product anywhere", r"^(?![\s\S]*CartesianProduct)"),
+        ("only key+name columns read from customer", r"ReadSchema: (?![^\n]*c_acctbal)"),
+        ("no Python evaluation", NO_PYTHON),
+    ],
+    "geo_quadkey_rollup": [
+        ("leaf-cell census partial-aggregates map-side", r"partial_count"),
+        ("only the two embedding dims feed the key (no label read)", r"ReadSchema: (?![^\n]*label)"),
+        ("no Python evaluation", NO_PYTHON),
+    ],
+    "stat_acf": [
+        ("daily census is a partial-agg groupBy", r"partial_count"),
+        ("global stats broadcast to the per-lag rows", r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("no Python evaluation", NO_PYTHON),
+    ],
+    "stat_gini_lorenz": [
+        ("per-customer spend partial-aggregates before the rank", r"partial_sum"),
+        ("rank·spend reduced with exact decimal sums", r"partial_sum\(.*decimal"),
+        ("no Python evaluation", NO_PYTHON),
+    ],
+    "approx_cms_topk": [
+        ("sketch grid is a partial-agg groupBy (mergeable cells)", r"partial_count"),
+        ("sketch broadcast to the probe side", r"BroadcastHashJoin"),
+        ("no Python evaluation", NO_PYTHON),
+    ],
+    "llm_url_dedup": [
+        ("canonicalization stays in a codegen'd projection", r"codegen id : \d"),
+        ("per-canonical counts partial-aggregate", r"partial_count"),
+        ("no Python evaluation", NO_PYTHON),
+    ],
 })
 
 
