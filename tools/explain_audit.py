@@ -380,7 +380,7 @@ AUDITS.update({
         ("no Python evaluation", NO_PYTHON),
     ],
     "llm_url_dedup": [
-        ("canonicalization stays in a codegen'd projection", r"codegen id : \d"),
+        ("scan pruned to doc_id only (text never read)", r"ReadSchema: struct<doc_id:bigint>"),
         ("per-canonical counts partial-aggregate", r"partial_count"),
         ("no Python evaluation", NO_PYTHON),
     ],
