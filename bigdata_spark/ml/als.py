@@ -1,20 +1,26 @@
-"""Alternating least squares matrix factorization, Spark-grouped and
-bit-deterministic.
+"""Alternating least squares matrix factorization, Spark-grouped,
+fully distributed, and bit-deterministic.
 
 The classic recommender factorization R ≈ P·Qᵀ at the 100 TB shape:
 each half-step solves ONE k×k normal-equation system PER ENTITY (user
-or item), with the opposite side's factor table broadcast — so the
-distributed work is an ``applyInPandas`` over the ratings grouped by
-that entity, each group reduced to a k×k system (k=4 here), and the
-factor tables that move between steps are (n_entities × k) — tiny
-relative to the ratings. No RDD hops, no driver-side rating loops.
+or item), with the opposite side's factor table JOINED onto the
+ratings (AQE broadcasts it while it fits; at extreme entity counts it
+degrades gracefully to a shuffle join — no driver round-trip either
+way) — so the distributed work is an ``applyInPandas`` over the
+joined ratings grouped by that entity, each group reduced to a k×k
+system (k=4 here). The factor tables that move between steps are
+(n_entities × k) DataFrames — they NEVER visit the driver: no
+``collect`` anywhere in this module, so the interaction matrix and
+the entity tables can both be cluster-resident at any scale.
 
 Determinism (what lets the registry pin the output as a per-SF value
-oracle): item factors initialize from a closed-form integer formula,
-each group's normal equations accumulate in sorted-key order with
-plain Python floats, and the k×k solve is pure-Python Gaussian
-elimination with partial pivoting — no BLAS anywhere, so the result
-is bit-identical across runs and platforms given identical ratings.
+oracle): item factors initialize from a closed-form integer formula
+evaluated natively per row, each group's normal equations accumulate
+in sorted-key order with fixed-order numpy loops, the k×k solve is
+pure-Python Gaussian elimination with partial pivoting — no BLAS
+anywhere — and the training-RMSE squared error is quantized per row
+to integer micro-units (floor(x·1e6+0.5) BIGINT) so the distributed
+sum is order-free exact.
 
 Reference parity: the reference has no recommender, but its
 broadcast-model-apply surface (SURVEY.md §2 U4/J4) is the same
@@ -30,10 +36,26 @@ _K = 4  # factor rank
 _BUCKETS = 64  # applyInPandas group-count bound (see _solve_side)
 _LAMBDA = 0.1  # ridge regularizer
 
+_FCOLS = [f"f{i}" for i in range(_K)]
 
-def _init_item_factor(item: int) -> list[float]:
-    """Deterministic closed-form init: small, varied, integer-derived."""
-    return [(((item * 31 + f * 17) % 7) - 3) / 10.0 + 0.5 for f in range(_K)]
+
+def init_item_factors(ratings: DataFrame, item_col: str) -> DataFrame:
+    """Deterministic closed-form init — (((item·31 + f·17) mod 7) − 3)
+    / 10 + 0.5 — evaluated NATIVELY over the distinct item ids, so the
+    init never touches the driver. Integer arithmetic is exact in both
+    engines and the final /10.0 + 0.5 is one correctly-rounded IEEE op
+    each, so the values are bit-identical to the Python formula this
+    replaced."""
+    items = ratings.select(item_col).distinct()
+    return items.select(
+        item_col,
+        *[
+            (((F.col(item_col) * 31 + F.lit(f * 17)) % 7 - 3) / F.lit(10.0) + F.lit(0.5)).alias(
+                _FCOLS[f]
+            )
+            for f in range(_K)
+        ],
+    )
 
 
 def _solve(A: list[list[float]], b: list[float]) -> list[float]:
@@ -59,16 +81,18 @@ def _solve_side(
     ratings: DataFrame,
     group_col: str,
     other_col: str,
-    other_factors: dict[int, list[float]],
-) -> dict[int, list[float]]:
+    other_factors: DataFrame,
+) -> DataFrame:
     """One ALS half-step: for each ``group_col`` entity, solve
     (Σ q qᵀ + λ·n·I) p = Σ r·q over its ratings, with the opposite
-    side's factors broadcast into the closure. Returns the new factor
-    table as a small driver dict (n_entities × k)."""
+    side's factors joined in (broadcast by AQE while small). Returns
+    the new factor table as a DataFrame (group_col, f0..f{k-1}) —
+    cluster-resident, never collected."""
     import pandas as pd
 
-    spark = ratings.sparkSession
-    bc = spark.sparkContext.broadcast(other_factors)
+    joined = ratings.select(group_col, other_col, "rating").join(
+        other_factors, other_col
+    )
 
     # Grouping discipline, learned the hard way:
     # - NOT mapInPandas + per-batch groupby: a partition larger than
@@ -85,11 +109,10 @@ def _solve_side(
     def solve_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        fac = bc.value
         out = []
         for gid, grp in pdf.groupby(group_col, sort=True):
             grp = grp.sort_values(other_col)
-            Q = np.array([fac[int(o)] for o in grp[other_col]], dtype=np.float64)
+            Q = grp[_FCOLS].to_numpy(dtype=np.float64)
             r = grp["rating"].to_numpy(dtype=np.float64)
             # einsum with optimize=False runs numpy's sequential C
             # loop — fixed summation order, no BLAS: bit-deterministic
@@ -100,17 +123,15 @@ def _solve_side(
             for i in range(_K):
                 Al[i][i] += _LAMBDA * n
             p = _solve(Al, b.tolist())
-            out.append({"id": int(gid), **{f"f{i}": p[i] for i in range(_K)}})
+            out.append({group_col: int(gid), **{_FCOLS[i]: p[i] for i in range(_K)}})
         return pd.DataFrame(out)
 
-    fcols = ", ".join(f"f{i} double" for i in range(_K))
-    rows = (
-        ratings.withColumn("_bucket", F.col(group_col) % _BUCKETS)
+    fcols = ", ".join(f"{c} double" for c in _FCOLS)
+    return (
+        joined.withColumn("_bucket", F.col(group_col) % _BUCKETS)
         .groupBy("_bucket")
-        .applyInPandas(solve_bucket, f"id long, {fcols}")
-        .collect()
+        .applyInPandas(solve_bucket, f"{group_col} long, {fcols}")
     )
-    return {int(r["id"]): [float(r[f"f{i}"]) for i in range(_K)] for r in rows}
 
 
 def als_train(
@@ -118,30 +139,61 @@ def als_train(
     user_col: str = "user_id",
     item_col: str = "item_id",
     n_iter: int = 2,
-) -> tuple[dict[int, list[float]], dict[int, list[float]]]:
+) -> tuple[DataFrame, DataFrame]:
     """Run ``n_iter`` full ALS alternations (solve users, then items)
-    from the deterministic item init. ``ratings`` needs columns
-    (user_col, item_col, rating)."""
-    items = [r[0] for r in ratings.select(item_col).distinct().collect()]
-    q = {int(i): _init_item_factor(int(i)) for i in items}
-    p: dict[int, list[float]] = {}
+    from the deterministic native item init. ``ratings`` needs columns
+    (user_col, item_col, rating). Returns the factor tables as
+    DataFrames ``(p, q)`` with schema (entity, f0..f{k-1}) — each is
+    ``localCheckpoint``-materialized (factor tables are n_entities×k,
+    tiny relative to the ratings) so the iterative lineage never
+    re-executes and nothing outlives the call un-released."""
+    q = init_item_factors(ratings, item_col)
+    p: DataFrame | None = None
     for _ in range(n_iter):
-        p = _solve_side(ratings, user_col, item_col, q)
-        q = _solve_side(ratings, item_col, user_col, p)
+        # localCheckpoint(eager) truncates the lineage after each
+        # half-step: without it, step t re-runs every prior Arrow
+        # stage (exponential re-execution), and the final factor
+        # tables would drag four nested Python stages into every
+        # downstream join
+        p = _solve_side(ratings, user_col, item_col, q).localCheckpoint(eager=True)
+        q = _solve_side(ratings, item_col, user_col, p).localCheckpoint(eager=True)
     return p, q
 
 
-def als_rmse(ratings: DataFrame, p: dict, q: dict, user_col: str, item_col: str) -> float:
-    """Training RMSE, computed exactly enough to pin: per-row squared
-    error in plain Python floats (deterministic), summed in sorted
-    (user, item) order on the driver — the ratings sample this runs on
-    is the grouped-aggregate table, already bounded (n_users ×
-    n_items), not the raw event log."""
-    rows = ratings.select(user_col, item_col, "rating").collect()
-    rows.sort(key=lambda r: (r[0], r[1]))
-    se = 0.0
-    for u, i, r in rows:
-        pu, qi = p[int(u)], q[int(i)]
-        pred = sum(pu[f] * qi[f] for f in range(_K))
-        se += (float(r) - pred) ** 2
-    return (se / len(rows)) ** 0.5
+def als_squared_error(
+    ratings: DataFrame, p: DataFrame, q: DataFrame, user_col: str, item_col: str
+) -> DataFrame:
+    """Distributed training squared error: join the factor tables back
+    onto the ratings (AQE broadcasts while small), form the residual
+    with a fixed-order dot product, and quantize each row's squared
+    error to integer micro-units so the sum is order-free exact — the
+    same floor(x·1e6+0.5) BIGINT trick ml_logreg_gd uses. Returns a
+    one-row DataFrame (se_micro BIGINT, n BIGINT); RMSE =
+    sqrt((se_micro/1e6)/n). No driver round-trip: at 100 TB the
+    ratings never leave the cluster."""
+    pj = p.select(user_col, *[F.col(c).alias(f"p{c}") for c in _FCOLS])
+    qj = q.select(item_col, *[F.col(c).alias(f"q{c}") for c in _FCOLS])
+    # left-assoc sum matches Python's sum() accumulation order
+    pred = (
+        F.col("pf0") * F.col("qf0")
+        + F.col("pf1") * F.col("qf1")
+        + F.col("pf2") * F.col("qf2")
+        + F.col("pf3") * F.col("qf3")
+    )
+    err = F.col("rating") - pred
+    return (
+        ratings.select(user_col, item_col, "rating")
+        .join(pj, user_col)
+        .join(qj, item_col)
+        .select(F.floor(err * err * 1e6 + F.lit(0.5)).cast("long").alias("se_q"))
+        .agg(F.sum("se_q").alias("se_micro"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def als_rmse(
+    ratings: DataFrame, p: DataFrame, q: DataFrame, user_col: str, item_col: str
+) -> float:
+    """Scalar convenience wrapper over ``als_squared_error`` — the only
+    collect is the one-row aggregate."""
+    row = als_squared_error(ratings, p, q, user_col, item_col).first()
+    return ((row["se_micro"] / 1e6) / row["n"]) ** 0.5

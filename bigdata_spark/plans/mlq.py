@@ -1132,15 +1132,17 @@ def ml_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rating = exact-decimal mean event value. Two full alternations,
     rank 4: each half-step is an ``applyInPandas`` solve of one 4×4
     normal-equation system per entity with the opposite factor table
-    broadcast — the canonical distributed-ALS shape (ratings-parallel
-    work, entity×k factor tables moving between steps). All arithmetic
-    is BLAS-free and sorted-order deterministic, so the output pins as
-    a per-SF value oracle. Emits the top recommended UNSEEN item for
-    the 8 lowest user ids plus a summary row (user_id=-1) carrying the
-    training RMSE. At 100 TB the final scoring step becomes the ANN
-    problem sim_topk_* already covers; here the 8-user sample scores
-    driver-side against the bounded item table."""
-    from ..ml.als import _K, als_rmse, als_train
+    JOINED in — the canonical distributed-ALS shape (ratings-parallel
+    work, entity×k factor DataFrames moving between steps, never
+    through the driver). All arithmetic is BLAS-free and
+    sorted-order deterministic, so the output pins as a per-SF value
+    oracle. Emits the top recommended UNSEEN item for the 8 lowest
+    user ids plus a summary row (user_id=-1) carrying the training
+    RMSE. Every stage is cluster-side at 100 TB shape: RMSE is a
+    factor-join + order-free quantized-error aggregate, "unseen" is a
+    left-anti join against the sampled users' histories, and top-1 is
+    a per-user window — no ratings-sized collect anywhere."""
+    from ..ml.als import als_squared_error, als_train
 
     e = load_table(spark, sf_dir, "events")
     ratings = (
@@ -1155,7 +1157,8 @@ def ml_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # center on the exact-decimal global mean (the usual bias term):
     # factors then model residuals and unseen-item scores stay on the
-    # rating scale instead of extrapolating past it
+    # rating scale instead of extrapolating past it; the one-row agg
+    # first() is the only driver value in the whole query
     mu_row = ratings.agg(
         (F.sum(F.col("rating").cast("decimal(28,10)")).cast("double") / F.count(F.lit(1))).alias("mu")
     ).first()
@@ -1172,30 +1175,54 @@ def ml_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get(part_key)
     spark.conf.set(part_key, "8")
     try:
-        p, q = als_train(centered, n_iter=2)
-        rmse = als_rmse(centered, p, q, "user_id", "item_id")
-        seen = {
-            (int(r[0]), int(r[1]))
-            for r in centered.select("user_id", "item_id").collect()
-        }
+        p, q = als_train(centered, n_iter=2)  # localCheckpointed factor DFs
+        # distributed RMSE: join factors back, quantize per-row squared
+        # error to BIGINT micro-units (order-free exact sum)
+        summary = als_squared_error(centered, p, q, "user_id", "item_id").select(
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(-1).cast("long").alias("rec_item"),
+            F.round(F.sqrt((F.col("se_micro") / 1e6) / F.col("n")), 6).alias("score"),
+        )
+        # recommend for the 8 lowest user ids: candidates = users × all
+        # items, minus the seen pairs (left-anti against ONLY those
+        # users' histories — bounded however large the full log is),
+        # top-1 per user by (score desc, item asc) window
+        users8 = p.orderBy("user_id").limit(8)
+        seen8 = centered.join(users8.select("user_id"), "user_id").select(
+            "user_id", "item_id"
+        )
+        pu = users8.select("user_id", *[F.col(f"f{i}").alias(f"pf{i}") for i in range(4)])
+        qi = q.select("item_id", *[F.col(f"f{i}").alias(f"qf{i}") for i in range(4)])
+        score = F.lit(mu) + (
+            F.col("pf0") * F.col("qf0")
+            + F.col("pf1") * F.col("qf1")
+            + F.col("pf2") * F.col("qf2")
+            + F.col("pf3") * F.col("qf3")
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("item_id"))
+        recs = (
+            pu.crossJoin(qi)
+            .join(seen8, ["user_id", "item_id"], "left_anti")
+            .withColumn("score", score)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "user_id",
+                F.col("item_id").alias("rec_item"),
+                F.round("score", 6).alias("score"),
+            )
+        )
+        out = summary.unionAll(recs).orderBy("user_id")
     finally:
         spark.conf.set(part_key, prev_parts)
+        # the training (the expensive part) is frozen inside the
+        # localCheckpointed factor tables; the returned plan re-derives
+        # only the small ratings aggregate, so releasing the cache here
+        # costs one extra events scan and leaves nothing pinned behind
         centered.unpersist()
-    sample_users = sorted(p)[:8]
-    out = []
-    for u in sample_users:
-        best = max(
-            (
-                (mu + sum(p[u][f] * q[i][f] for f in range(_K)), -i, i)
-                for i in q
-                if (u, i) not in seen
-            ),
-        )
-        out.append((u, best[2], round(best[0], 6)))
-    out.append((-1, -1, round(rmse, 6)))
-    return spark.createDataFrame(
-        sorted(out), "user_id long, rec_item long, score double"
-    )
+    return out
 
 
 ML_ALS_SQL = keyed_values_oracle(

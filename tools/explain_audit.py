@@ -117,7 +117,11 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("exact decimal category sums", r"partial_sum\(v"),
     ],
     "ml_als_factorize": [
-        ("result is the reduced driver table (bucketed applyInPandas solves)", r"Scan ExistingRDD"),
+        ("RMSE is a factor-join + order-free quantized agg (no driver loop)", r"partial_sum\(se_q"),
+        ("unseen = left-anti join against sampled users' histories", r"LeftAnti"),
+        ("top-1 per user is a group limit, not a full sort", r"WindowGroupLimit"),
+        ("events scan pruned to the 3 rating columns", r"ReadSchema: struct<user_id:bigint,value:double,props:string>"),
+        ("factor tables enter as checkpointed RDDs (training frozen, not re-run)", r"Scan ExistingRDD"),
     ],
     "ml_pca_embeddings": [
         # the data-proportional work is one Arrow-batched map + a
