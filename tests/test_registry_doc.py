@@ -12,6 +12,32 @@ import re
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_readme_covers_every_registry_query():
+    """README coverage-map drift check (the r5/r6 rot class): every
+    live registry query must be mentioned by name somewhere in
+    README.md, and no query-count claim in the prose may disagree with
+    the live registry size."""
+    from bigdata_spark.plans import all_queries
+
+    with open(os.path.join(ROOT, "README.md")) as f:
+        text = f.read()
+    live = set(all_queries())
+    ticked = set(re.findall(r"`([a-z0-9_]+)`", text))
+    missing = sorted(live - ticked)
+    assert not missing, (
+        f"README.md coverage map is missing registry queries: {missing}; "
+        "add a coverage-map row for each"
+    )
+    claims = re.findall(r"(\d+)-query registry", text) + re.findall(
+        r"registry \((\d+) queries", text
+    )
+    for claim in claims:
+        assert int(claim) == len(live), (
+            f"README.md claims a {claim}-query registry but the live "
+            f"registry has {len(live)} — update the stale count"
+        )
+
+
 def test_registry_md_matches_live_registry():
     from bigdata_spark.plans import all_queries
 
