@@ -27,7 +27,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # silently skip the benchmark; exclusions are explicit and justified.
 # (dedup_ngram_jaccard left the list once its default bucketing became
 # lossless length-banding — the self-join is sub-quadratic now.)
-EXCLUDED: dict[str, str] = {}
+#
+# The column-adapted TPC-H twins (round-1/2 variants written before the
+# true-spec derived-column suite landed) stay in the REGISTRY — the
+# correctness gate still runs all of them — but are excluded from the
+# bench: each duplicates the plan shape of its true-shape sibling in
+# plans/tpch_full.py / tpch_ext.py, so timing both spends ~10 s of warm
+# bench re-measuring identical physical plans (VERDICT r5/r6 #6).
+_ADAPTED_REASON = "gate-only: duplicates the true-shape TPC-H plan"
+EXCLUDED: dict[str, str] = {
+    name: _ADAPTED_REASON
+    for name in (
+        "tpch_q2_adapted",
+        "tpch_q4_adapted",
+        "tpch_q9_adapted",
+        "tpch_q11_adapted",
+        "tpch_q12_adapted",
+        "tpch_q13_adapted",
+        "tpch_q16_adapted",
+        "tpch_q20_adapted",
+        "tpch_q21_adapted",
+        "tpch_q22_adapted",
+    )
+}
 
 
 def main() -> None:

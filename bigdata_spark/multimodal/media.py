@@ -366,6 +366,62 @@ def decode_sampled_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def decode_frame_lumas(df: DataFrame) -> DataFrame:
+    """EVERY frame's mean luminance, one row per (media_id, frame_ix):
+    parse the mp4 sample table, MJPEG-decode each sample, reduce the
+    pixels to one float64 mean-gray inside the Arrow batch. This is the
+    decode kernel under scene-cut detection — only (id, ix, ts, one
+    scalar) ever leaves the Python worker, so a 100 TB video corpus
+    shuffles frame COUNTS of data, not pixels. Non-decodable codecs
+    yield no rows (a cut detector has nothing to say without pixels)."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_ix", IntegerType(), False),
+            StructField("frame_ts_ms", LongType(), False),
+            StructField("mean_gray", DoubleType(), False),
+        ]
+    )
+
+    def luma_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg
+        from .mp4 import parse_mp4
+
+        for pdf in batches:
+            rows = []
+            for mid, payload, fmt in zip(
+                pdf["media_id"], pdf["payload"], pdf["format"]
+            ):
+                if payload is None or fmt != "mp4":
+                    continue
+                try:
+                    info = parse_mp4(bytes(payload))
+                except ValueError:
+                    continue
+                if info["codec"] != "jpeg":
+                    continue
+                for ix, (off, size, ts) in enumerate(info["samples"]):
+                    pix = decode_jpeg(bytes(payload[off : off + size]))
+                    g = (pix.astype(np.float64) / 255.0).mean()
+                    rows.append((int(mid), ix, int(ts), float(g)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_ix", "frame_ts_ms", "mean_gray"]
+            ).astype(
+                {
+                    "media_id": "int64",
+                    "frame_ix": "int32",
+                    "frame_ts_ms": "int64",
+                    "mean_gray": "float64",
+                }
+            )
+
+    return (
+        df.filter(F.col("meta.kind") == "video")
+        .select("media_id", "payload", F.col("meta.format").alias("format"))
+        .mapInPandas(luma_batches, out_schema)
+    )
+
+
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table for tests/queries (no binary
     fixtures ship with the testdata). Image rows cycle REAL binary

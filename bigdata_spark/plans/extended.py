@@ -991,7 +991,131 @@ FROM est ORDER BY true_cnt DESC, user_id ASC
 APPROX_CMS_SQL = _cms_sql()
 
 
+# ---------------------------------------------------------------------------
+# approx_hll_portable — explicit-register HyperLogLog, engine-exact
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8  # 2^8 = 256 registers
+_HLL_M = 1 << _HLL_P
+_HLL_SEED = 7
+# w carries the 52 hash bits above the bucket; 2^52-scaled harmonic sum
+# stays exact in BIGINT (≤ m·2^53 < 2^62)
+_HLL_WBITS = 52
+# alpha_m · m² · 2^(wbits+1), folded to ONE double literal in Python and
+# embedded via repr in BOTH engines — no DECIMAL-literal parsing trap,
+# no cross-engine expression-order risk (memory: bare fractional
+# literals parse as DECIMAL in both engines)
+_HLL_CONST = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * float(
+    1 << (_HLL_WBITS + 1)
+)
+
+
+def approx_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user cardinality via an EXPLICIT
+    HyperLogLog register file — the storable, mergeable sketch
+    (approx_sketches covers the opaque built-in HLL++; this one builds
+    the registers themselves, the thing a 100 TB pipeline persists per
+    partition and ORs together at read time).
+
+    Construction is two map-side-combinable aggregations: the portable
+    md5 hash splits into an 8-bit bucket and 52 rank bits; ``rho`` =
+    leading-zero count + 1 comes from ``length(bin(w))`` (identical
+    minimal-width semantics in Spark and DuckDB); registers are
+    ``max(rho)`` per (key, bucket); the harmonic sum Σ2^-rho is scaled
+    by 2^53 into an exact BIGINT (empty registers contribute 2^53
+    each), so every value — including the float estimate, one shared
+    literal constant divided by the exact integer sum — is
+    bit-identical in the DuckDB oracle. No small-range linear-counting
+    correction: it needs ln(), whose libm rounding is not a
+    cross-engine contract; the raw estimate plus the empty-register
+    count keeps the oracle exact and the correction derivable."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = _bloom_hash_spark("user_id", _HLL_SEED)
+    hashed = ev.select(
+        "event_type",
+        F.expr(f"({h}) % {_HLL_M}").alias("bucket"),
+        F.expr(f"({h}) div {_HLL_M}").alias("w"),
+    )
+    regs = hashed.groupBy("event_type", "bucket").agg(
+        F.expr(
+            f"MAX(CASE WHEN w = 0 THEN {_HLL_WBITS + 1} "
+            f"ELSE {_HLL_WBITS + 1} - length(bin(w)) END)"
+        ).alias("rho")
+    )
+    per = regs.groupBy("event_type").agg(
+        F.count("*").alias("n_regs"),
+        F.expr(f"SUM(shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - rho))").alias(
+            "s_present"
+        ),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_nd")
+    )
+    empty_unit = 1 << (_HLL_WBITS + 1)
+    out = (
+        per.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_nd",
+            (F.lit(_HLL_M) - F.col("n_regs")).cast("long").alias("n_empty_regs"),
+            (
+                F.col("s_present")
+                + (F.lit(_HLL_M) - F.col("n_regs")) * F.lit(empty_unit)
+            ).alias("s_total"),
+        )
+        .withColumn(
+            "hll_est",
+            F.expr(f"CAST('{_HLL_CONST!r}' AS DOUBLE) / CAST(s_total AS DOUBLE)"),
+        )
+        .withColumn(
+            "rel_err",
+            (F.col("hll_est") - F.col("exact_nd").cast("double"))
+            / F.col("exact_nd").cast("double"),
+        )
+        .orderBy("event_type")
+    )
+    return out
+
+
+def _hll_sql() -> str:
+    from .dedupq import _duck_hash
+
+    h = _duck_hash("user_id", str(_HLL_SEED))
+    empty_unit = 1 << (_HLL_WBITS + 1)
+    return f"""
+WITH hashed AS (
+  SELECT event_type, ({h}) % {_HLL_M} AS bucket, ({h}) // {_HLL_M} AS w
+  FROM events
+), regs AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+             ELSE {_HLL_WBITS + 1} - length(bin(w)) END) AS rho
+  FROM hashed GROUP BY 1, 2
+), per AS (
+  SELECT event_type, COUNT(*) AS n_regs,
+         SUM(1::BIGINT << ({_HLL_WBITS + 1} - rho)) AS s_present
+  FROM regs GROUP BY 1
+), exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_nd FROM events GROUP BY 1
+), joined AS (
+  SELECT p.event_type, exact_nd,
+         CAST({_HLL_M} - n_regs AS BIGINT) AS n_empty_regs,
+         CAST(s_present + ({_HLL_M} - n_regs) * {empty_unit} AS BIGINT) AS s_total
+  FROM per p JOIN exact e ON p.event_type = e.event_type
+)
+SELECT event_type, exact_nd, n_empty_regs, s_total,
+       CAST('{_HLL_CONST!r}' AS DOUBLE) / CAST(s_total AS DOUBLE) AS hll_est,
+       (CAST('{_HLL_CONST!r}' AS DOUBLE) / CAST(s_total AS DOUBLE)
+        - CAST(exact_nd AS DOUBLE)) / CAST(exact_nd AS DOUBLE) AS rel_err
+FROM joined ORDER BY event_type
+"""
+
+
+APPROX_HLL_SQL = _hll_sql()
+
+
 QUERIES = {
+    "approx_hll_portable": (approx_hll_portable, APPROX_HLL_SQL),
     "f10_map_in_arrow": (f10_map_in_arrow, F10_ARROW_SQL),
     "f11_cogroup_reconcile": (f11_cogroup_reconcile, F11_COGROUP_SQL),
     "approx_bloom_semijoin": (approx_bloom_semijoin, APPROX_BLOOM_SQL),

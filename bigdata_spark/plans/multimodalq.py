@@ -329,8 +329,66 @@ MM_MP4_FRAMES_SQL = values_oracle(
 )
 
 
+_SCENE_CUT_THRESHOLD = 0.10  # mean-gray jump (0..1 scale) that counts as a cut
+
+
+def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection — the shot-boundary kernel a video
+    training-data pipeline runs before sampling clips: decode EVERY
+    frame's mean luminance inside Arrow batches
+    (multimodal/media.decode_frame_lumas; only one scalar per frame
+    leaves the worker), then flag a cut wherever the luma jumps by
+    more than _SCENE_CUT_THRESHOLD between consecutive frames (lag
+    window per video, ordered by frame index). The synthetic MJPEG
+    clips drift their channel patterns per frame mod 256, so wraps
+    produce genuine sparse cuts on a slowly-varying background —
+    deterministic, so the per-video census (frame count, cut count,
+    first cut, total absolute luma motion) pins as a literal oracle.
+    At 100 TB the shape holds: pixels never shuffle, the window is
+    per-video, and cuts-per-video is the natural pre-aggregation."""
+    from pyspark.sql import Window
+
+    from ..multimodal.media import decode_frame_lumas
+
+    media = synthetic_media_df(spark, n=64)
+    lumas = decode_frame_lumas(media)
+    w = Window.partitionBy("media_id").orderBy("frame_ix")
+    d = lumas.withColumn(
+        "delta", F.col("mean_gray") - F.lag("mean_gray").over(w)
+    ).withColumn(
+        "is_cut", F.abs("delta") > _SCENE_CUT_THRESHOLD
+    )
+    return d.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.col("is_cut").cast("long")).alias("n_cuts"),
+        # -1 = no cut (NULL would break the literal-VALUES oracle render)
+        F.coalesce(
+            F.min(F.when(F.col("is_cut"), F.col("frame_ix"))).cast("long"), F.lit(-1)
+        ).alias("first_cut_ix"),
+        # per-frame |delta| quantized to nano-units so the distributed
+        # sum is order-free exact (the ml_logreg_gd BIGINT trick) —
+        # no dependence on partition merge order
+        (
+            F.sum(F.floor(F.abs("delta") * 1e9 + F.lit(0.5)).cast("long")) / 1e9
+        ).alias("sum_abs_delta"),
+    )
+
+
+MM_SCENE_CUT_SQL = values_oracle(
+    "mm_scene_cut",
+    [
+        ("media_id", "bigint"),
+        ("n_frames", "bigint"),
+        ("n_cuts", "bigint"),
+        ("first_cut_ix", "bigint"),
+        ("sum_abs_delta", "double"),
+    ],
+)
+
+
 QUERIES = {
     "mm_decode_invariants": (mm_decode_invariants, MM_DECODE_SQL),
+    "mm_scene_cut": (mm_scene_cut, MM_SCENE_CUT_SQL),
     "mm_mp4_frames": (mm_mp4_frames, MM_MP4_FRAMES_SQL),
     "mm_phash_dedup": (mm_phash_dedup, MM_PHASH_SQL),
     "mm_resize_invariants": (mm_resize_invariants, MM_RESIZE_SQL),

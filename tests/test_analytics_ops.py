@@ -359,3 +359,17 @@ def test_percentile_cont_matches_numpy(spark):
         for q, col in ((25, "p25"), (50, "p50"), (75, "p75")):
             exp = float(np.percentile(vals, q, method="linear"))
             assert abs(got[g][col] - exp) < 1e-6, (g, col)
+
+
+def test_hll_portable_estimates_within_bound(spark):
+    # 256-register HLL has relative error ~1.04/sqrt(256) = 6.5%; allow
+    # 3 sigma. Also check the register-file invariants the oracle pins.
+    from bigdata_spark.plans.extended import _HLL_M, approx_hll_portable
+
+    rows = approx_hll_portable(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_empty_regs"] <= _HLL_M
+        assert r["s_total"] > 0
+        if r["exact_nd"] >= 500:  # asymptotic regime only
+            assert abs(r["rel_err"]) < 0.20

@@ -258,3 +258,48 @@ def test_decode_sampled_frames_real_pixels(spark):
     # 500 ms sampling → 2·(1+id%5) frames
     for mid, rs in by_media.items():
         assert len(rs) == 2 * (1 + mid % 5)
+
+
+def test_scene_cut_matches_numpy_reference(spark):
+    # first-principles check: recompute one video's per-frame mean
+    # luma straight from the synthetic frame formulas and reproduce
+    # the cut census the query reports for that media_id
+    import numpy as np
+
+    from bigdata_spark.plans.multimodalq import _SCENE_CUT_THRESHOLD, mm_scene_cut
+
+    out = {r["media_id"]: r for r in mm_scene_cut(spark, "unused").collect()}
+    i = 14  # video row: kind index 2 mod 3, n_frames = 4*(1 + i%5) = 20
+    h, w = 32, 48
+    lumas = []
+    for k in range(4 * (1 + i % 5)):
+        yy, xx = np.mgrid[0:h, 0:w]
+        frame = np.stack(
+            [
+                ((xx * 5 + k * 20 + i) % 256).astype(np.uint8),
+                ((yy * 7 + k * 11) % 256).astype(np.uint8),
+                np.full((h, w), (i * 3 + k * 40) % 256, dtype=np.uint8),
+            ],
+            axis=2,
+        )
+        lumas.append((frame.astype(np.float64) / 255.0).mean())
+    # JPEG encode/decode at q85 shifts each frame's luma slightly; the
+    # query decodes real JPEG bytes, so compare the CUT STRUCTURE (a
+    # 0.10 threshold dwarfs per-frame codec error) rather than raw sums
+    deltas = np.abs(np.diff(lumas))
+    expected_cuts = int((deltas > _SCENE_CUT_THRESHOLD).sum())
+    r = out[i]
+    assert r["n_frames"] == len(lumas)
+    assert r["n_cuts"] == expected_cuts
+    assert r["first_cut_ix"] == int(np.argmax(deltas > _SCENE_CUT_THRESHOLD)) + 1
+
+
+def test_scene_cut_covers_all_videos(spark):
+    from bigdata_spark.plans.multimodalq import mm_scene_cut
+
+    rows = mm_scene_cut(spark, "unused").collect()
+    assert len(rows) == 21  # 64 media rows -> ids ≡ 2 (mod 3)
+    for r in rows:
+        assert r["n_frames"] == 4 * (1 + r["media_id"] % 5)
+        assert 0 <= r["n_cuts"] < r["n_frames"]
+        assert (r["first_cut_ix"] == -1) == (r["n_cuts"] == 0)

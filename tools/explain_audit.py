@@ -116,6 +116,17 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("category stats broadcast (facts never shuffle)", r"BroadcastHashJoin"),
         ("exact decimal category sums", r"partial_sum\(v"),
     ],
+    "approx_hll_portable": [
+        ("events scan pruned to 2 cols", r"ReadSchema: struct<user_id:bigint,event_type:string>"),
+        ("registers map-side combine (partial max rho)", r"partial_max\("),
+        ("harmonic sum map-side combine", r"partial_sum\("),
+        ("no Python evaluation (native md5/bin expressions)", r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
+    "mm_scene_cut": [
+        ("pixels decode inside Arrow batches (only scalars shuffle)", r"MapInPandas"),
+        ("cut detection is a per-video lag window", r"Window"),
+        ("per-video census map-side combines", r"partial_sum\("),
+    ],
     "ml_als_factorize": [
         ("RMSE is a factor-join + order-free quantized agg (no driver loop)", r"partial_sum\(se_q"),
         ("unseen = left-anti join against sampled users' histories", r"LeftAnti"),
