@@ -262,6 +262,7 @@ def pagerank_fixed_point(
     scale: int = 1_000_000_000_000,
     damping_num: int = 17,
     damping_den: int = 20,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank in FIXED-POINT integer arithmetic — every
     engine (and every partitioning) produces the bit-identical result,
@@ -284,11 +285,36 @@ def pagerank_fixed_point(
     lineage so 10 rounds don't compound into one mega-plan. Overflow
     regime: mass·num ≤ scale·num and the per-edge product stays under
     2^63 for edge weights up to ~10^5 at this scale; shrink ``scale``
-    or move to DECIMAL(38,0) beyond that."""
+    or move to DECIMAL(38,0) beyond that.
+
+    ``seeds`` switches the teleport to PERSONALIZED PageRank: the
+    restart mass (and the initial mass) lands only on the seed nodes,
+    so the fixed point measures proximity TO THE SEED SET instead of
+    global centrality — the recommender/"related items" variant. Same
+    integer arithmetic, same per-round plan; the only change is a
+    per-node base column (seed·base) carried on the node table."""
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     e = edges.join(out_w, "src").localCheckpoint()
     base = scale * (damping_den - damping_num) // damping_den
-    ranks = nodes.select("node", F.lit(scale).cast("long").alias("mass"))
+    if seeds is None:
+        nodes_b = nodes.select("node", F.lit(base).cast("long").alias("base"))
+    else:
+        s = seeds.select("node").distinct().withColumn("_s", F.lit(1))
+        nodes_b = (
+            nodes.join(F.broadcast(s), "node", "left")
+            .select(
+                "node",
+                (F.coalesce("_s", F.lit(0)) * F.lit(base)).cast("long").alias("base"),
+            )
+            .localCheckpoint()
+        )
+    ranks = nodes_b.select(
+        "node",
+        F.when(F.col("base") > 0, F.lit(scale))
+        .otherwise(F.lit(0 if seeds is not None else scale))
+        .cast("long")
+        .alias("mass"),
+    )
     for i in range(iterations):
         contribs = (
             ranks.join(e, ranks.node == e.src)
@@ -301,9 +327,9 @@ def pagerank_fixed_point(
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
+        ranks = nodes_b.join(contribs, "node", "left").select(
             "node",
-            (F.lit(base) + F.coalesce("in_mass", F.lit(0))).alias("mass"),
+            (F.col("base") + F.coalesce("in_mass", F.lit(0))).alias("mass"),
         )
         # truncate lineage every third round (and before returning):
         # per-round EAGER checkpoints cost one scheduler round-trip

@@ -1114,8 +1114,46 @@ FROM joined ORDER BY event_type
 APPROX_HLL_SQL = _hll_sql()
 
 
+# ---------------------------------------------------------------------------
+# j8_lateral_topn — correlated LATERAL subquery join, one SQL text, two engines
+# ---------------------------------------------------------------------------
+
+# Shared verbatim between Spark (native LATERAL, Spark 3.4+/4.x) and
+# the DuckDB oracle: top-2 orders per sampled customer expressed as a
+# correlated per-row subquery with ORDER BY + LIMIT — the SQL-standard
+# spelling of per-group top-N. Spark's optimizer decorrelates this
+# into the same window/group-limit plan w2_group_topk builds by hand,
+# so the entry proves the SURFACE, not a new physical strategy.
+J8_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey,
+       CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+FROM customer c
+CROSS JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_custkey < 20
+ORDER BY c.c_custkey, o_totalprice DESC, t.o_orderkey
+"""
+
+
+def j8_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (top-2 orders per customer): the one
+    per-group-top-N spelling the DataFrame API can't express directly.
+    The SAME SQL text runs on both engines, so the oracle parity is
+    literal. At scale Spark decorrelates the lateral into a windowed
+    group-limit over one shuffle on the join key — identical shape to
+    the hand-built w2_group_topk — rather than executing a per-row
+    subquery, which is the property that makes LATERAL safe at 100 TB."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(J8_LATERAL_SQL)
+
+
 QUERIES = {
     "approx_hll_portable": (approx_hll_portable, APPROX_HLL_SQL),
+    "j8_lateral_topn": (j8_lateral_topn, J8_LATERAL_SQL),
     "f10_map_in_arrow": (f10_map_in_arrow, F10_ARROW_SQL),
     "f11_cogroup_reconcile": (f11_cogroup_reconcile, F11_COGROUP_SQL),
     "approx_bloom_semijoin": (approx_bloom_semijoin, APPROX_BLOOM_SQL),

@@ -104,6 +104,95 @@ ORDER BY p.mass DESC, p.node
 
 GRAPH_PAGERANK_SQL = _pagerank_sql()
 
+
+# ---------------------------------------------------------------------------
+# graph_ppr — personalized PageRank (seed-restart), same fixed-point integers
+# ---------------------------------------------------------------------------
+
+_PPR_REGION = 0  # seed set: the nations of region 0
+
+
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank on the nation trade graph: restart mass
+    lands only on region-0 nations, so the fixed point ranks every
+    nation by trade proximity TO THAT REGION — the "related items"
+    variant recommenders run with an item seed set. Same bit-exact
+    fixed-point integer arithmetic as graph_pagerank (operators/
+    graph.pagerank_fixed_point with ``seeds``), so the unrolled-CTE
+    oracle replays all 10 rounds exactly."""
+    from ..operators.graph import pagerank_fixed_point
+
+    nodes, edges = _trade_edges(spark, sf_dir)
+    n = load_table(spark, sf_dir, "nation")
+    seeds = n.filter(F.col("n_regionkey") == _PPR_REGION).select(
+        F.col("n_nationkey").alias("node")
+    )
+    ranks = pagerank_fixed_point(
+        nodes, edges, iterations=_PR_ITERS, scale=_PR_SCALE,
+        damping_num=_PR_NUM, damping_den=_PR_DEN, seeds=seeds,
+    )
+    return (
+        ranks.join(F.broadcast(n), ranks.node == n.n_nationkey)
+        .select(
+            F.col("node").alias("n_nationkey"),
+            "n_name",
+            (F.col("n_regionkey") == _PPR_REGION).alias("is_seed"),
+            "mass",
+        )
+        .orderBy(F.desc("mass"), "n_nationkey")
+    )
+
+
+def _ppr_sql() -> str:
+    base = _PR_SCALE * (_PR_DEN - _PR_NUM) // _PR_DEN
+    steps = []
+    for i in range(_PR_ITERS):
+        steps.append(
+            f"""pr{i + 1} AS (
+  SELECT n.node,
+         CAST(n.base + COALESCE(SUM(
+           (((p.mass * {_PR_NUM}) // {_PR_DEN}) * e.w) // e.out_w
+         ), 0) AS BIGINT) AS mass
+  FROM nodes_b n
+  LEFT JOIN (edges_w e JOIN pr{i} p ON p.node = e.src) ON e.dst = n.node
+  GROUP BY n.node, n.base
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH nodes_b AS (
+  SELECT n_nationkey AS node,
+         CASE WHEN n_regionkey = {_PPR_REGION}
+              THEN CAST({base} AS BIGINT) ELSE 0 END AS base
+  FROM nation
+),
+edges AS (
+  SELECT c_nationkey AS src, s_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+),
+edges_w AS (
+  SELECT e.*, o.out_w FROM edges e
+  JOIN (SELECT src, SUM(w) AS out_w FROM edges GROUP BY 1) o USING (src)
+),
+pr0 AS (
+  SELECT node, CAST(CASE WHEN base > 0 THEN {_PR_SCALE} ELSE 0 END AS BIGINT)
+         AS mass
+  FROM nodes_b
+),
+{chain}
+SELECT p.node AS n_nationkey, n.n_name,
+       n.n_regionkey = {_PPR_REGION} AS is_seed, p.mass
+FROM pr{_PR_ITERS} p JOIN nation n ON p.node = n.n_nationkey
+ORDER BY p.mass DESC, p.node
+"""
+
+
+GRAPH_PPR_SQL = _ppr_sql()
+
 # ---------------------------------------------------------------------------
 # Market-basket co-purchase graph: frequent pairs + triangle census
 # ---------------------------------------------------------------------------
@@ -843,6 +932,7 @@ ORDER BY component
 
 QUERIES = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
+    "graph_ppr": (graph_ppr, GRAPH_PPR_SQL),
     "graph_cc_distributed": (graph_cc_distributed, GRAPH_CC_DIST_SQL),
     "mb_frequent_pairs": (mb_frequent_pairs, MB_PAIRS_SQL),
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),

@@ -1348,8 +1348,58 @@ ORDER BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# s33_recursive_cte — Spark 4 native WITH RECURSIVE, one SQL text, two engines
+# ---------------------------------------------------------------------------
+
+# The ONE recursive SQL text both engines execute verbatim (Spark 4.1
+# runs WITH RECURSIVE natively — iterative closure without a driver
+# loop; DuckDB runs the identical string as the oracle). The supplier
+# set forms an implicit 3-ary tree (parent(s) = (s-1) div 3, root 0);
+# the recursion walks it root-down and the outer query reports a
+# per-depth census. Integer parent arithmetic avoids `div`-operator
+# dialect drift: (x - x%3)/3 is an exact small-integer division in
+# DOUBLE in both engines before the BIGINT cast.
+S33_RECURSIVE_SQL = """
+WITH RECURSIVE walk(s_suppkey, depth) AS (
+  SELECT s_suppkey, 0 AS depth FROM supplier WHERE s_suppkey = 0
+  UNION ALL
+  SELECT s.s_suppkey, w.depth + 1
+  FROM supplier s JOIN walk w
+    ON CAST(((s.s_suppkey - 1) - ((s.s_suppkey - 1) % 3)) / 3 AS BIGINT)
+       = w.s_suppkey
+   AND s.s_suppkey > 0
+)
+SELECT w.depth,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       MIN(w.s_suppkey) AS min_key,
+       MAX(w.s_suppkey) AS max_key,
+       CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM walk w JOIN supplier s ON w.s_suppkey = s.s_suppkey
+GROUP BY w.depth
+ORDER BY w.depth
+"""
+
+
+def s33_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``WITH RECURSIVE`` (new in Spark 4): the 3-ary supplier
+    tree walks root-down entirely inside the SQL engine — no driver
+    loop, no localCheckpoint bookkeeping — and the per-depth census
+    (count, key range, exact-decimal balance sum) comes from the SAME
+    SQL text DuckDB executes as the oracle, so the parity check is
+    literal. Complements hier_rollup_closure (which builds the closure
+    by hand with recursive doubling for engines/versions without
+    native recursion) — this entry proves the engine-native path.
+    Scale note: each recursion level is one distributed join against
+    the full table, exactly what the hand-rolled loop would run; depth
+    is log3(n), so a 10^9-supplier tree is ~19 levels."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(S33_RECURSIVE_SQL)
+
+
 QUERIES = {
     "s23_merge_into": (s23_merge_into, S23_MERGE_SQL),
+    "s33_recursive_cte": (s33_recursive_cte, S33_RECURSIVE_SQL),
     "s32_bucketed_smb_join": (s32_bucketed_smb_join, S32_BUCKETED_SQL),
     "s26_binaryfile_source": (s26_binaryfile_source, S26_BINARYFILE_SQL),
     "sql_params_api": (sql_params_api, SQL_PARAMS_SQL),

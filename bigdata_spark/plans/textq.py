@@ -1558,7 +1558,129 @@ FROM bucketed GROUP BY bucket ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# llm_cdc_chunk_dedup — content-defined chunking dedup (rsync/LBFS trick)
+# ---------------------------------------------------------------------------
+
+_CDC_DIV = 4  # boundary where hash(word) % _CDC_DIV == 0 -> mean chunk ~4 words
+_CDC_BOUNDARY_SEED = 5
+_CDC_CHUNK_SEED = 6
+
+
+def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup — the rsync/LBFS boundary trick a
+    training-data pipeline uses to catch SHIFTED duplication that
+    fixed windows miss: chunk boundaries fall where the portable hash
+    of a token lands in a residue class, so inserting a sentence only
+    perturbs the chunks it touches and every other chunk still hashes
+    identically. Pipeline: tokenize (posexplode), flag boundary
+    tokens, cumulative-sum the flags per doc (one window on doc_id)
+    into chunk ids, reassemble each chunk's text natively
+    (array_sort + array_join over collected (pos, word) structs — no
+    UDF), hash chunks, then census per source: how many chunk
+    instances recur in 2+ documents. Every count is exact and the
+    DuckDB oracle rebuilds the identical chunks (same md5 hash, same
+    split), so dup fractions match bit-for-bit. Scale shape: one
+    shuffle on doc_id for the window, one on (doc, chunk) to
+    reassemble, one on chunk-hash for the census — all key-partitioned
+    and combine-friendly; the 100 TB variant swaps the word-grain
+    rolling hash for a byte-grain Rabin fingerprint in mapInPandas
+    with the same downstream plan."""
+    from ..functions.hashing import portable_hash64
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"),
+    )
+    b = toks.withColumn(
+        "bflag",
+        (portable_hash64("word", _CDC_BOUNDARY_SEED) % _CDC_DIV == 0).cast("int"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = b.withColumn("chunk_id", F.sum("bflag").over(w))
+    chunks = chunked.groupBy("doc_id", "source", "chunk_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("chunk_text")
+    )
+    hashed = chunks.select(
+        "doc_id", "source", portable_hash64("chunk_text", _CDC_CHUNK_SEED).alias("chash")
+    )
+    stats = hashed.groupBy("chash").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    return (
+        hashed.join(stats, "chash")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("ndocs") >= 2).cast("long")).alias("n_dup_instances"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("n_dup_instances").cast("double") / F.col("n_chunks").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+def _cdc_sql() -> str:
+    from .dedupq import _duck_hash
+
+    bh = _duck_hash("word", str(_CDC_BOUNDARY_SEED))
+    ch = _duck_hash("chunk_text", str(_CDC_CHUNK_SEED))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         UNNEST(list_transform(string_split(text, ' '),
+                (w0, i) -> struct_pack(word := w0, pos := i))) AS u
+  FROM documents
+), words AS (
+  SELECT doc_id, source, u.pos AS pos, u.word AS word FROM toks
+), flagged AS (
+  SELECT *, CASE WHEN ({bh}) % {_CDC_DIV} = 0 THEN 1 ELSE 0 END AS bflag
+  FROM words
+), chunked AS (
+  SELECT doc_id, source, pos, word,
+         SUM(bflag) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+  FROM flagged
+), chunks AS (
+  SELECT doc_id, source, chunk_id,
+         string_agg(word, ' ' ORDER BY pos) AS chunk_text
+  FROM chunked GROUP BY 1, 2, 3
+), hashed AS (
+  SELECT doc_id, source, ({ch}) AS chash FROM chunks
+), stats AS (
+  SELECT chash, COUNT(DISTINCT doc_id) AS ndocs FROM hashed GROUP BY 1
+)
+SELECT source,
+       CAST(COUNT(DISTINCT h.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_instances,
+       CAST(SUM(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+FROM hashed h JOIN stats s ON h.chash = s.chash
+GROUP BY source ORDER BY source
+"""
+
+
+LLM_CDC_SQL = _cdc_sql()
+
+
 QUERIES = {
+    "llm_cdc_chunk_dedup": (llm_cdc_chunk_dedup, LLM_CDC_SQL),
     "llm_url_dedup": (llm_url_dedup, LLM_URL_DEDUP_SQL),
     "llm_perplexity_buckets": (llm_perplexity_buckets, LLM_PPL_SQL),
     "txt_collocations": (txt_collocations, TXT_COLLOC_SQL),

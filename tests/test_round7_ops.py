@@ -1,0 +1,141 @@
+"""Round-7 operator additions: native recursive CTE, lateral top-N,
+content-defined chunking dedup, personalized PageRank."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_recursive_cte_walks_full_ternary_tree(spark):
+    from bigdata_spark.plans.scaleq import s33_recursive_cte
+    from bigdata_spark.sources.catalog import load_table
+
+    n_sup = load_table(spark, SF, "supplier").count()
+    rows = {r["depth"]: r for r in s33_recursive_cte(spark, SF).collect()}
+    assert rows[0]["n_nodes"] == 1 and rows[0]["min_key"] == 0
+    # complete 3-ary tree level sizes until the key space runs out
+    remaining = n_sup - 1
+    d = 1
+    while remaining > 0:
+        expect = min(3**d, remaining)
+        assert rows[d]["n_nodes"] == expect
+        remaining -= expect
+        d += 1
+    assert sum(r["n_nodes"] for r in rows.values()) == n_sup
+
+
+def test_lateral_topn_matches_window_formulation(spark):
+    from bigdata_spark.plans.extended import j8_lateral_topn
+    from bigdata_spark.sources.catalog import load_table
+
+    got = sorted(
+        (r["c_custkey"], r["o_orderkey"]) for r in j8_lateral_topn(spark, SF).collect()
+    )
+    from pyspark.sql import Window
+
+    o = load_table(spark, SF, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    ref = sorted(
+        (r["o_custkey"], r["o_orderkey"])
+        for r in o.filter(F.col("o_custkey") < 20)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .collect()
+    )
+    assert got == ref
+
+
+def test_cdc_chunks_reassemble_documents(spark):
+    # chunk boundaries partition the token stream: joining each doc's
+    # chunk texts back in chunk order must reproduce the original text
+    from pyspark.sql import Window
+
+    from bigdata_spark.functions.hashing import portable_hash64
+    from bigdata_spark.plans.textq import _CDC_BOUNDARY_SEED, _CDC_DIV
+    from bigdata_spark.sources.catalog import load_table
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text").limit(20)
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).withColumn(
+        "bflag",
+        (portable_hash64("word", _CDC_BOUNDARY_SEED) % _CDC_DIV == 0).cast("int"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunks = (
+        toks.withColumn("chunk_id", F.sum("bflag").over(w))
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x["word"],
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
+    )
+    rebuilt = chunks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                lambda x: x["chunk_text"],
+            ),
+            " ",
+        ).alias("rebuilt")
+    )
+    joined = d.join(rebuilt, "doc_id")
+    assert joined.filter(F.col("text") != F.col("rebuilt")).count() == 0
+
+
+def test_cdc_dedup_fractions_bounded(spark):
+    from bigdata_spark.plans.textq import llm_cdc_chunk_dedup
+
+    rows = llm_cdc_chunk_dedup(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_dup_instances"] <= r["n_chunks"]
+        assert 0.0 <= r["dup_frac"] <= 1.0
+
+
+def test_ppr_concentrates_mass_on_seeds(spark):
+    # 3-node line a->b->c with seed {a}: after convergence a holds the
+    # restart mass, b gets damped flow from a, c damped flow from b —
+    # strictly decreasing, and a non-seed with no path stays at 0
+    from bigdata_spark.operators.graph import pagerank_fixed_point
+
+    nodes = spark.createDataFrame([(0,), (1,), (2,), (3,)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1)], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    ranks = {
+        r["node"]: r["mass"]
+        for r in pagerank_fixed_point(
+            nodes, edges, iterations=8, scale=10**12, seeds=seeds
+        ).collect()
+    }
+    assert ranks[0] > ranks[1] > ranks[2] > 0
+    assert ranks[3] == 0  # unreachable non-seed gets no teleport, no flow
+
+
+def test_ppr_reduces_to_global_without_seeds(spark):
+    # seeds=None must preserve the original global-pagerank arithmetic
+    from bigdata_spark.operators.graph import pagerank_fixed_point
+
+    nodes = spark.createDataFrame([(0,), (1,)], "node long")
+    edges = spark.createDataFrame([(0, 1, 1), (1, 0, 1)], "src long, dst long, w long")
+    ranks = {
+        r["node"]: r["mass"]
+        for r in pagerank_fixed_point(nodes, edges, iterations=3, scale=1000).collect()
+    }
+    # symmetric 2-cycle: both nodes identical, mass = base + damped echo
+    assert ranks[0] == ranks[1] > 0

@@ -116,6 +116,23 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("category stats broadcast (facts never shuffle)", r"BroadcastHashJoin"),
         ("exact decimal category sums", r"partial_sum\(v"),
     ],
+    "s33_recursive_cte": [
+        ("recursion executes natively (UnionLoop operator, no driver loop)", r"UnionLoop"),
+        ("per-depth census map-side combines", r"partial_sum\("),
+    ],
+    "j8_lateral_topn": [
+        ("lateral decorrelated to a group limit (no per-row subquery)", r"WindowGroupLimit"),
+        ("customer filter pushed to scan", r"PushedFilters: \[.*LessThan\(c_custkey,20\)"),
+    ],
+    "llm_cdc_chunk_dedup": [
+        ("chunk ids from one per-doc window", r"Window"),
+        ("census map-side combines", r"partial_count\("),
+        ("no Python evaluation (native split/hash/array ops)", r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
+    "graph_ppr": [
+        ("seed set broadcast onto the node table", r"BroadcastExchange"),
+        ("no Python evaluation (integer fixed-point expressions)", r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
     "approx_hll_portable": [
         ("events scan pruned to 2 cols", r"ReadSchema: struct<user_id:bigint,event_type:string>"),
         ("registers map-side combine (partial max rho)", r"partial_max\("),
