@@ -1151,8 +1151,110 @@ def j8_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(J8_LATERAL_SQL)
 
 
+def approx_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes HLL worth storing: register files built
+    per PARTITION (here: per event-time day) OR-merge into exactly the
+    register file a single pass over the whole corpus builds — max is
+    associative, so sketch(day₁) ∪ … ∪ sketch(dayₙ) ≡ sketch(corpus).
+    This entry builds both sides and PROVES the equality bucket by
+    bucket (diff count pinned 0), then reports the shared estimate —
+    the 100 TB pattern where each ingest batch persists its registers
+    and readers merge instead of rescanning. Same portable-hash
+    registers as approx_hll_portable, so the DuckDB oracle rebuilds
+    both sides bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    h = _bloom_hash_spark("user_id", _HLL_SEED)
+    rho = (
+        f"CASE WHEN (({h}) div {_HLL_M}) = 0 THEN {_HLL_WBITS + 1} "
+        f"ELSE {_HLL_WBITS + 1} - length(bin(({h}) div {_HLL_M})) END"
+    )
+    hashed = ev.select(
+        "day",
+        F.expr(f"({h}) % {_HLL_M}").alias("bucket"),
+        F.expr(rho).alias("rho"),
+    )
+    per_day = hashed.groupBy("day", "bucket").agg(F.max("rho").alias("rho"))
+    merged = per_day.groupBy("bucket").agg(F.max("rho").alias("rho_m"))
+    direct = hashed.groupBy("bucket").agg(F.max("rho").alias("rho_d"))
+    cmp = merged.join(direct, "bucket", "full_outer").select(
+        F.when(
+            F.col("rho_m").eqNullSafe(F.col("rho_d")), F.lit(0)
+        ).otherwise(F.lit(1)).alias("diff")
+    )
+    empty_unit = 1 << (_HLL_WBITS + 1)
+    summary = direct.agg(
+        F.count("*").alias("n_regs"),
+        F.expr(
+            f"SUM(shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - rho_d))"
+        ).alias("s_present"),
+    ).select(
+        (F.col("s_present") + (F.lit(_HLL_M) - F.col("n_regs")) * F.lit(empty_unit)).alias(
+            "s_total"
+        )
+    )
+    n_days = ev.agg(F.countDistinct("day").alias("n_days"))
+    diffs = cmp.agg(F.sum("diff").cast("long").alias("n_register_diffs"))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_nd"))
+    return (
+        n_days.crossJoin(diffs)
+        .crossJoin(summary)
+        .crossJoin(exact)
+        .select(
+            "n_days",
+            "n_register_diffs",
+            "s_total",
+            "exact_nd",
+            F.expr(
+                f"CAST('{_HLL_CONST!r}' AS DOUBLE) / CAST(s_total AS DOUBLE)"
+            ).alias("hll_est"),
+        )
+    )
+
+
+def _hll_merge_sql() -> str:
+    from .dedupq import _duck_hash
+
+    h = _duck_hash("user_id", str(_HLL_SEED))
+    rho = (
+        f"CASE WHEN (({h}) // {_HLL_M}) = 0 THEN {_HLL_WBITS + 1} "
+        f"ELSE {_HLL_WBITS + 1} - length(bin(({h}) // {_HLL_M})) END"
+    )
+    empty_unit = 1 << (_HLL_WBITS + 1)
+    return f"""
+WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+hashed AS (
+  SELECT day, ({h}) % {_HLL_M} AS bucket, {rho} AS rho FROM ev
+), per_day AS (
+  SELECT day, bucket, MAX(rho) AS rho FROM hashed GROUP BY 1, 2
+), merged AS (
+  SELECT bucket, MAX(rho) AS rho_m FROM per_day GROUP BY 1
+), direct AS (
+  SELECT bucket, MAX(rho) AS rho_d FROM hashed GROUP BY 1
+), cmp AS (
+  SELECT CAST(SUM(CASE WHEN m.rho_m IS NOT DISTINCT FROM d.rho_d
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_register_diffs
+  FROM merged m FULL OUTER JOIN direct d ON m.bucket = d.bucket
+), summary AS (
+  SELECT CAST(SUM(1::BIGINT << ({_HLL_WBITS + 1} - rho_d))
+              + ({_HLL_M} - COUNT(*)) * {empty_unit} AS BIGINT) AS s_total
+  FROM direct
+)
+SELECT (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) FROM ev) AS n_days,
+       n_register_diffs, s_total,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM ev) AS exact_nd,
+       CAST('{_HLL_CONST!r}' AS DOUBLE) / CAST(s_total AS DOUBLE) AS hll_est
+FROM cmp CROSS JOIN summary
+"""
+
+
+APPROX_HLL_MERGE_SQL = _hll_merge_sql()
+
+
 QUERIES = {
     "approx_hll_portable": (approx_hll_portable, APPROX_HLL_SQL),
+    "approx_hll_merge": (approx_hll_merge, APPROX_HLL_MERGE_SQL),
     "j8_lateral_topn": (j8_lateral_topn, J8_LATERAL_SQL),
     "f10_map_in_arrow": (f10_map_in_arrow, F10_ARROW_SQL),
     "f11_cogroup_reconcile": (f11_cogroup_reconcile, F11_COGROUP_SQL),

@@ -426,7 +426,93 @@ FROM counts CROSS JOIN tot ORDER BY d
 DQ_BENFORD_SQL = _benford_sql()
 
 
+# ---------------------------------------------------------------------------
+# dq_embedding_drift — embedding-distribution drift monitor, exact integers
+# ---------------------------------------------------------------------------
+
+_DRIFT_TOPK = 8
+_DRIFT_Q = 1_000_000  # per-element micro-unit quantization
+
+
+def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift — the monitor an LLM-data pipeline
+    points at its vector column when the upstream encoder, corpus mix,
+    or preprocessing changes: split the corpus into a reference and a
+    current cohort (vec_id parity here; in production, before/after a
+    cutover date), compare PER-DIMENSION means, and surface the most
+    drifted dimensions. Exactness trick: each element quantizes to
+    micro-units (floor(x·1e6+0.5) BIGINT) so cohort sums are order-free
+    integers, and the ranking key is the cross-multiplied integer
+    numerator |S_cur·n_ref − S_ref·n_cur| — no float enters until the
+    final per-row means, which are single identical-IEEE divisions in
+    both engines. One posexplode + one 64-group aggregate: at 100 TB
+    this is a single combine-friendly pass over the vectors."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    el = e.select(
+        (F.col("vec_id") % 2).alias("cohort"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    ).select(
+        "cohort", "dim",
+        F.floor(F.col("x") * _DRIFT_Q + F.lit(0.5)).cast("long").alias("q"),
+    )
+    per_dim = el.groupBy("dim").agg(
+        F.sum(F.when(F.col("cohort") == 0, F.col("q"))).alias("s_ref"),
+        F.count(F.when(F.col("cohort") == 0, F.lit(1))).alias("n_ref"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("q"))).alias("s_cur"),
+        F.count(F.when(F.col("cohort") == 1, F.lit(1))).alias("n_cur"),
+    )
+    ranked = per_dim.withColumn(
+        "drift_num",
+        F.abs(F.col("s_cur") * F.col("n_ref") - F.col("s_ref") * F.col("n_cur")),
+    )
+    return (
+        ranked.orderBy(F.desc("drift_num"), F.asc("dim"))
+        .limit(_DRIFT_TOPK)
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            "n_ref",
+            "n_cur",
+            "drift_num",
+            (F.col("s_ref").cast("double") / (F.col("n_ref") * float(_DRIFT_Q))).alias("mean_ref"),
+            (F.col("s_cur").cast("double") / (F.col("n_cur") * float(_DRIFT_Q))).alias("mean_cur"),
+        )
+        .orderBy(F.desc("drift_num"), F.asc("dim"))
+    )
+
+
+DQ_EMB_DRIFT_SQL = f"""
+WITH el AS (
+  SELECT vec_id % 2 AS cohort, u.dim AS dim,
+         CAST(floor(CAST(u.x AS DOUBLE) * {_DRIFT_Q} + 0.5) AS BIGINT) AS q
+  FROM (
+    SELECT vec_id,
+           UNNEST(list_transform(embedding,
+                  (x0, i) -> struct_pack(x := x0, dim := i - 1))) AS u
+    FROM embeddings
+  )
+), per_dim AS (
+  SELECT dim,
+         SUM(CASE WHEN cohort = 0 THEN q END) AS s_ref,
+         COUNT(CASE WHEN cohort = 0 THEN 1 END) AS n_ref,
+         SUM(CASE WHEN cohort = 1 THEN q END) AS s_cur,
+         COUNT(CASE WHEN cohort = 1 THEN 1 END) AS n_cur
+  FROM el GROUP BY 1
+), ranked AS (
+  SELECT *, abs(s_cur * n_ref - s_ref * n_cur) AS drift_num FROM per_dim
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       CAST(drift_num AS BIGINT) AS drift_num,
+       CAST(s_ref AS DOUBLE) / (n_ref * CAST({_DRIFT_Q} AS DOUBLE)) AS mean_ref,
+       CAST(s_cur AS DOUBLE) / (n_cur * CAST({_DRIFT_Q} AS DOUBLE)) AS mean_cur
+FROM ranked
+ORDER BY drift_num DESC, dim ASC
+LIMIT {_DRIFT_TOPK}
+"""
+
+
 QUERIES = {
+    "dq_embedding_drift": (dq_embedding_drift, DQ_EMB_DRIFT_SQL),
     "dq_benford": (dq_benford, DQ_BENFORD_SQL),
     "dq_profile": (dq_profile, DQ_PROFILE_SQL),
     "dq_referential_integrity": (dq_referential_integrity, DQ_REFINT_SQL),

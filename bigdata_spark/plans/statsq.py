@@ -1392,7 +1392,146 @@ FROM p ORDER BY mde_abs
 """
 
 
+# ---------------------------------------------------------------------------
+# stat_permutation_test — randomization test, exact integer comparisons
+# ---------------------------------------------------------------------------
+
+_PERM_B = 64
+_PERM_SEED_SEP = "#"
+
+
+def _perm_hash_spark(b_col: str, id_col: str) -> str:
+    return (
+        f"CAST(conv(substring(md5(concat(CAST({b_col} AS STRING), "
+        f"'{_PERM_SEED_SEP}', CAST({id_col} AS STRING))), 1, 15), 16, 10) "
+        f"AS BIGINT)"
+    )
+
+
+def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample randomization test on click values (cohort = user-id
+    parity), the distribution-free alternative to the t-test when
+    normality is off the table: re-label every observation under
+    B = 64 deterministic pseudo-permutations (portable md5 of
+    (perm, event_id) — both engines rebuild the identical relabeling),
+    recompute |mean_A − mean_B| for each, and report the exceedance
+    p-value with the +1 correction. Exactness: values quantize to
+    exact DECIMAL milli-units, per-perm sums are order-free BIGINTs,
+    and "perm stat ≥ observed stat" compares CROSS-MULTIPLIED
+    integers in DECIMAL(38,0) — no float enters until the two reported
+    ratios. Plan shape: one 64-way explode + a 2·B-group
+    combine-friendly aggregate; at 100 TB you run it on a consistent
+    hash-sample of rows, same plan."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    base = ev.select(
+        "event_id",
+        (F.col("user_id") % 2).alias("obs_label"),
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT)"
+        ).alias("q"),
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("obs_label") == 0, F.col("q"))).alias("sa"),
+        F.count(F.when(F.col("obs_label") == 0, F.lit(1))).alias("na"),
+        F.sum(F.when(F.col("obs_label") == 1, F.col("q"))).alias("sb"),
+        F.count(F.when(F.col("obs_label") == 1, F.lit(1))).alias("nb"),
+    ).select(
+        F.abs(F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).alias("num_o"),
+        (F.col("na") * F.col("nb")).alias("den_o"),
+        (F.col("na") + F.col("nb")).alias("n_obs"),
+    )
+    perms = base.select(
+        "event_id", "q", F.explode(F.sequence(F.lit(0), F.lit(_PERM_B - 1))).alias("b")
+    ).withColumn("label", F.expr(f"{_perm_hash_spark('b', 'event_id')} % 2"))
+    per_b = perms.groupBy("b").agg(
+        F.sum(F.when(F.col("label") == 0, F.col("q"))).alias("sa"),
+        F.count(F.when(F.col("label") == 0, F.lit(1))).alias("na"),
+        F.sum(F.when(F.col("label") == 1, F.col("q"))).alias("sb"),
+        F.count(F.when(F.col("label") == 1, F.lit(1))).alias("nb"),
+    ).select(
+        "b",
+        F.abs(F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).alias("num_b"),
+        (F.col("na") * F.col("nb")).alias("den_b"),
+    )
+    exceed = (
+        per_b.crossJoin(obs)
+        .select(
+            (
+                F.col("num_b").cast("decimal(38,0)") * F.col("den_o")
+                >= F.col("num_o").cast("decimal(38,0)") * F.col("den_b")
+            ).cast("long").alias("x"),
+            "num_o", "den_o", "n_obs",
+        )
+        .groupBy("num_o", "den_o", "n_obs")
+        .agg(F.sum("x").alias("n_exceed"))
+    )
+    return exceed.select(
+        "n_obs",
+        "num_o",
+        "den_o",
+        (F.col("num_o").cast("double") / (F.col("den_o").cast("double") * 1000.0)).alias(
+            "obs_abs_diff"
+        ),
+        F.lit(_PERM_B).cast("long").alias("n_perms"),
+        "n_exceed",
+        ((F.col("n_exceed") + 1).cast("double") / float(_PERM_B + 1)).alias("p_value"),
+    )
+
+
+def _perm_sql() -> str:
+    h = (
+        f"('0x' || substr(md5(b || '{_PERM_SEED_SEP}' || event_id), 1, 15))::BIGINT"
+    )
+    return f"""
+WITH base AS (
+  SELECT event_id, user_id % 2 AS obs_label,
+         CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS q
+  FROM events WHERE event_type = 'click'
+), obs AS (
+  SELECT abs(SUM(CASE WHEN obs_label = 0 THEN q END)
+             * COUNT(CASE WHEN obs_label = 1 THEN 1 END)
+           - SUM(CASE WHEN obs_label = 1 THEN q END)
+             * COUNT(CASE WHEN obs_label = 0 THEN 1 END)) AS num_o,
+         COUNT(CASE WHEN obs_label = 0 THEN 1 END)
+           * COUNT(CASE WHEN obs_label = 1 THEN 1 END) AS den_o,
+         COUNT(*) AS n_obs
+  FROM base
+), perms AS (
+  SELECT base.event_id, base.q, g.b, ({h}) % 2 AS label
+  FROM base CROSS JOIN (SELECT UNNEST(range({_PERM_B})) AS b) g
+), per_b AS (
+  SELECT b,
+         abs(SUM(CASE WHEN label = 0 THEN q END)
+             * COUNT(CASE WHEN label = 1 THEN 1 END)
+           - SUM(CASE WHEN label = 1 THEN q END)
+             * COUNT(CASE WHEN label = 0 THEN 1 END)) AS num_b,
+         COUNT(CASE WHEN label = 0 THEN 1 END)
+           * COUNT(CASE WHEN label = 1 THEN 1 END) AS den_b
+  FROM perms GROUP BY 1
+)
+SELECT CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(num_o AS BIGINT) AS num_o,
+       CAST(den_o AS BIGINT) AS den_o,
+       CAST(num_o AS DOUBLE) / (CAST(den_o AS DOUBLE) * 1000.0) AS obs_abs_diff,
+       CAST({_PERM_B} AS BIGINT) AS n_perms,
+       CAST(SUM(CASE WHEN CAST(num_b AS DECIMAL(38,0)) * den_o
+                      >= CAST(num_o AS DECIMAL(38,0)) * den_b
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed,
+       CAST(SUM(CASE WHEN CAST(num_b AS DECIMAL(38,0)) * den_o
+                      >= CAST(num_o AS DECIMAL(38,0)) * den_b
+                 THEN 1 ELSE 0 END) + 1 AS DOUBLE) / {_PERM_B + 1}.0 AS p_value
+FROM per_b CROSS JOIN obs
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+STAT_PERM_SQL = _perm_sql()
+
+
 QUERIES = {
+    "stat_permutation_test": (stat_permutation_test, STAT_PERM_SQL),
     "stat_power_analysis": (stat_power_analysis, STAT_POWER_SQL),
     "stat_reg_group": (stat_reg_group, STAT_REG_SQL),
     "stat_reg_multi": (stat_reg_multi, STAT_REG_MULTI_SQL),

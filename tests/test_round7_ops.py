@@ -139,3 +139,39 @@ def test_ppr_reduces_to_global_without_seeds(spark):
     }
     # symmetric 2-cycle: both nodes identical, mass = base + damped echo
     assert ranks[0] == ranks[1] > 0
+
+
+def test_hll_merge_registers_identical(spark):
+    from bigdata_spark.plans.extended import approx_hll_merge
+
+    r = approx_hll_merge(spark, SF).collect()[0]
+    assert r["n_register_diffs"] == 0  # per-day OR-merge == direct build
+    assert r["n_days"] >= 2  # the merge actually merged something
+    assert r["exact_nd"] > 0 and r["s_total"] > 0
+    if r["exact_nd"] >= 500:
+        assert abs(r["hll_est"] / r["exact_nd"] - 1.0) < 0.20
+
+
+def test_embedding_drift_ranked_and_bounded(spark):
+    from bigdata_spark.plans.qualityq import _DRIFT_TOPK, dq_embedding_drift
+
+    rows = dq_embedding_drift(spark, SF).collect()
+    assert len(rows) == _DRIFT_TOPK
+    nums = [r["drift_num"] for r in rows]
+    assert nums == sorted(nums, reverse=True)
+    for r in rows:
+        assert 0 <= r["dim"] < 64
+        # synthetic embeddings live in a bounded range; parity cohorts
+        # of the same distribution drift a little, not wildly
+        assert abs(r["mean_cur"] - r["mean_ref"]) < 1.0
+
+
+def test_permutation_test_pvalue_bounds_and_determinism(spark):
+    from bigdata_spark.plans.statsq import _PERM_B, stat_permutation_test
+
+    r1 = stat_permutation_test(spark, SF).collect()[0]
+    r2 = stat_permutation_test(spark, SF).collect()[0]
+    assert tuple(r1) == tuple(r2)  # portable-hash perms: bit-deterministic
+    assert 0 < r1["p_value"] <= 1.0
+    assert 0 <= r1["n_exceed"] <= _PERM_B
+    assert r1["obs_abs_diff"] >= 0.0

@@ -133,6 +133,22 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("seed set broadcast onto the node table", r"BroadcastExchange"),
         ("no Python evaluation (integer fixed-point expressions)", r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
     ],
+    "approx_hll_merge": [
+        ("per-day registers map-side combine (partial max)", r"partial_max\("),
+        ("scan pruned to (ts, user_id)", r"ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"),
+        ("no Python evaluation", r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
+    "dq_embedding_drift": [
+        ("embeddings scan pruned to (vec_id, embedding)", r"ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+        ("per-dim sums map-side combine", r"partial_sum\("),
+        ("top-k is a bounded TakeOrdered, not a full sort", r"TakeOrderedAndProject"),
+        ("no Python evaluation", r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
+    "stat_permutation_test": [
+        ("click filter pushed to scan", r"PushedFilters: \[.*EqualTo\(event_type,click\)"),
+        ("per-perm sums map-side combine", r"partial_sum\("),
+        ("no Python evaluation (portable-hash relabeling)", r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
     "approx_hll_portable": [
         ("events scan pruned to 2 cols", r"ReadSchema: struct<user_id:bigint,event_type:string>"),
         ("registers map-side combine (partial max rho)", r"partial_max\("),
