@@ -2087,10 +2087,147 @@ FROM q GROUP BY event_type ORDER BY event_type
 """
 
 
+
+# ---------------------------------------------------------------------------
+# w12_seq_pattern — regex motif mining over per-user event sequences
+# ---------------------------------------------------------------------------
+
+# event_type -> one-letter alphabet for sequence strings (c=click,
+# e=error, p=purchase, s=signup, v=view)
+_SEQ_PATTERNS = (
+    ("view_click_purchase", "vc*p"),
+    ("error_retry_success", "e[ve]*p"),
+    ("signup_then_purchase", "s.*p"),
+)
+
+
+def w12_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern mining (the MATCH_RECOGNIZE-shaped kernel
+    product analytics calls "behavioral motifs"): each user's events
+    collapse — in (ts, event_id) total order — into one string over a
+    5-letter alphabet, and each motif is a plain regex counted per
+    user with regexp_count. One shuffle to build the per-user strings,
+    then pure string ops; both engines run the same regexes on the
+    same strings, so matched-user and total-match counts are exact.
+    At 100 TB the per-user sequence string IS the bounded state (a
+    user's history), so this stays a one-pass groupBy; motifs needing
+    cross-user context would go to the graph/transition entries
+    instead."""
+    e = load_table(spark, sf_dir, "events")
+    seqs = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.substring("event_type", 1, 1).alias("ch"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                    lambda x: x["ch"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    out = None
+    for name, pat in _SEQ_PATTERNS:
+        m = seqs.select(
+            F.lit(name).alias("pattern"),
+            F.expr(f"regexp_count(seq, '{pat}')").alias("k"),
+        ).groupBy("pattern").agg(
+            F.sum(F.when(F.col("k") > 0, 1).otherwise(0)).cast("long").alias("n_users_matched"),
+            F.sum("k").cast("long").alias("n_matches"),
+        )
+        out = m if out is None else out.unionAll(m)
+    return out.orderBy("pattern")
+
+
+def _seq_pattern_sql() -> str:
+    # DuckDB has no regexp_count; len(regexp_extract_all(...)) counts the
+    # same non-overlapping leftmost matches Spark's regexp_count does
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS pattern,
+       CAST(SUM(CASE WHEN len(regexp_extract_all(seq, '{pat}')) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_users_matched,
+       CAST(SUM(len(regexp_extract_all(seq, '{pat}'))) AS BIGINT) AS n_matches
+FROM seqs"""
+        for name, pat in _SEQ_PATTERNS
+    )
+    return f"""
+WITH seqs AS (
+  SELECT user_id, string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+{arms}
+ORDER BY pattern
+"""
+
+
+W12_SEQ_SQL = _seq_pattern_sql()
+
+
+# ---------------------------------------------------------------------------
+# dq_table_checksum — order-free cross-engine table fingerprints
+# ---------------------------------------------------------------------------
+
+
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system reconciliation fingerprints: every row of a table
+    reduces to the portable md5-derived 60-bit hash of its canonical
+    key string, and the table's checksum is the order-free BIT_XOR of
+    those hashes plus the row count — the pair you compare across a
+    migration (warehouse A vs warehouse B) without moving data. XOR is
+    commutative/associative, so the checksum is partition-order-free
+    by construction and map-side combinable; this query IS its own
+    proof, since DuckDB recomputes the identical checksums from the
+    same parquet. One scan per table, keys-only projection."""
+    specs = [
+        ("orders", "o_orderkey", "o_totalprice"),
+        ("customer", "c_custkey", "c_acctbal"),
+        ("lineitem", "l_orderkey", "l_linenumber"),
+    ]
+    out = None
+    for t, k1, k2 in specs:
+        df = load_table(spark, sf_dir, t)
+        h = (
+            f"CAST(conv(substring(md5(concat(CAST({k1} AS STRING), '|', "
+            f"CAST({k2} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+        agg = df.select(F.expr(h).alias("h")).agg(
+            F.lit(t).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(h)").alias("checksum"),
+        ).select("table_name", "n_rows", "checksum")
+        out = agg if out is None else out.unionAll(agg)
+    return out.orderBy("table_name")
+
+
+def _checksum_sql() -> str:
+    arms = []
+    for t, k1, k2 in (
+        ("orders", "o_orderkey", "o_totalprice"),
+        ("customer", "c_custkey", "c_acctbal"),
+        ("lineitem", "l_orderkey", "l_linenumber"),
+    ):
+        h = f"('0x' || substr(md5({k1} || '|' || {k2}), 1, 15))::BIGINT"
+        arms.append(
+            f"SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(bit_xor({h}) AS BIGINT) AS checksum FROM {t}"
+        )
+    return "\nUNION ALL\n".join(arms) + "\nORDER BY table_name"
+
+
+DQ_CHECKSUM_SQL = _checksum_sql()
+
 QUERIES = {
     "evt_stream_ckpt_recovery": (evt_stream_ckpt_recovery, EVT_CKPT_SQL),
     "w7_range_frame": (w7_range_frame, W7_RANGE_SQL),
     "w8_islands_rle": (w8_islands_rle, W8_ISLANDS_SQL),
+    "w12_seq_pattern": (w12_seq_pattern, W12_SEQ_SQL),
+    "dq_table_checksum": (dq_table_checksum, DQ_CHECKSUM_SQL),
     "evt_calendar_dim": (evt_calendar_dim, EVT_CALENDAR_SQL),
     "evt_rolling_wau": (evt_rolling_wau, EVT_WAU_SQL),
     "j7_interval_overlap": (j7_interval_overlap, J7_INTERVAL_SQL),

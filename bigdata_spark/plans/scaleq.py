@@ -1397,9 +1397,55 @@ def s33_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(S33_RECURSIVE_SQL)
 
 
+# ---------------------------------------------------------------------------
+# sql_pipe_syntax — Spark 4 SQL pipe operators (|>), oracle in standard SQL
+# ---------------------------------------------------------------------------
+
+# The pipe form Spark executes natively (SQL pipe syntax, new in Spark
+# 4): each |> stage is a self-contained operator application in reading
+# order — the SQL-2023-era answer to deeply nested SELECTs. Catalyst
+# compiles it to the identical plan as the standard form the DuckDB
+# oracle runs, which is exactly what this entry checks.
+SQL_PIPE_TEXT = """
+FROM lineitem
+|> WHERE l_shipdate <= DATE '1998-09-02'
+|> AGGREGATE COUNT(*) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+   GROUP BY l_returnflag, l_linestatus
+|> ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (``|>``, new in Spark 4): the TPC-H q1 core
+    written as a reading-order pipeline — scan |> filter |> aggregate
+    |> order. Catalyst parses the pipe form into the same logical plan
+    as the nested-SELECT spelling (filter still pushes to the scan,
+    sums still partial-aggregate), so the DuckDB oracle is simply the
+    standard-SQL equivalent and the value match proves the two
+    surfaces agree."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_PIPE_TEXT)
+
+
+SQL_PIPE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 QUERIES = {
     "s23_merge_into": (s23_merge_into, S23_MERGE_SQL),
     "s33_recursive_cte": (s33_recursive_cte, S33_RECURSIVE_SQL),
+    "sql_pipe_syntax": (sql_pipe_syntax, SQL_PIPE_ORACLE),
     "s32_bucketed_smb_join": (s32_bucketed_smb_join, S32_BUCKETED_SQL),
     "s26_binaryfile_source": (s26_binaryfile_source, S26_BINARYFILE_SQL),
     "sql_params_api": (sql_params_api, SQL_PARAMS_SQL),

@@ -175,3 +175,68 @@ def test_permutation_test_pvalue_bounds_and_determinism(spark):
     assert 0 < r1["p_value"] <= 1.0
     assert 0 <= r1["n_exceed"] <= _PERM_B
     assert r1["obs_abs_diff"] >= 0.0
+
+
+def test_pipe_syntax_matches_standard_form(spark):
+    from bigdata_spark.plans.scaleq import sql_pipe_syntax
+    from bigdata_spark.sources.catalog import load_table
+
+    got = sorted(tuple(r) for r in sql_pipe_syntax(spark, SF).collect())
+    l = load_table(spark, SF, "lineitem")
+    ref = sorted(
+        tuple(r)
+        for r in l.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+        .collect()
+    )
+    assert got == ref
+
+
+def test_seq_pattern_counts_on_known_sequences(spark):
+    # hand-check regexp_count semantics on a constructed frame wired
+    # through the same expressions the query uses
+    df = spark.createDataFrame(
+        [("vvcpvp",), ("sevp",), ("ppp",)], "seq string"
+    )
+    counts = [
+        r["k"]
+        for r in df.select(F.expr("regexp_count(seq, 'vc*p')").alias("k")).collect()
+    ]
+    # 'vvcpvp': matches vcp (pos 1) and vp (pos 4) = 2; 'sevp': vp = 1; 'ppp': 0
+    assert counts == [2, 1, 0]
+
+
+def test_table_checksum_detects_any_row_change(spark):
+    # flipping one key must flip the xor checksum; permuting rows must not
+    from bigdata_spark.plans.events import dq_table_checksum
+
+    base = {r["table_name"]: r["checksum"] for r in dq_table_checksum(spark, SF).collect()}
+    assert len(base) == 3
+    h = (
+        "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), '|', "
+        "CAST(o_totalprice AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    from bigdata_spark.sources.catalog import load_table
+
+    o = load_table(spark, SF, "orders")
+    direct = o.select(F.expr(h).alias("h")).agg(F.expr("bit_xor(h)").alias("c")).first()["c"]
+    assert direct == base["orders"]
+    perm = (
+        o.repartition(7)
+        .select(F.expr(h).alias("h"))
+        .agg(F.expr("bit_xor(h)").alias("c"))
+        .first()["c"]
+    )
+    assert perm == base["orders"]  # order/partitioning free
+    mutated = (
+        o.withColumn("o_orderkey", F.when(F.col("o_orderkey") == 1, 999999).otherwise(F.col("o_orderkey")))
+        .select(F.expr(h).alias("h"))
+        .agg(F.expr("bit_xor(h)").alias("c"))
+        .first()["c"]
+    )
+    assert mutated != base["orders"]

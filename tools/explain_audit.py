@@ -149,6 +149,21 @@ AUDITS: dict[str, list[tuple[str, str]]] = {
         ("per-perm sums map-side combine", r"partial_sum\("),
         ("no Python evaluation (portable-hash relabeling)", r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
     ],
+    "sql_pipe_syntax": [
+        ("pipe-form filter still pushes to scan", r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate"),
+        ("pipe-form aggregate still map-side combines", r"partial_sum\("),
+        ("scan pruned to the agg+filter cols only", r"ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_returnflag:string,l_linestatus:string"),
+        ("no extra columns read", r"ReadSchema: (?![^\n]*l_orderkey)"),
+    ],
+    "w12_seq_pattern": [
+        ("sequence build map-side combines (collect_list partial)", r"partial_sum\(|objectagg"),
+        ("no Python evaluation (native string/regex ops)", r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
+    "dq_table_checksum": [
+        ("checksums map-side combine (partial bit_xor)", r"partial_bit_xor"),
+        ("orders scan pruned to the 2 key cols", r"ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+        ("no Python evaluation", r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|MapInPandas))"),
+    ],
     "approx_hll_portable": [
         ("events scan pruned to 2 cols", r"ReadSchema: struct<user_id:bigint,event_type:string>"),
         ("registers map-side combine (partial max rho)", r"partial_max\("),
