@@ -1252,6 +1252,151 @@ FROM cmp CROSS JOIN summary
 APPROX_HLL_MERGE_SQL = _hll_merge_sql()
 
 
+# ---------------------------------------------------------------------------
+# approx_kmv_distinct — bottom-k ("k minimum values" / theta) sketch
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SEED = 21
+# estimator numerator (k-1)·2^53: the 60-bit portable hash is shifted
+# down to 53 bits (h div 128) so this product stays inside BIGINT in
+# both engines — 63·2^53 = 567453553048682496 < 2^63
+_KMV_NUM = (_KMV_K - 1) * (1 << 53)
+# shared CASE text: groups whose sketch never filled report the exact
+# fill count (the standard KMV small-set rule); GREATEST guards the
+# ~2^-53 chance of a zero shifted hash
+_KMV_EST = (
+    f"CAST(CASE WHEN fill < {_KMV_K} THEN fill "
+    f"ELSE {_KMV_NUM} div GREATEST(kth, 1) END AS BIGINT)"
+)
+
+
+def approx_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV ("k minimum values", the theta-sketch core) distinct-user
+    sketch per event type, plus the MERGED all-types estimate — the
+    union of the per-group sketches re-trimmed to the global bottom-k.
+
+    That merge step is the point of KMV at 100 TB: a group's k
+    smallest hashes are a sufficient summary of its distinct set, and
+    the k smallest of a union are always among the unions of each
+    side's k smallest, so partial sketches (k BIGINTs per group) roll
+    up a tree instead of shuffling the distinct keys themselves — the
+    same algebra the explicit-register HLL queries exercise, but with
+    an unbiasedly invertible estimator: with U = kth-smallest hash
+    normalized to [0,1), D-hat = (k-1)/U.  The hash is the portable
+    60-bit md5 (shifted to 53 bits) and the estimator is pure BIGINT
+    division, so the DuckDB oracle reproduces every estimate — and its
+    signed error — bit-for-bit.
+
+    Plan shape: distinct (group, key) pre-aggregate (map-side
+    combinable), per-group bottom-k window, then a ≤ k·n_groups-row
+    merge; nothing past the first distinct scales with data volume.
+    (The final merge window is a single-task sort over ≤ k·n_groups
+    rows by construction — that bound, not the input size, is what
+    reaches it.)  Reference parity: the reference's distinct counting
+    (code/src/data_manager.py) is exact-only; this is the
+    bounded-state path it lacks.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    keys = ev.distinct()
+    hashed = keys.select(
+        "event_type",
+        "user_id",
+        F.expr(
+            f"({_bloom_hash_spark('user_id', _KMV_SEED)}) div 128"
+        ).alias("h53"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h53", "user_id")
+    sk = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    per = sk.groupBy("event_type").agg(
+        F.count("*").alias("fill"), F.max("h53").alias("kth")
+    )
+    truth = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_true")
+    )
+    groups = per.join(truth, "event_type").select(
+        F.col("event_type").alias("scope"),
+        "n_true",
+        F.expr(_KMV_EST).alias("kmv_est"),
+    )
+    # merged sketch: the hash is a function of user_id alone, so
+    # DISTINCT h53 across the per-group sketches dedups shared users
+    wg = Window.orderBy("h53")
+    merged = (
+        sk.select("h53")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= _KMV_K)
+        .agg(F.count("*").alias("fill"), F.max("h53").alias("kth"))
+    )
+    all_truth = ev.agg(F.countDistinct("user_id").alias("n_true"))
+    merged_row = merged.crossJoin(all_truth).select(
+        F.lit("__all__").alias("scope"),
+        "n_true",
+        F.expr(_KMV_EST).alias("kmv_est"),
+    )
+    return (
+        groups.unionByName(merged_row)
+        .select(
+            "scope",
+            "n_true",
+            "kmv_est",
+            (F.col("kmv_est") - F.col("n_true")).alias("err"),
+        )
+        .orderBy("scope")
+    )
+
+
+def _kmv_sql() -> str:
+    from .dedupq import _duck_hash
+
+    est = (
+        f"CAST(CASE WHEN fill < {_KMV_K} THEN fill "
+        f"ELSE {_KMV_NUM} // GREATEST(kth, 1) END AS BIGINT)"
+    )
+    return f"""
+WITH keys AS (SELECT DISTINCT event_type, user_id FROM events),
+hashed AS (
+  SELECT event_type, user_id,
+         ({_duck_hash('user_id', str(_KMV_SEED))}) // 128 AS h53
+  FROM keys
+), sk AS (
+  SELECT * FROM (
+    SELECT event_type, h53,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY h53, user_id) AS rn
+    FROM hashed
+  ) WHERE rn <= {_KMV_K}
+), per AS (
+  SELECT event_type, COUNT(*) AS fill, MAX(h53) AS kth FROM sk GROUP BY 1
+), truth AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_true FROM events GROUP BY 1
+), grp AS (
+  SELECT p.event_type AS scope, t.n_true, {est} AS kmv_est
+  FROM per p JOIN truth t ON p.event_type = t.event_type
+), mh AS (SELECT DISTINCT h53 FROM sk),
+msk AS (
+  SELECT * FROM (
+    SELECT h53, ROW_NUMBER() OVER (ORDER BY h53) AS rn FROM mh
+  ) WHERE rn <= {_KMV_K}
+), m AS (SELECT COUNT(*) AS fill, MAX(h53) AS kth FROM msk),
+mrow AS (
+  SELECT '__all__' AS scope,
+         (SELECT COUNT(DISTINCT user_id) FROM events) AS n_true,
+         {est} AS kmv_est
+  FROM m
+)
+SELECT scope, n_true, kmv_est, kmv_est - n_true AS err
+FROM (SELECT * FROM grp UNION ALL SELECT * FROM mrow)
+ORDER BY scope
+"""
+
+
+APPROX_KMV_SQL = _kmv_sql()
+
+
 QUERIES = {
     "approx_hll_portable": (approx_hll_portable, APPROX_HLL_SQL),
     "approx_hll_merge": (approx_hll_merge, APPROX_HLL_MERGE_SQL),
@@ -1260,6 +1405,7 @@ QUERIES = {
     "f11_cogroup_reconcile": (f11_cogroup_reconcile, F11_COGROUP_SQL),
     "approx_bloom_semijoin": (approx_bloom_semijoin, APPROX_BLOOM_SQL),
     "approx_cms_topk": (approx_cms_topk, APPROX_CMS_SQL),
+    "approx_kmv_distinct": (approx_kmv_distinct, APPROX_KMV_SQL),
     "o6_multiset_ops": (o6_multiset_ops, O6_MULTISET_SQL),
     "j5_full_outer": (j5_full_outer, J5_FULL_OUTER_SQL),
     "a15_histogram": (a15_histogram, A15_HISTOGRAM_SQL),

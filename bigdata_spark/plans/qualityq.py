@@ -5,7 +5,7 @@ over the TPC-H-ish tables, each with a full-value DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -511,7 +511,122 @@ LIMIT {_DRIFT_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# dq_fairness_ratios — group-fairness audit of a decision rule
+# ---------------------------------------------------------------------------
+
+# the decision rule under audit: a proxy-score threshold (approve an
+# order when its total price clears the cut); ground truth is whether
+# the order was actually high-priority
+_FAIR_CUT = "250000.0"
+_FAIR_PRED = f"o_totalprice > {_FAIR_CUT}"
+_FAIR_LABEL = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+
+
+def dq_fairness_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of a threshold decision rule across
+    customer market segments: per-group selection rate (demographic
+    parity), TPR/FPR against the true label (equalized odds), and the
+    disparate-impact ratio against the most-selected group, flagged
+    against the four-fifths (80%) rule.
+
+    Every rate is a parts-per-million BIGINT — (count·10^6) div n —
+    so the whole report is integer-exact and order-free: rates,
+    ratios, and the 80%-rule flag all hash-match the DuckDB oracle
+    with no float discipline needed (the repo's ppm pattern).
+
+    Scale: one broadcast-dimension join (customer segment onto
+    orders), one map-side-combinable aggregation down to n_segments
+    rows, then a window over those few rows for the max selection
+    rate.  Nothing after the first aggregation scales with the fact
+    table.  Fairness-style per-cohort ratio reports are a first-class
+    need of training-data pipelines (cohort balance audits before
+    sampling); the reference has no counterpart (closest is the
+    per-class P/R/F1 report, code/src/evaluation_manager.py).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(f"CASE WHEN {_FAIR_PRED} THEN 1 ELSE 0 END").alias("pred"),
+        F.expr(f"CASE WHEN {_FAIR_LABEL} THEN 1 ELSE 0 END").alias("label"),
+    )
+    per = base.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum("label").alias("pos"),
+        F.sum("pred").alias("predpos"),
+        F.sum(F.col("pred") * F.col("label")).alias("tp"),
+        F.sum(F.col("pred") * (F.lit(1) - F.col("label"))).alias("fp"),
+    )
+    rates = per.select(
+        "segment",
+        "n",
+        F.expr("pos * 1000000 div n").alias("base_rate_ppm"),
+        F.expr("predpos * 1000000 div n").alias("sel_rate_ppm"),
+        F.expr("tp * 1000000 div GREATEST(pos, 1)").alias("tpr_ppm"),
+        F.expr("fp * 1000000 div GREATEST(n - pos, 1)").alias("fpr_ppm"),
+    )
+    w = Window.partitionBy()
+    out = rates.withColumn(
+        "max_sel", F.max("sel_rate_ppm").over(w)
+    ).select(
+        "segment",
+        "n",
+        "base_rate_ppm",
+        "sel_rate_ppm",
+        "tpr_ppm",
+        "fpr_ppm",
+        F.expr("sel_rate_ppm * 1000000 div GREATEST(max_sel, 1)").alias(
+            "di_ppm"
+        ),
+    )
+    return out.withColumn(
+        "passes_80pct_rule",
+        F.expr("CAST(di_ppm >= 800000 AS INT)"),
+    ).orderBy("segment")
+
+
+DQ_FAIRNESS_SQL = f"""
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN {_FAIR_PRED} THEN 1 ELSE 0 END AS pred,
+         CASE WHEN {_FAIR_LABEL} THEN 1 ELSE 0 END AS label
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), per AS (
+  SELECT segment,
+         COUNT(*) AS n,
+         SUM(label) AS pos,
+         SUM(pred) AS predpos,
+         SUM(pred * label) AS tp,
+         SUM(pred * (1 - label)) AS fp
+  FROM base GROUP BY 1
+), rates AS (
+  -- DuckDB SUMs are HUGEINT; every derived rate is cast back to
+  -- BIGINT so the frame dtype-matches Spark's int64 (checker rule)
+  SELECT segment, n,
+         CAST(pos * 1000000 // n AS BIGINT) AS base_rate_ppm,
+         CAST(predpos * 1000000 // n AS BIGINT) AS sel_rate_ppm,
+         CAST(tp * 1000000 // GREATEST(pos, 1) AS BIGINT) AS tpr_ppm,
+         CAST(fp * 1000000 // GREATEST(n - pos, 1) AS BIGINT) AS fpr_ppm
+  FROM per
+), di AS (
+  SELECT *, MAX(sel_rate_ppm) OVER () AS max_sel FROM rates
+)
+SELECT segment, n, base_rate_ppm, sel_rate_ppm, tpr_ppm, fpr_ppm,
+       CAST(sel_rate_ppm * 1000000 // GREATEST(max_sel, 1) AS BIGINT)
+         AS di_ppm,
+       CAST(sel_rate_ppm * 1000000 // GREATEST(max_sel, 1) >= 800000
+            AS INT) AS passes_80pct_rule
+FROM di ORDER BY segment
+"""
+
+
 QUERIES = {
+    "dq_fairness_ratios": (dq_fairness_ratios, DQ_FAIRNESS_SQL),
     "dq_embedding_drift": (dq_embedding_drift, DQ_EMB_DRIFT_SQL),
     "dq_benford": (dq_benford, DQ_BENFORD_SQL),
     "dq_profile": (dq_profile, DQ_PROFILE_SQL),

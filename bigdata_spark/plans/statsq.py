@@ -1530,8 +1530,131 @@ GROUP BY 1, 2, 3, 4, 5
 STAT_PERM_SQL = _perm_sql()
 
 
+# ---------------------------------------------------------------------------
+# stat_spearman — tie-corrected Spearman rank correlation, rankless
+# ---------------------------------------------------------------------------
+
+# one closed-form IEEE expression over the exact DECIMAL sufficient
+# statistics, shared VERBATIM with the oracle (repo float discipline).
+# Every aggregate is cast to DOUBLE *before* combining: a 38×38
+# decimal product would overflow DuckDB's width rules, and since both
+# engines cast the identical exact integer and then run the identical
+# IEEE ops, the result still hash-matches.  The doubled-rank scale
+# (2·rank) cancels out of the correlation.
+_SPEARMAN_RHO = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+    "(SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+    "SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+
+def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between l_quantity and l_discount,
+    with full tie correction — and no row ranking.
+
+    Both columns have small bounded domains (50 and 11 values), so the
+    tie-averaged rank of a value is derivable from per-value counts:
+    2·rank(v) = 2·(# rows < v) + count(v) + 1 stays integer-exact end
+    to end (the stat_mannwhitney pattern, statsq.py:434).  Spearman is
+    then Pearson over the doubled ranks, and every sufficient
+    statistic (Σx, Σy, Σxy, Σx², Σy², n) reduces over the joint
+    (quantity, discount) contingency table — ≤ 550 cells — as exact
+    DECIMAL sums (widths 18+10+10 = 38, inside DuckDB's strict
+    multiplication rule); rho is ONE closed-form double over the
+    aggregates at the end, shared verbatim with the DuckDB oracle.
+
+    Scale: the only data-sized pass is the map-side-combinable (q, d)
+    count; the rank windows run over ≤ 50 / ≤ 11 marginal rows and the
+    final join is a broadcast of those marginals back onto the tiny
+    joint table.  A naive implementation would global-sort the fact
+    table twice to rank it — this never ranks a row.  Magnitudes:
+    2·rank ≤ 2n+1 fits the DECIMAL(10,0) rank cast through ~5·10⁹
+    rows (≈ sf800); past that, widen the rank cast and drop one count
+    digit — the 38-width product budget itself has room to ~10¹⁸ rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("q"), F.col("l_discount").alias("d")
+    )
+    joint = li.groupBy("q", "d").agg(F.count("*").alias("cnt"))
+
+    def _marginal(col: str, rank_name: str) -> DataFrame:
+        marg = joint.groupBy(col).agg(F.sum("cnt").alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return marg.select(
+            col,
+            (
+                F.lit(2) * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + F.lit(1)
+            ).alias(rank_name),
+        )
+
+    rx = _marginal("q", "rx2")
+    ry = _marginal("d", "ry2")
+    j2 = joint.join(F.broadcast(rx), "q").join(F.broadcast(ry), "d")
+    # widths chosen so triple products stay inside width 38 under
+    # DuckDB's strict w1+w2 multiplication rule: 18+10+10 = 38
+    c = F.col("cnt").cast("decimal(18,0)")
+    x = F.col("rx2").cast("decimal(10,0)")
+    y = F.col("ry2").cast("decimal(10,0)")
+    agg = j2.agg(
+        F.sum(c).alias("n"),
+        F.sum(c * x).alias("sx"),
+        F.sum(c * y).alias("sy"),
+        F.sum(c * x * y).alias("sxy"),
+        F.sum(c * x * x).alias("sxx"),
+        F.sum(c * y * y).alias("syy"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sx").cast("bigint").alias("sum_rank2_q"),
+        F.col("sy").cast("bigint").alias("sum_rank2_d"),
+        F.expr(_SPEARMAN_RHO).alias("spearman_rho"),
+    )
+
+
+STAT_SPEARMAN_SQL = f"""
+WITH joint AS (
+  SELECT l_quantity AS q, l_discount AS d, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), rx AS (
+  SELECT q,
+         2 * COALESCE(SUM(c) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS rx2
+  FROM (SELECT q, SUM(cnt) AS c FROM joint GROUP BY 1)
+), ry AS (
+  SELECT d,
+         2 * COALESCE(SUM(c) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS ry2
+  FROM (SELECT d, SUM(cnt) AS c FROM joint GROUP BY 1)
+), agg AS (
+  SELECT SUM(CAST(cnt AS DECIMAL(18,0))) AS n,
+         SUM(CAST(cnt AS DECIMAL(18,0)) * CAST(rx2 AS DECIMAL(10,0))) AS sx,
+         SUM(CAST(cnt AS DECIMAL(18,0)) * CAST(ry2 AS DECIMAL(10,0))) AS sy,
+         SUM(CAST(cnt AS DECIMAL(18,0)) * CAST(rx2 AS DECIMAL(10,0))
+             * CAST(ry2 AS DECIMAL(10,0))) AS sxy,
+         SUM(CAST(cnt AS DECIMAL(18,0)) * CAST(rx2 AS DECIMAL(10,0))
+             * CAST(rx2 AS DECIMAL(10,0))) AS sxx,
+         SUM(CAST(cnt AS DECIMAL(18,0)) * CAST(ry2 AS DECIMAL(10,0))
+             * CAST(ry2 AS DECIMAL(10,0))) AS syy
+  FROM joint j JOIN rx ON j.q = rx.q JOIN ry ON j.d = ry.d
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(sx AS BIGINT) AS sum_rank2_q,
+       CAST(sy AS BIGINT) AS sum_rank2_d,
+       {_SPEARMAN_RHO} AS spearman_rho
+FROM agg
+"""
+
+
 QUERIES = {
     "stat_permutation_test": (stat_permutation_test, STAT_PERM_SQL),
+    "stat_spearman": (stat_spearman, STAT_SPEARMAN_SQL),
     "stat_power_analysis": (stat_power_analysis, STAT_POWER_SQL),
     "stat_reg_group": (stat_reg_group, STAT_REG_SQL),
     "stat_reg_multi": (stat_reg_multi, STAT_REG_MULTI_SQL),

@@ -240,3 +240,91 @@ def test_table_checksum_detects_any_row_change(spark):
         .first()["c"]
     )
     assert mutated != base["orders"]
+
+
+def test_kmv_distinct_small_set_is_exact_and_bounded(spark):
+    # at sf0.001 every sketch holds fewer than k distinct users, so the
+    # KMV small-set rule must return the exact count (err == 0); the
+    # merged row must exist and obey the same rule
+    from bigdata_spark.plans.extended import _KMV_K, approx_kmv_distinct
+    from bigdata_spark.sources.catalog import load_table
+
+    rows = {r["scope"]: r for r in approx_kmv_distinct(spark, SF).collect()}
+    assert "__all__" in rows
+    n_users = (
+        load_table(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert rows["__all__"]["n_true"] == n_users
+    for r in rows.values():
+        assert r["err"] == r["kmv_est"] - r["n_true"]
+        if r["n_true"] < _KMV_K:  # small-set rule: sketch not full
+            assert r["err"] == 0
+
+
+def test_kmv_estimator_within_3_sigma_when_full(spark):
+    # exercise the FULL-sketch path (sf0.001 groups never fill): run
+    # the same hash + bottom-k + estimator over 1000 synthetic keys;
+    # KMV relative std error is 1/sqrt(k-2), so 3 sigma ~= 38% at k=64
+    from bigdata_spark.plans.extended import (
+        _KMV_K,
+        _KMV_NUM,
+        _KMV_SEED,
+        _bloom_hash_spark,
+    )
+
+    assert _KMV_NUM == (_KMV_K - 1) * (1 << 53)
+    true_n = 1000
+    kth = (
+        spark.range(true_n)
+        .selectExpr(f"({_bloom_hash_spark('id', _KMV_SEED)}) div 128 AS h53")
+        .orderBy("h53")
+        .limit(_KMV_K)
+        .agg(F.max("h53").alias("kth"))
+        .first()["kth"]
+    )
+    est = _KMV_NUM // kth
+    assert abs(est - true_n) / true_n <= 3 / (_KMV_K - 2) ** 0.5
+
+
+def test_spearman_rank_sums_and_rho_bounds(spark):
+    # sum of doubled tie-averaged ranks over all rows is exactly
+    # n*(n+1) for ANY tie structure — a closed-form invariant
+    from bigdata_spark.plans.statsq import stat_spearman
+    from bigdata_spark.sources.catalog import load_table
+
+    row = stat_spearman(spark, SF).first()
+    n = load_table(spark, SF, "lineitem").count()
+    assert row["n"] == n
+    assert row["sum_rank2_q"] == n * (n + 1)
+    assert row["sum_rank2_d"] == n * (n + 1)
+    assert -1.0 <= row["spearman_rho"] <= 1.0
+
+
+def test_spearman_matches_bruteforce_ranking(spark):
+    # rankless contingency formulation == brute-force average-rank
+    # Pearson computed with plain windows on the raw rows
+    import math
+
+    from bigdata_spark.plans.statsq import stat_spearman
+    from bigdata_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_quantity", "l_discount")
+    pdf = li.toPandas()
+    rx = pdf["l_quantity"].rank(method="average")
+    ry = pdf["l_discount"].rank(method="average")
+    expected = rx.corr(ry)  # pandas Pearson over average ranks
+    got = stat_spearman(spark, SF).first()["spearman_rho"]
+    assert math.isclose(got, expected, rel_tol=1e-9)
+
+
+def test_fairness_ratios_invariants(spark):
+    from bigdata_spark.plans.qualityq import dq_fairness_ratios
+
+    rows = dq_fairness_ratios(spark, SF).collect()
+    assert len(rows) == 5  # one per market segment
+    assert max(r["di_ppm"] for r in rows) == 1_000_000  # max-sel group
+    for r in rows:
+        for c in ("base_rate_ppm", "sel_rate_ppm", "tpr_ppm", "fpr_ppm"):
+            assert 0 <= r[c] <= 1_000_000
+        assert r["di_ppm"] <= 1_000_000
+        assert r["passes_80pct_rule"] == int(r["di_ppm"] >= 800_000)

@@ -447,6 +447,22 @@ AUDITS.update({
         ("per-canonical counts partial-aggregate", r"partial_count"),
         ("no Python evaluation", NO_PYTHON),
     ],
+    "approx_kmv_distinct": [
+        ("scan pruned to (event_type, user_id)", r"ReadSchema: struct<user_id:bigint,event_type:string>|ReadSchema: struct<event_type:string,user_id:bigint>"),
+        ("distinct pre-aggregate is map-side partial", r"partial_count|HashAggregate"),
+        ("pure BIGINT estimator, no Python", NO_PYTHON),
+    ],
+    "stat_spearman": [
+        ("scan pruned to the two rank columns", r"ReadSchema: struct<l_quantity:double,l_discount:double>"),
+        ("joint contingency count partial-aggregated", r"partial_count"),
+        ("tiny marginal rank tables broadcast", r"BroadcastHashJoin"),
+        ("decimal sufficient stats native, no Python", NO_PYTHON),
+    ],
+    "dq_fairness_ratios": [
+        ("customer dim broadcast onto orders", r"BroadcastHashJoin"),
+        ("per-segment counts partial-aggregated", r"partial_count|partial_sum"),
+        ("integer ppm arithmetic native, no Python", NO_PYTHON),
+    ],
 })
 
 
