@@ -930,8 +930,111 @@ ORDER BY component
 """
 
 
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the brand partition over the co-purchase
+    graph — the quality score community-detection algorithms (Louvain,
+    Leiden) maximize, evaluated here for a GIVEN labeling (p_brand).
+
+    Q = Σ_c [ e_c/m − (d_c/2m)² ] where e_c = intra-community edges,
+    d_c = community degree sum, m = total edges.  Everything reduces
+    to exact integers: the per-community numerator 4m·e_c − d_c² is a
+    BIGINT (m ≤ ~10⁶ at sf1 keeps 4m² ≪ 2^63 and exactly
+    representable in a double), and Q itself is one shared IEEE
+    division at the end, so the DuckDB oracle matches bit-for-bit.
+
+    Scale: the edge list comes from the basket-expansion builder
+    (`_copurchase_pairs` — one exchange, no fact self-join), degree
+    and intra-edge counts are two map-side-combinable aggregations,
+    and the brand dimension broadcasts.  Per-community rows (≤ #brands)
+    carry their own contribution, so a Louvain-style optimizer could
+    re-score a move from these aggregates alone — the standard
+    delta-modularity trick at cluster scale.
+    """
+    edges = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    bmap = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m_df = edges.agg(F.count("*").alias("m"))
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    comm = (
+        deg.join(F.broadcast(bmap), deg.node == bmap.p_partkey)
+        .groupBy(F.col("p_brand").alias("community"))
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("degree").alias("degree_sum"),
+        )
+    )
+    ba = bmap.select(
+        F.col("p_partkey").alias("pa_key"), F.col("p_brand").alias("brand_a")
+    )
+    bb = bmap.select(
+        F.col("p_partkey").alias("pb_key"), F.col("p_brand").alias("brand_b")
+    )
+    intra = (
+        edges.join(F.broadcast(ba), edges.pa == ba.pa_key)
+        .join(F.broadcast(bb), edges.pb == bb.pb_key)
+        .filter(F.col("brand_a") == F.col("brand_b"))
+        .groupBy(F.col("brand_a").alias("community"))
+        .agg(F.count("*").alias("intra_edges"))
+    )
+    j = (
+        comm.join(intra, "community", "left")
+        .withColumn("intra_edges", F.coalesce("intra_edges", F.lit(0)))
+        .crossJoin(F.broadcast(m_df))
+    )
+    return j.selectExpr(
+        "community",
+        "n_nodes",
+        "degree_sum",
+        "intra_edges",
+        "CAST(4*m*intra_edges - degree_sum*degree_sum AS BIGINT) AS q_num",
+        "CAST(4*m*intra_edges - degree_sum*degree_sum AS DOUBLE)"
+        " / CAST(4*m*m AS DOUBLE) AS q_contrib",
+        "CAST(SUM(4*m*intra_edges - degree_sum*degree_sum) OVER ()"
+        " AS DOUBLE) / CAST(4*m*m AS DOUBLE) AS q_total",
+    ).orderBy("community")
+
+
+GRAPH_MODULARITY_SQL = f"""
+WITH {_COPURCHASE_CTE},
+bmap AS (SELECT p_partkey, p_brand FROM part),
+mm AS (SELECT COUNT(*) AS m FROM edges),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT pa AS node FROM edges UNION ALL SELECT pb AS node FROM edges
+  ) GROUP BY 1
+), comm AS (
+  SELECT b.p_brand AS community, COUNT(*) AS n_nodes,
+         CAST(SUM(degree) AS BIGINT) AS degree_sum
+  FROM deg d JOIN bmap b ON d.node = b.p_partkey GROUP BY 1
+), intra AS (
+  SELECT ba.p_brand AS community, COUNT(*) AS intra_edges
+  FROM edges e
+  JOIN bmap ba ON e.pa = ba.p_partkey
+  JOIN bmap bb ON e.pb = bb.p_partkey
+  WHERE ba.p_brand = bb.p_brand GROUP BY 1
+), j AS (
+  SELECT c.community, c.n_nodes, c.degree_sum,
+         COALESCE(i.intra_edges, 0) AS intra_edges,
+         (SELECT m FROM mm) AS m
+  FROM comm c LEFT JOIN intra i ON c.community = i.community
+)
+SELECT community, n_nodes, degree_sum, intra_edges,
+       CAST(4*m*intra_edges - degree_sum*degree_sum AS BIGINT) AS q_num,
+       CAST(4*m*intra_edges - degree_sum*degree_sum AS DOUBLE)
+         / CAST(4*m*m AS DOUBLE) AS q_contrib,
+       CAST(SUM(4*m*intra_edges - degree_sum*degree_sum) OVER ()
+            AS DOUBLE) / CAST(4*m*m AS DOUBLE) AS q_total
+FROM j ORDER BY community
+"""
+
+
 QUERIES = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
+    "graph_modularity": (graph_modularity, GRAPH_MODULARITY_SQL),
     "graph_ppr": (graph_ppr, GRAPH_PPR_SQL),
     "graph_cc_distributed": (graph_cc_distributed, GRAPH_CC_DIST_SQL),
     "mb_frequent_pairs": (mb_frequent_pairs, MB_PAIRS_SQL),

@@ -1652,9 +1652,120 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# stat_kendall_tau — tau-b from the contingency table, O(cells²) pairs
+# ---------------------------------------------------------------------------
+
+# tau-b = (C − D) / sqrt((n0 − n1)(n0 − n2)); every operand is an
+# exact BIGINT (n0 = n(n−1)/2 ≤ 1.8e13 at sf1, exactly representable
+# in a double), so one shared IEEE expression finishes it
+_KENDALL_TAU = (
+    "(CAST(c AS DOUBLE) - CAST(d AS DOUBLE)) / "
+    "(SQRT(CAST(n0 AS DOUBLE) - CAST(n1 AS DOUBLE)) * "
+    "SQRT(CAST(n0 AS DOUBLE) - CAST(n2 AS DOUBLE)))"
+)
+
+
+def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between l_quantity and l_discount — the
+    tie-corrected concordant/discordant pair statistic, computed from
+    the joint contingency table instead of the O(n²) row-pair space.
+
+    Concordant and discordant pair counts reduce to ONE self-join of
+    the ≤ 550-cell joint table (cnt_a·cnt_b per ordered cell pair,
+    sign from the discount direction); tie corrections n1/n2 come from
+    the marginals as c·(c−1) div 2.  All counts are exact BIGINTs —
+    C, D ≤ n²/2 ≈ 1.8e13 at sf1 — and tau-b is one closed-form IEEE
+    expression over them, shared verbatim with the DuckDB oracle.
+
+    Scale: the only data-sized pass is the same map-side-combinable
+    (q, d) count the Spearman query uses; the pair arithmetic is
+    O(cells²) — 550² here — regardless of row count, where a naive
+    formulation would compare n²/2 ≈ 1.8e13 row pairs at sf1.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("q"), F.col("l_discount").alias("d")
+    )
+    # no checkpoint: the four consumers share the identical aggregate
+    # subtree, so AQE exchange reuse materializes it once, and the
+    # lineage stays visible to the plan audit (scan pruning, partials)
+    joint = li.groupBy("q", "d").agg(F.count("*").alias("cnt"))
+    a = joint.select(
+        F.col("q").alias("qa"), F.col("d").alias("da"), F.col("cnt").alias("ca")
+    )
+    b = joint.select(
+        F.col("q").alias("qb"), F.col("d").alias("db"), F.col("cnt").alias("cb")
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("qb") > F.col("qa")) & (F.col("db") != F.col("da")),
+    ).agg(
+        F.sum(
+            F.expr("CASE WHEN db > da THEN ca * cb ELSE 0 END")
+        ).alias("c"),
+        F.sum(
+            F.expr("CASE WHEN db < da THEN ca * cb ELSE 0 END")
+        ).alias("d"),
+    )
+    n_tot = joint.agg(F.sum("cnt").alias("n"))
+    n1 = (
+        joint.groupBy("q")
+        .agg(F.sum("cnt").alias("c"))
+        .agg(F.expr("SUM(c * (c - 1) div 2)").alias("n1"))
+    )
+    n2 = (
+        joint.groupBy("d")
+        .agg(F.sum("cnt").alias("c"))
+        .agg(F.expr("SUM(c * (c - 1) div 2)").alias("n2"))
+    )
+    out = (
+        pairs.crossJoin(n_tot)
+        .crossJoin(n1)
+        .crossJoin(n2)
+        .withColumn("n0", F.expr("n * (n - 1) div 2"))
+    )
+    return out.select(
+        "n",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("n1").alias("tied_q_pairs"),
+        F.col("n2").alias("tied_d_pairs"),
+        F.expr(_KENDALL_TAU).alias("kendall_tau_b"),
+    )
+
+
+STAT_KENDALL_SQL = f"""
+WITH joint AS (
+  SELECT l_quantity AS q, l_discount AS d, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), pairs AS (
+  SELECT CAST(SUM(CASE WHEN b.d > a.d THEN a.cnt * b.cnt ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN b.d < a.d THEN a.cnt * b.cnt ELSE 0 END)
+              AS BIGINT) AS d
+  FROM joint a JOIN joint b ON b.q > a.q AND b.d <> a.d
+), nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM joint),
+t1 AS (
+  SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n1
+  FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS c FROM joint GROUP BY q)
+), t2 AS (
+  SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n2
+  FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS c FROM joint GROUP BY d)
+), z AS (
+  SELECT n, c, d, n1, n2, n * (n - 1) // 2 AS n0
+  FROM pairs, nn, t1, t2
+)
+SELECT n, c AS concordant, d AS discordant,
+       n1 AS tied_q_pairs, n2 AS tied_d_pairs,
+       {_KENDALL_TAU} AS kendall_tau_b
+FROM z
+"""
+
+
 QUERIES = {
     "stat_permutation_test": (stat_permutation_test, STAT_PERM_SQL),
     "stat_spearman": (stat_spearman, STAT_SPEARMAN_SQL),
+    "stat_kendall_tau": (stat_kendall_tau, STAT_KENDALL_SQL),
     "stat_power_analysis": (stat_power_analysis, STAT_POWER_SQL),
     "stat_reg_group": (stat_reg_group, STAT_REG_SQL),
     "stat_reg_multi": (stat_reg_multi, STAT_REG_MULTI_SQL),

@@ -328,3 +328,65 @@ def test_fairness_ratios_invariants(spark):
             assert 0 <= r[c] <= 1_000_000
         assert r["di_ppm"] <= 1_000_000
         assert r["passes_80pct_rule"] == int(r["di_ppm"] >= 800_000)
+
+
+def test_kendall_pair_count_identity(spark):
+    # C + D + n1 + n2 - tied_both == n(n-1)/2 — exact pair bookkeeping
+    from bigdata_spark.plans.statsq import stat_kendall_tau
+    from bigdata_spark.sources.catalog import load_table
+
+    r = stat_kendall_tau(spark, SF).first()
+    li = load_table(spark, SF, "lineitem").select("l_quantity", "l_discount")
+    joint = li.groupBy("l_quantity", "l_discount").count()
+    tied_both = joint.selectExpr("SUM(count * (count - 1) div 2) AS t").first()["t"]
+    n0 = r["n"] * (r["n"] - 1) // 2
+    assert (
+        r["concordant"] + r["discordant"]
+        + r["tied_q_pairs"] + r["tied_d_pairs"] - tied_both
+        == n0
+    )
+    assert -1.0 <= r["kendall_tau_b"] <= 1.0
+
+
+def test_kendall_matches_bruteforce_on_small_sample(spark):
+    # contingency formulation == O(n^2) brute force on a small slice
+    from bigdata_spark.plans.statsq import stat_kendall_tau
+    from bigdata_spark.sources.catalog import load_table
+
+    pdf = (
+        load_table(spark, SF, "lineitem")
+        .select("l_quantity", "l_discount")
+        .toPandas()
+    )
+    got = stat_kendall_tau(spark, SF).first()
+    import numpy as np
+
+    q = pdf["l_quantity"].to_numpy()
+    dd = pdf["l_discount"].to_numpy()
+    n = len(q)
+    c = d = 0
+    for i in range(0, n, 512):  # blocked full n×n sign matrix
+        s = np.sign(q[i : i + 512, None] - q[None, :]) * np.sign(
+            dd[i : i + 512, None] - dd[None, :]
+        )
+        c += int((s > 0).sum())
+        d += int((s < 0).sum())
+    # the full matrix counts every unordered pair twice
+    assert got["concordant"] == c // 2 and got["discordant"] == d // 2
+
+
+def test_modularity_contributions_sum_and_bounds(spark):
+    from bigdata_spark.plans.graphq import graph_modularity
+
+    rows = graph_modularity(spark, SF).collect()
+    assert rows, "co-purchase graph should be non-empty at sf0.001"
+    q_total = rows[0]["q_total"]
+    assert all(abs(r["q_total"] - q_total) < 1e-15 for r in rows)
+    assert -0.5 <= q_total <= 1.0  # modularity bounds
+    # per-community contributions sum to the total (same denominator)
+    m2 = sum(r["degree_sum"] for r in rows)  # 2m
+    assert m2 % 2 == 0
+    num_sum = sum(r["q_num"] for r in rows)
+    assert abs(num_sum / (m2 * m2) - q_total) < 1e-12
+    for r in rows:
+        assert 2 * r["intra_edges"] <= r["degree_sum"]

@@ -463,6 +463,17 @@ AUDITS.update({
         ("per-segment counts partial-aggregated", r"partial_count|partial_sum"),
         ("integer ppm arithmetic native, no Python", NO_PYTHON),
     ],
+    "stat_kendall_tau": [
+        ("scan pruned to the two columns", r"ReadSchema: struct<l_quantity:double,l_discount:double>"),
+        ("joint contingency partial-aggregated", r"partial_count"),
+        ("cell-pair join broadcast (no shuffle of pairs)", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("pure integer pair counting, no Python", NO_PYTHON),
+    ],
+    "graph_modularity": [
+        ("brand dimension broadcast", r"BroadcastHashJoin"),
+        ("degree and intra counts partial-aggregated", r"partial_count"),
+        ("integer modularity numerators, no Python", NO_PYTHON),
+    ],
 })
 
 
