@@ -517,6 +517,97 @@ def synthetic_media_df(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_gated_audio_df(spark, n: int = 48) -> DataFrame:
+    """Deterministic burst-gated audio table for the silence-detection
+    operator: 2-second PCM16 WAVs built from eight 250 ms blocks, block
+    b of clip i silent iff (b + i) % (2 + i % 3) == 0, else a pure sine
+    at 110·(1 + i mod 8) Hz. Real encoded WAV payloads (codecs.py), so
+    the query exercises the full decode path; the gate pattern gives
+    every clip a distinct silence layout. Kept separate from
+    synthetic_media_df so the pinned oracles of the constant-amplitude
+    clips never move."""
+    from .codecs import encode_wav
+
+    key = ("gated", n)
+    if key in _MEDIA_ROWS_CACHE:
+        return spark.createDataFrame(_MEDIA_ROWS_CACHE[key], MEDIA_SCHEMA)
+
+    rate, duration = 16000, 2000
+    block = rate // 4  # 250 ms
+    rows = []
+    for i in range(n):
+        t = np.arange(rate * duration // 1000, dtype=np.float64)
+        freq = 110.0 * (1 + i % 8)
+        samples = (np.sin(2 * np.pi * freq * t / rate) * 12000).astype(np.int16)
+        period = 2 + i % 3
+        for b in range(len(samples) // block):
+            if (b + i) % period == 0:
+                samples[b * block : (b + 1) * block] = 0
+        rows.append(
+            (
+                i,
+                bytearray(encode_wav(samples, rate)),
+                {
+                    "kind": "audio",
+                    "format": "wav",
+                    "width": None,
+                    "height": None,
+                    "duration_ms": duration,
+                    "sample_rate": rate,
+                },
+            )
+        )
+    _MEDIA_ROWS_CACHE[key] = rows
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_audio_rms_windows(df: DataFrame, win_ms: int = 125) -> DataFrame:
+    """WAV payload → short-time RMS, one row per (media_id, win_ix)
+    window, via mapInPandas (Arrow-batched). Only (id, window index,
+    one float) leaves the Python worker — the waveform never shuffles —
+    so silence/activity segmentation downstream is plain relational
+    work on a table ~duration/win_ms the size of the corpus row count.
+    Non-audio / undecodable rows yield no windows."""
+    from .codecs import decode_wav
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("win_ix", IntegerType(), False),
+            StructField("rms", DoubleType(), False),
+        ]
+    )
+
+    def rms_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, fmt in zip(
+                pdf["media_id"], pdf["payload"], pdf["format"]
+            ):
+                if payload is None or fmt != "wav":
+                    continue
+                try:
+                    samples, rate = decode_wav(bytes(payload))
+                except ValueError:
+                    continue
+                win = max(1, rate * win_ms // 1000)
+                n_win = len(samples) // win
+                for ix in range(n_win):
+                    seg = samples[ix * win : (ix + 1) * win]
+                    rows.append(
+                        (int(mid), ix, float(np.sqrt(np.mean(seg * seg))))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "win_ix", "rms"]
+            ).astype({"media_id": "int64", "win_ix": "int32", "rms": "float64"})
+
+    return (
+        df.filter(F.col("meta.kind") == "audio")
+        .select("media_id", "payload", F.col("meta.format").alias("format"))
+        .mapInPandas(rms_batches, out_schema)
+    )
+
+
 def decode_audio_spectral(df: DataFrame, frame: int = 4096) -> DataFrame:
     """WAV payload → spectral features via mapInPandas (Arrow-batched):
     dominant frequency (argmax rFFT bin over the first ``frame``

@@ -1397,8 +1397,124 @@ ORDER BY scope
 APPROX_KMV_SQL = _kmv_sql()
 
 
+# ---------------------------------------------------------------------------
+# approx_quantile_hist — mergeable fixed-grid histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+_QH_WIDTH = 500  # fixed bucket width over o_totalprice (0 .. 500k → ≤1000 cells)
+_QH_PCTS = (50, 90, 95, 99)
+
+# in-bucket linear interpolation: ONE shared IEEE expression over exact
+# integers (the histogram analogue of PERCENTILE_CONT's fractional step)
+_QH_EST = (
+    f"CAST(bucket * {_QH_WIDTH} AS DOUBLE)"
+    f" + CAST({_QH_WIDTH} AS DOUBLE)"
+    " * (CAST(target - cum_before AS DOUBLE) / CAST(bucket_n AS DOUBLE))"
+)
+
+
+def approx_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from a fixed-grid histogram sketch — the
+    mergeable, single-pass alternative to sorting when an exact
+    percentile would global-shuffle 100 TB (w9_percentile_cont is the
+    exact twin; GK/t-digest sketches are order-dependent and can't
+    hash-match across engines, a fixed grid can).
+
+    One map-side-combinable groupBy builds the ≤1000-cell histogram;
+    a running-count window over the cells plus a broadcast of the
+    4-row percentile spine finds each target rank's bucket (the
+    smallest bucket whose cumulative count reaches ceil(p·n/100), all
+    BIGINT); the estimate interpolates linearly inside the bucket with
+    one shared-verbatim IEEE expression. Error is bounded by the grid
+    width, counts merge across shards/days by cell addition.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    hist = (
+        o.select(
+            F.expr(
+                f"CAST(FLOOR(o_totalprice / CAST({_QH_WIDTH} AS DOUBLE))"
+                " AS BIGINT)"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("bucket_n"))
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bucket",
+        "bucket_n",
+        (F.sum("bucket_n").over(w_cum) - F.col("bucket_n")).alias("cum_before"),
+        F.sum("bucket_n").over(w_cum).alias("cum"),
+        F.sum("bucket_n").over(Window.partitionBy()).alias("n"),
+    )
+    pcts = spark.createDataFrame([(p,) for p in _QH_PCTS], "pct long")
+    # target rank = ceil(p·n/100) in pure integers
+    probe = cum.crossJoin(F.broadcast(pcts)).selectExpr(
+        "pct", "bucket", "bucket_n", "cum_before", "cum", "n",
+        "(pct * n + 99) div 100 AS target",
+    )
+    hit = (
+        probe.filter(F.col("cum") >= F.col("target"))
+        .groupBy("pct")
+        .agg(
+            F.min_by(
+                F.struct("bucket", "bucket_n", "cum_before", "target", "n"),
+                F.col("bucket"),
+            ).alias("s")
+        )
+        .select("pct", "s.bucket", "s.bucket_n", "s.cum_before", "s.target", "s.n")
+    )
+    return hit.selectExpr(
+        "pct",
+        "n",
+        "target AS target_rank",
+        "bucket",
+        "bucket_n",
+        f"{_QH_EST} AS estimate",
+    ).orderBy("pct")
+
+
+APPROX_QH_SQL = f"""
+WITH hist AS (
+  SELECT CAST(FLOOR(o_totalprice / CAST({_QH_WIDTH} AS DOUBLE)) AS BIGINT)
+           AS bucket,
+         COUNT(*) AS bucket_n
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT bucket, bucket_n,
+         SUM(bucket_n) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bucket_n
+           AS cum_before,
+         SUM(bucket_n) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(bucket_n) OVER () AS n
+  FROM hist
+), probe AS (
+  SELECT p.pct, c.bucket, c.bucket_n, c.cum_before, c.cum, c.n,
+         (p.pct * c.n + 99) // 100 AS target
+  FROM cum c, (VALUES {', '.join(f'({p})' for p in _QH_PCTS)}) p(pct)
+), hit AS (
+  SELECT pct, MIN(bucket) AS bucket
+  FROM probe WHERE cum >= target GROUP BY 1
+)
+SELECT p.pct,
+       CAST(p.n AS BIGINT) AS n,
+       CAST(p.target AS BIGINT) AS target_rank,
+       p.bucket, CAST(p.bucket_n AS BIGINT) AS bucket_n,
+       {_QH_EST.replace('bucket *', 'p.bucket *')
+                .replace('target -', 'p.target -')
+                .replace('cum_before', 'p.cum_before')
+                .replace('bucket_n', 'p.bucket_n')} AS estimate
+FROM probe p JOIN hit h ON p.pct = h.pct AND p.bucket = h.bucket
+ORDER BY p.pct
+"""
+
+
 QUERIES = {
     "approx_hll_portable": (approx_hll_portable, APPROX_HLL_SQL),
+    "approx_quantile_hist": (approx_quantile_hist, APPROX_QH_SQL),
     "approx_hll_merge": (approx_hll_merge, APPROX_HLL_MERGE_SQL),
     "j8_lateral_topn": (j8_lateral_topn, J8_LATERAL_SQL),
     "f10_map_in_arrow": (f10_map_in_arrow, F10_ARROW_SQL),

@@ -1032,8 +1032,235 @@ FROM j ORDER BY community
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_sssp_weighted — Bellman-Ford fixed point on the trade graph
+# ---------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 6
+_SSSP_SEED = 0
+_SSSP_INF = 10**15
+_SSSP_COST_NUM = 1_000_000
+
+
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths with WEIGHTED edges — 6 rounds of
+    synchronous Bellman-Ford relaxation over the nation trade graph.
+
+    Edge cost is an exact integer derived from trade volume
+    (1 + 1e6 div w: busier routes are cheaper), so the whole relaxation
+    is BIGINT min-plus algebra and the DuckDB oracle replays the same
+    6 rounds as unrolled CTEs bit-for-bit (the graph_pagerank pattern,
+    graphq.py:67). Unreached nodes keep the 1e15 sentinel and report
+    reachable = false.
+
+    Scale: each round is one edges⋈dist join + a map-side-combinable
+    MIN per destination + a broadcast-sized least() merge onto the node
+    table — O(rounds) edge-sized shuffles, never an all-pairs
+    materialization. At 100 TB the same loop runs with the dist table
+    hash-partitioned on node and only the CHANGED rows re-joined
+    (delta/frontier relaxation, as bfs_hops does); the dense 25-node
+    demo keeps every row live so the oracle can replay it.
+    """
+    nodes, edges = _trade_edges(spark, sf_dir)
+    ec = edges.select(
+        "src", "dst",
+        (F.lit(1) + F.expr(f"{_SSSP_COST_NUM} div w")).alias("cost"),
+    ).localCheckpoint()
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == _SSSP_SEED, F.lit(0))
+        .otherwise(F.lit(_SSSP_INF)).cast("long").alias("dist"),
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = (
+            dist.join(ec, dist.node == ec.src)
+            .groupBy("dst")
+            .agg(F.min(F.col("dist") + F.col("cost")).alias("cand"))
+        )
+        dist = (
+            dist.join(relaxed, dist.node == relaxed.dst, "left_outer")
+            .select(
+                "node",
+                F.least(
+                    F.col("dist"), F.coalesce("cand", F.lit(_SSSP_INF))
+                ).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        dist.join(F.broadcast(n), dist.node == n.n_nationkey)
+        .select(
+            F.col("node").alias("n_nationkey"),
+            "n_name",
+            "dist",
+            (F.col("dist") < _SSSP_INF).alias("reachable"),
+        )
+        .orderBy("dist", "n_nationkey")
+    )
+
+
+def _sssp_sql() -> str:
+    steps = []
+    for i in range(_SSSP_ROUNDS):
+        steps.append(
+            f"""d{i + 1} AS (
+  SELECT d.node,
+         CAST(LEAST(d.dist, COALESCE(r.cand, {_SSSP_INF})) AS BIGINT) AS dist
+  FROM d{i} d LEFT JOIN (
+    SELECT e.dst, MIN(d2.dist + e.cost) AS cand
+    FROM edges_c e JOIN d{i} d2 ON d2.node = e.src
+    GROUP BY 1
+  ) r ON r.dst = d.node
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH nodes AS (SELECT n_nationkey AS node FROM nation),
+edges AS (
+  SELECT c_nationkey AS src, s_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+),
+edges_c AS (SELECT src, dst, 1 + {_SSSP_COST_NUM} // w AS cost FROM edges),
+d0 AS (
+  SELECT node,
+         CAST(CASE WHEN node = {_SSSP_SEED} THEN 0
+                   ELSE {_SSSP_INF} END AS BIGINT) AS dist
+  FROM nodes
+),
+{chain}
+SELECT d.node AS n_nationkey, n.n_name, d.dist,
+       d.dist < {_SSSP_INF} AS reachable
+FROM d{_SSSP_ROUNDS} d JOIN nation n ON d.node = n.n_nationkey
+ORDER BY d.dist, d.node
+"""
+
+
+GRAPH_SSSP_SQL = _sssp_sql()
+
+
+# ---------------------------------------------------------------------------
+# graph_hits — hubs & authorities, integer-renormalized power iteration
+# ---------------------------------------------------------------------------
+
+_HITS_ROUNDS = 6
+_HITS_SCALE = 1_000_000_000
+
+
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities on the directed nation trade graph
+    (customer nation → supplier nation): authority mass flows along
+    in-edges from hub scores, hub mass along out-edges from authority
+    scores, 6 synchronous rounds.
+
+    The float-renormalization step that makes textbook HITS
+    hash-unstable is replaced by integer rescaling: after each
+    propagation, mass is divided by GREATEST(1, total div 1e9), which
+    keeps the L1 norm pinned near 1e9 using only BIGINT ops — no
+    product ever exceeds ~1e9·Σw (≈6e15 at sf1, inside BIGINT), and
+    the DuckDB oracle replays every round exactly as unrolled CTEs.
+
+    Scale: each half-round is one edge-sized join + partial-agg
+    groupBy; the norm is a single window aggregate over the node table
+    (broadcast-sized). 100 TB of edges costs O(rounds) edge shuffles,
+    same shape as graph_pagerank.
+    """
+    nodes, edges = _trade_edges(spark, sf_dir)
+    e = edges.localCheckpoint()
+
+    def _propagate(mass: DataFrame, forward: bool) -> DataFrame:
+        src, dst = ("src", "dst") if forward else ("dst", "src")
+        raw = (
+            nodes.join(
+                mass.join(e, mass.node == e[src])
+                .groupBy(dst)
+                .agg(F.sum(F.col("mass") * F.col("w")).alias("raw")),
+                nodes.node == F.col(dst),
+                "left_outer",
+            )
+            .select("node", F.coalesce("raw", F.lit(0)).alias("raw"))
+        )
+        return raw.select(
+            "node", F.expr(f"raw div greatest(1L, sum(raw) over () div {_HITS_SCALE})").alias("mass")
+        )
+
+    hub = nodes.select("node", F.lit(_HITS_SCALE).cast("long").alias("mass"))
+    auth = None
+    for _ in range(_HITS_ROUNDS):
+        auth = _propagate(hub, forward=True).localCheckpoint()
+        hub = _propagate(auth, forward=False).localCheckpoint()
+    n = load_table(spark, sf_dir, "nation")
+    joined = (
+        auth.withColumnRenamed("mass", "authority")
+        .join(hub.withColumnRenamed("mass", "hub"), "node")
+        .join(F.broadcast(n), F.col("node") == n.n_nationkey)
+    )
+    return joined.select(
+        F.col("node").alias("n_nationkey"), "n_name", "authority", "hub"
+    ).orderBy(F.desc("authority"), "n_nationkey")
+
+
+def _hits_sql() -> str:
+    steps = []
+    prev_h = "h0"
+    for i in range(_HITS_ROUNDS):
+        steps.append(
+            f"""a{i + 1}r AS (
+  SELECT n.node, COALESCE(SUM(h.mass * e.w), 0) AS raw
+  FROM nodes n
+  LEFT JOIN (edges e JOIN {prev_h} h ON h.node = e.src) ON e.dst = n.node
+  GROUP BY n.node
+), a{i + 1} AS (
+  SELECT node,
+         CAST(raw // GREATEST(1, SUM(raw) OVER () // {_HITS_SCALE})
+              AS BIGINT) AS mass
+  FROM a{i + 1}r
+), h{i + 1}r AS (
+  SELECT n.node, COALESCE(SUM(a.mass * e.w), 0) AS raw
+  FROM nodes n
+  LEFT JOIN (edges e JOIN a{i + 1} a ON a.node = e.dst) ON e.src = n.node
+  GROUP BY n.node
+), h{i + 1} AS (
+  SELECT node,
+         CAST(raw // GREATEST(1, SUM(raw) OVER () // {_HITS_SCALE})
+              AS BIGINT) AS mass
+  FROM h{i + 1}r
+)"""
+        )
+        prev_h = f"h{i + 1}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH nodes AS (SELECT n_nationkey AS node FROM nation),
+edges AS (
+  SELECT c_nationkey AS src, s_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+),
+h0 AS (SELECT node, CAST({_HITS_SCALE} AS BIGINT) AS mass FROM nodes),
+{chain}
+SELECT a.node AS n_nationkey, n.n_name,
+       a.mass AS authority, h.mass AS hub
+FROM a{_HITS_ROUNDS} a
+JOIN h{_HITS_ROUNDS} h ON h.node = a.node
+JOIN nation n ON a.node = n.n_nationkey
+ORDER BY a.mass DESC, a.node
+"""
+
+
+GRAPH_HITS_SQL = _hits_sql()
+
+
 QUERIES = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
+    "graph_sssp_weighted": (graph_sssp_weighted, GRAPH_SSSP_SQL),
+    "graph_hits": (graph_hits, GRAPH_HITS_SQL),
     "graph_modularity": (graph_modularity, GRAPH_MODULARITY_SQL),
     "graph_ppr": (graph_ppr, GRAPH_PPR_SQL),
     "graph_cc_distributed": (graph_cc_distributed, GRAPH_CC_DIST_SQL),

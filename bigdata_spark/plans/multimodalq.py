@@ -386,8 +386,88 @@ MM_SCENE_CUT_SQL = values_oracle(
 )
 
 
+# ---------------------------------------------------------------------------
+# mm_audio_silence — VAD-style silence segmentation over gated clips
+# ---------------------------------------------------------------------------
+
+_SIL_WIN_MS = 125
+_SIL_THRESH = 0.01  # RMS below this (float, sine RMS ≈ 0.26) = silent
+
+
+def mm_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence segmentation over burst-gated audio — the
+    voice-activity-detection shape of a speech-data pipeline: find,
+    per clip, how much is silence, how many silent runs there are, the
+    longest run, and where silence first starts.
+
+    The decode (multimodal/media.decode_audio_rms_windows) reduces each
+    REAL PCM16 WAV to 125 ms RMS windows inside Arrow batches — only
+    (id, win_ix, rms) leaves Python, the waveform never shuffles. The
+    runs are then pure relational gaps-and-islands (win_ix − row_number
+    per clip, the w8 pattern) and every output is an exact integer, so
+    the literal pin is stable. At 100 TB the window table is
+    ~16 rows/clip — segmentation cost is corpus-row-sized, not
+    sample-sized."""
+    from ..multimodal.media import decode_audio_rms_windows, synthetic_gated_audio_df
+
+    media = synthetic_gated_audio_df(spark, n=48)
+    wins = decode_audio_rms_windows(media, win_ms=_SIL_WIN_MS)
+    flagged = wins.select(
+        "media_id",
+        "win_ix",
+        (F.col("rms") < _SIL_THRESH).cast("int").alias("silent"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("win_ix")
+    runs = (
+        flagged.filter(F.col("silent") == 1)
+        .withColumn("grp", F.col("win_ix") - F.row_number().over(w))
+        .groupBy("media_id", "grp")
+        .agg(F.count("*").alias("run_len"), F.min("win_ix").alias("run_start"))
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_runs"),
+            F.max("run_len").alias("longest_run_wins"),
+            F.min("run_start").alias("first_silent_win"),
+            F.sum("run_len").alias("n_silent"),
+        )
+    )
+    totals = flagged.groupBy("media_id").agg(F.count("*").alias("n_windows"))
+    return (
+        totals.join(runs, "media_id", "left_outer")
+        .select(
+            "media_id",
+            "n_windows",
+            F.coalesce("n_silent", F.lit(0)).alias("n_silent"),
+            F.coalesce("n_runs", F.lit(0)).alias("n_runs"),
+            (F.coalesce("longest_run_wins", F.lit(0)) * _SIL_WIN_MS)
+            .alias("longest_run_ms"),
+            F.coalesce(
+                (F.col("first_silent_win") * _SIL_WIN_MS).cast("long"),
+                F.lit(-1).cast("long"),
+            ).alias("first_silence_ms"),
+        )
+        .orderBy("media_id")
+    )
+
+
+MM_AUDIO_SILENCE_SQL = values_oracle(
+    "mm_audio_silence",
+    [
+        ("media_id", "bigint"),
+        ("n_windows", "bigint"),
+        ("n_silent", "bigint"),
+        ("n_runs", "bigint"),
+        ("longest_run_ms", "bigint"),
+        ("first_silence_ms", "bigint"),
+    ],
+)
+
+
 QUERIES = {
     "mm_decode_invariants": (mm_decode_invariants, MM_DECODE_SQL),
+    "mm_audio_silence": (mm_audio_silence, MM_AUDIO_SILENCE_SQL),
     "mm_scene_cut": (mm_scene_cut, MM_SCENE_CUT_SQL),
     "mm_mp4_frames": (mm_mp4_frames, MM_MP4_FRAMES_SQL),
     "mm_phash_dedup": (mm_phash_dedup, MM_PHASH_SQL),

@@ -195,8 +195,135 @@ FROM sample
 """
 
 
+# ---------------------------------------------------------------------------
+# p9_neyman_allocation — optimal stratified sample-size design
+# ---------------------------------------------------------------------------
+
+_ALLOC_N = 1000  # total sample budget to apportion
+
+# population stddev from exact cent sums — ONE shared IEEE expression
+# (sqrt is correctly-rounded everywhere)
+_ALLOC_SD = (
+    "SQRT(CAST(c2 AS DOUBLE) / CAST(nh AS DOUBLE)"
+    " - (CAST(c1 AS DOUBLE) / CAST(nh AS DOUBLE))"
+    " * (CAST(c1 AS DOUBLE) / CAST(nh AS DOUBLE)))"
+)
+# Neyman weight N_h·S_h quantized to a BIGINT so the apportionment
+# below is pure integer arithmetic (order-free, engine-portable)
+_ALLOC_W = (
+    f"CAST(FLOOR(CAST(nh AS DOUBLE) * {_ALLOC_SD}"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def p9_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation — the survey-design
+    step that decides HOW MANY rows to draw per stratum before any
+    stratified_sample runs: n_h ∝ N_h·S_h minimizes the variance of
+    the stratified mean for a fixed budget.
+
+    Per-priority counts and cent-exact Σq, Σq² reduce in one
+    map-side-combinable pass; S_h is one shared closed-form double;
+    the N_h·S_h weight is quantized to BIGINT so the 1000-row budget
+    is apportioned with the exact largest-remainder (Hamilton) method
+    — base = (n·w) div W, then the leftover seats go to the largest
+    integer remainders (priority name breaks ties) — so the allocation
+    sums to the budget EXACTLY and every step is portable integer
+    arithmetic. Proportional allocation is emitted alongside for the
+    design-effect comparison.
+
+    Scale: the stratum statistics are the only data-sized pass; the
+    apportionment windows run over #strata rows. 100 TB → one scan +
+    a strata-sized exchange; the same cent sums merge incrementally.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    q = F.expr(
+        "CAST(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT) AS DECIMAL(18,0))"
+    )
+    g = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("nh"),
+        F.sum(q).alias("c1"),
+        F.sum(q * q).alias("c2"),
+    )
+    wgt = g.selectExpr(
+        "o_orderpriority",
+        "nh",
+        f"{_ALLOC_SD} AS sd_cents",
+        f"{_ALLOC_W} AS w",
+    )
+    wall = Window.partitionBy()
+    base = wgt.select(
+        "o_orderpriority",
+        "nh",
+        "sd_cents",
+        "w",
+        F.sum("nh").over(wall).alias("n_total"),
+        F.sum("w").over(wall).alias("w_total"),
+    ).selectExpr(
+        "*",
+        f"({_ALLOC_N} * w) div w_total AS base_h",
+        f"{_ALLOC_N} * w - (({_ALLOC_N} * w) div w_total) * w_total AS rem_h",
+        f"({_ALLOC_N} * nh) div n_total AS alloc_proportional",
+    )
+    w_rank = Window.orderBy(F.desc("rem_h"), F.asc("o_orderpriority"))
+    ranked = base.select(
+        "*",
+        F.row_number().over(w_rank).alias("rk"),
+        (F.lit(_ALLOC_N) - F.sum("base_h").over(wall)).alias("leftover"),
+    )
+    return ranked.selectExpr(
+        "o_orderpriority",
+        "nh AS n_rows",
+        "sd_cents",
+        "w AS neyman_weight",
+        "CAST(base_h + IF(rk <= leftover, 1, 0) AS BIGINT) AS alloc_neyman",
+        "CAST(alloc_proportional AS BIGINT) AS alloc_proportional",
+    ).orderBy("o_orderpriority")
+
+
+P9_SQL = f"""
+WITH g AS (
+  SELECT o_orderpriority, COUNT(*) AS nh,
+         SUM(qc) AS c1, SUM(qc * qc) AS c2
+  FROM (
+    SELECT o_orderpriority,
+           CAST(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+                + CAST(0.5 AS DOUBLE)) AS BIGINT) AS DECIMAL(18,0)) AS qc
+    FROM orders
+  ) GROUP BY 1
+), wgt AS (
+  SELECT o_orderpriority, nh, {_ALLOC_SD} AS sd_cents, {_ALLOC_W} AS w
+  FROM g
+), base AS (
+  SELECT *, SUM(nh) OVER () AS n_total, SUM(w) OVER () AS w_total
+  FROM wgt
+), app AS (
+  SELECT *,
+         ({_ALLOC_N} * w) // w_total AS base_h,
+         {_ALLOC_N} * w - (({_ALLOC_N} * w) // w_total) * w_total AS rem_h,
+         ({_ALLOC_N} * nh) // n_total AS alloc_proportional
+  FROM base
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY rem_h DESC, o_orderpriority) AS rk,
+         {_ALLOC_N} - SUM(base_h) OVER () AS leftover
+  FROM app
+)
+SELECT o_orderpriority, nh AS n_rows, sd_cents, w AS neyman_weight,
+       CAST(base_h + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_neyman,
+       CAST(alloc_proportional AS BIGINT) AS alloc_proportional
+FROM ranked
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "p4_split_invariants": (p4_split_invariants, P4_SQL),
+    "p9_neyman_allocation": (p9_neyman_allocation, P9_SQL),
     "p1_sample_bounds": (p1_sample_bounds, P1_SQL),
     "p2_stratified_sample_bounds": (p2_stratified_sample_bounds, P2_SQL),
     "p7_pps_systematic": (p7_pps_systematic, P7_SQL),

@@ -1762,8 +1762,348 @@ FROM z
 """
 
 
+# ---------------------------------------------------------------------------
+# stat_skew_kurtosis — higher moments from mergeable integer power sums
+# ---------------------------------------------------------------------------
+
+# Shared closed-form over the exact power sums (identical text in Spark
+# and DuckDB → identical IEEE doubles). Central moments come from raw
+# moments; skewness uses m2·sqrt(m2) instead of pow(m2, 1.5) because
+# sqrt is correctly-rounded IEEE everywhere while pow is not.
+_MOM_N = "CAST(n AS DOUBLE)"
+_MOM_MEAN = f"(CAST(s1 AS DOUBLE) / {_MOM_N})"
+_MOM_M2 = f"(CAST(s2 AS DOUBLE) / {_MOM_N} - {_MOM_MEAN} * {_MOM_MEAN})"
+_MOM_M3 = (
+    f"(CAST(s3 AS DOUBLE) / {_MOM_N}"
+    f" - CAST(3 AS DOUBLE) * {_MOM_MEAN} * (CAST(s2 AS DOUBLE) / {_MOM_N})"
+    f" + CAST(2 AS DOUBLE) * {_MOM_MEAN} * {_MOM_MEAN} * {_MOM_MEAN})"
+)
+_MOM_M4 = (
+    f"(CAST(s4 AS DOUBLE) / {_MOM_N}"
+    f" - CAST(4 AS DOUBLE) * {_MOM_MEAN} * (CAST(s3 AS DOUBLE) / {_MOM_N})"
+    f" + CAST(6 AS DOUBLE) * {_MOM_MEAN} * {_MOM_MEAN}"
+    f" * (CAST(s2 AS DOUBLE) / {_MOM_N})"
+    f" - CAST(3 AS DOUBLE) * {_MOM_MEAN} * {_MOM_MEAN}"
+    f" * {_MOM_MEAN} * {_MOM_MEAN})"
+)
+_MOM_SKEW = f"({_MOM_M3} / ({_MOM_M2} * SQRT({_MOM_M2})))"
+_MOM_KURT = f"({_MOM_M4} / ({_MOM_M2} * {_MOM_M2}) - CAST(3 AS DOUBLE))"
+
+
+def stat_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority skewness and excess kurtosis of order totals from
+    EXACT mergeable sufficient statistics — the one-pass distributed
+    answer to "are my group distributions heavy-tailed?".
+
+    The engine-native skewness/kurtosis aggregates accumulate floats in
+    partition order and can't hash-match across engines; here the value
+    is quantized to whole currency units (floor(x+0.5), ≤7 digits) and
+    Σq, Σq², Σq³, Σq⁴ are carried as exact DECIMALs (widths 15/23/31,
+    inside DuckDB's strict p1+p2 multiplication budget; the Σq⁴ sum has
+    headroom to ~10⁹ rows per group at width 38). The four central
+    moments then come from ONE closed-form double expression shared
+    verbatim with the oracle.
+
+    Scale: a single map-side-combinable groupBy — partial aggregation
+    reduces every partition to 5 decimal cells per group before the
+    shuffle, so 100 TB costs one scan plus a groups-sized exchange.
+    The same sums merge across days for incremental rollups.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    q = F.expr("CAST(FLOOR(o_totalprice + CAST(0.5 AS DOUBLE)) AS DECIMAL(7,0))")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    return agg.selectExpr(
+        "o_orderpriority",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(s1 AS BIGINT) AS sum_units",
+        f"{_MOM_MEAN} AS mean_units",
+        f"{_MOM_M2} AS var_units",
+        f"{_MOM_SKEW} AS skewness",
+        f"{_MOM_KURT} AS kurtosis_excess",
+    ).orderBy("o_orderpriority")
+
+
+STAT_MOMENTS_SQL = f"""
+WITH qv AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice + CAST(0.5 AS DOUBLE)) AS DECIMAL(7,0)) AS q
+  FROM orders
+), agg AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         SUM(q) AS s1, SUM(q*q) AS s2,
+         -- DuckDB clamps int64-range decimal multiplies at width 18
+         -- (q³ would overflow); the DECIMAL(19) casts force the exact
+         -- hugeint path (widths 26 / 38)
+         SUM(CAST(q*q AS DECIMAL(19,0)) * q) AS s3,
+         SUM(CAST(q*q AS DECIMAL(19,0)) * CAST(q*q AS DECIMAL(19,0))) AS s4
+  FROM qv GROUP BY 1
+)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n,
+       CAST(s1 AS BIGINT) AS sum_units,
+       {_MOM_MEAN} AS mean_units,
+       {_MOM_M2} AS var_units,
+       {_MOM_SKEW} AS skewness,
+       {_MOM_KURT} AS kurtosis_excess
+FROM agg
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# stat_survival_lifetable — Kaplan-Meier-style life table + Nelson-Aalen
+# ---------------------------------------------------------------------------
+
+_SURV_CHURN_DAYS = 3  # users silent for the last 3 days are "churned"
+
+# the per-interval hazard is ONE IEEE division over exact integers —
+# shared verbatim between engines
+_SURV_HAZARD = "CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE)"
+
+
+def stat_survival_lifetable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified right-censored survival life tables — the
+    Kaplan-Meier input table plus the Nelson-Aalen cumulative hazard,
+    one stratum per event_type (the KM-by-treatment-arm shape).
+
+    A (user, event_type) span's duration is the whole days between the
+    user's first event of that type and their last; the "death" (churn)
+    indicator is last activity of that type more than 3 days before the
+    corpus horizon, else the span is right-censored. For each stratum
+    and distinct duration t: n_risk = spans with duration ≥ t (a
+    reversed running sum), n_event / n_censored at t, the interval
+    hazard d/n (one exactly-rounded IEEE division, shared verbatim),
+    and the Nelson-Aalen cumulative hazard carried EXACTLY in ppm
+    integers (1e6·d div n, running BIGINT sum) so the output
+    hash-matches without relying on float summation order.
+
+    Scale: the per-span min/max groupBy is the only data-sized pass
+    (map-side combinable); the life table itself is
+    strata × distinct-durations-sized, so the two windows run over a
+    tiny relation. 100 TB of events → one scan + a spans-sized
+    exchange.
+    """
+    e = load_table(spark, sf_dir, "events")
+    horizon = e.agg(F.max("ts").alias("horizon"))
+    spans = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "event_type",
+            F.datediff(F.to_date("last_ts"), F.to_date("first_ts"))
+            .alias("dur_days"),
+            (
+                F.col("last_ts")
+                < F.col("horizon") - F.expr(f"INTERVAL {_SURV_CHURN_DAYS} DAYS")
+            )
+            .cast("long")
+            .alias("churned"),
+        )
+    )
+    g = spans.groupBy("event_type", "dur_days").agg(
+        F.count("*").alias("n_total"), F.sum("churned").alias("n_event")
+    )
+    w_risk = (
+        Window.partitionBy("event_type")
+        .orderBy("dur_days")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("dur_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lt = g.select(
+        "event_type",
+        "dur_days",
+        F.sum("n_total").over(w_risk).alias("n_risk"),
+        "n_event",
+        (F.col("n_total") - F.col("n_event")).alias("n_censored"),
+    ).withColumn("hazard_ppm", F.expr("(1000000 * n_event) div n_risk"))
+    return lt.select(
+        "event_type",
+        "dur_days",
+        "n_risk",
+        "n_event",
+        "n_censored",
+        F.expr(_SURV_HAZARD).alias("hazard"),
+        "hazard_ppm",
+        F.sum("hazard_ppm").over(w_cum).alias("cum_hazard_ppm"),
+    ).orderBy("event_type", "dur_days")
+
+
+STAT_SURVIVAL_SQL = f"""
+WITH horizon AS (SELECT MAX(ts) AS horizon FROM events),
+spans AS (
+  SELECT event_type,
+         DATEDIFF('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+           AS dur_days,
+         CASE WHEN MAX(ts) < (SELECT horizon FROM horizon)
+                              - INTERVAL {_SURV_CHURN_DAYS} DAY
+              THEN 1 ELSE 0 END AS churned
+  FROM events GROUP BY user_id, event_type
+), g AS (
+  SELECT event_type, dur_days, COUNT(*) AS n_total, SUM(churned) AS n_event
+  FROM spans GROUP BY 1, 2
+), lt AS (
+  SELECT event_type, dur_days,
+         SUM(n_total) OVER (PARTITION BY event_type ORDER BY dur_days
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk,
+         CAST(n_event AS BIGINT) AS n_event,
+         CAST(n_total - n_event AS BIGINT) AS n_censored
+  FROM g
+), lh AS (
+  SELECT *, (1000000 * n_event) // n_risk AS hazard_ppm FROM lt
+)
+SELECT event_type, dur_days, CAST(n_risk AS BIGINT) AS n_risk,
+       n_event, n_censored,
+       {_SURV_HAZARD} AS hazard,
+       CAST(hazard_ppm AS BIGINT) AS hazard_ppm,
+       CAST(SUM(hazard_ppm) OVER (PARTITION BY event_type ORDER BY dur_days
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_hazard_ppm
+FROM lh
+ORDER BY event_type, dur_days
+"""
+
+
+# ---------------------------------------------------------------------------
+# stat_cem_att — coarsened exact matching, average treatment effect
+# ---------------------------------------------------------------------------
+
+_CEM_TREATMENT = "BUILDING"  # "treated" = customers in this segment
+_CEM_BAL_BIN = 2000  # account-balance coarsening width
+
+# final ATT as dollars: two exactly-rounded IEEE divisions over exact
+# integers, shared verbatim between engines
+_CEM_ATT = (
+    "CAST(att_num AS DOUBLE) / CAST(m_t AS DOUBLE)"
+    " / CAST(1000000 AS DOUBLE)"
+)
+
+
+def stat_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarsened Exact Matching (CEM) estimate of the average treatment
+    effect on the treated — the causal-inference primitive for
+    observational data: does the BUILDING market segment spend more per
+    order than comparable customers?
+
+    Covariates are COARSENED (nation → region, account balance →
+    2000-wide bins, order priority kept exact) and units match within
+    strata containing both treated and control orders; unmatched
+    treated units are pruned (reported, per CEM practice). Within each
+    matched stratum the control mean is quantized to micro-cents by
+    integer division, so the treated-count-weighted ATT numerator
+    Σ_s (ΣY_T·10⁴ − n_T·ȳ_C^micro) accumulates as an EXACT BIGINT —
+    no float summation over strata — and the final dollar value is two
+    shared-verbatim IEEE divisions.
+
+    Scale: one broadcast dim join + one map-side-combinable stratum
+    aggregation over the fact table; everything after runs on
+    #strata rows. The same stratum cells merge across data increments.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.expr(
+        "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    units = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_regionkey").alias("region"),
+            F.expr(f"CAST(FLOOR(c_acctbal / CAST({_CEM_BAL_BIN} AS DOUBLE))"
+                   " AS BIGINT)").alias("bal_bin"),
+            "o_orderpriority",
+            (F.col("c_mktsegment") == _CEM_TREATMENT).cast("long").alias("t"),
+            cents.alias("y_cents"),
+        )
+    )
+    strata = units.groupBy("region", "bal_bin", "o_orderpriority").agg(
+        F.sum("t").alias("n_t"),
+        (F.count("*") - F.sum("t")).alias("n_c"),
+        F.sum(F.expr("IF(t = 1, y_cents, 0)")).alias("sum_t"),
+        F.sum(F.expr("IF(t = 1, 0, y_cents)")).alias("sum_c"),
+    )
+    matched = strata.filter((F.col("n_t") > 0) & (F.col("n_c") > 0)).selectExpr(
+        "n_t",
+        "n_c",
+        "sum_t",
+        "(10000 * sum_c) div n_c AS mc_micro",
+    )
+    agg = matched.agg(
+        F.count("*").alias("n_strata_matched"),
+        F.sum("n_t").alias("m_t"),
+        F.sum("n_c").alias("m_c"),
+        F.sum(F.expr("10000 * sum_t - n_t * mc_micro")).alias("att_num"),
+    )
+    unmatched = (
+        strata.filter((F.col("n_t") > 0) & (F.col("n_c") == 0))
+        .agg(F.coalesce(F.sum("n_t"), F.lit(0)).alias("n_treated_unmatched"))
+    )
+    return agg.crossJoin(F.broadcast(unmatched)).selectExpr(
+        "n_strata_matched",
+        "m_t AS n_treated_matched",
+        "m_c AS n_control_matched",
+        "CAST(n_treated_unmatched AS BIGINT) AS n_treated_unmatched",
+        "att_num div m_t AS att_micro_cents",
+        f"{_CEM_ATT} AS att_dollars",
+    )
+
+
+STAT_CEM_SQL = f"""
+WITH units AS (
+  SELECT n.n_regionkey AS region,
+         CAST(FLOOR(c_acctbal / CAST({_CEM_BAL_BIN} AS DOUBLE)) AS BIGINT)
+           AS bal_bin,
+         o_orderpriority,
+         CASE WHEN c_mktsegment = '{_CEM_TREATMENT}' THEN 1 ELSE 0 END AS t,
+         CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS y_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+), strata AS (
+  SELECT region, bal_bin, o_orderpriority,
+         SUM(t) AS n_t, COUNT(*) - SUM(t) AS n_c,
+         SUM(CASE WHEN t = 1 THEN y_cents ELSE 0 END) AS sum_t,
+         SUM(CASE WHEN t = 1 THEN 0 ELSE y_cents END) AS sum_c
+  FROM units GROUP BY 1, 2, 3
+), matched AS (
+  SELECT n_t, n_c, sum_t, (10000 * sum_c) // n_c AS mc_micro
+  FROM strata WHERE n_t > 0 AND n_c > 0
+), agg AS (
+  SELECT COUNT(*) AS n_strata_matched,
+         CAST(SUM(n_t) AS BIGINT) AS m_t,
+         CAST(SUM(n_c) AS BIGINT) AS m_c,
+         CAST(SUM(10000 * sum_t - n_t * mc_micro) AS BIGINT) AS att_num
+  FROM matched
+), unmatched AS (
+  SELECT COALESCE(SUM(n_t), 0) AS n_treated_unmatched
+  FROM strata WHERE n_t > 0 AND n_c = 0
+)
+SELECT n_strata_matched, m_t AS n_treated_matched, m_c AS n_control_matched,
+       CAST(n_treated_unmatched AS BIGINT) AS n_treated_unmatched,
+       att_num // m_t AS att_micro_cents,
+       {_CEM_ATT} AS att_dollars
+FROM agg, unmatched
+"""
+
+
 QUERIES = {
     "stat_permutation_test": (stat_permutation_test, STAT_PERM_SQL),
+    "stat_skew_kurtosis": (stat_skew_kurtosis, STAT_MOMENTS_SQL),
+    "stat_survival_lifetable": (stat_survival_lifetable, STAT_SURVIVAL_SQL),
+    "stat_cem_att": (stat_cem_att, STAT_CEM_SQL),
     "stat_spearman": (stat_spearman, STAT_SPEARMAN_SQL),
     "stat_kendall_tau": (stat_kendall_tau, STAT_KENDALL_SQL),
     "stat_power_analysis": (stat_power_analysis, STAT_POWER_SQL),

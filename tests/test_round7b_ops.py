@@ -1,0 +1,253 @@
+"""Round-7 second-batch operators: weighted SSSP, HITS, exact moment
+statistics, and the stratified survival life table."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _trade_edge_list(spark):
+    from bigdata_spark.plans.graphq import _trade_edges
+
+    nodes, edges = _trade_edges(spark, SF)
+    ns = sorted(r["node"] for r in nodes.collect())
+    es = [(r["src"], r["dst"], r["w"]) for r in edges.collect()]
+    return ns, es
+
+
+def test_sssp_matches_python_bellman_ford(spark):
+    from bigdata_spark.plans.graphq import (
+        _SSSP_COST_NUM,
+        _SSSP_INF,
+        _SSSP_ROUNDS,
+        _SSSP_SEED,
+        graph_sssp_weighted,
+    )
+
+    ns, es = _trade_edge_list(spark)
+    cost = [(s, d, 1 + _SSSP_COST_NUM // w) for s, d, w in es]
+    dist = {n: (0 if n == _SSSP_SEED else _SSSP_INF) for n in ns}
+    for _ in range(_SSSP_ROUNDS):
+        relax = {}
+        for s, d, c in cost:
+            cand = dist[s] + c
+            if d not in relax or cand < relax[d]:
+                relax[d] = cand
+        dist = {n: min(dist[n], relax.get(n, _SSSP_INF)) for n in ns}
+
+    rows = graph_sssp_weighted(spark, SF).collect()
+    got = {r["n_nationkey"]: r["dist"] for r in rows}
+    assert got == dist
+    assert got[_SSSP_SEED] == 0
+    for r in rows:
+        assert r["reachable"] == (r["dist"] < _SSSP_INF)
+
+
+def test_hits_matches_python_integer_iteration(spark):
+    from bigdata_spark.plans.graphq import _HITS_ROUNDS, _HITS_SCALE, graph_hits
+
+    ns, es = _trade_edge_list(spark)
+
+    def norm(masses):
+        total = sum(masses.values())
+        div = max(1, total // _HITS_SCALE)
+        return {n: m // div for n, m in masses.items()}
+
+    hub = {n: _HITS_SCALE for n in ns}
+    auth = None
+    for _ in range(_HITS_ROUNDS):
+        raw_a = {n: 0 for n in ns}
+        for s, d, w in es:
+            raw_a[d] += hub[s] * w
+        auth = norm(raw_a)
+        raw_h = {n: 0 for n in ns}
+        for s, d, w in es:
+            raw_h[s] += auth[d] * w
+        hub = norm(raw_h)
+
+    rows = graph_hits(spark, SF).collect()
+    assert {r["n_nationkey"]: r["authority"] for r in rows} == auth
+    assert {r["n_nationkey"]: r["hub"] for r in rows} == hub
+    # integer renormalization pins the L1 norm near the scale
+    assert _HITS_SCALE // 2 <= sum(auth.values()) <= 2 * _HITS_SCALE
+
+
+def test_skew_kurtosis_matches_python_moments(spark):
+    from bigdata_spark.plans.statsq import stat_skew_kurtosis
+    from bigdata_spark.sources.catalog import load_table
+
+    raw = load_table(spark, SF, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    groups: dict[str, list[int]] = {}
+    for r in raw:
+        groups.setdefault(r["o_orderpriority"], []).append(
+            math.floor(r["o_totalprice"] + 0.5)
+        )
+
+    rows = {r["o_orderpriority"]: r for r in stat_skew_kurtosis(spark, SF).collect()}
+    assert set(rows) == set(groups)
+    for k, qs in groups.items():
+        n = float(len(qs))
+        s1 = float(sum(qs))
+        s2 = float(sum(q * q for q in qs))
+        s3 = float(sum(q * q * q for q in qs))
+        s4 = float(sum(q * q * q * q for q in qs))
+        mean = s1 / n
+        m2 = s2 / n - mean * mean
+        m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean
+        m4 = (
+            s4 / n
+            - 4.0 * mean * (s3 / n)
+            + 6.0 * mean * mean * (s2 / n)
+            - 3.0 * mean * mean * mean * mean
+        )
+        r = rows[k]
+        assert r["n"] == len(qs) and r["sum_units"] == sum(qs)
+        assert math.isclose(r["mean_units"], mean, rel_tol=1e-12)
+        assert math.isclose(r["var_units"], m2, rel_tol=1e-12)
+        assert math.isclose(
+            r["skewness"], m3 / (m2 * math.sqrt(m2)), rel_tol=1e-9
+        )
+        assert math.isclose(r["kurtosis_excess"], m4 / (m2 * m2) - 3.0, rel_tol=1e-9)
+
+
+def test_neyman_allocation_exhausts_budget(spark):
+    from bigdata_spark.plans.samplingq import _ALLOC_N, p9_neyman_allocation
+    from bigdata_spark.sources.catalog import load_table
+
+    rows = p9_neyman_allocation(spark, SF).collect()
+    assert sum(r["alloc_neyman"] for r in rows) == _ALLOC_N
+    assert sum(r["n_rows"] for r in rows) == load_table(spark, SF, "orders").count()
+    for r in rows:
+        assert r["sd_cents"] > 0 and r["neyman_weight"] > 0
+        assert 0 <= r["alloc_proportional"] <= _ALLOC_N
+    # Neyman must differ from proportional when stddevs differ... or at
+    # minimum never allocate more than the budget to one stratum
+    assert max(r["alloc_neyman"] for r in rows) < _ALLOC_N
+
+
+def test_cem_att_matches_python_replication(spark):
+    import math
+
+    from bigdata_spark.plans.statsq import _CEM_BAL_BIN, _CEM_TREATMENT, stat_cem_att
+    from bigdata_spark.sources.catalog import load_table
+
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    n = load_table(spark, SF, "nation")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .select("n_regionkey", "c_acctbal", "o_orderpriority",
+                "c_mktsegment", "o_totalprice")
+        .collect()
+    )
+    strata: dict[tuple, list] = {}
+    for r in joined:
+        key = (
+            r["n_regionkey"],
+            math.floor(r["c_acctbal"] / _CEM_BAL_BIN),
+            r["o_orderpriority"],
+        )
+        t = 1 if r["c_mktsegment"] == _CEM_TREATMENT else 0
+        cents = math.floor(r["o_totalprice"] * 100 + 0.5)
+        strata.setdefault(key, []).append((t, cents))
+    att_num = m_t = m_c = n_strata = unmatched = 0
+    for units in strata.values():
+        nt = sum(t for t, _ in units)
+        nc = len(units) - nt
+        if nt > 0 and nc == 0:
+            unmatched += nt
+        if nt == 0 or nc == 0:
+            continue
+        sum_t = sum(ce for t, ce in units if t == 1)
+        sum_c = sum(ce for t, ce in units if t == 0)
+        mc_micro = (10000 * sum_c) // nc  # nonneg: trunc == floor
+        att_num += 10000 * sum_t - nt * mc_micro
+        m_t += nt
+        m_c += nc
+        n_strata += 1
+    row = stat_cem_att(spark, SF).collect()[0]
+    assert row["n_strata_matched"] == n_strata
+    assert row["n_treated_matched"] == m_t
+    assert row["n_control_matched"] == m_c
+    assert row["n_treated_unmatched"] == unmatched
+    expect_micro = (
+        att_num // m_t if att_num >= 0 else -((-att_num) // m_t)
+    )  # SQL div truncates toward zero
+    assert row["att_micro_cents"] == expect_micro
+    assert math.isclose(row["att_dollars"], att_num / m_t / 1e6, rel_tol=1e-12)
+
+
+def test_quantile_hist_brackets_exact_percentile(spark):
+    from bigdata_spark.plans.extended import _QH_WIDTH, approx_quantile_hist
+    from bigdata_spark.sources.catalog import load_table
+
+    vals = sorted(
+        r["o_totalprice"]
+        for r in load_table(spark, SF, "orders").select("o_totalprice").collect()
+    )
+    rows = approx_quantile_hist(spark, SF).collect()
+    assert [r["pct"] for r in rows] == [50, 90, 95, 99]
+    for r in rows:
+        assert r["n"] == len(vals)
+        target = (r["pct"] * len(vals) + 99) // 100
+        assert r["target_rank"] == target
+        exact = vals[target - 1]  # rank-th smallest
+        assert abs(r["estimate"] - exact) <= _QH_WIDTH
+        assert r["bucket"] * _QH_WIDTH <= r["estimate"] <= (r["bucket"] + 1) * _QH_WIDTH
+
+
+def test_audio_silence_matches_gate_pattern(spark):
+    from bigdata_spark.plans.multimodalq import _SIL_WIN_MS, mm_audio_silence
+
+    rows = {r["media_id"]: r for r in mm_audio_silence(spark, SF).collect()}
+    assert len(rows) == 48
+    for i in range(48):
+        period = 2 + i % 3
+        silent_blocks = [b for b in range(8) if (b + i) % period == 0]
+        # 250 ms blocks → two 125 ms windows each
+        silent_wins = sorted(w for b in silent_blocks for w in (2 * b, 2 * b + 1))
+        runs = []
+        for w in silent_wins:
+            if runs and w == runs[-1][1] + 1:
+                runs[-1][1] = w
+            else:
+                runs.append([w, w])
+        r = rows[i]
+        assert r["n_windows"] == 16
+        assert r["n_silent"] == len(silent_wins)
+        assert r["n_runs"] == len(runs)
+        longest = max((b - a + 1 for a, b in runs), default=0)
+        assert r["longest_run_ms"] == longest * _SIL_WIN_MS
+        first = silent_wins[0] * _SIL_WIN_MS if silent_wins else -1
+        assert r["first_silence_ms"] == first
+
+
+def test_survival_lifetable_invariants(spark):
+    from bigdata_spark.plans.statsq import stat_survival_lifetable
+
+    rows = stat_survival_lifetable(spark, SF).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        durs = [r["dur_days"] for r in rs]
+        assert durs == sorted(durs)
+        # risk set shrinks as duration grows; events+censored exhaust it
+        risks = [r["n_risk"] for r in rs]
+        assert risks == sorted(risks, reverse=True)
+        assert risks[0] == sum(r["n_event"] + r["n_censored"] for r in rs)
+        cum = 0
+        for r in rs:
+            assert 0 <= r["n_event"] <= r["n_risk"]
+            assert 0.0 <= r["hazard"] <= 1.0
+            assert r["hazard_ppm"] == (1_000_000 * r["n_event"]) // r["n_risk"]
+            cum += r["hazard_ppm"]
+            assert r["cum_hazard_ppm"] == cum

@@ -474,6 +474,57 @@ AUDITS.update({
         ("degree and intra counts partial-aggregated", r"partial_count"),
         ("integer modularity numerators, no Python", NO_PYTHON),
     ],
+    # sssp/hits localCheckpoint each round, so the visible plan is the
+    # post-fixed-point segment: the nation decorate join + global sort
+    "graph_sssp_weighted": [
+        ("nation dimension broadcast onto the dist table", r"BroadcastHashJoin"),
+        ("BIGINT min-plus relaxation native, no Python", NO_PYTHON),
+    ],
+    "graph_hits": [
+        ("nation dimension broadcast onto the mass tables", r"BroadcastHashJoin"),
+        ("integer renormalization native, no Python", NO_PYTHON),
+    ],
+    "stat_skew_kurtosis": [
+        (
+            "scan pruned to (o_orderpriority, o_totalprice)",
+            r"ReadSchema: struct<o_orderpriority:string,o_totalprice:double>"
+            r"|ReadSchema: struct<o_totalprice:double,o_orderpriority:string>",
+        ),
+        ("power sums partial-aggregate as exact decimals", r"partial_sum\(.*decimal"),
+        ("closed-form moments native, no Python", NO_PYTHON),
+    ],
+    "stat_survival_lifetable": [
+        ("per-span min/max partial-aggregates", r"partial_min|partial_max"),
+        ("life-table windows over the tiny span relation", r"RunningWindowFunction|Window"),
+        ("ppm hazard integers native, no Python", NO_PYTHON),
+    ],
+    "p9_neyman_allocation": [
+        (
+            "scan pruned to (o_orderpriority, o_totalprice)",
+            r"ReadSchema: struct<o_orderpriority:string,o_totalprice:double>"
+            r"|ReadSchema: struct<o_totalprice:double,o_orderpriority:string>",
+        ),
+        ("stratum cent sums partial-aggregate as decimals", r"partial_sum\(.*decimal"),
+        ("integer Hamilton apportionment native, no Python", NO_PYTHON),
+    ],
+    "stat_cem_att": [
+        ("customer and nation dims broadcast", r"BroadcastHashJoin"),
+        ("stratum cells partial-aggregated", r"partial_sum|partial_count"),
+        ("exact BIGINT ATT numerator, no Python", NO_PYTHON),
+    ],
+    "approx_quantile_hist": [
+        (
+            "scan pruned to o_totalprice only",
+            r"ReadSchema: struct<o_totalprice:double>",
+        ),
+        ("histogram cells partial-aggregate (mergeable)", r"partial_count"),
+        ("percentile spine broadcast onto the cells", r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("interpolation native, no Python", NO_PYTHON),
+    ],
+    "mm_audio_silence": [
+        ("decode is Arrow-batched mapInPandas (never per-row Python)", r"MapInPandas"),
+        ("run/total aggregates partial-aggregate after decode", r"partial_count|partial_min"),
+    ],
 })
 
 
