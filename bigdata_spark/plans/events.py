@@ -2222,7 +2222,92 @@ def _checksum_sql() -> str:
 
 DQ_CHECKSUM_SQL = _checksum_sql()
 
+# ---------------------------------------------------------------------------
+# evt_markov_stationary — stationary distribution of the user-path chain
+# ---------------------------------------------------------------------------
+
+_MKV_ITERS = 12
+_MKV_SCALE = 10_000_000_000
+
+
+def evt_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order user-path Markov
+    chain — where do user journeys settle? evt_transitions builds the
+    transition matrix; this runs 12 rounds of integer fixed-point power
+    iteration π' (s') = Σ_s (π(s)·n(s→s')) div tot(s) over it, the
+    graph_pagerank discipline applied to a dense stochastic matrix, so
+    the DuckDB oracle replays every round bit-for-bit as unrolled CTEs.
+
+    Scale: the transition counts are one data-sized window + groupBy
+    (shared shape with evt_transitions); the iteration then runs on a
+    #states² table — constant work per round no matter the corpus
+    size. Mass stays BIGINT throughout (π ≤ 1e10, counts ≤ corpus
+    rows; products ≤ 1e10·n fit BIGINT to ~10⁸ transitions per pair)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = t.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    edges = counts.join(F.broadcast(totals), "prev_type").localCheckpoint()
+    states = edges.select(F.col("prev_type").alias("state")).distinct()
+
+    pi = states.select("state", F.lit(_MKV_SCALE).cast("long").alias("mass"))
+    for _ in range(_MKV_ITERS):
+        pi = (
+            edges.join(pi, edges.prev_type == pi.state)
+            .groupBy(F.col("next_type").alias("state2"))
+            .agg(F.sum(F.expr("(mass * n) div tot")).alias("mass"))
+            .select(F.col("state2").alias("state"), "mass")
+            .localCheckpoint()
+        )
+    return pi.select(F.col("state").alias("event_type"), "mass").orderBy(
+        F.desc("mass"), "event_type"
+    )
+
+
+def _markov_sql() -> str:
+    steps = []
+    for i in range(_MKV_ITERS):
+        steps.append(
+            f"""pi{i + 1} AS (
+  SELECT e.next_type AS state,
+         CAST(SUM((p.mass * e.n) // e.tot) AS BIGINT) AS mass
+  FROM edges e JOIN pi{i} p ON p.state = e.prev_type
+  GROUP BY 1
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH seq AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+), counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+), edges AS (
+  SELECT c.*, t.tot FROM counts c
+  JOIN (SELECT prev_type, SUM(n) AS tot FROM counts GROUP BY 1) t
+    USING (prev_type)
+), pi0 AS (
+  SELECT DISTINCT prev_type AS state, CAST({_MKV_SCALE} AS BIGINT) AS mass
+  FROM edges
+),
+{chain}
+SELECT state AS event_type, mass FROM pi{_MKV_ITERS}
+ORDER BY mass DESC, event_type
+"""
+
+
+EVT_MARKOV_SQL = _markov_sql()
+
+
 QUERIES = {
+    "evt_markov_stationary": (evt_markov_stationary, EVT_MARKOV_SQL),
     "evt_stream_ckpt_recovery": (evt_stream_ckpt_recovery, EVT_CKPT_SQL),
     "w7_range_frame": (w7_range_frame, W7_RANGE_SQL),
     "w8_islands_rle": (w8_islands_rle, W8_ISLANDS_SQL),

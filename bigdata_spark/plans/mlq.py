@@ -1248,6 +1248,64 @@ ML_PCA_SQL = keyed_values_oracle(
 
 
 # ---------------------------------------------------------------------------
+# ml_isotonic_calibration — monotone calibration fit (PAVA over buckets)
+# ---------------------------------------------------------------------------
+
+_ISO_BUCKET_W = 5000  # o_totalprice quantization → ≤100 buckets
+
+
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone nondecreasing) calibration of P(status = 'F')
+    against the order-price axis — the classic probability-calibration
+    fit (Platt's rival) that MLlib's IsotonicRegression answers with
+    float PAVA. Here the 100 TB pass is ONE map-side-combinable
+    groupBy to ≤100 price buckets; PAVA runs on the driver over those
+    BOUNDED cells with exact integer rationals (pool means compared by
+    cross-multiplication — ml/isotonic.py), so the fitted step
+    function is deterministic to the bit and the per-SF pinned oracle
+    is legitimate. fitted_ppm carries the pooled mean exactly
+    ((1e6·num) div den); fitted_rate is the one IEEE division.
+    """
+    from ..ml.isotonic import pava_rational
+
+    o = load_table(spark, sf_dir, "orders")
+    g = (
+        o.select(
+            F.expr(
+                f"CAST(FLOOR(o_totalprice / CAST({_ISO_BUCKET_W} AS DOUBLE))"
+                " AS BIGINT)"
+            ).alias("bucket"),
+            (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("sum_y"))
+    )
+    # bounded collect: ≤ (price domain / bucket width) ≈ 100 cells
+    cells = sorted((r["bucket"], r["n"], r["sum_y"]) for r in g.collect())
+    fit = pava_rational(cells)
+    rows = [
+        (int(b), int(n), int(sy), (1_000_000 * num) // den, num / den)
+        for (b, n, sy), (_b2, num, den) in zip(cells, fit)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "bucket long, n long, sum_y long, fitted_ppm long, fitted_rate double",
+    ).orderBy("bucket")
+
+
+ML_ISOTONIC_SQL = keyed_values_oracle(
+    "ml_isotonic_calibration",
+    [
+        ("bucket", "bigint"),
+        ("n", "bigint"),
+        ("sum_y", "bigint"),
+        ("fitted_ppm", "bigint"),
+        ("fitted_rate", "double"),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
 # ml_conformal_interval — split-conformal regression intervals, exact
 # ---------------------------------------------------------------------------
 
@@ -1886,6 +1944,7 @@ QUERIES = {
     "ml_linear_probe": (ml_linear_probe, ML_LINEAR_PROBE_SQL),
     "ml_pca_embeddings": (ml_pca_embeddings, ML_PCA_SQL),
     "ml_als_factorize": (ml_als_factorize, ML_ALS_SQL),
+    "ml_isotonic_calibration": (ml_isotonic_calibration, ML_ISOTONIC_SQL),
     "ml_cv_kfold": (ml_cv_kfold, ML_CV_SQL),
     "ml_target_encode": (ml_target_encode, ML_TARGET_ENC_SQL),
     "ml_conformal_interval": (ml_conformal_interval, ML_CONFORMAL_SQL),

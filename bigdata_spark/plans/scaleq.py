@@ -8,6 +8,8 @@ the direct ones."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1442,7 +1444,98 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+# ---------------------------------------------------------------------------
+# s34_manifest_time_travel — snapshot isolation + time travel by manifest
+# ---------------------------------------------------------------------------
+
+
+def s34_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning with manifest-planned reads
+    (sources/manifest.py — the table-format core trick): v1 snapshots
+    the orders table; a v2 commit rewrites ONLY the 'F'-status
+    partition files (prices doubled) and publishes a new manifest that
+    reuses v1's untouched files. Reading @v1 AFTER the v2 commit must
+    reproduce the original table bit-for-bit (time travel / snapshot
+    isolation), and @v2 must show exactly the patched partition — both
+    proven against an oracle computed straight from orders. Readers
+    plan from ONE manifest read, never a directory listing, so at
+    100 TB a commit is one atomic JSON rename and old snapshots stay
+    queryable for free."""
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import (
+        commit_snapshot,
+        list_data_files,
+        read_snapshot,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_ttravel_")
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        base = os.path.join(scratch, "table")
+        o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
+        v1_files = list_data_files(base)
+        commit_snapshot(base, 1, v1_files)
+
+        # v2: rewrite the F partition into NEW immutable files placed in
+        # the same hive layout (v1's F files stay on disk untouched — a
+        # naive directory listing would now double-count, a manifest
+        # read never does)
+        patch_dir = os.path.join(scratch, "staged_v2")
+        (
+            o.filter(F.col("o_orderstatus") == "F")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(patch_dir)
+        )
+        new_files = []
+        for src in list_data_files(patch_dir):
+            rel = os.path.relpath(src, patch_dir)
+            dst = os.path.join(base, os.path.dirname(rel), "v2-" + os.path.basename(rel))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(src, dst)
+            new_files.append(dst)
+        keep = [f for f in v1_files if "o_orderstatus=F" not in f]
+        commit_snapshot(base, 2, keep + new_files)
+
+        def _roll(df: DataFrame, version: int) -> DataFrame:
+            return df.groupBy("o_orderstatus").agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            ).select(F.lit(version).alias("version"), "o_orderstatus", "n", "sum_price")
+
+        v1 = _roll(read_snapshot(spark, base, 1), 1)
+        v2 = _roll(read_snapshot(spark, base, 2), 2)
+        out = v1.unionAll(v2).orderBy("version", "o_orderstatus")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S34_TTRAVEL_SQL = """
+SELECT 1 AS version, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT 2 AS version, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F'
+                          THEN o_totalprice * 2.0
+                          ELSE o_totalprice END AS DECIMAL(18,2)))
+            AS DOUBLE) AS sum_price
+FROM orders GROUP BY o_orderstatus
+ORDER BY version, o_orderstatus
+"""
+
+
 QUERIES = {
+    "s34_manifest_time_travel": (s34_manifest_time_travel, S34_TTRAVEL_SQL),
     "s23_merge_into": (s23_merge_into, S23_MERGE_SQL),
     "s33_recursive_cte": (s33_recursive_cte, S33_RECURSIVE_SQL),
     "sql_pipe_syntax": (sql_pipe_syntax, SQL_PIPE_ORACLE),

@@ -229,6 +229,114 @@ def test_audio_silence_matches_gate_pattern(spark):
         assert r["first_silence_ms"] == first
 
 
+def test_markov_stationary_matches_python_iteration(spark):
+    from bigdata_spark.plans.events import (
+        _MKV_ITERS,
+        _MKV_SCALE,
+        evt_markov_stationary,
+    )
+    from bigdata_spark.plans.events import evt_transitions
+
+    trans = evt_transitions(spark, SF).collect()
+    counts = {(r["prev_type"], r["next_type"]): r["n"] for r in trans}
+    tot: dict[str, int] = {}
+    for (p, _nx), n in counts.items():
+        tot[p] = tot.get(p, 0) + n
+    states = sorted(tot)
+    pi = {s: _MKV_SCALE for s in states}
+    for _ in range(_MKV_ITERS):
+        nxt = {s: 0 for s in states}
+        for (p, nx), n in counts.items():
+            nxt[nx] += (pi[p] * n) // tot[p]
+        pi = nxt
+    rows = evt_markov_stationary(spark, SF).collect()
+    assert {r["event_type"]: r["mass"] for r in rows} == pi
+    # fixed-point mass is conserved up to integer-division leakage
+    assert sum(pi.values()) <= len(states) * _MKV_SCALE
+    masses = [r["mass"] for r in rows]
+    assert masses == sorted(masses, reverse=True)
+
+
+def test_manifest_time_travel_snapshot_isolation(spark):
+    from bigdata_spark.plans.scaleq import s34_manifest_time_travel
+    from bigdata_spark.sources.catalog import load_table
+
+    rows = s34_manifest_time_travel(spark, SF).collect()
+    v1 = {r["o_orderstatus"]: r for r in rows if r["version"] == 1}
+    v2 = {r["o_orderstatus"]: r for r in rows if r["version"] == 2}
+    assert set(v1) == set(v2)
+    base = (
+        load_table(spark, SF, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .collect()
+    )
+    for r in base:
+        st = r["o_orderstatus"]
+        assert v1[st]["n"] == r["n"] and v1[st]["sum_price"] == r["sum_price"]
+        assert v2[st]["n"] == r["n"]
+        if st == "F":  # the rewritten partition: prices exactly doubled
+            assert v2[st]["sum_price"] == 2 * r["sum_price"]
+        else:  # untouched partitions identical across versions
+            assert v2[st]["sum_price"] == r["sum_price"]
+
+
+def test_pava_rational_and_isotonic_fit(spark):
+    import random
+
+    from bigdata_spark.ml.isotonic import pava_rational
+    from bigdata_spark.plans.mlq import ml_isotonic_calibration
+
+    # property: monotone output, pool-mass preserved, idempotent
+    rng = random.Random(7)
+    for _ in range(20):
+        cells = [
+            (b, rng.randint(1, 20), 0) for b in range(rng.randint(1, 30))
+        ]
+        cells = [(b, n, rng.randint(0, n)) for b, n, _ in cells]
+        fit = pava_rational(cells)
+        assert len(fit) == len(cells)
+        # nondecreasing: num_i/den_i <= num_{i+1}/den_{i+1}
+        for (_, n1, d1), (_, n2, d2) in zip(fit, fit[1:]):
+            assert n1 * d2 <= n2 * d1
+        # exact mass conservation: Σ n_b · fit_b == Σ y_b (each pool
+        # contributes den · (num/den) = num) — identity-free rational check
+        from fractions import Fraction
+
+        total = sum(
+            Fraction(n) * Fraction(num, den)
+            for (_, n, _), (_, num, den) in zip(cells, fit)
+        )
+        assert total == sum(sy for _, _, sy in cells)
+        # the isotonic fit's closed form: fit_b = max_{i≤b} min_{j≥b}
+        # mean(i..j) — an independent exact reference
+        B = len(cells)
+        pn = [0] * (B + 1)
+        ps = [0] * (B + 1)
+        for ix, (_, n, sy) in enumerate(cells):
+            pn[ix + 1] = pn[ix] + n
+            ps[ix + 1] = ps[ix] + sy
+        for b, (_, num, den) in enumerate(fit):
+            expect = max(
+                min(
+                    Fraction(ps[j + 1] - ps[i], pn[j + 1] - pn[i])
+                    for j in range(b, B)
+                )
+                for i in range(b + 1)
+            )
+            assert Fraction(num, den) == expect
+
+    rows = ml_isotonic_calibration(spark, SF).collect()
+    ppm = [r["fitted_ppm"] for r in rows]
+    assert ppm == sorted(ppm)
+    assert all(0 <= p <= 1_000_000 for p in ppm)
+
+
 def test_survival_lifetable_invariants(spark):
     from bigdata_spark.plans.statsq import stat_survival_lifetable
 

@@ -525,6 +525,11 @@ AUDITS.update({
         ("decode is Arrow-batched mapInPandas (never per-row Python)", r"MapInPandas"),
         ("run/total aggregates partial-aggregate after decode", r"partial_count|partial_min"),
     ],
+    # iteration rounds localCheckpoint; the visible plan is the final
+    # states-sized segment — assert it stays native
+    "evt_markov_stationary": [
+        ("integer fixed-point masses native, no Python", NO_PYTHON),
+    ],
 })
 
 
