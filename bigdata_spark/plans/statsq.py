@@ -2099,11 +2099,227 @@ FROM agg, unmatched
 """
 
 
+# ---------------------------------------------------------------------------
+# stat_qini_uplift — uplift (Qini) curve by targeting decile
+# ---------------------------------------------------------------------------
+
+# the repo's portable sticky-assignment hash (stat_ab_assignment)
+_QINI_BUCKET_SPARK = (
+    "CAST(conv(substring(md5(concat('exp1|', CAST(user_id AS STRING)))"
+    ", 1, 15), 16, 10) AS BIGINT) % 100"
+)
+_QINI_BUCKET_DUCK = (
+    "('0x' || substr(md5('exp1|' || CAST(user_id AS VARCHAR)), 1, 15))"
+    "::BIGINT % 100"
+)
+# Qini (absolute-numbers convention) and cumulative uplift — shared
+# verbatim IEEE expressions over exact cumulative integers; NULL while
+# an arm is still empty (tiny-SF head deciles)
+_QINI_VALUE = (
+    "CASE WHEN n_c_cum = 0 THEN NULL ELSE"
+    " CAST(y_t_cum AS DOUBLE) - CAST(y_c_cum AS DOUBLE)"
+    " * CAST(n_t_cum AS DOUBLE) / CAST(n_c_cum AS DOUBLE) END"
+)
+_QINI_UPLIFT = (
+    "CASE WHEN n_t_cum = 0 OR n_c_cum = 0 THEN NULL ELSE"
+    " CAST(y_t_cum AS DOUBLE) / CAST(n_t_cum AS DOUBLE)"
+    " - CAST(y_c_cum AS DOUBLE) / CAST(n_c_cum AS DOUBLE) END"
+)
+
+
+def stat_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini / uplift curve — the evaluation primitive of uplift
+    modeling: rank users by a targeting score, then ask, decile by
+    decile, how many EXTRA conversions the treated arm produced over
+    the control arm's rate. The treatment arm is the repo's sticky
+    portable hash split (stat_ab_assignment); the targeting score is
+    the user's click count (a deterministic engagement proxy); the
+    outcome is any purchase.
+
+    Deciles come from NTILE(10) over (score DESC, user_id) — a total
+    order, so both engines bucket identically; per-decile arm counts
+    and their running sums stay BIGINT, and the Qini value / cumulative
+    uplift are shared-verbatim IEEE expressions over those exact
+    integers. Scale: one data-sized groupBy to user grain, then
+    windows over users (rank by score is the unavoidable sort of any
+    targeting evaluation — at 100 TB you'd pre-bucket scores the
+    approx_quantile_hist way); everything after is 10 rows."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.sum(F.expr("IF(event_type = 'click', 1, 0)")).alias("score"),
+        F.max(F.expr("IF(event_type = 'purchase', 1, 0)")).alias("y"),
+    ).withColumn("t", F.expr(f"IF({_QINI_BUCKET_SPARK} >= 50, 1, 0)"))
+    w = Window.orderBy(F.desc("score"), "user_id")
+    deciles = users.withColumn("decile", F.ntile(10).over(w))
+    g = deciles.groupBy("decile").agg(
+        F.sum("t").alias("n_t"),
+        (F.count("*") - F.sum("t")).alias("n_c"),
+        F.sum(F.expr("t * y")).alias("y_t"),
+        F.sum(F.expr("(1 - t) * y")).alias("y_c"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "y_t",
+        "y_c",
+        F.sum("n_t").over(w_cum).alias("n_t_cum"),
+        F.sum("n_c").over(w_cum).alias("n_c_cum"),
+        F.sum("y_t").over(w_cum).alias("y_t_cum"),
+        F.sum("y_c").over(w_cum).alias("y_c_cum"),
+    )
+    return cum.selectExpr(
+        "decile",
+        "n_t", "n_c", "y_t", "y_c",
+        "n_t_cum", "n_c_cum", "y_t_cum", "y_c_cum",
+        f"{_QINI_VALUE} AS qini",
+        f"{_QINI_UPLIFT} AS uplift_cum",
+    ).orderBy("decile")
+
+
+STAT_QINI_SQL = f"""
+WITH users AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS score,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y,
+         CASE WHEN {_QINI_BUCKET_DUCK} >= 50 THEN 1 ELSE 0 END AS t
+  FROM events GROUP BY user_id
+), deciles AS (
+  SELECT *, NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile
+  FROM users
+), g AS (
+  SELECT decile,
+         CAST(SUM(t) AS BIGINT) AS n_t,
+         CAST(COUNT(*) - SUM(t) AS BIGINT) AS n_c,
+         CAST(SUM(t * y) AS BIGINT) AS y_t,
+         CAST(SUM((1 - t) * y) AS BIGINT) AS y_c
+  FROM deciles GROUP BY 1
+), cum AS (
+  SELECT decile, n_t, n_c, y_t, y_c,
+         CAST(SUM(n_t) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_t_cum,
+         CAST(SUM(n_c) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_c_cum,
+         CAST(SUM(y_t) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS y_t_cum,
+         CAST(SUM(y_c) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS y_c_cum
+  FROM g
+)
+SELECT decile, n_t, n_c, y_t, y_c, n_t_cum, n_c_cum, y_t_cum, y_c_cum,
+       {_QINI_VALUE} AS qini,
+       {_QINI_UPLIFT} AS uplift_cum
+FROM cum
+ORDER BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# stat_eb_shrinkage — empirical-Bayes rate shrinkage and re-ranking
+# ---------------------------------------------------------------------------
+
+_EB_ALPHA, _EB_BETA = 5, 95  # Beta prior (strength 100, mean 5%)
+
+_EB_RAW = "CAST(y AS DOUBLE) / CAST(n AS DOUBLE)"
+_EB_SHRUNK = (
+    f"(CAST(y AS DOUBLE) + CAST({_EB_ALPHA} AS DOUBLE))"
+    f" / (CAST(n AS DOUBLE) + CAST({_EB_ALPHA + _EB_BETA} AS DOUBLE))"
+)
+
+
+def stat_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (Beta-binomial) shrinkage ranking — "which
+    nation has the best F-completion rate?" answered the way a
+    league-table should be: each nation's raw rate y/n is pulled
+    toward the Beta(5, 95) prior mean by its evidence weight,
+    posterior mean (y+α)/(n+α+β), so small-sample flukes stop topping
+    the ranking. Both the raw and shrunk ranks are emitted with the
+    rank movement.
+
+    Everything reduces over one broadcast-dim join + one map-side
+    combinable groupBy to 25 rows; rates are ppm-exact integers
+    (portable trunc division) plus shared-verbatim IEEE doubles; the
+    re-ranking windows run over the 25-row table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    g = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("IF(o_orderstatus = 'F', 1, 0)")).alias("y"),
+        )
+    )
+    ranked = g.selectExpr(
+        "n_nationkey",
+        "n_name",
+        "n",
+        "y",
+        "(1000000 * y) div n AS raw_ppm",
+        f"(1000000 * (y + {_EB_ALPHA})) div (n + {_EB_ALPHA + _EB_BETA})"
+        " AS shrunk_ppm",
+        f"{_EB_RAW} AS raw_rate",
+        f"{_EB_SHRUNK} AS shrunk_rate",
+    )
+    w_raw = Window.orderBy(F.desc("raw_ppm"), "n_nationkey")
+    w_shr = Window.orderBy(F.desc("shrunk_ppm"), "n_nationkey")
+    return (
+        ranked.withColumn("rank_raw", F.row_number().over(w_raw))
+        .withColumn("rank_shrunk", F.row_number().over(w_shr))
+        .withColumn("rank_delta", F.col("rank_raw") - F.col("rank_shrunk"))
+        .orderBy("rank_shrunk")
+    )
+
+
+STAT_EB_SQL = f"""
+WITH g AS (
+  SELECT n_nationkey, n_name, COUNT(*) AS n,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS y
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT n_nationkey, n_name,
+         CAST(n AS BIGINT) AS n, CAST(y AS BIGINT) AS y,
+         CAST((1000000 * y) // n AS BIGINT) AS raw_ppm,
+         CAST((1000000 * (y + {_EB_ALPHA})) // (n + {_EB_ALPHA + _EB_BETA})
+              AS BIGINT) AS shrunk_ppm,
+         {_EB_RAW} AS raw_rate,
+         {_EB_SHRUNK} AS shrunk_rate
+  FROM g
+)
+SELECT n_nationkey, n_name, n, y, raw_ppm, shrunk_ppm, raw_rate,
+       shrunk_rate,
+       CAST(rr AS INT) AS rank_raw,
+       CAST(rs AS INT) AS rank_shrunk,
+       CAST(rr - rs AS INT) AS rank_delta
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY raw_ppm DESC, n_nationkey) AS rr,
+         ROW_NUMBER() OVER (ORDER BY shrunk_ppm DESC, n_nationkey) AS rs
+  FROM ranked
+)
+ORDER BY rs
+"""
+
+
 QUERIES = {
     "stat_permutation_test": (stat_permutation_test, STAT_PERM_SQL),
     "stat_skew_kurtosis": (stat_skew_kurtosis, STAT_MOMENTS_SQL),
     "stat_survival_lifetable": (stat_survival_lifetable, STAT_SURVIVAL_SQL),
     "stat_cem_att": (stat_cem_att, STAT_CEM_SQL),
+    "stat_qini_uplift": (stat_qini_uplift, STAT_QINI_SQL),
+    "stat_eb_shrinkage": (stat_eb_shrinkage, STAT_EB_SQL),
     "stat_spearman": (stat_spearman, STAT_SPEARMAN_SQL),
     "stat_kendall_tau": (stat_kendall_tau, STAT_KENDALL_SQL),
     "stat_power_analysis": (stat_power_analysis, STAT_POWER_SQL),

@@ -1679,7 +1679,94 @@ GROUP BY source ORDER BY source
 LLM_CDC_SQL = _cdc_sql()
 
 
+# ---------------------------------------------------------------------------
+# txt_readability — Flesch-style reading-ease scoring from integer counts
+# ---------------------------------------------------------------------------
+
+# Flesch reading ease over per-language aggregate ratios; every input
+# is an exact BIGINT sum, the constants go through CAST(decimal AS
+# DOUBLE), and the expression text is shared verbatim between engines
+_READ_SCORE = (
+    "CAST(206.835 AS DOUBLE)"
+    " - CAST(1.015 AS DOUBLE) * (CAST(words AS DOUBLE) / CAST(sents AS DOUBLE))"
+    " - CAST(84.6 AS DOUBLE) * (CAST(sylls AS DOUBLE) / CAST(words AS DOUBLE))"
+)
+
+
+def txt_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (Flesch reading ease, the regex-heuristic
+    form every corpus-quality pipeline ships): words = letter runs,
+    sentences = terminal-punctuation runs (min 1), syllables = vowel
+    runs. The per-language score is computed from aggregate integer
+    counts (never a float sum over documents), and the per-document
+    score — a deterministic double from that document's own integers —
+    feeds an easy/standard/difficult census with exact counts.
+
+    Scale: one scan, three regexp counters per row (JVM-native), one
+    map-side-combinable groupBy; output is #langs rows."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.expr("regexp_count(text, '[A-Za-z]+')").alias("words"),
+        F.expr("GREATEST(1, regexp_count(text, '[.!?]+'))").alias("sents"),
+        F.expr("regexp_count(text, '[aeiouAEIOUyY]+')").alias("sylls"),
+    ).filter(F.col("words") > 0)
+    scored = per_doc.withColumn("doc_score", F.expr(_READ_SCORE))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("words").alias("words"),
+            F.sum("sents").alias("sents"),
+            F.sum("sylls").alias("sylls"),
+            F.sum(
+                F.expr("IF(doc_score >= CAST(60 AS DOUBLE), 1, 0)")
+            ).alias("n_easy"),
+            F.sum(
+                F.expr("IF(doc_score < CAST(30 AS DOUBLE), 1, 0)")
+            ).alias("n_difficult"),
+        )
+        .selectExpr(
+            "lang", "n_docs", "words", "sents", "sylls",
+            f"{_READ_SCORE} AS flesch_lang",
+            "n_easy", "n_difficult",
+        )
+        .orderBy("lang")
+    )
+
+
+TXT_READ_SQL = f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS words,
+         CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+           AS sents,
+         CAST(len(regexp_extract_all(text, '[aeiouAEIOUyY]+')) AS BIGINT)
+           AS sylls
+  FROM documents
+), scored AS (
+  SELECT *, {_READ_SCORE} AS doc_score FROM per_doc WHERE words > 0
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(words) AS BIGINT) AS words,
+       CAST(SUM(sents) AS BIGINT) AS sents,
+       CAST(SUM(sylls) AS BIGINT) AS sylls,
+       {_READ_SCORE.replace('words', 'CAST(SUM(words) AS BIGINT)')
+                    .replace('sents', 'CAST(SUM(sents) AS BIGINT)')
+                    .replace('sylls', 'CAST(SUM(sylls) AS BIGINT)')}
+         AS flesch_lang,
+       CAST(SUM(CASE WHEN doc_score >= CAST(60 AS DOUBLE) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_easy,
+       CAST(SUM(CASE WHEN doc_score < CAST(30 AS DOUBLE) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_difficult
+FROM scored
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
+    "txt_readability": (txt_readability, TXT_READ_SQL),
     "llm_cdc_chunk_dedup": (llm_cdc_chunk_dedup, LLM_CDC_SQL),
     "llm_url_dedup": (llm_url_dedup, LLM_URL_DEDUP_SQL),
     "llm_perplexity_buckets": (llm_perplexity_buckets, LLM_PPL_SQL),

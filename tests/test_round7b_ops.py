@@ -337,6 +337,79 @@ def test_pava_rational_and_isotonic_fit(spark):
     assert all(0 <= p <= 1_000_000 for p in ppm)
 
 
+def test_qini_uplift_curve_invariants(spark):
+    from bigdata_spark.plans.statsq import stat_qini_uplift
+    from bigdata_spark.sources.catalog import load_table
+
+    rows = stat_qini_uplift(spark, SF).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n_users = (
+        load_table(spark, SF, "events").select("user_id").distinct().count()
+    )
+    # ntile buckets differ by at most 1 and partition the users
+    sizes = [r["n_t"] + r["n_c"] for r in rows]
+    assert sum(sizes) == n_users and max(sizes) - min(sizes) <= 1
+    ct = cc = yt = yc = 0
+    for r in rows:
+        ct += r["n_t"]; cc += r["n_c"]; yt += r["y_t"]; yc += r["y_c"]
+        assert (r["n_t_cum"], r["n_c_cum"], r["y_t_cum"], r["y_c_cum"]) == (
+            ct, cc, yt, yc,
+        )
+        if cc == 0:
+            assert r["qini"] is None
+        else:
+            assert abs(r["qini"] - (yt - yc * ct / cc)) < 1e-9
+        if ct == 0 or cc == 0:
+            assert r["uplift_cum"] is None
+        else:
+            assert abs(r["uplift_cum"] - (yt / ct - yc / cc)) < 1e-12
+
+
+def test_eb_shrinkage_pulls_toward_prior(spark):
+    from bigdata_spark.plans.statsq import _EB_ALPHA, _EB_BETA, stat_eb_shrinkage
+
+    rows = stat_eb_shrinkage(spark, SF).collect()
+    assert len(rows) == 25
+    prior_ppm = 1_000_000 * _EB_ALPHA // (_EB_ALPHA + _EB_BETA)
+    for r in rows:
+        assert r["raw_ppm"] == (1_000_000 * r["y"]) // r["n"]
+        lo, hi = sorted((r["raw_ppm"], prior_ppm))
+        assert lo - 1 <= r["shrunk_ppm"] <= hi + 1  # trunc-div slack
+    assert sorted(r["rank_raw"] for r in rows) == list(range(1, 26))
+    assert sorted(r["rank_shrunk"] for r in rows) == list(range(1, 26))
+
+
+def test_readability_matches_python_regex(spark):
+    import re
+
+    from bigdata_spark.plans.textq import txt_readability
+    from bigdata_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").select("lang", "text").collect()
+    agg: dict[str, list[int]] = {}
+    for d in docs:
+        words = len(re.findall(r"[A-Za-z]+", d["text"]))
+        if words == 0:
+            continue
+        sents = max(1, len(re.findall(r"[.!?]+", d["text"])))
+        sylls = len(re.findall(r"[aeiouAEIOUyY]+", d["text"]))
+        a = agg.setdefault(d["lang"], [0, 0, 0, 0, 0, 0])
+        a[0] += 1; a[1] += words; a[2] += sents; a[3] += sylls
+        score = 206.835 - 1.015 * (words / sents) - 84.6 * (sylls / words)
+        a[4] += score >= 60
+        a[5] += score < 30
+    rows = {r["lang"]: r for r in txt_readability(spark, SF).collect()}
+    assert set(rows) == set(agg)
+    for lang, (nd, w, s, sy, easy, hard) in agg.items():
+        r = rows[lang]
+        assert (r["n_docs"], r["words"], r["sents"], r["sylls"]) == (nd, w, s, sy)
+        assert (r["n_easy"], r["n_difficult"]) == (easy, hard)
+        expect = 206.835 - 1.015 * (w / s) - 84.6 * (sy / w)
+        import math
+
+        assert math.isclose(r["flesch_lang"], expect, rel_tol=1e-12)
+
+
 def test_survival_lifetable_invariants(spark):
     from bigdata_spark.plans.statsq import stat_survival_lifetable
 

@@ -530,6 +530,24 @@ AUDITS.update({
     "evt_markov_stationary": [
         ("integer fixed-point masses native, no Python", NO_PYTHON),
     ],
+    "stat_qini_uplift": [
+        ("user-grain rollup partial-aggregates", r"partial_sum|partial_max"),
+        ("exact cumulative arms native, no Python", NO_PYTHON),
+    ],
+    "stat_eb_shrinkage": [
+        ("customer and nation dims broadcast", r"BroadcastHashJoin"),
+        ("per-nation counts partial-aggregated", r"partial_count|partial_sum"),
+        ("ppm shrinkage integers native, no Python", NO_PYTHON),
+    ],
+    "txt_readability": [
+        (
+            "scan pruned to (lang, text)",
+            r"ReadSchema: struct<lang:string,text:string>"
+            r"|ReadSchema: struct<text:string,lang:string>",
+        ),
+        ("per-language sums partial-aggregate", r"partial_sum"),
+        ("regex counters JVM-native, no Python", NO_PYTHON),
+    ],
 })
 
 
