@@ -1512,9 +1512,106 @@ ORDER BY p.pct
 """
 
 
+# ---------------------------------------------------------------------------
+# j10_pit_embargo_join — point-in-time feature join with a leakage embargo
+# ---------------------------------------------------------------------------
+
+_PIT_EMBARGO = "INTERVAL 1 HOUR"
+
+
+def j10_pit_embargo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature retrieval — the feature-store
+    primitive that keeps training data leakage-free: for every label
+    event (a purchase), read each feature as of label_ts − embargo
+    (1 h), so no signal from the embargo window or the future leaks
+    into the training row.
+
+    Implemented as the scalable as-of pattern (asof_join_orders_events):
+    feature deltas and embargo-shifted probes union into ONE stream,
+    one shuffle on user_id, and a running-sum window serves every probe
+    its exact prior feature values — no per-label subquery, no range
+    join blowup. Features here: prior click count and prior purchase
+    count (repeat-buyer signal). The rollup emits per-user training
+    stats including cold-start labels (zero feature history).
+
+    Probes sort AFTER features at the same shifted instant, so
+    feature_ts ≤ label_ts − embargo is inclusive — both engines agree
+    on the tie order by construction."""
+    e = load_table(spark, sf_dir, "events")
+    feats = e.select(
+        "user_id",
+        "ts",
+        F.expr("IF(event_type = 'click', 1, 0)").alias("ck"),
+        F.expr("IF(event_type = 'purchase', 1, 0)").alias("pk"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("label_id"),
+    )
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr(f"ts - {_PIT_EMBARGO}").alias("ts"),
+        F.lit(0).alias("ck"),
+        F.lit(0).alias("pk"),
+        F.lit(1).alias("is_probe"),
+        F.col("event_id").alias("label_id"),
+    )
+    tagged = feats.unionByName(probes)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "label_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    served = (
+        tagged.withColumn("feature_clicks", F.sum("ck").over(w))
+        .withColumn("feature_purchases", F.sum("pk").over(w))
+        .filter(F.col("is_probe") == 1)
+    )
+    return (
+        served.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_labels"),
+            F.sum("feature_clicks").alias("sum_feat_clicks"),
+            F.max("feature_purchases").alias("max_feat_purchases"),
+            F.sum(F.expr("IF(feature_clicks = 0, 1, 0)")).alias("n_cold_start"),
+        )
+        .orderBy("user_id")
+    )
+
+
+J10_PIT_SQL = f"""
+WITH tagged AS (
+  SELECT user_id, ts,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ck,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pk,
+         0 AS is_probe, CAST(NULL AS BIGINT) AS label_id
+  FROM events
+  UNION ALL
+  SELECT user_id, ts - {_PIT_EMBARGO} AS ts, 0, 0, 1, event_id
+  FROM events WHERE event_type = 'purchase'
+), served AS (
+  SELECT user_id, is_probe,
+         SUM(ck) OVER (PARTITION BY user_id ORDER BY ts, is_probe, label_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS feature_clicks,
+         SUM(pk) OVER (PARTITION BY user_id ORDER BY ts, is_probe, label_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS feature_purchases
+  FROM tagged
+)
+SELECT user_id, COUNT(*) AS n_labels,
+       CAST(SUM(feature_clicks) AS BIGINT) AS sum_feat_clicks,
+       CAST(MAX(feature_purchases) AS BIGINT) AS max_feat_purchases,
+       CAST(SUM(CASE WHEN feature_clicks = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cold_start
+FROM served WHERE is_probe = 1
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "approx_hll_portable": (approx_hll_portable, APPROX_HLL_SQL),
     "approx_quantile_hist": (approx_quantile_hist, APPROX_QH_SQL),
+    "j10_pit_embargo_join": (j10_pit_embargo_join, J10_PIT_SQL),
     "approx_hll_merge": (approx_hll_merge, APPROX_HLL_MERGE_SQL),
     "j8_lateral_topn": (j8_lateral_topn, J8_LATERAL_SQL),
     "f10_map_in_arrow": (f10_map_in_arrow, F10_ARROW_SQL),

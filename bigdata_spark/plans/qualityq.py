@@ -625,7 +625,95 @@ FROM di ORDER BY segment
 """
 
 
+# ---------------------------------------------------------------------------
+# dq_pseudonymize_join — keyed tokenization with referential integrity
+# ---------------------------------------------------------------------------
+
+_PSEUDO_PEPPER = "pepper-v1"
+_PSEUDO_TOKEN_SPARK = (
+    "substring(md5(concat('{p}|', CAST({{c}} AS STRING))), 1, 16)"
+).format(p=_PSEUDO_PEPPER)
+_PSEUDO_TOKEN_DUCK = (
+    "substr(md5('{p}|' || CAST({{c}} AS VARCHAR)), 1, 16)"
+).format(p=_PSEUDO_PEPPER)
+
+
+def dq_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving tokenization that KEEPS the data joinable —
+    the de-identification primitive of a shareable analytics extract:
+    replace the customer key everywhere with a peppered hash token
+    (md5('pepper|key'), 16 hex chars), then PROVE the pseudonymized
+    tables still reconcile: every order still joins to exactly one
+    tokenized customer, the token space is collision-free (distinct
+    tokens == distinct keys on both sides), and the join cardinality
+    is unchanged from the raw-key join.
+
+    Scale: tokenization is a stateless projection (no lookup table to
+    shuffle or leak); the verification is two distinct-counts and one
+    hash join — the same cost profile as the raw join it replaces."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.expr(_PSEUDO_TOKEN_SPARK.format(c="c_custkey")).alias("c_token")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(_PSEUDO_TOKEN_SPARK.format(c="o_custkey")).alias("o_token"),
+    )
+    joined = o.join(c, o.o_token == c.c_token)
+    raw = load_table(spark, sf_dir, "orders").join(
+        load_table(spark, sf_dir, "customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return (
+        o.agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_keys"),
+            F.countDistinct("o_token").alias("n_tokens"),
+        )
+        .crossJoin(
+            F.broadcast(joined.agg(F.count("*").alias("n_joined_tokenized")))
+        )
+        .crossJoin(F.broadcast(raw.agg(F.count("*").alias("n_joined_raw"))))
+        .selectExpr(
+            "n_orders",
+            "n_keys",
+            "n_tokens",
+            "n_tokens = n_keys AS collision_free",
+            "n_joined_tokenized",
+            "n_joined_raw",
+            "n_joined_tokenized = n_joined_raw AS referentially_intact",
+        )
+    )
+
+
+_TOK_O = _PSEUDO_TOKEN_DUCK.format(c="o_custkey")
+_TOK_C = _PSEUDO_TOKEN_DUCK.format(c="c_custkey")
+
+DQ_PSEUDO_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, {_TOK_O} AS o_token FROM orders
+), c AS (
+  SELECT {_TOK_C} AS c_token FROM customer
+), stats AS (
+  SELECT COUNT(*) AS n_orders,
+         COUNT(DISTINCT o_custkey) AS n_keys,
+         COUNT(DISTINCT o_token) AS n_tokens
+  FROM o
+), jt AS (
+  SELECT COUNT(*) AS n_joined_tokenized FROM o JOIN c ON o.o_token = c.c_token
+), jr AS (
+  SELECT COUNT(*) AS n_joined_raw
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT n_orders, n_keys, n_tokens,
+       n_tokens = n_keys AS collision_free,
+       n_joined_tokenized, n_joined_raw,
+       n_joined_tokenized = n_joined_raw AS referentially_intact
+FROM stats, jt, jr
+"""
+
+
 QUERIES = {
+    "dq_pseudonymize_join": (dq_pseudonymize_join, DQ_PSEUDO_SQL),
     "dq_fairness_ratios": (dq_fairness_ratios, DQ_FAIRNESS_SQL),
     "dq_embedding_drift": (dq_embedding_drift, DQ_EMB_DRIFT_SQL),
     "dq_benford": (dq_benford, DQ_BENFORD_SQL),

@@ -2222,6 +2222,99 @@ ORDER BY decile
 
 
 # ---------------------------------------------------------------------------
+# stat_control_chart — X-bar process-control chart over monthly subgroups
+# ---------------------------------------------------------------------------
+
+# global mean / stddev from exact cent sums (sqrt is correctly-rounded
+# IEEE); subgroup z-score shares the same verbatim text in both engines
+_XBAR_MU = "(CAST(g_c1 AS DOUBLE) / CAST(g_n AS DOUBLE))"
+_XBAR_SD = (
+    "SQRT(CAST(g_c2 AS DOUBLE) / CAST(g_n AS DOUBLE)"
+    f" - {_XBAR_MU} * {_XBAR_MU})"
+)
+_XBAR_Z = (
+    f"((CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)) - {_XBAR_MU})"
+    f" / ({_XBAR_SD} / SQRT(CAST(n AS DOUBLE)))"
+)
+
+
+def stat_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-bar process-control chart — the SPC monitor every data-quality
+    pipeline hangs on a metric: monthly subgroup means of the order
+    total against ±3σ/√n control limits derived from the whole
+    process. Everything reduces to exact cent sums (one map-side
+    combinable groupBy to ~80 month cells; the global sums are one
+    window over those cells, NOT a second scan), and the z-score /
+    limit flags are shared-verbatim IEEE expressions, so out-of-control
+    months match bit-for-bit across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr(
+        "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    q2 = "CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))"
+    monthly = (
+        o.select(
+            F.expr("CAST(date_format(o_orderdate, 'yyyy-MM') AS STRING)")
+            .alias("ym"),
+            cents.alias("c"),
+        )
+        .groupBy("ym")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("c1"),
+            F.sum(F.expr(q2)).alias("c2"),
+        )
+    )
+    wall = Window.partitionBy()
+    g = monthly.select(
+        "ym",
+        "n",
+        "c1",
+        F.sum("n").over(wall).alias("g_n"),
+        F.sum("c1").over(wall).alias("g_c1"),
+        F.sum("c2").over(wall).alias("g_c2"),
+    )
+    return g.selectExpr(
+        "ym",
+        "n",
+        "CAST(c1 AS BIGINT) AS sum_cents",
+        f"CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents",
+        f"{_XBAR_Z} AS z",
+        f"ABS({_XBAR_Z}) > CAST(3 AS DOUBLE) AS out_of_control",
+    ).orderBy("ym")
+
+
+STAT_XBAR_SQL = f"""
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+         COUNT(*) AS n,
+         SUM(c) AS c1,
+         SUM(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))) AS c2
+  FROM (
+    SELECT o_orderdate,
+           CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+                + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+    FROM orders
+  ) GROUP BY 1
+), g AS (
+  SELECT ym, n, c1,
+         SUM(n) OVER () AS g_n,
+         SUM(c1) OVER () AS g_c1,
+         SUM(c2) OVER () AS g_c2
+  FROM monthly
+)
+SELECT ym, n,
+       CAST(c1 AS BIGINT) AS sum_cents,
+       CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+       {_XBAR_Z} AS z,
+       ABS({_XBAR_Z}) > CAST(3 AS DOUBLE) AS out_of_control
+FROM g
+ORDER BY ym
+"""
+
+
+# ---------------------------------------------------------------------------
 # stat_eb_shrinkage — empirical-Bayes rate shrinkage and re-ranking
 # ---------------------------------------------------------------------------
 
@@ -2320,6 +2413,7 @@ QUERIES = {
     "stat_cem_att": (stat_cem_att, STAT_CEM_SQL),
     "stat_qini_uplift": (stat_qini_uplift, STAT_QINI_SQL),
     "stat_eb_shrinkage": (stat_eb_shrinkage, STAT_EB_SQL),
+    "stat_control_chart": (stat_control_chart, STAT_XBAR_SQL),
     "stat_spearman": (stat_spearman, STAT_SPEARMAN_SQL),
     "stat_kendall_tau": (stat_kendall_tau, STAT_KENDALL_SQL),
     "stat_power_analysis": (stat_power_analysis, STAT_POWER_SQL),

@@ -410,6 +410,87 @@ def test_readability_matches_python_regex(spark):
         assert math.isclose(r["flesch_lang"], expect, rel_tol=1e-12)
 
 
+def test_pit_embargo_join_matches_python(spark):
+    import datetime as dt
+
+    from bigdata_spark.plans.extended import j10_pit_embargo_join
+    from bigdata_spark.sources.catalog import load_table
+
+    evs = (
+        load_table(spark, SF, "events")
+        .select("user_id", "ts", "event_type", "event_id")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in evs:
+        by_user.setdefault(r["user_id"], []).append(r)
+    expect = {}
+    for uid, rows in by_user.items():
+        labels = [r for r in rows if r["event_type"] == "purchase"]
+        if not labels:
+            continue
+        n_labels = len(labels)
+        sum_fc = max_fp = n_cold = 0
+        for lb in labels:
+            cutoff = lb["ts"] - dt.timedelta(hours=1)
+            fc = sum(
+                1 for r in rows if r["event_type"] == "click" and r["ts"] <= cutoff
+            )
+            fp = sum(
+                1
+                for r in rows
+                if r["event_type"] == "purchase" and r["ts"] <= cutoff
+            )
+            sum_fc += fc
+            max_fp = max(max_fp, fp)
+            n_cold += fc == 0
+        expect[uid] = (n_labels, sum_fc, max_fp, n_cold)
+    got = {
+        r["user_id"]: (
+            r["n_labels"],
+            r["sum_feat_clicks"],
+            r["max_feat_purchases"],
+            r["n_cold_start"],
+        )
+        for r in j10_pit_embargo_join(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_pseudonymize_join_is_referentially_intact(spark):
+    from bigdata_spark.plans.qualityq import dq_pseudonymize_join
+    from bigdata_spark.sources.catalog import load_table
+
+    row = dq_pseudonymize_join(spark, SF).collect()[0]
+    assert row["collision_free"] and row["referentially_intact"]
+    assert row["n_orders"] == load_table(spark, SF, "orders").count()
+    assert row["n_joined_raw"] == row["n_orders"]  # every order has a customer
+    assert row["n_tokens"] == row["n_keys"] <= row["n_orders"]
+
+
+def test_control_chart_zscores(spark):
+    import math
+
+    from bigdata_spark.plans.statsq import stat_control_chart
+    from bigdata_spark.sources.catalog import load_table
+
+    rows = stat_control_chart(spark, SF).collect()
+    n_orders = load_table(spark, SF, "orders").count()
+    assert sum(r["n"] for r in rows) == n_orders
+    g_n = sum(r["n"] for r in rows)
+    g_c1 = sum(r["sum_cents"] for r in rows)
+    # rebuild the global second moment from the raw table
+    raw = load_table(spark, SF, "orders").select("o_totalprice").collect()
+    cents = [math.floor(r["o_totalprice"] * 100 + 0.5) for r in raw]
+    g_c2 = sum(c * c for c in cents)
+    mu = g_c1 / g_n
+    sd = math.sqrt(g_c2 / g_n - mu * mu)
+    for r in rows:
+        z = (r["sum_cents"] / r["n"] - mu) / (sd / math.sqrt(r["n"]))
+        assert math.isclose(r["z"], z, rel_tol=1e-9)
+        assert r["out_of_control"] == (abs(r["z"]) > 3.0)
+
+
 def test_survival_lifetable_invariants(spark):
     from bigdata_spark.plans.statsq import stat_survival_lifetable
 

@@ -548,6 +548,24 @@ AUDITS.update({
         ("per-language sums partial-aggregate", r"partial_sum"),
         ("regex counters JVM-native, no Python", NO_PYTHON),
     ],
+    "j10_pit_embargo_join": [
+        ("one running-sum window serves all probes (no per-label subquery)",
+         r"RunningWindowFunction|Window"),
+        ("per-user rollup partial-aggregates", r"partial_sum|partial_count"),
+        ("feature serving native, no Python", NO_PYTHON),
+    ],
+    "dq_pseudonymize_join": [
+        ("stateless token projection + hash join, no Python", NO_PYTHON),
+    ],
+    "stat_control_chart": [
+        (
+            "scan pruned to (o_orderdate, o_totalprice)",
+            r"ReadSchema: struct<o_totalprice:double,o_orderdate:timestamp"
+            r"|ReadSchema: struct<o_orderdate:timestamp[^,]*,o_totalprice:double",
+        ),
+        ("monthly cent sums partial-aggregate as decimals", r"partial_sum\(.*decimal"),
+        ("z-scores native, no Python", NO_PYTHON),
+    ],
 })
 
 
