@@ -753,7 +753,88 @@ WHERE len(a.shingles) > 0
       / len(a.shingles) >= {_CONT_THRESHOLD}
 """
 
+# ---------------------------------------------------------------------------
+# llm_source_dedup_priority — cross-source dedup with a keep policy
+# ---------------------------------------------------------------------------
+
+
+def llm_source_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus dedup with an explicit KEEP POLICY — the
+    curation step of a multi-source training mix: when the same content
+    arrives from several feeds, keep the copy from the most-trusted
+    source (priority = the source's numeric rank, doc_id breaks ties)
+    and account for who displaced whom. A deterministic cross-source
+    duplicate wave (doc_id % 11 == 0, re-keyed +2e6, re-sourced to
+    (id+3) mod 20) guarantees real cross-source collisions at every SF.
+
+    Output is the displacement matrix (winner_source, loser_source,
+    n_displaced) — the audit a data-vendor contract needs. Scale: one
+    window over content_key, same shuffle as any exact dedup; the
+    matrix is #sources² at most."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    wave = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        "text",
+        F.concat(F.lit("src"), ((F.col("doc_id") + 3) % 20).cast("string"))
+        .alias("source"),
+    )
+    corpus = d.select("doc_id", "text", "source").unionByName(wave)
+    keyed = corpus.select(
+        "doc_id",
+        "source",
+        F.expr("CAST(substring(source, 4) AS INT)").alias("priority"),
+        _content_key("text").alias("content_key"),
+    )
+    w = Window.partitionBy("content_key").orderBy("priority", "doc_id")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = keyed.select(
+        "source",
+        F.row_number().over(w).alias("rk"),
+        F.first("source").over(w_all).alias("winner_source"),
+    )
+    return (
+        ranked.filter(F.col("rk") > 1)
+        .groupBy("winner_source", F.col("source").alias("loser_source"))
+        .agg(F.count("*").alias("n_displaced"))
+        .orderBy(F.desc("n_displaced"), "winner_source", "loser_source")
+    )
+
+
+LLM_SRC_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text, 'src' || CAST((doc_id + 3) % 20 AS VARCHAR)
+  FROM documents WHERE doc_id % 11 = 0
+),
+keyed AS (
+  SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS priority,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           AS content_key
+  FROM corpus
+),
+ranked AS (
+  SELECT source,
+         ROW_NUMBER() OVER (PARTITION BY content_key
+           ORDER BY priority, doc_id) AS rk,
+         FIRST_VALUE(source) OVER (PARTITION BY content_key
+           ORDER BY priority, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS winner_source
+  FROM keyed
+)
+SELECT winner_source, source AS loser_source,
+       COUNT(*) AS n_displaced
+FROM ranked WHERE rk > 1
+GROUP BY 1, 2
+ORDER BY n_displaced DESC, winner_source, loser_source
+"""
+
+
 QUERIES = {
+    "llm_source_dedup_priority": (llm_source_dedup_priority, LLM_SRC_DEDUP_SQL),
     "dedup_symspell_join": (dedup_symspell_join, DEDUP_SYMSPELL_SQL),
     "dedup_keep_one": (dedup_keep_one, DEDUP_KEEP_ONE_SQL),
     "dedup_exact_stats": (dedup_exact_stats, DEDUP_EXACT_SQL),

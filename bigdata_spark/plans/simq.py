@@ -750,8 +750,136 @@ ORDER BY n_points DESC, parent_cell ASC LIMIT 10
 GEO_QUADKEY_SQL = _qk_sql()
 
 
+# ---------------------------------------------------------------------------
+# sim_quantized_recall — int8-style scalar quantization, recall@k audit
+# ---------------------------------------------------------------------------
+
+_SQR_K = 10
+_SQR_MOD, _SQR_RES = 20, 3
+_SQR_SCALE = 200  # |x| ≤ 0.58 → quantized |q| ≤ 116, dot ≤ 64·116² ≪ 2⁶³
+
+# shared quantizer text modulo syntax: same CAST/FLOOR op chain per dim
+_SQR_QUANT_SPARK = (
+    "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+    f" * CAST({_SQR_SCALE} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))"
+)
+_SQR_QUANT_DUCK = (
+    "[CAST(FLOOR(CAST(x AS DOUBLE)"
+    f" * CAST({_SQR_SCALE} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    " for x in embedding]"
+)
+
+
+def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization recall audit — the evaluation every
+    compressed-index deployment needs: quantize embeddings to ~int8
+    (floor(200·x + ½), exact BIGINTs), rank neighbors by INTEGER dot
+    product, and measure per-query overlap against the exact
+    double-cosine top-10 (sim_topk_bruteforce's ranking). Quantized
+    scores are pure integers (order-free, engine-exact) and recall is
+    reported in ppm by integer division, so the audit itself is
+    hash-exact — only the two rank windows touch doubles, through the
+    repo's existing shared-cosine text.
+
+    Scale: both ranking paths are the brute-force baseline (quadratic
+    by design — the IVF/LSH/PQ entries are the sub-linear variants);
+    the audit's value is the RECALL CONTRACT, which carries over to
+    the bucketed paths unchanged. Queries vec_id ≡ 3 (mod 20)."""
+    from ..similarity.ann import brute_force_topk
+
+    vecs = _vecs(spark, sf_dir)
+    qset = vecs.filter(F.col("vec_id") % _SQR_MOD == _SQR_RES)
+    exact = brute_force_topk(qset, vecs, k=_SQR_K).select(
+        "query_id", "corpus_id"
+    )
+    vq = vecs.select("vec_id", F.expr(_SQR_QUANT_SPARK).alias("qv"))
+    qq = vq.filter(F.col("vec_id") % _SQR_MOD == _SQR_RES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_vec")
+    )
+    pairs = (
+        vq.withColumnRenamed("vec_id", "corpus_id")
+        .crossJoin(F.broadcast(qq))
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.expr(
+                "aggregate(zip_with(q_vec, qv, (a, b) -> a * b),"
+                " 0L, (acc, v) -> acc + v)"
+            ).alias("idot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("idot"), F.asc("corpus_id"))
+    approx = pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= _SQR_K
+    )
+    hits = approx.join(exact, ["query_id", "corpus_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return (
+        qset.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left_outer")
+        .selectExpr(
+            "query_id",
+            "CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap",
+            f"(1000000 * CAST(COALESCE(n_overlap, 0) AS BIGINT)) div {_SQR_K}"
+            " AS recall_ppm",
+        )
+        .orderBy("query_id")
+    )
+
+
+SIM_QREC_SQL = f"""
+WITH vq AS (
+  SELECT vec_id, {_SQR_QUANT_DUCK} AS qv FROM embeddings
+), q AS (SELECT vec_id AS query_id, embedding AS v FROM embeddings
+         WHERE vec_id % {_SQR_MOD} = {_SQR_RES}),
+c AS (SELECT vec_id AS corpus_id, embedding AS v FROM embeddings),
+exact_scored AS (
+  SELECT q.query_id, c.corpus_id,
+         CASE WHEN ({_duck_l2('q.v')} * {_duck_l2('c.v')}) != 0.0
+              THEN {_duck_dot('q.v', 'c.v')}
+                   / ({_duck_l2('q.v')} * {_duck_l2('c.v')})
+              ELSE 0.0 END AS cosine
+  FROM c CROSS JOIN q WHERE q.query_id != c.corpus_id
+), exact_topk AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, corpus_id) AS rnk
+    FROM exact_scored
+  ) WHERE rnk <= {_SQR_K}
+), int_scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+         list_sum([a.qv[i] * b.qv[i]
+                   for i in generate_series(1, len(a.qv))]) AS idot
+  FROM vq a CROSS JOIN vq b
+  WHERE a.vec_id % {_SQR_MOD} = {_SQR_RES} AND a.vec_id != b.vec_id
+), approx_topk AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY idot DESC, corpus_id) AS rnk
+    FROM int_scored
+  ) WHERE rnk <= {_SQR_K}
+), hits AS (
+  SELECT a.query_id, COUNT(*) AS n_overlap
+  FROM approx_topk a JOIN exact_topk e
+    ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+  GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST((1000000 * COALESCE(h.n_overlap, 0)) // {_SQR_K} AS BIGINT)
+         AS recall_ppm
+FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+ORDER BY q.query_id
+"""
+
+
 QUERIES = {
     "dist_kernels": (dist_kernels, DIST_KERNELS_SQL),
+    "sim_quantized_recall": (sim_quantized_recall, SIM_QREC_SQL),
     "geo_radius_join": (geo_radius_join, GEO_RADIUS_SQL),
     "geo_quadkey_rollup": (geo_quadkey_rollup, GEO_QUADKEY_SQL),
     "ml_dbscan_grid": (ml_dbscan_grid, ML_DBSCAN_SQL),

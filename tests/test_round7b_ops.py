@@ -491,6 +491,131 @@ def test_control_chart_zscores(spark):
         assert r["out_of_control"] == (abs(r["z"]) > 3.0)
 
 
+def test_quantized_recall_bounds_and_replication(spark):
+    import math
+
+    from bigdata_spark.plans.simq import (
+        _SQR_K,
+        _SQR_MOD,
+        _SQR_RES,
+        _SQR_SCALE,
+        sim_quantized_recall,
+    )
+    from bigdata_spark.sources.catalog import load_table
+
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+
+    def quant(v):
+        return [math.floor(float(x) * _SQR_SCALE + 0.5) for x in v]
+
+    qv = {i: quant(v) for i, v in vecs.items()}
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return d / (na * nb) if na * nb != 0 else 0.0
+
+    rows = sim_quantized_recall(spark, SF).collect()
+    queries = sorted(i for i in vecs if i % _SQR_MOD == _SQR_RES)
+    assert [r["query_id"] for r in rows] == queries
+    for r in rows[:5]:  # replicate a few queries end-to-end
+        qid = r["query_id"]
+        others = [i for i in vecs if i != qid]
+        exact = sorted(others, key=lambda i: (-cos(vecs[qid], vecs[i]), i))[:_SQR_K]
+        approx = sorted(
+            others,
+            key=lambda i: (
+                -sum(a * b for a, b in zip(qv[qid], qv[i])),
+                i,
+            ),
+        )[:_SQR_K]
+        overlap = len(set(exact) & set(approx))
+        assert r["n_overlap"] == overlap
+        assert r["recall_ppm"] == (1_000_000 * overlap) // _SQR_K
+    # int8-ish quantization should preserve most of the ranking
+    mean_recall = sum(r["n_overlap"] for r in rows) / (len(rows) * _SQR_K)
+    assert mean_recall >= 0.5
+
+
+def test_resource_allocation_degree_discount(spark):
+    from bigdata_spark.plans.graphq import (
+        _RA_TOPK,
+        _copurchase_pairs,
+        graph_resource_allocation,
+    )
+
+    pairs = {
+        (r["pa"], r["pb"])
+        for r in _copurchase_pairs(spark, SF).select("pa", "pb").collect()
+    }
+    adj: dict[int, set] = {}
+    deg: dict[int, int] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for n, ns in adj.items():
+        deg[n] = len(ns)
+    scores = {}
+    for z, ns in adj.items():
+        ns_sorted = sorted(ns)
+        for i, a in enumerate(ns_sorted):
+            for b in ns_sorted[i + 1 :]:
+                if (a, b) in pairs:
+                    continue
+                key = (a, b)
+                cn, ra = scores.get(key, (0, 0))
+                scores[key] = (cn + 1, ra + 1_000_000 // deg[z])
+    expect = sorted(
+        ((ra, a, b, cn) for (a, b), (cn, ra) in scores.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:_RA_TOPK]
+    got = [
+        (r["ra_ppm"], r["a"], r["b"], r["cn"])
+        for r in graph_resource_allocation(spark, SF).collect()
+    ]
+    assert got == expect
+
+
+def test_source_dedup_priority_policy(spark):
+    import hashlib
+    import re
+
+    from bigdata_spark.plans.dedupq import llm_source_dedup_priority
+    from bigdata_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "source"
+    ).collect()
+    corpus = [(r["doc_id"], r["text"], r["source"]) for r in docs]
+    corpus += [
+        (r["doc_id"] + 2_000_000, r["text"], f"src{(r['doc_id'] + 3) % 20}")
+        for r in docs
+        if r["doc_id"] % 11 == 0
+    ]
+    groups: dict[str, list] = {}
+    for did, text, src in corpus:
+        key = hashlib.md5(
+            re.sub(r"\s+", " ", text.lower().strip()).encode()
+        ).hexdigest()
+        groups.setdefault(key, []).append((int(src[3:]), did, src))
+    matrix: dict[tuple, int] = {}
+    for members in groups.values():
+        members.sort()
+        winner = members[0][2]
+        for _, _, loser in members[1:]:
+            matrix[(winner, loser)] = matrix.get((winner, loser), 0) + 1
+    rows = llm_source_dedup_priority(spark, SF).collect()
+    assert rows, "the duplicate wave guarantees displacements"
+    got = {
+        (r["winner_source"], r["loser_source"]): r["n_displaced"] for r in rows
+    }
+    assert got == matrix
+
+
 def test_survival_lifetable_invariants(spark):
     from bigdata_spark.plans.statsq import stat_survival_lifetable
 

@@ -566,6 +566,21 @@ AUDITS.update({
         ("monthly cent sums partial-aggregate as decimals", r"partial_sum\(.*decimal"),
         ("z-scores native, no Python", NO_PYTHON),
     ],
+    "sim_quantized_recall": [
+        ("query side broadcast onto the corpus", r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("integer dot products native (zip_with fold), no Python", NO_PYTHON),
+    ],
+    "graph_resource_allocation": [
+        ("midpoint degrees broadcast onto the wedge join", r"BroadcastHashJoin"),
+        ("ppm contributions partial-aggregated", r"partial_sum"),
+        ("existing edges drop via anti-join", r"LeftAnti"),
+        ("integer RA index native, no Python", NO_PYTHON),
+    ],
+    "llm_source_dedup_priority": [
+        ("one window over content_key (the exact-dedup shuffle)", r"Window"),
+        ("displacement matrix partial-aggregates", r"partial_count"),
+        ("priority policy native, no Python", NO_PYTHON),
+    ],
 })
 
 
