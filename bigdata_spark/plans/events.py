@@ -2306,8 +2306,96 @@ ORDER BY mass DESC, event_type
 EVT_MARKOV_SQL = _markov_sql()
 
 
+# ---------------------------------------------------------------------------
+# w13_rising_streaks — longest strictly-increasing runs (momentum scan)
+# ---------------------------------------------------------------------------
+
+_STREAK_TOPK = 10
+
+
+def w13_rising_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-rising revenue streaks — the momentum variant
+    of gaps-and-islands (w8 groups EQUAL values; this breaks a run on
+    any non-increase, the lag-compare + running-break-count trick).
+    Daily revenue reduces to exact cents; a day extends the streak iff
+    its revenue strictly exceeds yesterday's AND the days are
+    consecutive; the top-10 streaks report span, length, and total
+    climb. Two window passes over the ~2.4k-day table (which is the
+    data-sized rollup's OUTPUT, not the fact table) and one small
+    aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.expr("CAST(o_orderdate AS DATE)").alias("d"),
+            F.expr(
+                "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
+                " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            ).alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").alias("rev"))
+    )
+    w = Window.orderBy("d")
+    flagged = daily.select(
+        "d",
+        "rev",
+        F.expr(
+            "IF(lag(rev) OVER (ORDER BY d) IS NOT NULL"
+            " AND rev > lag(rev) OVER (ORDER BY d)"
+            " AND datediff(d, lag(d) OVER (ORDER BY d)) = 1, 0, 1)"
+        ).alias("brk"),
+    )
+    grouped = flagged.withColumn(
+        "grp",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        grouped.groupBy("grp")
+        .agg(
+            F.min("d").alias("start_day"),
+            F.max("d").alias("end_day"),
+            F.count("*").alias("len_days"),
+            (F.max("rev") - F.min("rev")).alias("climb_cents"),
+        )
+        .filter(F.col("len_days") >= 2)
+        .orderBy(F.desc("len_days"), F.desc("climb_cents"), "start_day")
+        .limit(_STREAK_TOPK)
+        .select("start_day", "end_day", "len_days", "climb_cents")
+    )
+
+
+W13_STREAK_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), flagged AS (
+  SELECT d, rev,
+         CASE WHEN lag(rev) OVER (ORDER BY d) IS NOT NULL
+                   AND rev > lag(rev) OVER (ORDER BY d)
+                   AND datediff('day', lag(d) OVER (ORDER BY d), d) = 1
+              THEN 0 ELSE 1 END AS brk
+  FROM daily
+), grouped AS (
+  SELECT *, SUM(brk) OVER (ORDER BY d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flagged
+)
+SELECT MIN(d) AS start_day, MAX(d) AS end_day,
+       COUNT(*) AS len_days,
+       CAST(MAX(rev) - MIN(rev) AS BIGINT) AS climb_cents
+FROM grouped
+GROUP BY grp
+HAVING COUNT(*) >= 2
+ORDER BY len_days DESC, climb_cents DESC, start_day
+LIMIT {_STREAK_TOPK}
+"""
+
+
 QUERIES = {
     "evt_markov_stationary": (evt_markov_stationary, EVT_MARKOV_SQL),
+    "w13_rising_streaks": (w13_rising_streaks, W13_STREAK_SQL),
     "evt_stream_ckpt_recovery": (evt_stream_ckpt_recovery, EVT_CKPT_SQL),
     "w7_range_frame": (w7_range_frame, W7_RANGE_SQL),
     "w8_islands_rle": (w8_islands_rle, W8_ISLANDS_SQL),

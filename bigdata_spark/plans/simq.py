@@ -877,9 +877,130 @@ ORDER BY q.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# sim_jl_projection_audit — Johnson-Lindenstrauss sign projection, exact
+# ---------------------------------------------------------------------------
+
+_JL_K = 16  # target dimensionality
+_JL_NVEC = 50  # audit sample: vec_id < 50 → 1225 pairs
+_JL_SIGN_SPARK = (
+    "IF(CAST(conv(substring(md5(concat('jl|', CAST(i AS STRING), '|',"
+    " CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0, 1, -1)"
+)
+_JL_SIGN_DUCK = (
+    "CASE WHEN ('0x' || substr(md5('jl|' || CAST(i AS VARCHAR) || '|'"
+    " || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 THEN 1 ELSE -1 END"
+)
+
+
+def sim_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 → 16 dims with a
+    distance-distortion audit — the dimensionality-reduction step an
+    embedding pipeline runs before indexing, PROVEN against its own
+    contract (pairwise distances survive within (1±ε)).
+
+    The ±1 projection matrix derives from the repo's portable hash
+    (no RNG state), vectors are quantized to exact BIGINTs (the
+    sim_quantized_recall scale), and the projection is the RELATIONAL
+    formulation — unnest the vector, broadcast-join the 64×16 sign
+    matrix, partial-agg per (vec, out_dim) — the shape that scales to
+    a 100 TB corpus (matrix broadcasts; one exchange keyed on the
+    vector id). Because projection is linear over integers, the
+    squared-distance ratio 100·‖Pa−Pb‖² div (k·‖a−b‖²) is EXACT
+    integer arithmetic end to end; the output is the distortion
+    histogram over all 1225 sample pairs plus its extremes — no
+    doubles anywhere."""
+    vecs = _vecs(spark, sf_dir).filter(F.col("vec_id") < _JL_NVEC)
+    q = vecs.select(
+        "vec_id",
+        F.posexplode(F.expr(_SQR_QUANT_SPARK)).alias("pos", "x"),
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), "x")
+    dims = spark.range(1, 65).select(F.col("id").alias("i"))
+    outs = spark.range(1, _JL_K + 1).select(F.col("id").alias("j"))
+    matrix = dims.crossJoin(outs).select(
+        "i", "j", F.expr(_JL_SIGN_SPARK).alias("s")
+    )
+    proj = (
+        q.join(F.broadcast(matrix), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.expr("x * s")).alias("p"))
+    )
+    # pairwise distances: self-join per coordinate, difference-of-sums
+    pa = proj.select(F.col("vec_id").alias("a"), "j", F.col("p").alias("pa"))
+    pb = proj.select(F.col("vec_id").alias("b"), "j", F.col("p").alias("pb"))
+    dproj = (
+        pa.join(pb, "j")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.expr("(pa - pb) * (pa - pb)")).alias("d2_proj"))
+    )
+    qa = q.select(F.col("vec_id").alias("a"), "i", F.col("x").alias("xa"))
+    qb = q.select(F.col("vec_id").alias("b"), "i", F.col("x").alias("xb"))
+    dorig = (
+        qa.join(qb, "i")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.expr("(xa - xb) * (xa - xb)")).alias("d2_orig"))
+    )
+    ratios = dproj.join(dorig, ["a", "b"]).selectExpr(
+        "a", "b",
+        f"(100 * d2_proj) div ({_JL_K} * d2_orig) AS ratio2_pct",
+    )
+    return (
+        ratios.groupBy(F.expr("(ratio2_pct div 10) * 10").alias("ratio2_bucket"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("ratio2_pct").alias("min_ratio2_pct"),
+            F.max("ratio2_pct").alias("max_ratio2_pct"),
+        )
+        .orderBy("ratio2_bucket")
+    )
+
+
+SIM_JL_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, {_SQR_QUANT_DUCK} AS qv FROM embeddings
+  WHERE vec_id < {_JL_NVEC}
+), q AS (
+  SELECT vec_id, i, qv[i] AS x
+  FROM vecs, generate_series(1, 64) AS g(i)
+), matrix AS (
+  SELECT i, j, {_JL_SIGN_DUCK} AS s
+  FROM generate_series(1, 64) AS gi(i),
+       generate_series(1, {_JL_K}) AS gj(j)
+), proj AS (
+  SELECT q.vec_id, m.j, CAST(SUM(q.x * m.s) AS BIGINT) AS p
+  FROM q JOIN matrix m ON q.i = m.i
+  GROUP BY 1, 2
+), dproj AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         CAST(SUM((x.p - y.p) * (x.p - y.p)) AS BIGINT) AS d2_proj
+  FROM proj x JOIN proj y ON x.j = y.j AND x.vec_id < y.vec_id
+  GROUP BY 1, 2
+), dorig AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         CAST(SUM((x.x - y.x) * (x.x - y.x)) AS BIGINT) AS d2_orig
+  FROM q x JOIN q y ON x.i = y.i AND x.vec_id < y.vec_id
+  GROUP BY 1, 2
+), ratios AS (
+  SELECT p.a, p.b,
+         (100 * p.d2_proj) // ({_JL_K} * o.d2_orig) AS ratio2_pct
+  FROM dproj p JOIN dorig o ON p.a = o.a AND p.b = o.b
+)
+SELECT CAST((ratio2_pct // 10) * 10 AS BIGINT) AS ratio2_bucket,
+       COUNT(*) AS n_pairs,
+       CAST(MIN(ratio2_pct) AS BIGINT) AS min_ratio2_pct,
+       CAST(MAX(ratio2_pct) AS BIGINT) AS max_ratio2_pct
+FROM ratios
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "dist_kernels": (dist_kernels, DIST_KERNELS_SQL),
     "sim_quantized_recall": (sim_quantized_recall, SIM_QREC_SQL),
+    "sim_jl_projection_audit": (sim_jl_projection_audit, SIM_JL_SQL),
     "geo_radius_join": (geo_radius_join, GEO_RADIUS_SQL),
     "geo_quadkey_rollup": (geo_quadkey_rollup, GEO_QUADKEY_SQL),
     "ml_dbscan_grid": (ml_dbscan_grid, ML_DBSCAN_SQL),

@@ -2222,6 +2222,92 @@ ORDER BY decile
 
 
 # ---------------------------------------------------------------------------
+# stat_trimmed_mean — robust per-group location (5% two-sided trim)
+# ---------------------------------------------------------------------------
+
+_TRIM_PCT = 5
+
+
+def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean per order priority — the robust-location
+    counterpart to stat_mad_outliers' robust scale: drop the bottom
+    and top floor(n·5/100) order totals (rank ties broken by
+    o_orderkey, so the trim set is identical in both engines) and
+    average the rest from exact cent sums. Emitted next to the
+    untrimmed mean so the tail influence is visible.
+
+    Scale: the rank is ONE window shuffle keyed on the group — the
+    same cost as any per-group sort — and everything after is a
+    map-side-combinable aggregate. At 100 TB with heavy groups you'd
+    pre-bucket (approx_quantile_hist) to find the trim boundaries and
+    filter in a scan-local pass instead; this is the exact form."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr(
+        "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    w_rank = Window.partitionBy("o_orderpriority").orderBy("c", "o_orderkey")
+    w_grp = Window.partitionBy("o_orderpriority")
+    ranked = (
+        o.select("o_orderpriority", "o_orderkey", cents.alias("c"))
+        .withColumn("r", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_grp))
+        .withColumn("k", F.expr(f"(n * {_TRIM_PCT}) div 100"))
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("k").alias("n_trimmed_each_side"),
+            F.sum("c").alias("sum_all"),
+            F.sum(F.expr("IF(r > k AND r <= n - k, c, 0)")).alias("sum_kept"),
+            F.sum(F.expr("IF(r > k AND r <= n - k, 1, 0)")).alias("n_kept"),
+        )
+        .selectExpr(
+            "o_orderpriority",
+            "n",
+            "n_trimmed_each_side",
+            "CAST(sum_all AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents",
+            "CAST(sum_kept AS DOUBLE) / CAST(n_kept AS DOUBLE)"
+            " AS trimmed_mean_cents",
+            "CAST(sum_kept AS BIGINT) AS sum_kept_cents",
+            "CAST(n_kept AS BIGINT) AS n_kept",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+STAT_TRIM_SQL = f"""
+WITH ranked AS (
+  SELECT o_orderpriority, c,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+           ORDER BY c, o_orderkey) AS r,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM (
+    SELECT o_orderpriority, o_orderkey,
+           CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+                + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+    FROM orders
+  )
+), cut AS (SELECT *, (n * {_TRIM_PCT}) // 100 AS k FROM ranked)
+SELECT o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(k) AS BIGINT) AS n_trimmed_each_side,
+       CAST(SUM(c) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS mean_cents,
+       CAST(SUM(CASE WHEN r > k AND r <= n - k THEN c ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CASE WHEN r > k AND r <= n - k THEN 1 ELSE 0 END)
+                AS DOUBLE) AS trimmed_mean_cents,
+       CAST(SUM(CASE WHEN r > k AND r <= n - k THEN c ELSE 0 END) AS BIGINT)
+         AS sum_kept_cents,
+       CAST(SUM(CASE WHEN r > k AND r <= n - k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM cut
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # stat_control_chart — X-bar process-control chart over monthly subgroups
 # ---------------------------------------------------------------------------
 
@@ -2414,6 +2500,7 @@ QUERIES = {
     "stat_qini_uplift": (stat_qini_uplift, STAT_QINI_SQL),
     "stat_eb_shrinkage": (stat_eb_shrinkage, STAT_EB_SQL),
     "stat_control_chart": (stat_control_chart, STAT_XBAR_SQL),
+    "stat_trimmed_mean": (stat_trimmed_mean, STAT_TRIM_SQL),
     "stat_spearman": (stat_spearman, STAT_SPEARMAN_SQL),
     "stat_kendall_tau": (stat_kendall_tau, STAT_KENDALL_SQL),
     "stat_power_analysis": (stat_power_analysis, STAT_POWER_SQL),

@@ -616,6 +616,145 @@ def test_source_dedup_priority_policy(spark):
     assert got == matrix
 
 
+def test_jl_projection_audit_exact_replication(spark):
+    import hashlib
+    import math
+
+    from bigdata_spark.plans.simq import (
+        _JL_K,
+        _JL_NVEC,
+        _SQR_SCALE,
+        sim_jl_projection_audit,
+    )
+    from bigdata_spark.sources.catalog import load_table
+
+    vecs = {
+        r["vec_id"]: [
+            math.floor(float(x) * _SQR_SCALE + 0.5) for x in r["embedding"]
+        ]
+        for r in load_table(spark, SF, "embeddings")
+        .filter(F.col("vec_id") < _JL_NVEC)
+        .collect()
+    }
+
+    def sign(i, j):
+        h = int(hashlib.md5(f"jl|{i}|{j}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 0 else -1
+
+    mat = {(i, j): sign(i, j) for i in range(1, 65) for j in range(1, _JL_K + 1)}
+    proj = {
+        vid: [
+            sum(q[i - 1] * mat[(i, j)] for i in range(1, 65))
+            for j in range(1, _JL_K + 1)
+        ]
+        for vid, q in vecs.items()
+    }
+    from collections import Counter
+
+    hist = Counter()
+    mins: dict[int, int] = {}
+    maxs: dict[int, int] = {}
+    ids = sorted(vecs)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            d2p = sum((x - y) ** 2 for x, y in zip(proj[a], proj[b]))
+            d2o = sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[b]))
+            r2 = (100 * d2p) // (_JL_K * d2o)
+            bucket = (r2 // 10) * 10
+            hist[bucket] += 1
+            mins[bucket] = min(mins.get(bucket, r2), r2)
+            maxs[bucket] = max(maxs.get(bucket, r2), r2)
+    rows = sim_jl_projection_audit(spark, SF).collect()
+    got = {
+        r["ratio2_bucket"]: (
+            r["n_pairs"],
+            r["min_ratio2_pct"],
+            r["max_ratio2_pct"],
+        )
+        for r in rows
+    }
+    assert got == {b: (hist[b], mins[b], maxs[b]) for b in hist}
+    # JL contract: most mass near ratio² = 100 (undistorted)
+    total = sum(hist.values())
+    near = sum(n for b, n in hist.items() if 50 <= b <= 150)
+    assert near / total > 0.9
+
+
+def test_trimmed_mean_drops_exact_tails(spark):
+    import math
+
+    from bigdata_spark.plans.statsq import _TRIM_PCT, stat_trimmed_mean
+    from bigdata_spark.sources.catalog import load_table
+
+    raw = load_table(spark, SF, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    ).collect()
+    groups: dict[str, list] = {}
+    for r in raw:
+        groups.setdefault(r["o_orderpriority"], []).append(
+            (math.floor(r["o_totalprice"] * 100 + 0.5), r["o_orderkey"])
+        )
+    rows = {r["o_orderpriority"]: r for r in stat_trimmed_mean(spark, SF).collect()}
+    for prio, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        k = n * _TRIM_PCT // 100
+        kept = [c for c, _ in vals[k : n - k]]
+        r = rows[prio]
+        assert r["n"] == n and r["n_trimmed_each_side"] == k
+        assert r["n_kept"] == len(kept)
+        assert r["sum_kept_cents"] == sum(kept)
+        assert math.isclose(
+            r["trimmed_mean_cents"], sum(kept) / len(kept), rel_tol=1e-12
+        )
+
+
+def test_rising_streaks_match_python_scan(spark):
+    import math
+
+    from bigdata_spark.plans.events import _STREAK_TOPK, w13_rising_streaks
+    from bigdata_spark.sources.catalog import load_table
+
+    raw = load_table(spark, SF, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect()
+    daily: dict = {}
+    for r in raw:
+        d = r["o_orderdate"].date()
+        daily[d] = daily.get(d, 0) + math.floor(r["o_totalprice"] * 100 + 0.5)
+    days = sorted(daily)
+    streaks = []
+    start = days[0]
+    for prev, cur in zip(days, days[1:]):
+        rising = (cur - prev).days == 1 and daily[cur] > daily[prev]
+        if not rising:
+            streaks.append((start, prev))
+            start = cur
+    streaks.append((start, days[-1]))
+    expect = sorted(
+        (
+            (
+                -( (e - s).days + 1 ),
+                -(daily[e] - daily[s]),
+                s,
+                e,
+            )
+            for s, e in streaks
+            if (e - s).days + 1 >= 2
+        )
+    )[:_STREAK_TOPK]
+    got = [
+        (
+            -r["len_days"],
+            -r["climb_cents"],
+            r["start_day"],
+            r["end_day"],
+        )
+        for r in w13_rising_streaks(spark, SF).collect()
+    ]
+    assert got == expect
+
+
 def test_survival_lifetable_invariants(spark):
     from bigdata_spark.plans.statsq import stat_survival_lifetable
 

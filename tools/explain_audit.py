@@ -581,6 +581,25 @@ AUDITS.update({
         ("displacement matrix partial-aggregates", r"partial_count"),
         ("priority policy native, no Python", NO_PYTHON),
     ],
+    "sim_jl_projection_audit": [
+        ("sign matrix broadcast onto the unnested vectors", r"BroadcastHashJoin"),
+        ("projection sums partial-aggregate", r"partial_sum"),
+        ("integer distortion ratios native, no Python", NO_PYTHON),
+    ],
+    "stat_trimmed_mean": [
+        (
+            "scan pruned to the three needed columns",
+            r"ReadSchema: struct<o_orderkey:bigint,o_totalprice:double,o_orderpriority:string"
+            r"|ReadSchema: struct<o_orderkey:bigint,o_orderpriority:string,o_totalprice:double",
+        ),
+        ("one rank window keyed on the group", r"Window"),
+        ("trimmed sums partial-aggregate, no Python", NO_PYTHON),
+    ],
+    "w13_rising_streaks": [
+        ("daily cents rollup partial-aggregates", r"partial_sum"),
+        ("streak windows over the day-grain table", r"Window"),
+        ("integer climb arithmetic native, no Python", NO_PYTHON),
+    ],
 })
 
 
