@@ -756,6 +756,7 @@ GEO_QUADKEY_SQL = _qk_sql()
 
 _SQR_K = 10
 _SQR_MOD, _SQR_RES = 20, 3
+_SQR_QCAP = 2000  # query-side cap: the audit's pair count stays corpus-LINEAR past sf0.1
 _SQR_SCALE = 200  # |x| ≤ 0.58 → quantized |q| ≤ 116, dot ≤ 64·116² ≪ 2⁶³
 
 # shared quantizer text modulo syntax: same CAST/FLOOR op chain per dim
@@ -784,16 +785,24 @@ def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both ranking paths are the brute-force baseline (quadratic
     by design — the IVF/LSH/PQ entries are the sub-linear variants);
     the audit's value is the RECALL CONTRACT, which carries over to
-    the bucketed paths unchanged. Queries vec_id ≡ 3 (mod 20)."""
+    the bucketed paths unchanged. Queries vec_id ≡ 3 (mod 20), capped
+    below 2000 so the audit's pair count grows linearly with the
+    corpus past sf0.1 (the sim_knn_classify capping discipline)."""
     from ..similarity.ann import brute_force_topk
 
     vecs = _vecs(spark, sf_dir)
-    qset = vecs.filter(F.col("vec_id") % _SQR_MOD == _SQR_RES)
+    qset = vecs.filter(
+        (F.col("vec_id") % _SQR_MOD == _SQR_RES)
+        & (F.col("vec_id") < _SQR_QCAP)
+    )
     exact = brute_force_topk(qset, vecs, k=_SQR_K).select(
         "query_id", "corpus_id"
     )
     vq = vecs.select("vec_id", F.expr(_SQR_QUANT_SPARK).alias("qv"))
-    qq = vq.filter(F.col("vec_id") % _SQR_MOD == _SQR_RES).select(
+    qq = vq.filter(
+        (F.col("vec_id") % _SQR_MOD == _SQR_RES)
+        & (F.col("vec_id") < _SQR_QCAP)
+    ).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("q_vec")
     )
     pairs = (
@@ -833,7 +842,7 @@ SIM_QREC_SQL = f"""
 WITH vq AS (
   SELECT vec_id, {_SQR_QUANT_DUCK} AS qv FROM embeddings
 ), q AS (SELECT vec_id AS query_id, embedding AS v FROM embeddings
-         WHERE vec_id % {_SQR_MOD} = {_SQR_RES}),
+         WHERE vec_id % {_SQR_MOD} = {_SQR_RES} AND vec_id < {_SQR_QCAP}),
 c AS (SELECT vec_id AS corpus_id, embedding AS v FROM embeddings),
 exact_scored AS (
   SELECT q.query_id, c.corpus_id,
@@ -854,7 +863,8 @@ exact_scored AS (
          list_sum([a.qv[i] * b.qv[i]
                    for i in generate_series(1, len(a.qv))]) AS idot
   FROM vq a CROSS JOIN vq b
-  WHERE a.vec_id % {_SQR_MOD} = {_SQR_RES} AND a.vec_id != b.vec_id
+  WHERE a.vec_id % {_SQR_MOD} = {_SQR_RES} AND a.vec_id < {_SQR_QCAP}
+    AND a.vec_id != b.vec_id
 ), approx_topk AS (
   SELECT query_id, corpus_id FROM (
     SELECT query_id, corpus_id,

@@ -497,6 +497,7 @@ def test_quantized_recall_bounds_and_replication(spark):
     from bigdata_spark.plans.simq import (
         _SQR_K,
         _SQR_MOD,
+        _SQR_QCAP,
         _SQR_RES,
         _SQR_SCALE,
         sim_quantized_recall,
@@ -520,7 +521,9 @@ def test_quantized_recall_bounds_and_replication(spark):
         return d / (na * nb) if na * nb != 0 else 0.0
 
     rows = sim_quantized_recall(spark, SF).collect()
-    queries = sorted(i for i in vecs if i % _SQR_MOD == _SQR_RES)
+    queries = sorted(
+        i for i in vecs if i % _SQR_MOD == _SQR_RES and i < _SQR_QCAP
+    )
     assert [r["query_id"] for r in rows] == queries
     for r in rows[:5]:  # replicate a few queries end-to-end
         qid = r["query_id"]
