@@ -2393,9 +2393,166 @@ LIMIT {_STREAK_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_cohort_ltv — cohort lifetime-value triangle with cumulative LTV/user
+# ---------------------------------------------------------------------------
+
+
+def evt_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle — the revenue-side twin of evt_retention:
+    users cohort by the ISO week of their FIRST event; purchase value
+    accrues to (cohort_week, age_weeks) cells in exact micro-units;
+    each cohort's running total divides by its fixed cohort size for
+    cumulative LTV per user (ppm-exact by integer division, plus the
+    one shared IEEE double).
+
+    Scale: one groupBy to user grain (first-event week), one broadcast
+    join back onto purchases, one cell-grain rollup — the triangle is
+    #cohorts × #ages rows and the cumulative window runs over it, not
+    the fact table."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.expr("CAST(date_trunc('week', MIN(ts)) AS DATE)").alias("cohort_w")
+    )
+    sizes = first.groupBy("cohort_w").agg(F.count("*").alias("cohort_users"))
+    buys = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(first), "user_id")
+        .select(
+            "cohort_w",
+            F.expr(
+                "CAST(datediff(CAST(date_trunc('week', ts) AS DATE), cohort_w)"
+                " div 7 AS INT)"
+            ).alias("age_weeks"),
+            F.expr(
+                "CAST(FLOOR(value * CAST(1000000 AS DOUBLE)"
+                " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            ).alias("rev_micro"),
+        )
+    )
+    cells = buys.groupBy("cohort_w", "age_weeks").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum("rev_micro").alias("rev_micro"),
+    )
+    w_cum = (
+        Window.partitionBy("cohort_w")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_w")
+        .select(
+            "cohort_w",
+            "age_weeks",
+            "cohort_users",
+            "n_purchases",
+            "rev_micro",
+            F.sum("rev_micro").over(w_cum).alias("cum_rev_micro"),
+        )
+        .withColumn(
+            "ltv_micro_per_user",
+            F.expr("cum_rev_micro div cohort_users"),
+        )
+        .orderBy("cohort_w", "age_weeks")
+    )
+
+
+EVT_COHORT_LTV_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_w
+  FROM events GROUP BY 1
+), sizes AS (
+  SELECT cohort_w, COUNT(*) AS cohort_users FROM first GROUP BY 1
+), buys AS (
+  SELECT f.cohort_w,
+         CAST(datediff('day', f.cohort_w,
+              CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT)
+           AS age_weeks,
+         CAST(FLOOR(e.value * CAST(1000000 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rev_micro
+  FROM events e JOIN first f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+), cells AS (
+  SELECT cohort_w, age_weeks, COUNT(*) AS n_purchases,
+         CAST(SUM(rev_micro) AS BIGINT) AS rev_micro
+  FROM buys GROUP BY 1, 2
+)
+SELECT c.cohort_w, c.age_weeks, s.cohort_users, c.n_purchases, c.rev_micro,
+       CAST(SUM(c.rev_micro) OVER (PARTITION BY c.cohort_w ORDER BY c.age_weeks
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_rev_micro,
+       CAST(SUM(c.rev_micro) OVER (PARTITION BY c.cohort_w ORDER BY c.age_weeks
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         // s.cohort_users AS ltv_micro_per_user
+FROM cells c JOIN sizes s ON c.cohort_w = s.cohort_w
+ORDER BY c.cohort_w, c.age_weeks
+"""
+
+
+# ---------------------------------------------------------------------------
+# evt_top_paths — leading user-day event paths (the Sankey feeder)
+# ---------------------------------------------------------------------------
+
+_PATH_LEN = 4
+_PATH_TOPK = 15
+
+
+def evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-day event paths — the "what do sessions look like"
+    rollup that feeds every product-analytics Sankey: per (user, day),
+    the first 4 event types in (ts, event_id) order join into a path
+    string, and the 15 most common paths win (ties by path text).
+
+    Order inside a group is pinned by sorting the (ts, event_id, type)
+    structs — array_sort's lexicographic struct compare equals the
+    oracle's ORDER BY — so the path strings match bit-for-bit. Scale:
+    one groupBy to user-day grain (collect_list of a session-bounded
+    handful of events), one path-count rollup."""
+    e = load_table(spark, sf_dir, "events")
+    paths = (
+        e.select(
+            "user_id",
+            F.expr("CAST(ts AS DATE)").alias("d"),
+            F.struct("ts", "event_id", "event_type").alias("s"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.collect_list("s").alias("evs"))
+        .select(
+            F.expr(
+                f"array_join(transform(slice(array_sort(evs), 1, {_PATH_LEN}),"
+                " x -> x.event_type), '>')"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_user_days"))
+        .orderBy(F.desc("n_user_days"), "path")
+        .limit(_PATH_TOPK)
+    )
+
+
+EVT_TOP_PATHS_SQL = f"""
+WITH paths AS (
+  SELECT array_to_string(
+           list_slice(list(event_type ORDER BY ts, event_id),
+                      1, {_PATH_LEN}), '>') AS path
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT path, COUNT(*) AS n_user_days
+FROM paths
+GROUP BY 1
+ORDER BY n_user_days DESC, path
+LIMIT {_PATH_TOPK}
+"""
+
+
 QUERIES = {
     "evt_markov_stationary": (evt_markov_stationary, EVT_MARKOV_SQL),
     "w13_rising_streaks": (w13_rising_streaks, W13_STREAK_SQL),
+    "evt_cohort_ltv": (evt_cohort_ltv, EVT_COHORT_LTV_SQL),
+    "evt_top_paths": (evt_top_paths, EVT_TOP_PATHS_SQL),
     "evt_stream_ckpt_recovery": (evt_stream_ckpt_recovery, EVT_CKPT_SQL),
     "w7_range_frame": (w7_range_frame, W7_RANGE_SQL),
     "w8_islands_rle": (w8_islands_rle, W8_ISLANDS_SQL),

@@ -2222,6 +2222,103 @@ ORDER BY decile
 
 
 # ---------------------------------------------------------------------------
+# stat_anova_oneway — one-way ANOVA from exact per-group sufficient stats
+# ---------------------------------------------------------------------------
+
+# SSB = Σ_g n_g·(ȳ_g − ȳ)², SSW = SST − SSB, F = (SSB/(k−1))/(SSW/(n−k)).
+# Every Σ is an exact decimal; the one shared IEEE expression uses the
+# computational forms SST = s2 − s1²/n and SSB = Σ(s1_g²/n_g) − s1²/n,
+# evaluated identically in both engines.
+_ANOVA_SSB = (
+    "(CAST(sum_sq_over_n AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+)
+_ANOVA_SST = (
+    "(CAST(s2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+)
+_ANOVA_F = (
+    f"(({_ANOVA_SSB} / (CAST(k AS DOUBLE) - CAST(1 AS DOUBLE)))"
+    f" / (({_ANOVA_SST} - {_ANOVA_SSB})"
+    f" / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))"
+)
+
+
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean order value differ across priorities?
+    The F-statistic reduces ENTIRELY to per-group exact sufficient
+    statistics — n_g, Σy, Σy² in cents (decimal-exact) — so a 100 TB
+    fact table costs one map-side-combinable groupBy; the between- and
+    within-group sums of squares come from the computational forms and
+    the single shared IEEE expression at the end.
+
+    The per-group s1_g²/n_g term can't stay a whole number (n_g does
+    not divide s1_g²), so it is carried TRUNCATED to whole units —
+    (s1_g·s1_g) div n_g, an exact integral division in both engines
+    (Spark IntegralDivide on decimals → BIGINT; DuckDB HUGEINT //) —
+    losing <1 unit per group, invisible at double precision and
+    IDENTICAL across engines. Values are whole-dollar units (the
+    stat_skew_kurtosis quantization) so the quotient fits BIGINT
+    through ~sf100. Output: one row with k, n, SSB/SST and F."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr(
+        "CAST(FLOOR(o_totalprice + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    per_g = (
+        o.select("o_orderpriority", cents.alias("c"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_g"),
+            F.sum(F.col("c").cast("decimal(18,0)")).alias("s1_g"),
+            F.sum(
+                F.col("c").cast("decimal(18,0)") * F.col("c").cast("decimal(18,0)")
+            ).alias("s2_g"),
+        )
+    )
+    tot = per_g.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s1_g").alias("s1"),
+        F.sum("s2_g").alias("s2"),
+        F.sum(F.expr("(s1_g * s1_g) div n_g")).alias("ssq_n_trunc"),
+    )
+    return tot.selectExpr(
+        "CAST(k AS BIGINT) AS k",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(ssq_n_trunc AS BIGINT) AS sum_sq_over_n_units",
+        f"{_ANOVA_SSB.replace('sum_sq_over_n', 'ssq_n_trunc')} AS ss_between",
+        f"{_ANOVA_SST} AS ss_total",
+        f"{_ANOVA_F.replace('sum_sq_over_n', 'ssq_n_trunc')} AS f_stat",
+    )
+
+
+STAT_ANOVA_SQL = f"""
+WITH per_g AS (
+  SELECT o_orderpriority, COUNT(*) AS n_g,
+         SUM(CAST(c AS DECIMAL(18,0))) AS s1_g,
+         SUM(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))) AS s2_g
+  FROM (
+    SELECT o_orderpriority,
+           CAST(FLOOR(o_totalprice + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+    FROM orders
+  ) GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS k, SUM(n_g) AS n, SUM(s1_g) AS s1, SUM(s2_g) AS s2,
+         SUM(CAST(s1_g * s1_g AS HUGEINT) // CAST(n_g AS HUGEINT))
+           AS ssq_n_trunc
+  FROM per_g
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(n AS BIGINT) AS n,
+       CAST(ssq_n_trunc AS BIGINT) AS sum_sq_over_n_units,
+       {_ANOVA_SSB.replace('sum_sq_over_n', 'ssq_n_trunc')} AS ss_between,
+       {_ANOVA_SST} AS ss_total,
+       {_ANOVA_F.replace('sum_sq_over_n', 'ssq_n_trunc')} AS f_stat
+FROM tot
+"""
+
+
+# ---------------------------------------------------------------------------
 # stat_trimmed_mean — robust per-group location (5% two-sided trim)
 # ---------------------------------------------------------------------------
 
@@ -2501,6 +2598,7 @@ QUERIES = {
     "stat_eb_shrinkage": (stat_eb_shrinkage, STAT_EB_SQL),
     "stat_control_chart": (stat_control_chart, STAT_XBAR_SQL),
     "stat_trimmed_mean": (stat_trimmed_mean, STAT_TRIM_SQL),
+    "stat_anova_oneway": (stat_anova_oneway, STAT_ANOVA_SQL),
     "stat_spearman": (stat_spearman, STAT_SPEARMAN_SQL),
     "stat_kendall_tau": (stat_kendall_tau, STAT_KENDALL_SQL),
     "stat_power_analysis": (stat_power_analysis, STAT_POWER_SQL),

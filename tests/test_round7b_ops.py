@@ -758,6 +758,88 @@ def test_rising_streaks_match_python_scan(spark):
     assert got == expect
 
 
+def test_anova_matches_python_sums(spark):
+    import math
+
+    from bigdata_spark.plans.statsq import stat_anova_oneway
+    from bigdata_spark.sources.catalog import load_table
+
+    raw = load_table(spark, SF, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    groups: dict[str, list[int]] = {}
+    for r in raw:
+        groups.setdefault(r["o_orderpriority"], []).append(
+            math.floor(r["o_totalprice"] + 0.5)
+        )
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    s1 = sum(sum(v) for v in groups.values())
+    s2 = sum(x * x for v in groups.values() for x in v)
+    ssq_n = sum(sum(v) ** 2 // len(v) for v in groups.values())
+    row = stat_anova_oneway(spark, SF).collect()[0]
+    assert (row["k"], row["n"], row["sum_sq_over_n_units"]) == (k, n, ssq_n)
+    ssb = ssq_n - s1 * s1 / n
+    sst = s2 - s1 * s1 / n
+    f = (ssb / (k - 1)) / ((sst - ssb) / (n - k))
+    assert math.isclose(row["ss_between"], ssb, rel_tol=1e-12)
+    assert math.isclose(row["ss_total"], sst, rel_tol=1e-12)
+    assert math.isclose(row["f_stat"], f, rel_tol=1e-9)
+
+
+def test_cohort_ltv_triangle_invariants(spark):
+    import math
+
+    from bigdata_spark.plans.events import evt_cohort_ltv
+    from bigdata_spark.sources.catalog import load_table
+
+    rows = evt_cohort_ltv(spark, SF).collect()
+    assert rows
+    e = load_table(spark, SF, "events")
+    total_rev = sum(
+        math.floor(r["value"] * 1_000_000 + 0.5)
+        for r in e.filter(F.col("event_type") == "purchase")
+        .select("value")
+        .collect()
+    )
+    assert sum(r["rev_micro"] for r in rows) == total_rev
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_w"], []).append(r)
+    for rs in by_cohort.values():
+        ages = [r["age_weeks"] for r in rs]
+        assert ages == sorted(ages) and all(a >= 0 for a in ages)
+        cum = 0
+        for r in rs:
+            cum += r["rev_micro"]
+            assert r["cum_rev_micro"] == cum
+            assert r["ltv_micro_per_user"] == cum // r["cohort_users"]
+
+
+def test_top_paths_match_python(spark):
+    from bigdata_spark.plans.events import _PATH_LEN, _PATH_TOPK, evt_top_paths
+    from bigdata_spark.sources.catalog import load_table
+
+    evs = load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_ud: dict = {}
+    for r in evs:
+        by_ud.setdefault((r["user_id"], r["ts"].date()), []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    from collections import Counter
+
+    counts = Counter(
+        ">".join(t for _, _, t in sorted(v)[:_PATH_LEN]) for v in by_ud.values()
+    )
+    expect = sorted(((-n, p) for p, n in counts.items()))[:_PATH_TOPK]
+    got = [
+        (-r["n_user_days"], r["path"]) for r in evt_top_paths(spark, SF).collect()
+    ]
+    assert got == expect
+
+
 def test_survival_lifetable_invariants(spark):
     from bigdata_spark.plans.statsq import stat_survival_lifetable
 

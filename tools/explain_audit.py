@@ -600,6 +600,24 @@ AUDITS.update({
         ("streak windows over the day-grain table", r"Window"),
         ("integer climb arithmetic native, no Python", NO_PYTHON),
     ],
+    "stat_anova_oneway": [
+        (
+            "scan pruned to (o_orderpriority, o_totalprice)",
+            r"ReadSchema: struct<o_orderpriority:string,o_totalprice:double>"
+            r"|ReadSchema: struct<o_totalprice:double,o_orderpriority:string>",
+        ),
+        ("group sufficient stats partial-aggregate as decimals", r"partial_sum\(.*decimal"),
+        ("F statistic native, no Python", NO_PYTHON),
+    ],
+    "evt_cohort_ltv": [
+        ("first-event cohorts partial-aggregate (min per user)", r"partial_min"),
+        ("cohort dims broadcast onto purchases", r"BroadcastHashJoin"),
+        ("micro-unit LTV integers native, no Python", NO_PYTHON),
+    ],
+    "evt_top_paths": [
+        ("user-day path assembly is one partial-aggregated groupBy", r"ObjectHashAggregate|HashAggregate"),
+        ("path census native, no Python", NO_PYTHON),
+    ],
 })
 
 
