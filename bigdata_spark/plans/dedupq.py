@@ -833,8 +833,74 @@ ORDER BY n_displaced DESC, winner_source, loser_source
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_capture_recapture — Lincoln-Petersen estimate of true dup-pair count
+# ---------------------------------------------------------------------------
+
+# single shared IEEE division over exact integers; NULL while the
+# methods share no catches
+_CRC_EST = (
+    "CASE WHEN m = 0 THEN NULL ELSE"
+    " CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(m AS DOUBLE) END"
+)
+
+
+def dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many near-duplicate pairs does the corpus REALLY contain?
+    Capture-recapture (Lincoln-Petersen) over two independent dedup
+    methods: MinHash-LSH (threshold 0.2) is capture one, exact
+    same-lang shingle-Jaccard (threshold 0.15) is capture two; pairs
+    caught by both are the marked recaptures, and N̂ = n1·n2/m
+    estimates the total pair population either method alone
+    undercounts — the standard coverage audit when ground truth is
+    unaffordable at corpus scale.
+
+    Scale: both pair generators are the repo's existing bucketed plans
+    (never all-pairs); the overlap is one join on the pair key. The
+    estimate row carries exact integers plus the one shared division
+    (milli-precision integer twin alongside)."""
+    d = load_table(spark, sf_dir, "documents")
+    a = minhash_dup_pairs(
+        d, num_perm=_NUM_PERM, bands=4, shingle_n=3, jaccard_threshold=0.2
+    ).select("id_a", "id_b")
+    b = ngram_jaccard_pairs(
+        d, bucket_col="lang", shingle_n=3, threshold=0.15
+    ).select("id_a", "id_b")
+    both = a.join(b, ["id_a", "id_b"])
+    return (
+        a.agg(F.count("*").alias("n1"))
+        .crossJoin(F.broadcast(b.agg(F.count("*").alias("n2"))))
+        .crossJoin(F.broadcast(both.agg(F.count("*").alias("m"))))
+        .selectExpr(
+            "n1",
+            "n2",
+            "m",
+            "IF(m = 0, NULL, (1000 * n1 * n2) div m) AS est_pairs_milli",
+            f"{_CRC_EST} AS est_pairs",
+        )
+    )
+
+
+def _crc_sql() -> str:
+    mh = _duck_minhash_pairs_sql().strip()
+    ng = DEDUP_NGRAM_SQL.strip()
+    return f"""
+WITH a AS (SELECT id_a, id_b FROM ({mh})),
+b AS (SELECT id_a, id_b FROM ({ng})),
+n1t AS (SELECT COUNT(*) AS n1 FROM a),
+n2t AS (SELECT COUNT(*) AS n2 FROM b),
+mt AS (SELECT COUNT(*) AS m FROM a JOIN b USING (id_a, id_b))
+SELECT n1, n2, m,
+       CASE WHEN m = 0 THEN NULL
+            ELSE (1000 * n1 * n2) // m END AS est_pairs_milli,
+       {_CRC_EST} AS est_pairs
+FROM n1t, n2t, mt
+"""
+
+
 QUERIES = {
     "llm_source_dedup_priority": (llm_source_dedup_priority, LLM_SRC_DEDUP_SQL),
+    "dedup_capture_recapture": (dedup_capture_recapture, _crc_sql()),
     "dedup_symspell_join": (dedup_symspell_join, DEDUP_SYMSPELL_SQL),
     "dedup_keep_one": (dedup_keep_one, DEDUP_KEEP_ONE_SQL),
     "dedup_exact_stats": (dedup_exact_stats, DEDUP_EXACT_SQL),

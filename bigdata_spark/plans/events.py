@@ -2490,6 +2490,108 @@ ORDER BY c.cohort_w, c.age_weeks
 
 
 # ---------------------------------------------------------------------------
+# evt_growth_accounting — weekly new / retained / resurrected / churned
+# ---------------------------------------------------------------------------
+
+
+def evt_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — the WAU decomposition every growth team
+    reports: each week's actives split into NEW (first week ever),
+    RETAINED (also active last week), RESURRECTED (returning after a
+    gap), plus the users CHURNED out of last week's actives; the
+    identity actives_w = new + retained + resurrected and
+    actives_{w-1} = retained + churned_w holds exactly.
+
+    Scale: one distinct to (user, week) grain, one per-user min, two
+    self-equi-joins on (user, week±7d) — all hash-partitioned on
+    user_id, no windows over the fact table; output is #weeks rows."""
+    e = load_table(spark, sf_dir, "events")
+    weekly = (
+        e.select(
+            "user_id",
+            F.expr("CAST(date_trunc('week', ts) AS DATE)").alias("w"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    first = weekly.groupBy("user_id").agg(F.min("w").alias("first_w"))
+    prev = weekly.select("user_id", F.expr("date_add(w, 7)").alias("w"))
+    maxw = weekly.agg(F.max("w").alias("max_w"))
+    flags = (
+        weekly.join(F.broadcast(first), "user_id")
+        .join(prev.withColumn("was_prev", F.lit(1)), ["user_id", "w"], "left_outer")
+        .groupBy("w")
+        .agg(
+            F.count("*").alias("actives"),
+            F.sum(F.expr("IF(w = first_w, 1, 0)")).alias("n_new"),
+            F.sum(
+                F.expr("IF(w != first_w AND was_prev IS NOT NULL, 1, 0)")
+            ).alias("n_retained"),
+            F.sum(
+                F.expr("IF(w != first_w AND was_prev IS NULL, 1, 0)")
+            ).alias("n_resurrected"),
+        )
+    )
+    churned = (
+        prev.join(weekly.withColumn("still", F.lit(1)), ["user_id", "w"], "left_outer")
+        .filter(F.col("still").isNull())
+        .crossJoin(F.broadcast(maxw))
+        .filter(F.col("w") <= F.col("max_w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_churned"))
+    )
+    return (
+        flags.join(churned, "w", "left_outer")
+        .select(
+            "w",
+            "actives",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+        .orderBy("w")
+    )
+
+
+EVT_GROWTH_SQL = """
+WITH weekly AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM events
+), first AS (
+  SELECT user_id, MIN(w) AS first_w FROM weekly GROUP BY 1
+), prev AS (
+  SELECT user_id, w + INTERVAL 7 DAY AS w FROM weekly
+), flags AS (
+  SELECT wk.w, COUNT(*) AS actives,
+         SUM(CASE WHEN wk.w = f.first_w THEN 1 ELSE 0 END) AS n_new,
+         SUM(CASE WHEN wk.w != f.first_w AND p.user_id IS NOT NULL
+                  THEN 1 ELSE 0 END) AS n_retained,
+         SUM(CASE WHEN wk.w != f.first_w AND p.user_id IS NULL
+                  THEN 1 ELSE 0 END) AS n_resurrected
+  FROM weekly wk
+  JOIN first f ON wk.user_id = f.user_id
+  LEFT JOIN prev p ON wk.user_id = p.user_id AND CAST(p.w AS DATE) = wk.w
+  GROUP BY 1
+), churned AS (
+  SELECT CAST(p.w AS DATE) AS w, COUNT(*) AS n_churned
+  FROM prev p
+  LEFT JOIN weekly wk ON wk.user_id = p.user_id AND wk.w = CAST(p.w AS DATE)
+  WHERE wk.user_id IS NULL
+    AND CAST(p.w AS DATE) <= (SELECT MAX(w) FROM weekly)
+  GROUP BY 1
+)
+SELECT f.w, f.actives,
+       CAST(f.n_new AS BIGINT) AS n_new,
+       CAST(f.n_retained AS BIGINT) AS n_retained,
+       CAST(f.n_resurrected AS BIGINT) AS n_resurrected,
+       CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned
+FROM flags f LEFT JOIN churned c ON f.w = c.w
+ORDER BY f.w
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_top_paths — leading user-day event paths (the Sankey feeder)
 # ---------------------------------------------------------------------------
 
@@ -2553,6 +2655,7 @@ QUERIES = {
     "w13_rising_streaks": (w13_rising_streaks, W13_STREAK_SQL),
     "evt_cohort_ltv": (evt_cohort_ltv, EVT_COHORT_LTV_SQL),
     "evt_top_paths": (evt_top_paths, EVT_TOP_PATHS_SQL),
+    "evt_growth_accounting": (evt_growth_accounting, EVT_GROWTH_SQL),
     "evt_stream_ckpt_recovery": (evt_stream_ckpt_recovery, EVT_CKPT_SQL),
     "w7_range_frame": (w7_range_frame, W7_RANGE_SQL),
     "w8_islands_rle": (w8_islands_rle, W8_ISLANDS_SQL),

@@ -1306,6 +1306,115 @@ ML_ISOTONIC_SQL = keyed_values_oracle(
 
 
 # ---------------------------------------------------------------------------
+# ml_roc_auc — ROC curve points + exact trapezoid AUC in ppm integers
+# ---------------------------------------------------------------------------
+
+_ROC_BUCKET_W = 25_000  # score quantization: o_totalprice in 25k-wide bands
+
+# tpr/fpr are single IEEE divisions over exact cumulative integers
+_ROC_TPR = "CAST(cum_tp AS DOUBLE) / CAST(pos AS DOUBLE)"
+_ROC_FPR = "CAST(cum_fp AS DOUBLE) / CAST(neg AS DOUBLE)"
+
+
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve + AUC for a scorer, computed EXACTLY from grouped
+    integers — the classifier-evaluation staple, engine-hash-exact:
+    scores (order totals) quantize to ~20 descending bands; cumulative
+    TP/FP at each band give the ROC points; the trapezoid AUC numerator
+    Σ Δfp·(tp_i + tp_{i−1}) accumulates as BIGINTs and divides once by
+    2·P·N into ppm. Label = order status 'F'. (The Mann-Whitney U twin,
+    stat_mannwhitney, checks the same quantity from the rank side.)
+
+    Scale: one map-side-combinable groupBy to ~20 band cells; every
+    window below runs on those cells. 100 TB of scored rows → one scan."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    g = (
+        o.select(
+            F.expr(
+                f"CAST(FLOOR(o_totalprice / CAST({_ROC_BUCKET_W} AS DOUBLE))"
+                " AS BIGINT)"
+            ).alias("band"),
+            F.expr("IF(o_orderstatus = 'F', 1, 0)").alias("y"),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("tp"))
+    )
+    w_cum = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = g.select(
+        "band",
+        F.sum("tp").over(w_cum).alias("cum_tp"),
+        (F.sum("n").over(w_cum) - F.sum("tp").over(w_cum)).alias("cum_fp"),
+        F.sum("tp").over(wall).alias("pos"),
+        (F.sum("n").over(wall) - F.sum("tp").over(wall)).alias("neg"),
+    )
+    w_lag = Window.orderBy(F.desc("band"))
+    stepped = cum.select(
+        "band",
+        "cum_tp",
+        "cum_fp",
+        "pos",
+        "neg",
+        F.coalesce(F.lag("cum_tp").over(w_lag), F.lit(0)).alias("prev_tp"),
+        F.coalesce(F.lag("cum_fp").over(w_lag), F.lit(0)).alias("prev_fp"),
+    ).withColumn(
+        "step_num",
+        F.expr("(cum_fp - prev_fp) * (cum_tp + prev_tp)"),
+    )
+    return stepped.select(
+        "band",
+        "cum_tp",
+        "cum_fp",
+        F.expr(_ROC_TPR).alias("tpr"),
+        F.expr(_ROC_FPR).alias("fpr"),
+        F.expr(
+            "(1000000 * sum(step_num) over ()) div (2 * pos * neg)"
+        ).alias("auc_ppm"),
+    ).orderBy(F.desc("band"))
+
+
+ML_ROC_SQL = f"""
+WITH g AS (
+  SELECT CAST(FLOOR(o_totalprice / CAST({_ROC_BUCKET_W} AS DOUBLE)) AS BIGINT)
+           AS band,
+         COUNT(*) AS n,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS tp
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT band,
+         SUM(tp) OVER (ORDER BY band DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+         SUM(n) OVER (ORDER BY band DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - SUM(tp) OVER (ORDER BY band DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_fp,
+         SUM(tp) OVER () AS pos,
+         SUM(n) OVER () - SUM(tp) OVER () AS neg
+  FROM g
+), stepped AS (
+  SELECT *,
+         (cum_fp - COALESCE(LAG(cum_fp) OVER (ORDER BY band DESC), 0))
+         * (cum_tp + COALESCE(LAG(cum_tp) OVER (ORDER BY band DESC), 0))
+           AS step_num
+  FROM cum
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(cum_tp AS BIGINT) AS cum_tp,
+       CAST(cum_fp AS BIGINT) AS cum_fp,
+       {_ROC_TPR} AS tpr,
+       {_ROC_FPR} AS fpr,
+       CAST((1000000 * SUM(step_num) OVER ()) // (2 * pos * neg) AS BIGINT)
+         AS auc_ppm
+FROM stepped
+ORDER BY band DESC
+"""
+
+
+# ---------------------------------------------------------------------------
 # ml_conformal_interval — split-conformal regression intervals, exact
 # ---------------------------------------------------------------------------
 
@@ -1945,6 +2054,7 @@ QUERIES = {
     "ml_pca_embeddings": (ml_pca_embeddings, ML_PCA_SQL),
     "ml_als_factorize": (ml_als_factorize, ML_ALS_SQL),
     "ml_isotonic_calibration": (ml_isotonic_calibration, ML_ISOTONIC_SQL),
+    "ml_roc_auc": (ml_roc_auc, ML_ROC_SQL),
     "ml_cv_kfold": (ml_cv_kfold, ML_CV_SQL),
     "ml_target_encode": (ml_target_encode, ML_TARGET_ENC_SQL),
     "ml_conformal_interval": (ml_conformal_interval, ML_CONFORMAL_SQL),

@@ -840,6 +840,79 @@ def test_top_paths_match_python(spark):
     assert got == expect
 
 
+def test_growth_accounting_identities(spark):
+    from bigdata_spark.plans.events import evt_growth_accounting
+    from bigdata_spark.sources.catalog import load_table
+
+    rows = evt_growth_accounting(spark, SF).collect()
+    assert rows
+    weeks = [r["w"] for r in rows]
+    assert weeks == sorted(weeks)
+    by_w = {r["w"]: r for r in rows}
+    for i, r in enumerate(rows):
+        # actives decompose exactly
+        assert r["actives"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        if i == 0:
+            assert r["n_retained"] == 0 and r["n_resurrected"] == 0
+            assert r["n_churned"] == 0
+        else:
+            prev = rows[i - 1]
+            # last week's actives = this week's retained + churned
+            assert prev["actives"] == r["n_retained"] + r["n_churned"]
+    n_users = (
+        load_table(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["n_new"] for r in rows) == n_users
+
+
+def test_roc_auc_matches_mann_whitney_direction(spark):
+    import math
+
+    from bigdata_spark.plans.mlq import _ROC_BUCKET_W, ml_roc_auc
+    from bigdata_spark.sources.catalog import load_table
+
+    rows = ml_roc_auc(spark, SF).collect()
+    # monotone curve, endpoints complete
+    tps = [r["cum_tp"] for r in rows]
+    fps = [r["cum_fp"] for r in rows]
+    assert tps == sorted(tps) and fps == sorted(fps)
+    raw = load_table(spark, SF, "orders").select(
+        "o_totalprice", "o_orderstatus"
+    ).collect()
+    pos = sum(1 for r in raw if r["o_orderstatus"] == "F")
+    neg = len(raw) - pos
+    assert tps[-1] == pos and fps[-1] == neg
+    # replicate AUC from banded counts
+    from collections import Counter
+
+    bands: dict[int, list[int]] = {}
+    for r in raw:
+        b = math.floor(r["o_totalprice"] / _ROC_BUCKET_W)
+        cell = bands.setdefault(b, [0, 0])
+        cell[0] += 1
+        cell[1] += r["o_orderstatus"] == "F"
+    ct = cf = num = 0
+    for b in sorted(bands, reverse=True):
+        n, tp = bands[b]
+        pt, pf = ct, cf
+        ct += tp
+        cf += n - tp
+        num += (cf - pf) * (ct + pt)
+    assert rows[0]["auc_ppm"] == (1_000_000 * num) // (2 * pos * neg)
+    assert all(r["auc_ppm"] == rows[0]["auc_ppm"] for r in rows)
+
+
+def test_capture_recapture_consistency(spark):
+    from bigdata_spark.plans.dedupq import dedup_capture_recapture
+
+    row = dedup_capture_recapture(spark, SF).collect()[0]
+    assert row["n1"] >= row["m"] and row["n2"] >= row["m"]
+    if row["m"] > 0:
+        # the estimate can never undercut either single method's catch
+        assert row["est_pairs"] >= max(row["n1"], row["n2"])
+        assert row["est_pairs_milli"] == (1000 * row["n1"] * row["n2"]) // row["m"]
+
+
 def test_survival_lifetable_invariants(spark):
     from bigdata_spark.plans.statsq import stat_survival_lifetable
 

@@ -618,6 +618,24 @@ AUDITS.update({
         ("user-day path assembly is one partial-aggregated groupBy", r"ObjectHashAggregate|HashAggregate"),
         ("path census native, no Python", NO_PYTHON),
     ],
+    "evt_growth_accounting": [
+        ("(user, week) grain distinct partial-aggregates", r"partial_"),
+        ("first-week dim broadcast", r"BroadcastHashJoin"),
+        ("state split native, no Python", NO_PYTHON),
+    ],
+    "ml_roc_auc": [
+        (
+            "scan pruned to (o_orderstatus, o_totalprice)",
+            r"ReadSchema: struct<o_orderstatus:string,o_totalprice:double>"
+            r"|ReadSchema: struct<o_totalprice:double,o_orderstatus:string>",
+        ),
+        ("band cells partial-aggregate (mergeable)", r"partial_count|partial_sum"),
+        ("integer AUC numerator native, no Python", NO_PYTHON),
+    ],
+    "dedup_capture_recapture": [
+        ("both captures stay bucketed plans (no all-pairs)", r"BroadcastHashJoin|SortMergeJoin"),
+        ("overlap join + count aggregates native, no Python", NO_PYTHON),
+    ],
 })
 
 
