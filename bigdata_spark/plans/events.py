@@ -2490,6 +2490,124 @@ ORDER BY c.cohort_w, c.age_weeks
 
 
 # ---------------------------------------------------------------------------
+# evt_seasonal_anomaly — anomalies on the seasonally-adjusted residual
+# ---------------------------------------------------------------------------
+
+_SEAS_Z = "CAST(3 AS DOUBLE)"  # alarm threshold in residual sigmas
+
+# residual z-score: one shared IEEE expression over exact micro sums
+_SEAS_ZEXPR = (
+    "(CAST(resid_micro AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    " / SQRT(CAST(g_r2 AS DOUBLE) / CAST(g_n AS DOUBLE)"
+    " / CAST(1000000000000 AS DOUBLE))"
+)
+
+
+def evt_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection — evt_anomaly_zscore's
+    upgrade for metrics with a weekly/diurnal cycle: hourly purchase
+    value is compared against ITS OWN (weekday, hour) seasonal mean
+    (micro-exact, integer division), and the z-score runs on the
+    RESIDUAL so the 3σ alarm fires on genuine deviations, not on every
+    Friday evening. Residuals and their second moment stay exact
+    micro/micro² integers; the z-score is one shared IEEE expression.
+    Emits only the alarming hours (|z| > 3).
+
+    Scale: one map-side-combinable rollup to hour grain, one broadcast
+    of the 168-cell seasonal profile, one global-moment window over the
+    hour table — the fact table is scanned once."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.expr("date_trunc('hour', ts)").alias("h"),
+            F.expr(
+                "CAST(FLOOR(value * CAST(1000000 AS DOUBLE)"
+                " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            ).alias("vm"),
+        )
+        .groupBy("h")
+        .agg(F.sum("vm").alias("vm"))
+        .select(
+            "h",
+            F.expr("dayofweek(h)").alias("dow"),
+            F.expr("hour(h)").alias("hod"),
+            "vm",
+        )
+    )
+    season = hourly.groupBy("dow", "hod").agg(
+        F.count("*").alias("cells"), F.sum("vm").alias("sum_vm")
+    ).withColumn("mean_micro", F.expr("sum_vm div cells"))
+    resid = hourly.join(F.broadcast(season), ["dow", "hod"]).select(
+        "h",
+        "dow",
+        "hod",
+        "vm",
+        "mean_micro",
+        (F.col("vm") - F.col("mean_micro")).alias("resid_micro"),
+    )
+    wall = Window.partitionBy()
+    z = resid.select(
+        "h",
+        "dow",
+        "hod",
+        "vm",
+        "mean_micro",
+        "resid_micro",
+        F.count("*").over(wall).alias("g_n"),
+        F.sum(
+            F.expr(
+                "CAST(resid_micro AS DECIMAL(19,0))"
+                " * CAST(resid_micro AS DECIMAL(19,0))"
+            )
+        ).over(wall).alias("g_r2"),
+    )
+    return (
+        z.selectExpr(
+            "h", "dow", "hod", "vm", "mean_micro", "resid_micro",
+            f"{_SEAS_ZEXPR} AS z",
+        )
+        .filter(F.expr(f"ABS(z) > {_SEAS_Z}"))
+        .orderBy("h")
+    )
+
+
+EVT_SEASONAL_ANOM_SQL = f"""
+WITH hourly AS (
+  -- DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based — align
+  SELECT h, CAST(dayofweek(h) + 1 AS INT) AS dow,
+         CAST(hour(h) AS INT) AS hod, vm FROM (
+    SELECT date_trunc('hour', ts) AS h,
+           SUM(CAST(FLOOR(value * CAST(1000000 AS DOUBLE)
+                + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS vm
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+  )
+), season AS (
+  SELECT dow, hod, COUNT(*) AS cells, SUM(vm) AS sum_vm,
+         CAST(SUM(vm) AS HUGEINT) // COUNT(*) AS mean_micro
+  FROM hourly GROUP BY 1, 2
+), resid AS (
+  SELECT h.h, h.dow, h.hod, CAST(h.vm AS BIGINT) AS vm,
+         CAST(s.mean_micro AS BIGINT) AS mean_micro,
+         CAST(h.vm - CAST(s.mean_micro AS BIGINT) AS BIGINT) AS resid_micro
+  FROM hourly h JOIN season s ON h.dow = s.dow AND h.hod = s.hod
+), z AS (
+  SELECT *,
+         COUNT(*) OVER () AS g_n,
+         SUM(CAST(resid_micro AS DECIMAL(19,0))
+             * CAST(resid_micro AS DECIMAL(19,0))) OVER () AS g_r2
+  FROM resid
+)
+SELECT h, dow, hod, vm, mean_micro, resid_micro,
+       {_SEAS_ZEXPR} AS z
+FROM z
+WHERE ABS({_SEAS_ZEXPR}) > {_SEAS_Z}
+ORDER BY h
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_growth_accounting — weekly new / retained / resurrected / churned
 # ---------------------------------------------------------------------------
 
@@ -2656,6 +2774,7 @@ QUERIES = {
     "evt_cohort_ltv": (evt_cohort_ltv, EVT_COHORT_LTV_SQL),
     "evt_top_paths": (evt_top_paths, EVT_TOP_PATHS_SQL),
     "evt_growth_accounting": (evt_growth_accounting, EVT_GROWTH_SQL),
+    "evt_seasonal_anomaly": (evt_seasonal_anomaly, EVT_SEASONAL_ANOM_SQL),
     "evt_stream_ckpt_recovery": (evt_stream_ckpt_recovery, EVT_CKPT_SQL),
     "w7_range_frame": (w7_range_frame, W7_RANGE_SQL),
     "w8_islands_rle": (w8_islands_rle, W8_ISLANDS_SQL),

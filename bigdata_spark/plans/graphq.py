@@ -1258,6 +1258,99 @@ GRAPH_HITS_SQL = _hits_sql()
 
 
 # ---------------------------------------------------------------------------
+# graph_assortativity — degree assortativity (Pearson r over edge endpoints)
+# ---------------------------------------------------------------------------
+
+# Pearson over the (deg_src, deg_dst) pairs of every directed edge —
+# the standard Newman assortativity; one shared IEEE expression over
+# exact decimal sufficient statistics (the stat_reg_group discipline)
+_ASSORT_R = (
+    "(CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (SQRT(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * SQRT(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — do popular
+    products co-occur with popular products (r > 0) or with niche ones
+    (r < 0)? Newman's metric is the Pearson correlation of endpoint
+    degrees over the symmetrized edge list; every sufficient statistic
+    (m, Σx, Σy, Σxy, Σx², Σy²) reduces as exact decimal sums over one
+    degree-decorated edge pass, and r is ONE closed-form double shared
+    verbatim with the oracle.
+
+    Scale: two broadcast joins of the degree table onto the edges plus
+    one map-side-combinable aggregate — no quadratic structure, no
+    windows. Output carries the exact sums so the gate pins more than
+    the one float."""
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    decorated = (
+        sym.join(F.broadcast(deg), "src")
+        .withColumnRenamed("deg", "dx")
+        .join(
+            F.broadcast(deg.withColumnRenamed("src", "dst")
+                        .withColumnRenamed("deg", "dy")),
+            "dst",
+        )
+    )
+    x = F.col("dx").cast("decimal(18,0)")
+    y = F.col("dy").cast("decimal(18,0)")
+    agg = decorated.agg(
+        F.count("*").alias("m"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    return agg.selectExpr(
+        "CAST(m AS BIGINT) AS m_directed_edges",
+        "CAST(sx AS BIGINT) AS sum_deg_src",
+        "CAST(sxy AS BIGINT) AS sum_deg_prod",
+        f"{_ASSORT_R} AS assortativity_r",
+    )
+
+
+GRAPH_ASSORT_SQL = f"""
+WITH {_COPURCHASE_CTE},
+sym AS (
+  SELECT pa AS src, pb AS dst FROM edges
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM edges
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY 1),
+decorated AS (
+  SELECT dx.deg AS dxv, dy.deg AS dyv
+  FROM sym s
+  JOIN deg dx ON s.src = dx.src
+  JOIN deg dy ON s.dst = dy.src
+),
+agg AS (
+  SELECT COUNT(*) AS m,
+         SUM(CAST(dxv AS DECIMAL(18,0))) AS sx,
+         SUM(CAST(dyv AS DECIMAL(18,0))) AS sy,
+         SUM(CAST(dxv AS DECIMAL(18,0)) * CAST(dyv AS DECIMAL(18,0))) AS sxy,
+         SUM(CAST(dxv AS DECIMAL(18,0)) * CAST(dxv AS DECIMAL(18,0))) AS sxx,
+         SUM(CAST(dyv AS DECIMAL(18,0)) * CAST(dyv AS DECIMAL(18,0))) AS syy
+  FROM decorated
+)
+SELECT CAST(m AS BIGINT) AS m_directed_edges,
+       CAST(sx AS BIGINT) AS sum_deg_src,
+       CAST(sxy AS BIGINT) AS sum_deg_prod,
+       {_ASSORT_R} AS assortativity_r
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # graph_resource_allocation — RA-index link prediction (degree-discounted)
 # ---------------------------------------------------------------------------
 
@@ -1343,6 +1436,7 @@ QUERIES = {
     "graph_sssp_weighted": (graph_sssp_weighted, GRAPH_SSSP_SQL),
     "graph_hits": (graph_hits, GRAPH_HITS_SQL),
     "graph_resource_allocation": (graph_resource_allocation, GRAPH_RA_SQL),
+    "graph_assortativity": (graph_assortativity, GRAPH_ASSORT_SQL),
     "graph_modularity": (graph_modularity, GRAPH_MODULARITY_SQL),
     "graph_ppr": (graph_ppr, GRAPH_PPR_SQL),
     "graph_cc_distributed": (graph_cc_distributed, GRAPH_CC_DIST_SQL),

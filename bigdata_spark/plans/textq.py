@@ -1765,8 +1765,87 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# llm_mix_diversity — Simpson diversity of the training mixture
+# ---------------------------------------------------------------------------
+
+# effective number of sources = N²/Σn² (inverse Simpson) — one shared
+# IEEE expression over exact integer sums; ln-based Shannon diversity
+# is deliberately avoided (ln is not engine-portable)
+_MIX_EFF = (
+    "CAST(total AS DOUBLE) * CAST(total AS DOUBLE) / CAST(ssq AS DOUBLE)"
+)
+
+
+def llm_mix_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-diversity audit of the training corpus — the number a
+    data-mix review leads with: the inverse-Simpson "effective number
+    of sources" (N²/Σn²) and the Berger-Parker dominance (largest
+    source's share, ppm), computed twice: over document counts and
+    over whitespace-token mass, because a mix that is balanced by
+    document count can still be dominated by one verbose source.
+
+    Everything reduces to one scan + one per-source aggregate; the two
+    diversity numbers are single shared IEEE expressions over exact
+    BIGINT sums (Σn² ≤ N² stays integral)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.expr("size(split(trim(text), '\\\\s+'))")
+        ).alias("n_toks"),
+    )
+    return per_src.agg(
+        F.count("*").alias("n_sources"),
+        F.sum("n_docs").alias("doc_total"),
+        F.sum(F.expr("n_docs * n_docs")).alias("doc_ssq"),
+        F.max("n_docs").alias("doc_max"),
+        F.sum("n_toks").alias("tok_total"),
+        F.sum(F.expr("n_toks * n_toks")).alias("tok_ssq"),
+        F.max("n_toks").alias("tok_max"),
+    ).selectExpr(
+        "n_sources",
+        "doc_total",
+        f"{_MIX_EFF.replace('total', 'doc_total').replace('ssq', 'doc_ssq')}"
+        " AS doc_eff_sources",
+        "(1000000 * doc_max) div doc_total AS doc_dominance_ppm",
+        "tok_total",
+        f"{_MIX_EFF.replace('total', 'tok_total').replace('ssq', 'tok_ssq')}"
+        " AS tok_eff_sources",
+        "(1000000 * tok_max) div tok_total AS tok_dominance_ppm",
+    )
+
+
+LLM_MIX_DIV_SQL = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS n_toks
+  FROM documents GROUP BY 1
+), agg AS (
+  SELECT COUNT(*) AS n_sources,
+         CAST(SUM(n_docs) AS BIGINT) AS doc_total,
+         CAST(SUM(n_docs * n_docs) AS BIGINT) AS doc_ssq,
+         CAST(MAX(n_docs) AS BIGINT) AS doc_max,
+         CAST(SUM(n_toks) AS BIGINT) AS tok_total,
+         CAST(SUM(n_toks * n_toks) AS BIGINT) AS tok_ssq,
+         CAST(MAX(n_toks) AS BIGINT) AS tok_max
+  FROM per_src
+)
+SELECT n_sources, doc_total,
+       {_MIX_EFF.replace('total', 'doc_total').replace('ssq', 'doc_ssq')}
+         AS doc_eff_sources,
+       (1000000 * doc_max) // doc_total AS doc_dominance_ppm,
+       tok_total,
+       {_MIX_EFF.replace('total', 'tok_total').replace('ssq', 'tok_ssq')}
+         AS tok_eff_sources,
+       (1000000 * tok_max) // tok_total AS tok_dominance_ppm
+FROM agg
+"""
+
+
 QUERIES = {
     "txt_readability": (txt_readability, TXT_READ_SQL),
+    "llm_mix_diversity": (llm_mix_diversity, LLM_MIX_DIV_SQL),
     "llm_cdc_chunk_dedup": (llm_cdc_chunk_dedup, LLM_CDC_SQL),
     "llm_url_dedup": (llm_url_dedup, LLM_URL_DEDUP_SQL),
     "llm_perplexity_buckets": (llm_perplexity_buckets, LLM_PPL_SQL),

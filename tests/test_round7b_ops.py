@@ -913,6 +913,86 @@ def test_capture_recapture_consistency(spark):
         assert row["est_pairs_milli"] == (1000 * row["n1"] * row["n2"]) // row["m"]
 
 
+def test_assortativity_matches_python_pearson(spark):
+    import math
+
+    from bigdata_spark.plans.graphq import _copurchase_pairs, graph_assortativity
+
+    pairs = [
+        (r["pa"], r["pb"])
+        for r in _copurchase_pairs(spark, SF).select("pa", "pb").collect()
+    ]
+    deg: dict[int, int] = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in pairs:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    m = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    r = (m * sxy - sx * sy) / (
+        math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy)
+    )
+    row = graph_assortativity(spark, SF).collect()[0]
+    assert (row["m_directed_edges"], row["sum_deg_src"], row["sum_deg_prod"]) == (
+        m, sx, sxy,
+    )
+    assert math.isclose(row["assortativity_r"], r, rel_tol=1e-12)
+    assert -1.0 <= row["assortativity_r"] <= 1.0
+
+
+def test_seasonal_anomaly_zscores(spark):
+    import math
+
+    from bigdata_spark.plans.events import evt_seasonal_anomaly
+    from bigdata_spark.sources.catalog import load_table
+
+    e = load_table(spark, SF, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("ts", "value").collect()
+    hourly: dict = {}
+    for r in e:
+        h = r["ts"].replace(minute=0, second=0, microsecond=0)
+        hourly[h] = hourly.get(h, 0) + math.floor(r["value"] * 1e6 + 0.5)
+    season: dict = {}
+    for h, vm in hourly.items():
+        key = ((h.weekday() + 1) % 7 + 1, h.hour)  # Spark dow: Sunday=1
+        season.setdefault(key, []).append(vm)
+    means = {k: sum(v) // len(v) for k, v in season.items()}
+    resid = {
+        h: vm - means[((h.weekday() + 1) % 7 + 1, h.hour)]
+        for h, vm in hourly.items()
+    }
+    g_n = len(resid)
+    g_r2 = sum(r * r for r in resid.values())
+    sd = math.sqrt(g_r2 / g_n / 1e12)
+    expect = {
+        h: (r / 1e6) / sd for h, r in resid.items() if abs((r / 1e6) / sd) > 3.0
+    }
+    rows = evt_seasonal_anomaly(spark, SF).collect()
+    got = {r["h"]: r["z"] for r in rows}
+    assert set(got) == set(expect)
+    for h, z in got.items():
+        assert math.isclose(z, expect[h], rel_tol=1e-9)
+        assert abs(z) > 3.0
+
+
+def test_mix_diversity_bounds(spark):
+    from bigdata_spark.plans.textq import llm_mix_diversity
+
+    row = llm_mix_diversity(spark, SF).collect()[0]
+    assert 1.0 <= row["doc_eff_sources"] <= row["n_sources"]
+    assert 1.0 <= row["tok_eff_sources"] <= row["n_sources"]
+    # dominance is at least the uniform share
+    assert row["doc_dominance_ppm"] >= 1_000_000 // row["n_sources"]
+    assert row["tok_dominance_ppm"] >= 1_000_000 // row["n_sources"]
+
+
 def test_survival_lifetable_invariants(spark):
     from bigdata_spark.plans.statsq import stat_survival_lifetable
 

@@ -636,6 +636,25 @@ AUDITS.update({
         ("both captures stay bucketed plans (no all-pairs)", r"BroadcastHashJoin|SortMergeJoin"),
         ("overlap join + count aggregates native, no Python", NO_PYTHON),
     ],
+    "graph_assortativity": [
+        ("degree table broadcast onto the edges (twice)", r"BroadcastHashJoin"),
+        ("decimal sufficient stats partial-aggregate", r"partial_sum\(.*decimal"),
+        ("closed-form r native, no Python", NO_PYTHON),
+    ],
+    "evt_seasonal_anomaly": [
+        ("hour-grain rollup partial-aggregates", r"partial_sum"),
+        ("168-cell seasonal profile broadcast", r"BroadcastHashJoin"),
+        ("micro-exact residual z native, no Python", NO_PYTHON),
+    ],
+    "llm_mix_diversity": [
+        (
+            "scan pruned to (source, text)",
+            r"ReadSchema: struct<source:string,text:string>"
+            r"|ReadSchema: struct<text:string,source:string>",
+        ),
+        ("per-source sums partial-aggregate", r"partial_sum|partial_count"),
+        ("integer diversity sums native, no Python", NO_PYTHON),
+    ],
 })
 
 
