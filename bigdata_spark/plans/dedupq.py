@@ -860,12 +860,15 @@ def dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate row carries exact integers plus the one shared division
     (milli-precision integer twin alongside)."""
     d = load_table(spark, sf_dir, "documents")
+    # checkpoint both captures: each feeds its own count AND the
+    # overlap join — without this the two heaviest dedup plans in the
+    # module would execute twice
     a = minhash_dup_pairs(
         d, num_perm=_NUM_PERM, bands=4, shingle_n=3, jaccard_threshold=0.2
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint()
     b = ngram_jaccard_pairs(
         d, bucket_col="lang", shingle_n=3, threshold=0.15
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint()
     both = a.join(b, ["id_a", "id_b"])
     return (
         a.agg(F.count("*").alias("n1"))

@@ -1283,14 +1283,21 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded collect: ≤ (price domain / bucket width) ≈ 100 cells
     cells = sorted((r["bucket"], r["n"], r["sum_y"]) for r in g.collect())
     fit = pava_rational(cells)
-    rows = [
-        (int(b), int(n), int(sy), (1_000_000 * num) // den, num / den)
-        for (b, n, sy), (_b2, num, den) in zip(cells, fit)
+    fit_rows = [
+        (int(b), (1_000_000 * num) // den, num / den)
+        for (b, _n, _sy), (_b2, num, den) in zip(cells, fit)
     ]
-    return spark.createDataFrame(
-        rows,
-        "bucket long, n long, sum_y long, fitted_ppm long, fitted_rate double",
-    ).orderBy("bucket")
+    fit_df = spark.createDataFrame(
+        fit_rows, "bucket long, fitted_ppm long, fitted_rate double"
+    )
+    # join the fitted step function back onto the LIVE aggregate so the
+    # returned plan carries the data-sized pass (auditable) and the
+    # broadcast-literal fit — the shape the model would ship with
+    return (
+        g.join(F.broadcast(fit_df), "bucket")
+        .select("bucket", "n", "sum_y", "fitted_ppm", "fitted_rate")
+        .orderBy("bucket")
+    )
 
 
 ML_ISOTONIC_SQL = keyed_values_oracle(
@@ -1371,8 +1378,12 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_fp",
         F.expr(_ROC_TPR).alias("tpr"),
         F.expr(_ROC_FPR).alias("fpr"),
+        # the ppm scaling rides on DECIMAL so 1e6·Σstep never outgrows
+        # BIGINT (Σstep = 2·AUC·P·N ~ 1e14 at sf10; ×1e6 would wrap a
+        # long) — the quotient itself is ≤ 1e6 and lands back in BIGINT
         F.expr(
-            "(1000000 * sum(step_num) over ()) div (2 * pos * neg)"
+            "(CAST(1000000 AS DECIMAL(38,0)) * sum(step_num) over ())"
+            " div (CAST(2 AS DECIMAL(19,0)) * pos * neg)"
         ).alias("auc_ppm"),
     ).orderBy(F.desc("band"))
 
@@ -1407,7 +1418,8 @@ SELECT CAST(band AS BIGINT) AS band,
        CAST(cum_fp AS BIGINT) AS cum_fp,
        {_ROC_TPR} AS tpr,
        {_ROC_FPR} AS fpr,
-       CAST((1000000 * SUM(step_num) OVER ()) // (2 * pos * neg) AS BIGINT)
+       CAST((1000000 * CAST(SUM(step_num) OVER () AS HUGEINT))
+            // (2 * CAST(pos AS HUGEINT) * CAST(neg AS HUGEINT)) AS BIGINT)
          AS auc_ppm
 FROM stepped
 ORDER BY band DESC

@@ -566,6 +566,19 @@ AUDITS.update({
         ("monthly cent sums partial-aggregate as decimals", r"partial_sum\(.*decimal"),
         ("z-scores native, no Python", NO_PYTHON),
     ],
+    # (s34_manifest_time_travel and s21_dynamic_overwrite return collected
+    # rows because their scratch tables are deleted before returning — no
+    # plan to audit, per the s21 precedent.)
+    "ml_isotonic_calibration": [
+        (
+            "scan pruned to (o_orderstatus, o_totalprice)",
+            r"ReadSchema: struct<o_orderstatus:string,o_totalprice:double>"
+            r"|ReadSchema: struct<o_totalprice:double,o_orderstatus:string>",
+        ),
+        ("bucket cells partial-aggregate before the driver PAVA", r"partial_count|partial_sum"),
+        ("fitted step function broadcast back", r"BroadcastHashJoin"),
+        ("no Python on the data path", NO_PYTHON),
+    ],
     "sim_quantized_recall": [
         ("query side broadcast onto the corpus", r"BroadcastNestedLoopJoin|BroadcastExchange"),
         ("integer dot products native (zip_with fold), no Python", NO_PYTHON),
