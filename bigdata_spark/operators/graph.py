@@ -168,9 +168,15 @@ def _cc_star_loop(e: DataFrame, max_iter: int) -> DataFrame:
     # rounds once checking starts.
     sig: tuple | None = None
     last_run_info["path"] = "distributed"
+    # Detection needs TWO consecutive signatures (the first check only
+    # seeds ``sig``), so with a small iteration budget the warmup must
+    # shrink: start checking no later than max_iter - 2, else an
+    # already-converged graph would exhaust the loop comparing against
+    # sig=None and raise a spurious "did not converge".
+    first_check = min(_CC_MIN_CHECK, max(0, max_iter - 2))
     for _round in range(max_iter):
         last_run_info["rounds"] = _round + 1
-        check_round = (_round >= _CC_MIN_CHECK) or (_round == max_iter - 1)
+        check_round = _round >= first_check
         # large-star(u): connect every strictly-larger neighbor of u to
         # m(u) = min(N(u) ∪ {u}). Operates on the symmetrized edges.
         # The per-neighborhood minimum rides along as an UNORDERED

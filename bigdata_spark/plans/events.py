@@ -2087,6 +2087,214 @@ FROM q GROUP BY event_type ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_stream_outer_join — stream-stream LEFT OUTER join (null on expiry)
+# ---------------------------------------------------------------------------
+
+
+def evt_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the semantics evt_stream_join's
+    inner join can't show: a click with NO purchase inside its
+    30-minute attribution window is emitted NULL-PADDED, but only once
+    the watermark proves no match can still arrive (state eviction IS
+    the emission trigger). Events re-stage as four chronological files
+    (maxFilesPerTrigger=1) so the watermark genuinely advances across
+    micro-batches and evictions happen mid-stream, not just in the
+    final cleanup batch.
+
+    Determinism contract (oracle-pinned): emitted = all matched pairs
+    PLUS every unmatched click whose window upper bound
+    (click_ts + 30 min) lies below the FINAL global watermark
+    min(max click_ts, max purchase_ts) − 30 min — Spark's multi-input
+    watermark is the min across inputs. Unmatched clicks younger than
+    that stay in state (they'd surface on restart), exactly like the
+    window the multibatch entry holds back.
+
+    Scale: join state is bounded by the watermark on both sides; each
+    side's state is (30 min + range) of stream volume, hash-partitioned
+    on user_id — the production attribution-join shape."""
+    import shutil
+    import tempfile
+    import uuid
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_soj_")
+    try:
+        with _stream_state_partitions(spark):
+            stream = _stage_chronological_stream(spark, e, scratch, n_parts=4)
+            clicks = (
+                stream.filter(F.col("event_type") == "click")
+                .select(
+                    F.col("event_id").alias("click_id"),
+                    "user_id",
+                    F.col("ts").alias("click_ts"),
+                )
+                .withWatermark("click_ts", "30 minutes")
+            )
+            purchases = (
+                stream.filter(F.col("event_type") == "purchase")
+                .select(
+                    F.col("event_id").alias("purchase_id"),
+                    F.col("user_id").alias("p_user_id"),
+                    F.col("ts").alias("purchase_ts"),
+                )
+                .withWatermark("purchase_ts", "30 minutes")
+            )
+            joined = clicks.join(
+                purchases,
+                on=[
+                    clicks.user_id == purchases.p_user_id,
+                    purchases.purchase_ts >= clicks.click_ts,
+                    purchases.purchase_ts
+                    <= clicks.click_ts + F.expr("INTERVAL 30 MINUTES"),
+                ],
+                how="left_outer",
+            ).select(
+                "click_id",
+                "user_id",
+                "purchase_id",
+                (
+                    F.unix_timestamp("purchase_ts")
+                    - F.unix_timestamp("click_ts")
+                ).alias("gap_s"),
+            )
+            qname = "evt_soj_" + uuid.uuid4().hex[:8]
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "evt_stream_outer_join: availableNow stream did not "
+                    "finish in 300s"
+                )
+        return spark.table(qname).localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+EVT_STREAM_OUTER_JOIN_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id AS p_user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT LEAST((SELECT MAX(click_ts) FROM c),
+               (SELECT MAX(purchase_ts) FROM p)) - INTERVAL 30 MINUTE AS w
+), m AS (
+  SELECT c.click_id, c.user_id, c.click_ts, p.purchase_id, p.purchase_ts
+  FROM c JOIN p
+    ON c.user_id = p.p_user_id
+   AND p.purchase_ts >= c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+)
+SELECT click_id, user_id, purchase_id,
+       CAST(date_diff('second', click_ts, purchase_ts) AS BIGINT) AS gap_s
+FROM m
+UNION ALL
+SELECT c.click_id, c.user_id,
+       CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS BIGINT) AS gap_s
+FROM c, wm
+WHERE c.click_ts + INTERVAL 30 MINUTE < wm.w
+  AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# evt_stream_state_timeout — processing-time TTL eviction of custom state
+# ---------------------------------------------------------------------------
+
+
+def evt_stream_state_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator with PROCESSING-TIME timeout eviction
+    (streaming/stateful.py timeout_evicted_rollup): per (user, day),
+    a (count, micro-unit sum) accumulates in GroupState; the row is
+    emitted ONLY when the state EVICTS — the first later micro-batch
+    bringing the key no data trips its re-armed 1 ms TTL. Data arrival
+    always preempts the timeout, so a day straddling a batch boundary
+    keeps accumulating and emits once, after its last active batch.
+
+    Determinism contract: events re-stage as four chronological files
+    (one micro-batch each; the integer-microsecond quarter rule is the
+    one evt_stream_ckpt_recovery pins); no-data micro-batches are OFF
+    for this query, so timeouts fire only on real batch boundaries and
+    the stream terminates — which also means keys still holding state
+    after the LAST batch are not flushed (they'd surface on restart).
+    Emitted set ≡ every (user, day) whose latest event falls before the
+    final quarter — exactly the oracle.
+
+    Scale: state is live-key-bounded (a key's TTL reclaims it one batch
+    after it goes idle) — the TTL-cache pattern that keeps a 100 TB
+    stream's state store from accreting dead sessions."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.stateful import timeout_evicted_rollup
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(ts AS DATE)").alias("day"),
+        "ts",
+        F.expr(
+            "CAST(FLOOR(value * CAST(1000000 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("vm"),
+    )
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_ttl_")
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nodata = spark.conf.get(nodata_key)
+    spark.conf.set(nodata_key, "false")
+    try:
+        with _stream_state_partitions(spark):
+            stream = _stage_chronological_stream(spark, e, scratch, n_parts=4)
+            out = timeout_evicted_rollup(
+                stream, ["user_id", "day"], value_col="vm", timeout_ms=1
+            )
+            qname = "evt_ttl_" + uuid.uuid4().hex[:8]
+            q = (
+                out.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "evt_stream_state_timeout: availableNow stream did not "
+                    "finish in 300s"
+                )
+        return spark.table(qname).localCheckpoint()
+    finally:
+        spark.conf.set(nodata_key, prev_nodata)
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+EVT_STREAM_TIMEOUT_SQL = """
+WITH b AS (
+  SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi FROM events
+), ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(FLOOR(value * CAST(1000000 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vm,
+         least(3, (epoch_us(ts) - b.lo) // greatest(1, (b.hi - b.lo) // 4)) AS qt
+  FROM events, b
+)
+SELECT user_id, day, COUNT(*) AS n_events,
+       CAST(SUM(vm) AS BIGINT) AS v_micros
+FROM ev GROUP BY 1, 2 HAVING MAX(qt) < 3
+"""
+
+
 
 # ---------------------------------------------------------------------------
 # w12_seq_pattern — regex motif mining over per-user event sequences
@@ -2622,7 +2830,12 @@ def evt_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one distinct to (user, week) grain, one per-user min, two
     self-equi-joins on (user, week±7d) — all hash-partitioned on
-    user_id, no windows over the fact table; output is #weeks rows."""
+    user_id (the first-week table is user-cardinality, so it is NOT
+    broadcast-hinted; AQE picks the strategy), no windows over the fact
+    table; output is #weeks rows. The week-grain merge of actives and
+    churn is a FULL outer join so an all-churn week (zero actives,
+    nonzero churned) still reports its churn row and the identity
+    actives_{w-1} = retained_w + churned_w holds for every week."""
     e = load_table(spark, sf_dir, "events")
     weekly = (
         e.select(
@@ -2636,7 +2849,7 @@ def evt_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = weekly.select("user_id", F.expr("date_add(w, 7)").alias("w"))
     maxw = weekly.agg(F.max("w").alias("max_w"))
     flags = (
-        weekly.join(F.broadcast(first), "user_id")
+        weekly.join(first, "user_id")
         .join(prev.withColumn("was_prev", F.lit(1)), ["user_id", "w"], "left_outer")
         .groupBy("w")
         .agg(
@@ -2659,13 +2872,13 @@ def evt_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_churned"))
     )
     return (
-        flags.join(churned, "w", "left_outer")
+        flags.join(churned, "w", "full_outer")
         .select(
             "w",
-            "actives",
-            "n_new",
-            "n_retained",
-            "n_resurrected",
+            F.coalesce("actives", F.lit(0)).cast("long").alias("actives"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).cast("long").alias("n_resurrected"),
             F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
         )
         .orderBy("w")
@@ -2699,13 +2912,14 @@ WITH weekly AS (
     AND CAST(p.w AS DATE) <= (SELECT MAX(w) FROM weekly)
   GROUP BY 1
 )
-SELECT f.w, f.actives,
-       CAST(f.n_new AS BIGINT) AS n_new,
-       CAST(f.n_retained AS BIGINT) AS n_retained,
-       CAST(f.n_resurrected AS BIGINT) AS n_resurrected,
+SELECT COALESCE(f.w, c.w) AS w,
+       CAST(COALESCE(f.actives, 0) AS BIGINT) AS actives,
+       CAST(COALESCE(f.n_new, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(f.n_retained, 0) AS BIGINT) AS n_retained,
+       CAST(COALESCE(f.n_resurrected, 0) AS BIGINT) AS n_resurrected,
        CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned
-FROM flags f LEFT JOIN churned c ON f.w = c.w
-ORDER BY f.w
+FROM flags f FULL OUTER JOIN churned c ON f.w = c.w
+ORDER BY 1
 """
 
 
@@ -2776,6 +2990,8 @@ QUERIES = {
     "evt_growth_accounting": (evt_growth_accounting, EVT_GROWTH_SQL),
     "evt_seasonal_anomaly": (evt_seasonal_anomaly, EVT_SEASONAL_ANOM_SQL),
     "evt_stream_ckpt_recovery": (evt_stream_ckpt_recovery, EVT_CKPT_SQL),
+    "evt_stream_outer_join": (evt_stream_outer_join, EVT_STREAM_OUTER_JOIN_SQL),
+    "evt_stream_state_timeout": (evt_stream_state_timeout, EVT_STREAM_TIMEOUT_SQL),
     "w7_range_frame": (w7_range_frame, W7_RANGE_SQL),
     "w8_islands_rle": (w8_islands_rle, W8_ISLANDS_SQL),
     "w12_seq_pattern": (w12_seq_pattern, W12_SEQ_SQL),

@@ -1042,6 +1042,44 @@ _SSSP_INF = 10**15
 _SSSP_COST_NUM = 1_000_000
 
 
+def _sssp_frontier_relax(
+    dist: DataFrame, ec: DataFrame, rounds: int, track_sizes: bool = False
+) -> tuple[DataFrame, list[int]]:
+    """``rounds`` synchronous Bellman-Ford steps where only the FRONTIER
+    (rows improved in the previous round) is joined against the edges.
+    Equivalent to full relaxation round-for-round: an unimproved node's
+    out-edges were already relaxed from the same dist value in the round
+    it last improved, and min() makes re-proposals idempotent.
+    ``track_sizes`` additionally counts each frontier (extra action per
+    round — test instrumentation, off on the query path)."""
+    frontier = dist.filter(F.col("dist") < _SSSP_INF)
+    sizes: list[int] = []
+    for _ in range(rounds):
+        if track_sizes:
+            sizes.append(frontier.count())
+        relaxed = (
+            frontier.join(ec, frontier.node == ec.src)
+            .groupBy("dst")
+            .agg(F.min(F.col("dist") + F.col("cost")).alias("cand"))
+        )
+        merged = (
+            dist.join(relaxed, dist.node == relaxed.dst, "left_outer")
+            .select(
+                "node",
+                F.least(
+                    F.col("dist"), F.coalesce("cand", F.lit(_SSSP_INF))
+                ).alias("dist"),
+                (F.coalesce("cand", F.lit(_SSSP_INF)) < F.col("dist")).alias(
+                    "_improved"
+                ),
+            )
+            .localCheckpoint()
+        )
+        dist = merged.select("node", "dist")
+        frontier = merged.filter(F.col("_improved")).select("node", "dist")
+    return dist, sizes
+
+
 def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source shortest paths with WEIGHTED edges — 6 rounds of
     synchronous Bellman-Ford relaxation over the nation trade graph.
@@ -1053,13 +1091,16 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphq.py:67). Unreached nodes keep the 1e15 sentinel and report
     reachable = false.
 
-    Scale: each round is one edges⋈dist join + a map-side-combinable
-    MIN per destination + a broadcast-sized least() merge onto the node
-    table — O(rounds) edge-sized shuffles, never an all-pairs
-    materialization. At 100 TB the same loop runs with the dist table
-    hash-partitioned on node and only the CHANGED rows re-joined
-    (delta/frontier relaxation, as bfs_hops does); the dense 25-node
-    demo keeps every row live so the oracle can replay it.
+    Scale: FRONTIER (delta) relaxation — each round joins only the rows
+    whose distance improved last round against the edge table, exactly
+    like graph_bfs_hops: round k's join is frontier-sized, not
+    dist-table-sized, so a converged region never re-relaxes. The
+    per-round result is bit-identical to full synchronous Bellman-Ford
+    (a node whose dist is unchanged since it last entered the frontier
+    re-proposes only candidates the MIN has already absorbed), which is
+    what lets the DuckDB oracle replay the FULL relaxation as unrolled
+    CTEs and still hash-match. tests/test_graph_ops.py asserts both the
+    parity and the shrinking frontier sizes.
     """
     nodes, edges = _trade_edges(spark, sf_dir)
     ec = edges.select(
@@ -1070,23 +1111,8 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         F.when(F.col("node") == _SSSP_SEED, F.lit(0))
         .otherwise(F.lit(_SSSP_INF)).cast("long").alias("dist"),
-    )
-    for _ in range(_SSSP_ROUNDS):
-        relaxed = (
-            dist.join(ec, dist.node == ec.src)
-            .groupBy("dst")
-            .agg(F.min(F.col("dist") + F.col("cost")).alias("cand"))
-        )
-        dist = (
-            dist.join(relaxed, dist.node == relaxed.dst, "left_outer")
-            .select(
-                "node",
-                F.least(
-                    F.col("dist"), F.coalesce("cand", F.lit(_SSSP_INF))
-                ).alias("dist"),
-            )
-            .localCheckpoint()
-        )
+    ).localCheckpoint()
+    dist, _sizes = _sssp_frontier_relax(dist, ec, _SSSP_ROUNDS)
     n = load_table(spark, sf_dir, "nation")
     return (
         dist.join(F.broadcast(n), dist.node == n.n_nationkey)
@@ -1165,9 +1191,11 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle replays every round exactly as unrolled CTEs.
 
     Scale: each half-round is one edge-sized join + partial-agg
-    groupBy; the norm is a single window aggregate over the node table
-    (broadcast-sized). 100 TB of edges costs O(rounds) edge shuffles,
-    same shape as graph_pagerank.
+    groupBy; the norm total is a ONE-ROW aggregate crossJoin-broadcast
+    back onto the node table — never a zero-partition window, which
+    would funnel the whole node table through a single task at 1e9
+    nodes. 100 TB of edges costs O(rounds) edge shuffles, same shape
+    as graph_pagerank.
     """
     nodes, edges = _trade_edges(spark, sf_dir)
     e = edges.localCheckpoint()
@@ -1183,9 +1211,14 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "left_outer",
             )
             .select("node", F.coalesce("raw", F.lit(0)).alias("raw"))
+            # raw feeds BOTH the norm total and the rescale — checkpoint
+            # so the edge join runs once per half-round, not twice
+            .localCheckpoint()
         )
-        return raw.select(
-            "node", F.expr(f"raw div greatest(1L, sum(raw) over () div {_HITS_SCALE})").alias("mass")
+        total = raw.agg(F.sum("raw").alias("_tot"))
+        return raw.crossJoin(F.broadcast(total)).select(
+            "node",
+            F.expr(f"raw div greatest(1L, _tot div {_HITS_SCALE})").alias("mass"),
         )
 
     hub = nodes.select("node", F.lit(_HITS_SCALE).cast("long").alias("mass"))

@@ -167,6 +167,41 @@ def write_ocf(
         f.write(out.getvalue())
 
 
+def write_ocf_partitioned(
+    df,
+    out_dir: str,
+    fields: list[tuple[str, object]],
+    codec: str = "deflate",
+    block_rows: int = 1000,
+):
+    """Distributed OCF sink: every input partition writes its own
+    complete container file ``part-<pid>.avro`` into ``out_dir`` from
+    the executor that holds it — the rows never pass through the
+    driver (the parquet writer's layout rule applied to Avro; on a
+    cluster ``out_dir`` is shared storage, exactly like any other file
+    sink). Returns the per-file manifest DataFrame (file, n_rows) —
+    partition-count-sized, safe to collect at any SF."""
+    import pandas as pd
+
+    from pyspark import TaskContext
+
+    names = [n for n, _t in fields]
+
+    def _write(batches):
+        rows: list[tuple] = []
+        for pdf in batches:
+            clean = pdf[names].astype(object).where(pdf[names].notna(), None)
+            rows.extend(clean.itertuples(index=False, name=None))
+        if not rows:
+            return
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.avro")
+        write_ocf(path, fields, rows, codec=codec, block_rows=block_rows)
+        yield pd.DataFrame({"file": [os.path.basename(path)], "n_rows": [len(rows)]})
+
+    return df.mapInPandas(_write, "file string, n_rows long")
+
+
 # ------------------------------------------------------------------- reader
 
 
@@ -261,8 +296,21 @@ def _arrow_schema(fields):
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 
+def _resolve_files(path: str) -> list[str]:
+    """A path may be one OCF or a directory of ``*.avro`` part-files
+    (the partitioned writer's layout)."""
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".avro")
+        )
+    return [path]
+
+
 class _BlockPartition(InputPartition):
-    def __init__(self, offset: int) -> None:
+    def __init__(self, file: str, offset: int) -> None:
+        self.file = file
         self.offset = offset
 
 
@@ -271,19 +319,21 @@ class _AvroReader(DataSourceReader):
         self.path = path
 
     def partitions(self):
-        blocks = scan_blocks(self.path)
-        return [_BlockPartition(off) for off, _n, _s in blocks] or [
-            _BlockPartition(-1)
+        parts = [
+            _BlockPartition(f, off)
+            for f in _resolve_files(self.path)
+            for off, _n, _s in scan_blocks(f)
         ]
+        return parts or [_BlockPartition(self.path, -1)]
 
     def read(self, partition: _BlockPartition):
         import pyarrow as pa
 
         if partition.offset < 0:
             return
-        with open(self.path, "rb") as f:
+        with open(partition.file, "rb") as f:
             fields, _codec, _ = _read_header(f)
-        rows = read_block(self.path, partition.offset)
+        rows = read_block(partition.file, partition.offset)
         schema = _arrow_schema(fields)
         cols = list(zip(*rows)) if rows else [[] for _ in fields]
         batch = pa.RecordBatch.from_arrays(
@@ -303,7 +353,8 @@ class AvroOCFDataSource(DataSource):
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        with open(self.options["path"], "rb") as f:
+        first = _resolve_files(self.options["path"])[0]
+        with open(first, "rb") as f:
             fields, _codec, _ = _read_header(f)
         return from_arrow_schema(_arrow_schema(fields))
 

@@ -105,3 +105,60 @@ def stream_dedup(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def timeout_evicted_rollup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    value_col: str = "vm",
+    timeout_ms: int = 1,
+) -> DataFrame:
+    """Per-key (count, sum) accumulated in GroupState and emitted ONLY
+    on PROCESSING-TIME timeout eviction — the TTL-cache shape (idle
+    sessions flush, hot keys keep accumulating; reference has no
+    streaming, SURVEY §2.9 extension surface).
+
+    Semantics (exactly what Spark guarantees): a key's timeout clock
+    re-arms every micro-batch that brings it data, and the timeout
+    branch fires in the first LATER batch where no data arrived for the
+    key — data arrival always preempts eviction. Keys still holding
+    state when the stream stops are NOT flushed (their rows surface on
+    restart); callers that need a full flush must either feed a
+    trailing batch or read the state store. ``timeout_ms`` defaults to
+    1 ms so any real inter-batch gap trips it — the determinism hinges
+    on batch BOUNDARIES, not wall-clock.
+
+    Output (append mode): key columns + (n_events long, v_micros long),
+    one row per evicted state. ``value_col`` must be an exact-integer
+    column prepared UPSTREAM (micro-units) so the pandas sum is exact.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, vsum = state.get
+            state.remove()
+            row = dict(zip(key_cols, key))
+            row.update({"n_events": n, "v_micros": vsum})
+            yield pd.DataFrame([row])
+            return
+        n, vsum = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            vsum += int(pdf[value_col].sum())
+        state.update((n, vsum))
+        state.setTimeoutDuration(timeout_ms)
+        return
+        yield  # pragma: no cover — generator marker
+
+    out_fields = ", ".join(
+        f"{n} {t}" for n, t in stream_df.select(*key_cols).dtypes
+    )
+    return stream_df.groupBy(*key_cols).applyInPandasWithState(
+        update,
+        outputStructType=f"{out_fields}, n_events long, v_micros long",
+        stateStructType="n long, vsum long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

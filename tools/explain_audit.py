@@ -566,9 +566,21 @@ AUDITS.update({
         ("monthly cent sums partial-aggregate as decimals", r"partial_sum\(.*decimal"),
         ("z-scores native, no Python", NO_PYTHON),
     ],
-    # (s34_manifest_time_travel and s21_dynamic_overwrite return collected
-    # rows because their scratch tables are deleted before returning — no
-    # plan to audit, per the s21 precedent.)
+    # scratch-backed entries return an eager localCheckpoint (executor-
+    # resident blocks; the scratch dir dies in the finally) — the visible
+    # plan must be exactly the checkpoint scan, proving no driver collect
+    "s18_incremental_agg": [
+        ("customer-grain result is an executor checkpoint, not a driver collect", r"Scan ExistingRDD"),
+    ],
+    "s16_avro_roundtrip": [
+        ("rollup is an executor checkpoint (rows never visited the driver)", r"Scan ExistingRDD"),
+    ],
+    "s34_manifest_time_travel": [
+        ("snapshot rollups are an executor checkpoint", r"Scan ExistingRDD"),
+    ],
+    "s14_orc_roundtrip": [
+        ("rollup is an executor checkpoint", r"Scan ExistingRDD"),
+    ],
     "ml_isotonic_calibration": [
         (
             "scan pruned to (o_orderstatus, o_totalprice)",
