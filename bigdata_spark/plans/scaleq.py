@@ -1553,8 +1553,109 @@ ORDER BY version, o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# s35_manifest_stats_pruning — manifest min/max file stats + measured skipping
+# ---------------------------------------------------------------------------
+
+_S35_BUCKETS = 8
+
+
+def s35_manifest_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest FILE-STATS pruning (sources/manifest.py — the second
+    half of the table-format trick s34 left unproven): orders is laid
+    out as one file per o_orderkey range bucket, the commit harvests
+    per-file min/max from the parquet FOOTERS (distributed metadata
+    pass, no data rows read), and ``read_snapshot_pruned`` plans a
+    ``o_orderkey <= K div 2`` scan over ONLY the files whose [min, max]
+    can intersect — the measured files_read/files_pruned counters are
+    part of the oracle-checked output, so a reader that silently stops
+    skipping fails the value gate (the s15_zorder_layout discipline).
+
+    The bucket rule is exact integer arithmetic — width = greatest(1,
+    (K+1) div 8), bucket = least(7, key div width) — so DuckDB
+    recomputes the expected file census from the rows alone. At 100 TB
+    the pruning decision stays ONE manifest read; no directory listing
+    and no footer fetches at query time."""
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import (
+        collect_file_stats,
+        commit_snapshot,
+        list_data_files,
+        read_snapshot_pruned,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_mstats_")
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        k = o.agg(F.max("o_orderkey")).first()[0]  # scalar — bounded
+        width = max(1, (int(k) + 1) // _S35_BUCKETS)
+        x = int(k) // 2
+        base = os.path.join(scratch, "table")
+        (
+            o.withColumn(
+                "_b",
+                F.least(
+                    F.lit(_S35_BUCKETS - 1), F.expr(f"o_orderkey div {width}L")
+                ).cast("int"),
+            )
+            .repartition("_b")
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(base)
+        )
+        files = list_data_files(base)
+        stats = collect_file_stats(spark, files, ["o_orderkey"])
+        commit_snapshot(base, 1, files, stats=stats)
+        pruned, n_total, n_read = read_snapshot_pruned(
+            spark, base, 1, "o_orderkey", hi=x
+        )
+        agg = (
+            pruned.filter(F.col("o_orderkey") <= x)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .select(
+                F.lit(n_total).cast("long").alias("files_total"),
+                F.lit(n_read).cast("long").alias("files_read"),
+                F.lit(n_total - n_read).cast("long").alias("files_pruned"),
+                "n_rows",
+                "sum_price",
+            )
+        )
+        return agg.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S35_MSTATS_SQL = f"""
+WITH k AS (SELECT MAX(o_orderkey) AS k FROM orders),
+w AS (SELECT GREATEST(1, (k + 1) // {_S35_BUCKETS}) AS width, k // 2 AS x FROM k),
+b AS (
+  SELECT LEAST({_S35_BUCKETS - 1}, o_orderkey // width) AS bucket,
+         o_orderkey, o_totalprice
+  FROM orders, w
+),
+census AS (SELECT bucket, MIN(o_orderkey) AS mn FROM b GROUP BY 1)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM census) AS files_total,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM census, w WHERE mn <= x) AS files_read,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM census, w WHERE mn > x) AS files_pruned,
+  (SELECT COUNT(*) FROM b, w WHERE o_orderkey <= x) AS n_rows,
+  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+   FROM b, w WHERE o_orderkey <= x) AS sum_price
+"""
+
+
 QUERIES = {
     "s34_manifest_time_travel": (s34_manifest_time_travel, S34_TTRAVEL_SQL),
+    "s35_manifest_stats_pruning": (s35_manifest_stats_pruning, S35_MSTATS_SQL),
     "s23_merge_into": (s23_merge_into, S23_MERGE_SQL),
     "s33_recursive_cte": (s33_recursive_cte, S33_RECURSIVE_SQL),
     "sql_pipe_syntax": (sql_pipe_syntax, SQL_PIPE_ORACLE),

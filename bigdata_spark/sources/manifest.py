@@ -7,11 +7,16 @@ are atomic (one manifest write), and concurrent readers of v1 are
 unaffected by a v2 commit.
 
 Scale notes: at 100 TB the manifest lists file-level stats for pruning
-(min/max per column — here file row counts) and lives on object
-storage; the reader still turns ONE manifest read into a direct
-parquet scan plan, exactly as below. Reference intent: the reference's
-model source/sink pair (code/src/model_manager) persists versioned
-artifacts; this generalizes the idea to table data.
+— per-column min/max harvested from the parquet FOOTERS (a metadata
+pass, no data rows read) — and lives on object storage; the reader
+still turns ONE manifest read into a direct parquet scan plan, and
+``read_snapshot_pruned`` drops every file whose [min, max] cannot
+intersect the predicate before Spark ever plans it. Stats collection
+is itself distributed (``mapInPandas`` over the file list; only the
+file-count-sized stats table returns to the driver — the same
+cardinality the manifest already is). Reference intent: the
+reference's model source/sink pair (code/src/model_manager) persists
+versioned artifacts; this generalizes the idea to table data.
 """
 
 from __future__ import annotations
@@ -38,16 +43,79 @@ def list_data_files(root: str) -> list[str]:
     return sorted(out)
 
 
-def commit_snapshot(table_path: str, version: int, files: list[str]) -> str:
+def collect_file_stats(
+    spark: SparkSession, files: list[str], columns: list[str]
+) -> dict[str, dict]:
+    """Per-file footer stats for the manifest: {path: {"rows": n,
+    "cols": {col: [min, max]}}} — numeric/string min-max straight from
+    the parquet row-group metadata, NO data pages read. The footer
+    walk fans out as one Spark task per chunk of the file list; only
+    the file-count-sized stats table (the manifest's own cardinality)
+    returns to the driver."""
+
+    def _stats(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for path in pdf["path"]:
+                md = pq.ParquetFile(path).metadata
+                colstats: dict[str, list] = {}
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        col = md.row_group(rg).column(ci)
+                        name = col.path_in_schema
+                        if name not in columns:
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            colstats[name] = None  # unknown → never prune
+                            continue
+                        if colstats.get(name, ()) is None:
+                            continue
+                        lo, hi = st.min, st.max
+                        cur = colstats.get(name)
+                        colstats[name] = (
+                            [min(lo, cur[0]), max(hi, cur[1])] if cur else [lo, hi]
+                        )
+                out.append(
+                    (path, md.num_rows, json.dumps(colstats, default=str))
+                )
+            yield pd.DataFrame(out, columns=["path", "rows", "cols"])
+
+    df = spark.createDataFrame([(f,) for f in files], "path string")
+    rows = df.repartition(max(1, min(len(files), 64))).mapInPandas(
+        _stats, "path string, rows long, cols string"
+    ).collect()
+    return {
+        r["path"]: {"rows": int(r["rows"]), "cols": json.loads(r["cols"])}
+        for r in rows
+    }
+
+
+def commit_snapshot(
+    table_path: str,
+    version: int,
+    files: list[str],
+    stats: dict[str, dict] | None = None,
+) -> str:
     """Atomically publish ``files`` as snapshot ``version`` (one JSON
-    write + rename; the data files themselves are already immutable)."""
+    write + rename; the data files themselves are already immutable).
+    ``stats`` (from :func:`collect_file_stats`) rides along keyed by
+    the same relative paths and powers predicate file-pruning."""
     mdir = _manifest_dir(table_path)
     os.makedirs(mdir, exist_ok=True)
     rel = sorted(os.path.relpath(f, table_path) for f in files)
+    doc: dict = {"version": version, "files": rel}
+    if stats:
+        doc["stats"] = {
+            os.path.relpath(f, table_path): s for f, s in stats.items()
+        }
     tmp = os.path.join(mdir, f".v{version}.json.tmp")
     final = os.path.join(mdir, f"v{version}.json")
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "files": rel}, fh)
+        json.dump(doc, fh)
     os.replace(tmp, final)  # atomic commit
     return final
 
@@ -68,6 +136,39 @@ def read_snapshot(spark: SparkSession, table_path: str, version: int) -> DataFra
         spark.read.option("basePath", table_path)
         .parquet(*snapshot_files(table_path, version))
     )
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    column: str,
+    lo=None,
+    hi=None,
+) -> tuple[DataFrame, int, int]:
+    """Manifest-stats file pruning: plan a scan over ONLY the files of
+    ``version`` whose footer [min, max] for ``column`` can intersect
+    [lo, hi] (either bound may be None = unbounded). Files without
+    recorded stats are kept — pruning is safe, never lossy. Returns
+    (frame, n_files_total, n_files_read); the caller still applies the
+    row-level predicate — pruning only shrinks the file list, exactly
+    like an Iceberg/Delta reader. The manifest read is ONE metadata
+    fetch; no directory listing, no footer reads at query time."""
+    with open(os.path.join(_manifest_dir(table_path), f"v{version}.json")) as fh:
+        m = json.load(fh)
+    stats = m.get("stats", {})
+    keep: list[str] = []
+    for rel in m["files"]:
+        s = stats.get(rel, {}).get("cols", {}).get(column)
+        if s is not None:
+            fmin, fmax = s
+            if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+                continue  # cannot intersect the predicate — skip the file
+        keep.append(rel)
+    df = spark.read.option("basePath", table_path).parquet(
+        *(os.path.join(table_path, f) for f in keep)
+    )
+    return df, len(m["files"]), len(keep)
 
 
 def versions(table_path: str) -> list[int]:
