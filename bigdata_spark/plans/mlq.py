@@ -1427,6 +1427,182 @@ ORDER BY band DESC
 
 
 # ---------------------------------------------------------------------------
+# ml_pr_auc — precision-recall curve + step-interpolated AUC, exact
+# ---------------------------------------------------------------------------
+
+
+def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve + AUC-PR — the imbalanced-class companion
+    to ml_roc_auc (same scorer, same 25k score bands, label = status
+    'F'): at each descending score band, precision = TP/(TP+FP) and
+    recall = TP/P from cumulative EXACT integers; the step-interpolated
+    AUC accumulates per-band micro-unit contributions
+    ΔTP·TP·1e6 div (TP+FP) on DECIMAL (never outgrows BIGINT) and
+    divides once by P into ppm — both engines replay the identical
+    integer fold, so the hash matches bit-for-bit.
+
+    Scale: one map-side-combinable groupBy to ~20 band cells; all
+    windows run on the cells. 100 TB of scored rows → one scan."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    g = (
+        o.select(
+            F.expr(
+                f"CAST(FLOOR(o_totalprice / CAST({_ROC_BUCKET_W} AS DOUBLE))"
+                " AS BIGINT)"
+            ).alias("band"),
+            F.expr("IF(o_orderstatus = 'F', 1, 0)").alias("y"),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("tp"))
+    )
+    w_cum = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    w_lag = Window.orderBy(F.desc("band"))
+    cum = g.select(
+        "band",
+        F.sum("tp").over(w_cum).alias("cum_tp"),
+        (F.sum("n").over(w_cum) - F.sum("tp").over(w_cum)).alias("cum_fp"),
+        F.sum("tp").over(wall).alias("pos"),
+    )
+    stepped = cum.withColumn(
+        "prev_tp", F.coalesce(F.lag("cum_tp").over(w_lag), F.lit(0))
+    ).withColumn(
+        "contrib_micro",
+        F.expr(
+            "(CAST(1000000 AS DECIMAL(38,0)) * (cum_tp - prev_tp) * cum_tp)"
+            " div (cum_tp + cum_fp)"
+        ),
+    )
+    return stepped.select(
+        "band",
+        "cum_tp",
+        "cum_fp",
+        F.expr("CAST(cum_tp AS DOUBLE) / (cum_tp + cum_fp)").alias("precision"),
+        F.expr("CAST(cum_tp AS DOUBLE) / pos").alias("recall"),
+        F.expr(
+            "CAST(sum(contrib_micro) over () div CAST(pos AS DECIMAL(19,0))"
+            " AS BIGINT)"
+        ).alias("pr_auc_ppm"),
+    ).orderBy(F.desc("band"))
+
+
+ML_PR_AUC_SQL = f"""
+WITH g AS (
+  SELECT CAST(FLOOR(o_totalprice / CAST({_ROC_BUCKET_W} AS DOUBLE)) AS BIGINT)
+           AS band,
+         COUNT(*) AS n,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS tp
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT band,
+         SUM(tp) OVER (ORDER BY band DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+         SUM(n) OVER (ORDER BY band DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - SUM(tp) OVER (ORDER BY band DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_fp,
+         SUM(tp) OVER () AS pos
+  FROM g
+), stepped AS (
+  SELECT *,
+         (CAST(1000000 AS HUGEINT)
+          * (cum_tp - COALESCE(LAG(cum_tp) OVER (ORDER BY band DESC), 0))
+          * cum_tp) // (cum_tp + cum_fp) AS contrib_micro
+  FROM cum
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(cum_tp AS BIGINT) AS cum_tp,
+       CAST(cum_fp AS BIGINT) AS cum_fp,
+       CAST(cum_tp AS DOUBLE) / (cum_tp + cum_fp) AS precision,
+       CAST(cum_tp AS DOUBLE) / pos AS recall,
+       CAST(SUM(contrib_micro) OVER () // CAST(pos AS HUGEINT) AS BIGINT)
+         AS pr_auc_ppm
+FROM stepped
+ORDER BY band DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# ml_brier_score — probability-forecast calibration error, exact ppm
+# ---------------------------------------------------------------------------
+
+
+def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of a min-max-normalized probability forecast —
+    mean squared error between p and the binary outcome, THE proper
+    scoring rule for calibration monitoring. p quantizes to ppm via
+    the shared FLOOR((x−min)/(max−min)·1e6) text (subtraction exact,
+    division/multiplication correctly rounded IEEE — identical in both
+    engines), so every squared error is an exact BIGINT and the sum
+    rides DECIMAL; one double division lands the score. Also reports
+    the base rate and mean forecast in exact ppm (calibration-in-the-
+    large: their gap is the forecast bias).
+
+    Scale: one scalar min/max agg broadcast back (crossJoin, no window
+    over rows), one map-side-combinable pass. 100 TB → two scans."""
+    o = load_table(spark, sf_dir, "orders")
+    mm = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    scored = o.crossJoin(F.broadcast(mm)).select(
+        F.expr(
+            "CAST(FLOOR((o_totalprice - mn) / (mx - mn)"
+            " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+        ).alias("p_ppm"),
+        F.expr("IF(o_orderstatus = 'F', 1, 0)").alias("y"),
+    )
+    agg = scored.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("pos"),
+        F.sum("p_ppm").alias("sum_p"),
+        F.sum(
+            F.expr(
+                "CAST(p_ppm - y * 1000000 AS DECIMAL(19,0))"
+                " * (p_ppm - y * 1000000)"
+            )
+        ).cast("decimal(38,0)").alias("se_sum"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST((1000000 * pos) div n AS BIGINT)").alias("base_rate_ppm"),
+        F.expr("CAST(sum_p div n AS BIGINT)").alias("mean_forecast_ppm"),
+        F.expr(
+            "CAST(se_sum AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+            " * CAST(1000000 AS DOUBLE))"
+        ).alias("brier"),
+    )
+
+
+ML_BRIER_SQL = """
+WITH mm AS (
+  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+), scored AS (
+  SELECT CAST(FLOOR((o_totalprice - mn) / (mx - mn)
+              * CAST(1000000 AS DOUBLE)) AS BIGINT) AS p_ppm,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders, mm
+), agg AS (
+  SELECT COUNT(*) AS n, SUM(y) AS pos, SUM(p_ppm) AS sum_p,
+         SUM(CAST(p_ppm - y * 1000000 AS HUGEINT)
+             * (p_ppm - y * 1000000)) AS se_sum
+  FROM scored
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST((1000000 * pos) // n AS BIGINT) AS base_rate_ppm,
+       CAST(sum_p // n AS BIGINT) AS mean_forecast_ppm,
+       CAST(se_sum AS DOUBLE)
+       / (CAST(n AS DOUBLE) * CAST(1000000 AS DOUBLE)
+          * CAST(1000000 AS DOUBLE)) AS brier
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # ml_conformal_interval — split-conformal regression intervals, exact
 # ---------------------------------------------------------------------------
 
@@ -2067,6 +2243,8 @@ QUERIES = {
     "ml_als_factorize": (ml_als_factorize, ML_ALS_SQL),
     "ml_isotonic_calibration": (ml_isotonic_calibration, ML_ISOTONIC_SQL),
     "ml_roc_auc": (ml_roc_auc, ML_ROC_SQL),
+    "ml_pr_auc": (ml_pr_auc, ML_PR_AUC_SQL),
+    "ml_brier_score": (ml_brier_score, ML_BRIER_SQL),
     "ml_cv_kfold": (ml_cv_kfold, ML_CV_SQL),
     "ml_target_encode": (ml_target_encode, ML_TARGET_ENC_SQL),
     "ml_conformal_interval": (ml_conformal_interval, ML_CONFORMAL_SQL),

@@ -2589,7 +2589,314 @@ ORDER BY rs
 """
 
 
+# ---------------------------------------------------------------------------
+# stat_cohens_kappa — inter-rater agreement, exact integer numerators
+# ---------------------------------------------------------------------------
+
+_KAPPA_EXPR = (
+    "CAST(n * po_num - pe_num AS DOUBLE)"
+    " / CAST(n * n - pe_num AS DOUBLE)"
+)
+
+
+def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two raters
+    over the same category set (the labeling-QA staple for LLM
+    annotation pipelines: how much better than chance do two annotators
+    agree?). Rater A is the real order status; rater B is a
+    deterministic key-derived rater, so both engines see identical
+    labels. κ = (pₒ − pₑ)/(1 − pₑ) computed from EXACT integers —
+    pₒ·N = Σ diagonal counts, pₑ·N² = Σ_c row_c·col_c — with ONE double
+    division at the end (shared expression text, hash-exact).
+
+    Scale: one groupBy to an R×C contingency (≤9 cells here); margins
+    and the κ fold run on those cells — 100 TB of rated rows is one
+    map-side-combinable scan."""
+    o = load_table(spark, sf_dir, "orders")
+    rated = o.select(
+        F.col("o_orderstatus").alias("ra"),
+        F.expr(
+            "CASE WHEN o_orderkey % 3 = 0 THEN 'F'"
+            " WHEN o_orderkey % 3 = 1 THEN 'O' ELSE 'P' END"
+        ).alias("rb"),
+    )
+    diag = rated.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("IF(ra = rb, 1, 0)")).alias("po_num"),
+    )
+    # pₑ·N² = Σ over categories of row_c·col_c — margins joined on the
+    # category (a category absent from one rater contributes 0, which
+    # the inner join encodes exactly)
+    rows = rated.groupBy(F.col("ra").alias("cat")).agg(
+        F.count("*").alias("row_tot")
+    )
+    cols = rated.groupBy(F.col("rb").alias("cat")).agg(
+        F.count("*").alias("col_tot")
+    )
+    pe = (
+        rows.join(F.broadcast(cols), "cat")
+        .agg(
+            F.sum(F.expr("CAST(row_tot AS DECIMAL(19,0)) * col_tot"))
+            .cast("decimal(38,0)")
+            .alias("pe_num_dec")
+        )
+    )
+    return diag.crossJoin(F.broadcast(pe)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("po_num").cast("long").alias("po_num"),
+        F.col("pe_num_dec").cast("double").alias("pe_num"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(19,0)) * po_num - pe_num_dec AS DOUBLE)"
+            " / CAST(CAST(n AS DECIMAL(19,0)) * n - pe_num_dec AS DOUBLE)"
+        ).alias("kappa"),
+    )
+
+
+STAT_KAPPA_SQL = """
+WITH rated AS (
+  SELECT o_orderstatus AS ra,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'F'
+              WHEN o_orderkey % 3 = 1 THEN 'O' ELSE 'P' END AS rb
+  FROM orders
+), diag AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS po_num
+  FROM rated
+), pe AS (
+  SELECT SUM(CAST(r.row_tot AS HUGEINT) * c.col_tot) AS pe_num_dec
+  FROM (SELECT ra AS cat, COUNT(*) AS row_tot FROM rated GROUP BY 1) r
+  JOIN (SELECT rb AS cat, COUNT(*) AS col_tot FROM rated GROUP BY 1) c
+    ON r.cat = c.cat
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(po_num AS BIGINT) AS po_num,
+       CAST(pe_num_dec AS DOUBLE) AS pe_num,
+       CAST(CAST(n AS HUGEINT) * po_num - pe_num_dec AS DOUBLE)
+       / CAST(CAST(n AS HUGEINT) * n - pe_num_dec AS DOUBLE) AS kappa
+FROM diag, pe
+"""
+
+
+# ---------------------------------------------------------------------------
+# stat_cramers_v — effect size for categorical association
+# ---------------------------------------------------------------------------
+
+_CHI2_CONTRIB = (
+    "(CAST(obs AS DOUBLE) - CAST(row_tot AS DOUBLE) * col_tot / n)"
+    " * (CAST(obs AS DOUBLE) - CAST(row_tot AS DOUBLE) * col_tot / n)"
+    " / (CAST(row_tot AS DOUBLE) * col_tot / n)"
+)
+
+
+def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the [0,1] effect size the raw chi-squared statistic
+    (stat_chi2_independence) lacks: V = √(χ²/(N·min(r−1, c−1))), so
+    association strengths compare across table shapes. Same
+    exact-integer contingency; χ² folds with the shared per-cell
+    expression, is rounded to 6 dp to absorb float summation order,
+    and feeds one √ (correctly rounded IEEE in both engines).
+
+    Scale: identical to the χ² entry — one map-side-combinable groupBy
+    to R×C cells, everything else on the cells."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("obs")
+    )
+    w_row = Window.partitionBy("o_orderstatus")
+    w_col = Window.partitionBy("o_orderpriority")
+    wall = Window.partitionBy()
+    m = cells.select(
+        "obs",
+        F.col("o_orderstatus").alias("r"),
+        F.col("o_orderpriority").alias("c"),
+        F.sum("obs").over(w_row).alias("row_tot"),
+        F.sum("obs").over(w_col).alias("col_tot"),
+        F.sum("obs").over(wall).alias("n"),
+    ).withColumn("contrib", F.expr(_CHI2_CONTRIB))
+    return m.agg(
+        F.max("n").cast("long").alias("n"),
+        (F.countDistinct("r") - 1).cast("long").alias("r1"),
+        (F.countDistinct("c") - 1).cast("long").alias("c1"),
+        F.round(F.sum("contrib"), 6).alias("chi2"),
+    ).select(
+        "n",
+        "r1",
+        "c1",
+        "chi2",
+        F.expr(
+            "ROUND(SQRT(chi2 / (CAST(n AS DOUBLE) * LEAST(r1, c1))), 6)"
+        ).alias("cramers_v"),
+    )
+
+
+STAT_CRAMERS_SQL = f"""
+WITH cells AS (
+  SELECT o_orderstatus AS r, o_orderpriority AS c, COUNT(*) AS obs
+  FROM orders GROUP BY 1, 2
+), m AS (
+  SELECT obs, r, c,
+         SUM(obs) OVER (PARTITION BY r) AS row_tot,
+         SUM(obs) OVER (PARTITION BY c) AS col_tot,
+         SUM(obs) OVER () AS n
+  FROM cells
+), agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT r) - 1 AS BIGINT) AS r1,
+         CAST(COUNT(DISTINCT c) - 1 AS BIGINT) AS c1,
+         ROUND(SUM({_CHI2_CONTRIB}), 6) AS chi2
+  FROM m
+)
+SELECT n, r1, c1, chi2,
+       ROUND(SQRT(chi2 / (CAST(n AS DOUBLE) * LEAST(r1, c1))), 6) AS cramers_v
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# stat_levene_bf — Brown-Forsythe variance-homogeneity test
+# ---------------------------------------------------------------------------
+
+
+def stat_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene with group MEDIANS) for variance
+    homogeneity across order priorities — the assumption check ANOVA
+    (stat_anova_oneway) rests on. Deviations z = |cents − group
+    lower-median| are exact integers: the group median is the
+    ceil(n/2)-th order statistic selected on the VALUE DOMAIN (cents
+    histogram + running count — no per-row rank window), the same
+    collapse stat_mannwhitney uses. The F statistic folds per-group
+    exact sums (Σz as BIGINT, Σz² as DECIMAL) through the shared
+    closed-form double expression, rounded to 6 dp to absorb group
+    summation order.
+
+    Scale: two map-side-combinable aggregations (value histogram,
+    deviation moments) + a ≤groups-sized broadcast of medians. The
+    LOWER median (not the interpolated one) is pinned so both engines
+    select the identical integer."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.expr(
+            "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    hist = o.groupBy("g", "cents").agg(F.count("*").alias("cnt"))
+    w_cum = Window.partitionBy("g").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_g = Window.partitionBy("g")
+    med = (
+        hist.select(
+            "g",
+            "cents",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_g).alias("n_g"),
+        )
+        .filter(F.expr("cum - 1 >= (n_g - 1) div 2").__and__(
+            F.expr("cum - (n_g - 1) div 2 >= 1")))
+        .groupBy("g")
+        .agg(F.min("cents").alias("med"))
+    )
+    z = o.join(F.broadcast(med), "g").select(
+        "g", F.expr("ABS(cents - med)").alias("z")
+    )
+    per_g = z.groupBy("g").agg(
+        F.count("*").alias("n_g"),
+        F.sum("z").alias("s_g"),
+        F.sum(F.expr("CAST(z AS DECIMAL(19,0)) * z")).cast("decimal(38,0)").alias("q_g"),
+    )
+    wall = Window.partitionBy()
+    tot = per_g.select(
+        "g",
+        "n_g",
+        "s_g",
+        "q_g",
+        F.sum("n_g").over(wall).alias("n"),
+        F.sum("s_g").over(wall).alias("s"),
+        F.count("*").over(wall).alias("k"),
+    )
+    folded = tot.agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.round(
+            F.sum(
+                F.expr(
+                    "(CAST(s_g AS DOUBLE) / n_g - CAST(s AS DOUBLE) / n)"
+                    " * (CAST(s_g AS DOUBLE) / n_g - CAST(s AS DOUBLE) / n)"
+                    " * n_g"
+                )
+            ),
+            6,
+        ).alias("ss_between"),
+        F.round(
+            F.sum(
+                F.expr(
+                    "CAST(q_g AS DOUBLE)"
+                    " - CAST(s_g AS DOUBLE) * s_g / n_g"
+                )
+            ),
+            6,
+        ).alias("ss_within"),
+    )
+    return folded.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        "ss_between",
+        "ss_within",
+        F.expr(
+            "ROUND((ss_between / (k - 1)) / (ss_within / (n - k)), 6)"
+        ).alias("f_stat"),
+    )
+
+
+STAT_LEVENE_SQL = """
+WITH src AS (
+  SELECT o_orderpriority AS g,
+         CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+  FROM orders
+), hist AS (
+  SELECT g, cents, COUNT(*) AS cnt FROM src GROUP BY 1, 2
+), med AS (
+  SELECT g, MIN(cents) AS med FROM (
+    SELECT g, cents,
+           SUM(cnt) OVER (PARTITION BY g ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(cnt) OVER (PARTITION BY g) AS n_g
+    FROM hist
+  ) WHERE cum - 1 >= (n_g - 1) // 2 AND cum - (n_g - 1) // 2 >= 1
+  GROUP BY g
+), z AS (
+  SELECT s.g, ABS(s.cents - m.med) AS z
+  FROM src s JOIN med m ON s.g = m.g
+), per_g AS (
+  SELECT g, COUNT(*) AS n_g, SUM(z) AS s_g,
+         SUM(CAST(z AS HUGEINT) * z) AS q_g
+  FROM z GROUP BY 1
+), tot AS (
+  SELECT g, n_g, s_g, q_g,
+         SUM(n_g) OVER () AS n, SUM(s_g) OVER () AS s,
+         COUNT(*) OVER () AS k
+  FROM per_g
+), folded AS (
+  SELECT MAX(n) AS n, MAX(k) AS k,
+         ROUND(SUM((CAST(s_g AS DOUBLE) / n_g - CAST(s AS DOUBLE) / n)
+               * (CAST(s_g AS DOUBLE) / n_g - CAST(s AS DOUBLE) / n)
+               * n_g), 6) AS ss_between,
+         ROUND(SUM(CAST(q_g AS DOUBLE)
+               - CAST(s_g AS DOUBLE) * s_g / n_g), 6) AS ss_within
+  FROM tot
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       ss_between, ss_within,
+       ROUND((ss_between / (k - 1)) / (ss_within / (n - k)), 6) AS f_stat
+FROM folded
+"""
+
+
 QUERIES = {
+    "stat_cohens_kappa": (stat_cohens_kappa, STAT_KAPPA_SQL),
+    "stat_cramers_v": (stat_cramers_v, STAT_CRAMERS_SQL),
+    "stat_levene_bf": (stat_levene_bf, STAT_LEVENE_SQL),
     "stat_permutation_test": (stat_permutation_test, STAT_PERM_SQL),
     "stat_skew_kurtosis": (stat_skew_kurtosis, STAT_MOMENTS_SQL),
     "stat_survival_lifetable": (stat_survival_lifetable, STAT_SURVIVAL_SQL),

@@ -581,6 +581,45 @@ AUDITS.update({
     "s14_orc_roundtrip": [
         ("rollup is an executor checkpoint", r"Scan ExistingRDD"),
     ],
+    "stat_cohens_kappa": [
+        ("scan pruned to the two rater inputs", r"ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string>"),
+        ("margin counts partial-aggregate", r"partial_count|partial_sum"),
+        ("margin tables broadcast for the pe join", r"BroadcastHashJoin|BroadcastNestedLoopJoin"),
+        ("exact integer kappa numerators, no Python", NO_PYTHON),
+    ],
+    "stat_cramers_v": [
+        (
+            "scan pruned to the two categorical columns",
+            r"ReadSchema: struct<o_orderstatus:string,o_orderpriority:string>"
+            r"|ReadSchema: struct<o_orderpriority:string,o_orderstatus:string>",
+        ),
+        ("contingency cells partial-aggregate", r"partial_count"),
+        ("chi2/V fold native, no Python", NO_PYTHON),
+    ],
+    "stat_levene_bf": [
+        ("group medians broadcast onto the fact", r"BroadcastHashJoin"),
+        ("value histogram partial-aggregates", r"partial_count"),
+        ("exact integer deviations, no Python", NO_PYTHON),
+    ],
+    "ml_pr_auc": [
+        (
+            "scan pruned to (o_orderstatus, o_totalprice)",
+            r"ReadSchema: struct<o_orderstatus:string,o_totalprice:double>"
+            r"|ReadSchema: struct<o_totalprice:double,o_orderstatus:string>",
+        ),
+        ("band cells partial-aggregate (mergeable)", r"partial_count|partial_sum"),
+        ("integer AUC-PR fold native, no Python", NO_PYTHON),
+    ],
+    "ml_brier_score": [
+        (
+            "scan pruned to (o_orderstatus, o_totalprice)",
+            r"ReadSchema: struct<o_orderstatus:string,o_totalprice:double>"
+            r"|ReadSchema: struct<o_totalprice:double,o_orderstatus:string>",
+        ),
+        ("min/max broadcast back (no window over rows)", r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("squared errors partial-aggregate as decimals", r"partial_sum\(.*decimal|partial_sum"),
+        ("ppm arithmetic native, no Python", NO_PYTHON),
+    ],
     "ml_isotonic_calibration": [
         (
             "scan pruned to (o_orderstatus, o_totalprice)",
