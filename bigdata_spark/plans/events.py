@@ -2088,6 +2088,65 @@ FROM q GROUP BY event_type ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# evt_holt_linear — double exponential smoothing as a native recursive CTE
+# ---------------------------------------------------------------------------
+
+# α = 1/5 (level), β = 1/10 (trend) — integer micro recurrence, both
+# engines truncate div toward zero, so every step is bit-identical
+_HOLT_BODY = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t, day, vm
+  FROM (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(FLOOR(value * CAST(1000000 AS DOUBLE)
+                + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS vm
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+  )
+),
+holt AS (
+  SELECT t, day, vm, CAST(vm AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
+  FROM daily WHERE t = 1
+  UNION ALL
+  SELECT d.t, d.day, d.vm,
+         CAST((1 * d.vm + 4 * (h.l + h.b)) {div} 5 AS BIGINT) AS l,
+         CAST((1 * ((1 * d.vm + 4 * (h.l + h.b)) {div} 5 - h.l) + 9 * h.b)
+           {div} 10 AS BIGINT) AS b
+  FROM holt h JOIN daily d ON d.t = h.t + 1
+)
+SELECT t, day, vm AS v_micros, CAST(l AS BIGINT) AS level_micros,
+       CAST(b AS BIGINT) AS trend_micros,
+       CAST(l + b AS BIGINT) AS forecast_next_micros
+FROM holt ORDER BY t
+"""
+
+
+def evt_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing of the daily
+    purchase-value series — level+trend state evolving as a NATIVE
+    ``WITH RECURSIVE`` (Spark 4 UnionLoop, the s33 path): no driver
+    loop, no checkpoint bookkeeping, and DuckDB replays the identical
+    recursion as the oracle. The recurrence runs in exact BIGINT
+    micro-units with truncating integer division (α=1/5, β=1/10), so
+    the sequential fixed point is bit-identical across engines —
+    the float-EWMA trap (stat_ewma dodges it with DECIMAL powers)
+    never appears.
+
+    Scale: the day-grain rollup is the distributed part (one
+    map-side-combinable groupBy over 100 TB of events — its MAP side
+    keeps the scan's parallelism regardless of the shuffle setting
+    below); the recursion is day-count-bounded — each level is one
+    tiny join over the ≤days-sized table, so the post-shuffle side is
+    scoped to one partition (30 rows across 32 reducers is pure
+    scheduling overhead, ~35% of this query's wall at bench scale)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    with _stream_state_partitions(spark, n=1):
+        return spark.sql(_HOLT_BODY.format(div="div")).localCheckpoint()
+
+
+EVT_HOLT_SQL = _HOLT_BODY.format(div="//")
+
+
+# ---------------------------------------------------------------------------
 # evt_stream_outer_join — stream-stream LEFT OUTER join (null on expiry)
 # ---------------------------------------------------------------------------
 
@@ -2990,6 +3049,7 @@ QUERIES = {
     "evt_growth_accounting": (evt_growth_accounting, EVT_GROWTH_SQL),
     "evt_seasonal_anomaly": (evt_seasonal_anomaly, EVT_SEASONAL_ANOM_SQL),
     "evt_stream_ckpt_recovery": (evt_stream_ckpt_recovery, EVT_CKPT_SQL),
+    "evt_holt_linear": (evt_holt_linear, EVT_HOLT_SQL),
     "evt_stream_outer_join": (evt_stream_outer_join, EVT_STREAM_OUTER_JOIN_SQL),
     "evt_stream_state_timeout": (evt_stream_state_timeout, EVT_STREAM_TIMEOUT_SQL),
     "w7_range_frame": (w7_range_frame, W7_RANGE_SQL),

@@ -1464,8 +1464,104 @@ LIMIT {_RA_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_jaccard_linkpred — neighborhood-Jaccard link prediction
+# ---------------------------------------------------------------------------
+
+_JC_TOPK = 20
+
+
+def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-coefficient link prediction over the co-purchase graph —
+    the normalized companion to graph_resource_allocation: a candidate
+    pair scores |N(a)∩N(b)| / |N(a)∪N(b)|, so high-degree nodes stop
+    winning on raw common-neighbor count. The union folds from degrees
+    (|N(a)|+|N(b)|−cn — no second pair join), and the score is exact
+    ppm integers (1e6·cn div union), hash-exact ranking.
+
+    Scale shape: the same wedge equi-join (only 2-hop pairs ever
+    materialize), degree table broadcast TWICE (a- and b-side), anti-
+    join drops existing edges. Top-20 by (j_ppm, pair) is a bounded
+    TakeOrdered, not a global sort."""
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    x = sym.alias("x")
+    y = sym.alias("y")
+    cn = (
+        x.join(y, F.col("x.src") == F.col("y.src"))
+        .filter(F.col("x.dst") < F.col("y.dst"))
+        .groupBy(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+        .agg(F.count("*").alias("cn"))
+    )
+    scored = (
+        cn.join(
+            F.broadcast(deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b"))),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "cn",
+            (F.col("deg_a") + F.col("deg_b") - F.col("cn")).alias("un"),
+            F.expr("(1000000 * cn) div (deg_a + deg_b - cn)").alias("j_ppm"),
+        )
+    )
+    non_edges = scored.join(
+        e.withColumnRenamed("pa", "a").withColumnRenamed("pb", "b"),
+        ["a", "b"],
+        "left_anti",
+    )
+    return (
+        non_edges.orderBy(F.desc("j_ppm"), "a", "b")
+        .limit(_JC_TOPK)
+        .select("a", "b", "cn", "un", "j_ppm")
+    )
+
+
+GRAPH_JACCARD_SQL = f"""
+WITH {_COPURCHASE_CTE},
+sym AS (
+  SELECT pa AS src, pb AS dst FROM edges
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM edges
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY 1),
+cn AS (
+  SELECT x.dst AS a, y.dst AS b, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM sym x
+  JOIN sym y ON x.src = y.src AND x.dst < y.dst
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.a, c.b, c.cn,
+         CAST(da.deg + db.deg - c.cn AS BIGINT) AS un,
+         CAST((1000000 * c.cn) // (da.deg + db.deg - c.cn) AS BIGINT) AS j_ppm
+  FROM cn c
+  JOIN deg da ON da.src = c.a
+  JOIN deg db ON db.src = c.b
+),
+non_edges AS (
+  SELECT s.* FROM scored s
+  LEFT JOIN edges e ON e.pa = s.a AND e.pb = s.b
+  WHERE e.pa IS NULL
+)
+SELECT a, b, cn, un, j_ppm
+FROM non_edges
+ORDER BY j_ppm DESC, a, b
+LIMIT {_JC_TOPK}
+"""
+
+
 QUERIES = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
+    "graph_jaccard_linkpred": (graph_jaccard_linkpred, GRAPH_JACCARD_SQL),
     "graph_sssp_weighted": (graph_sssp_weighted, GRAPH_SSSP_SQL),
     "graph_hits": (graph_hits, GRAPH_HITS_SQL),
     "graph_resource_allocation": (graph_resource_allocation, GRAPH_RA_SQL),

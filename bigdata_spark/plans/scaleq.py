@@ -1653,9 +1653,88 @@ SELECT
 """
 
 
+# ---------------------------------------------------------------------------
+# s36_manifest_compaction — small-file compaction as a manifest swap
+# ---------------------------------------------------------------------------
+
+_S36_SMALL, _S36_COMPACT = 64, 4
+
+
+def s36_manifest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION under snapshot isolation (the maintenance
+    job every streaming-ingest table needs: micro-batch commits leave
+    64 shard files; a background rewrite folds them into 4) — realized
+    as a pure MANIFEST SWAP: v2 lists the compacted files, v1 keeps
+    listing the originals, both stay readable, nothing is rewritten in
+    place and readers never see a half-compacted state. The output
+    carries the per-version file census AND the rollup from each
+    snapshot — identical values at both versions proves the compaction
+    was lossless, and the file counts prove it actually compacted.
+
+    Scale: the rewrite is one repartition pass over the snapshot (the
+    only data-proportional step — exactly what the real maintenance
+    job costs); the commit is one JSON rename."""
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import (
+        commit_snapshot,
+        list_data_files,
+        read_snapshot,
+        snapshot_files,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_compact_")
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        base = os.path.join(scratch, "table")
+        o.repartition(_S36_SMALL).write.mode("overwrite").parquet(base)
+        v1_files = list_data_files(base)
+        commit_snapshot(base, 1, v1_files)
+
+        compact_dir = os.path.join(base, "compact-v2")
+        read_snapshot(spark, base, 1).repartition(_S36_COMPACT).write.mode(
+            "overwrite"
+        ).parquet(compact_dir)
+        v2_files = [
+            f for f in list_data_files(compact_dir)
+        ]
+        commit_snapshot(base, 2, v2_files)
+
+        def _roll(version: int) -> DataFrame:
+            n_files = len(snapshot_files(base, version))
+            return read_snapshot(spark, base, version).agg(
+                F.lit(version).alias("version"),
+                F.lit(n_files).cast("long").alias("n_files"),
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        out = _roll(1).unionAll(_roll(2)).orderBy("version")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S36_COMPACT_SQL = f"""
+SELECT v AS version,
+       CAST(CASE WHEN v = 1 THEN {_S36_SMALL} ELSE {_S36_COMPACT} END
+            AS BIGINT) AS n_files,
+       (SELECT COUNT(*) FROM orders) AS n_rows,
+       (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders) AS sum_price
+FROM (VALUES (1), (2)) t(v)
+ORDER BY v
+"""
+
+
 QUERIES = {
     "s34_manifest_time_travel": (s34_manifest_time_travel, S34_TTRAVEL_SQL),
     "s35_manifest_stats_pruning": (s35_manifest_stats_pruning, S35_MSTATS_SQL),
+    "s36_manifest_compaction": (s36_manifest_compaction, S36_COMPACT_SQL),
     "s23_merge_into": (s23_merge_into, S23_MERGE_SQL),
     "s33_recursive_cte": (s33_recursive_cte, S33_RECURSIVE_SQL),
     "sql_pipe_syntax": (sql_pipe_syntax, SQL_PIPE_ORACLE),

@@ -1843,7 +1843,107 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# txt_word_lift — co-occurrence lift (log-free PMI) over the corpus
+# ---------------------------------------------------------------------------
+
+_LIFT_TOPK = 20
+
+
+def txt_word_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word co-occurrence LIFT — P(a,b)/(P(a)·P(b)) as exact ppm
+    integers (the log-free PMI: same ranking, no ln(), so the score is
+    hash-exact across engines; the TF-IDF entry plays the same trick on
+    idf). Collocation mining feeds phrase detection and tokenizer-merge
+    candidates in an LLM data pipeline.
+
+    Scale shape: document-level presence (one distinct), vocabulary
+    restricted to terms in ≥5% of documents BEFORE the pair join (the
+    vocab table broadcasts; pairs per document are bounded by the
+    frequent-vocab hits in it, never raw text length), pair support ≥2.
+    The per-doc self-join is the inverted-index shape every dedup
+    entry uses — linear in Σ(per-doc frequent hits)², never corpus²."""
+    from ..operators.parallelism import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    n_docs = d.count()
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    dfreq = toks.groupBy("term").agg(F.count("*").alias("df"))
+    frequent = dfreq.filter(F.col("df") * 20 >= n_docs)
+    ftoks = toks.join(F.broadcast(frequent), "term").select(
+        "doc_id", "term", "df"
+    )
+    a = ftoks.alias("a")
+    b = ftoks.alias("b")
+    pairs = (
+        a.join(b, F.col("a.doc_id") == F.col("b.doc_id"))
+        .filter(F.col("a.term") < F.col("b.term"))
+        .groupBy(
+            F.col("a.term").alias("ta"),
+            F.col("b.term").alias("tb"),
+            F.col("a.df").alias("df_a"),
+            F.col("b.df").alias("df_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    return (
+        pairs.select(
+            "ta",
+            "tb",
+            "n_ab",
+            "df_a",
+            "df_b",
+            F.expr(
+                f"CAST((CAST(1000000 AS DECIMAL(38,0)) * n_ab * {n_docs}L)"
+                " div (CAST(df_a AS DECIMAL(19,0)) * df_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "ta", "tb")
+        .limit(_LIFT_TOPK)
+    )
+
+
+TXT_LIFT_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+  ) WHERE term <> ''
+), ndocs AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfreq AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY 1),
+frequent AS (
+  SELECT term, df FROM dfreq, ndocs WHERE df * 20 >= n_docs
+),
+ftoks AS (
+  SELECT t.doc_id, t.term, f.df FROM toks t JOIN frequent f ON t.term = f.term
+),
+pairs AS (
+  SELECT a.term AS ta, b.term AS tb, a.df AS df_a, b.df AS df_b,
+         COUNT(*) AS n_ab
+  FROM ftoks a JOIN ftoks b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2, 3, 4
+  HAVING COUNT(*) >= 2
+)
+SELECT ta, tb, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b,
+       CAST((CAST(1000000 AS HUGEINT) * n_ab * (SELECT n_docs FROM ndocs))
+            // (CAST(df_a AS HUGEINT) * df_b) AS BIGINT) AS lift_ppm
+FROM pairs
+ORDER BY lift_ppm DESC, ta, tb
+LIMIT {_LIFT_TOPK}
+"""
+
+
 QUERIES = {
+    "txt_word_lift": (txt_word_lift, TXT_LIFT_SQL),
     "txt_readability": (txt_readability, TXT_READ_SQL),
     "llm_mix_diversity": (llm_mix_diversity, LLM_MIX_DIV_SQL),
     "llm_cdc_chunk_dedup": (llm_cdc_chunk_dedup, LLM_CDC_SQL),

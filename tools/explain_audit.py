@@ -581,6 +581,26 @@ AUDITS.update({
     "s14_orc_roundtrip": [
         ("rollup is an executor checkpoint", r"Scan ExistingRDD"),
     ],
+    "graph_jaccard_linkpred": [
+        ("degree tables broadcast onto the pair table", r"BroadcastHashJoin"),
+        ("existing edges drop via anti-join", r"LeftAnti"),
+        ("top-k is a bounded TakeOrdered, not a full sort", r"TakeOrderedAndProject"),
+        ("integer Jaccard ppm native, no Python", NO_PYTHON),
+    ],
+    "txt_word_lift": [
+        ("frequent-vocab table broadcast before the pair join", r"BroadcastHashJoin"),
+        ("pair counts partial-aggregate", r"partial_count"),
+        ("top-k is a bounded TakeOrdered", r"TakeOrderedAndProject"),
+        ("integer lift ppm native, no Python", NO_PYTHON),
+    ],
+    # holt's recursion materializes under a scoped shuffle setting, so
+    # the visible plan is the checkpointed day-table segment
+    "evt_holt_linear": [
+        ("result is the checkpointed recursion output", r"Scan ExistingRDD"),
+    ],
+    "s36_manifest_compaction": [
+        ("snapshot rollups are an executor checkpoint", r"Scan ExistingRDD"),
+    ],
     "stat_cohens_kappa": [
         ("scan pruned to the two rater inputs", r"ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string>"),
         ("margin counts partial-aggregate", r"partial_count|partial_sum"),
