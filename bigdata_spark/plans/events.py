@@ -2088,6 +2088,199 @@ FROM q GROUP BY event_type ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# w14_dist_functions — percent_rank / cume_dist / nth_value coverage
+# ---------------------------------------------------------------------------
+
+# shared verbatim by both engines: ranks are exact integers, the two
+# distribution functions are single divisions of them
+_W14_BODY = """
+WITH daily AS (
+  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT pri, day, CAST(n AS BIGINT) AS n,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume_dist,
+       CAST(NTH_VALUE(n, 3) OVER (PARTITION BY pri ORDER BY n, day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS BIGINT) AS third_smallest
+FROM daily
+WINDOW w AS (PARTITION BY pri ORDER BY n, day)
+ORDER BY pri, day
+"""
+
+
+def w14_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window DISTRIBUTION functions — percent_rank, cume_dist,
+    nth_value — the last classic window family the registry lacked,
+    exercised over the per-priority daily order-count series. The
+    ordering (n, day) is a total order inside each partition, so ranks
+    are deterministic and both distribution values are single IEEE
+    divisions of exact integer ranks — hash-exact. Identical SQL text
+    runs on both engines.
+
+    Scale: the windows run on the (priority × day) rollup (bounded),
+    never the fact table; the rollup itself is one map-side-combinable
+    groupBy."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_W14_BODY)
+
+
+W14_DIST_SQL = _W14_BODY
+
+
+# ---------------------------------------------------------------------------
+# evt_stickiness_dau_mau — DAU / trailing-28-day MAU engagement ratio
+# ---------------------------------------------------------------------------
+
+
+def evt_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness — THE product-engagement ratio: for every
+    day, distinct daily actives over distinct actives in the trailing
+    28 days, as exact ppm integers. The trailing-window distinct is the
+    rolling-WAU shape: each (user, day) presence VOTES into the next 28
+    calendar days (native sequence explode — a bounded 28× fanout of
+    the user-day grain, never of raw events), then one distinct count
+    per day; no window function ever sees the fact table.
+
+    Scale: distinct to user-day grain, 28× vote explode, two
+    map-side-combinable distinct aggregations, one day-grain join."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("d"), "user_id"
+    )
+    du = e.distinct()
+    bounds = du.agg(F.max("d").alias("dmax"))
+    votes = (
+        du.crossJoin(F.broadcast(bounds))
+        .select(
+            F.explode(F.expr("sequence(0, 27)")).alias("off"),
+            "d",
+            "user_id",
+            "dmax",
+        )
+        .select(F.expr("date_add(d, off)").alias("day"), "user_id", "dmax")
+        .filter(F.col("day") <= F.col("dmax"))
+    )
+    mau = votes.groupBy("day").agg(F.countDistinct("user_id").alias("mau"))
+    dau = du.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    return (
+        mau.join(dau, "day", "left_outer")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            "mau",
+            F.expr("(1000000 * COALESCE(dau, 0)) div mau").alias(
+                "stickiness_ppm"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+EVT_STICKINESS_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), bounds AS (SELECT MAX(d) AS dmax FROM du),
+votes AS (
+  SELECT d + CAST(off AS INT) AS day, user_id
+  FROM du, bounds, range(28) t(off)
+  WHERE d + CAST(off AS INT) <= dmax
+),
+mau AS (SELECT day, COUNT(DISTINCT user_id) AS mau FROM votes GROUP BY 1),
+dau AS (SELECT d AS day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY 1)
+SELECT m.day, CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
+       CAST(m.mau AS BIGINT) AS mau,
+       CAST((1000000 * COALESCE(d.dau, 0)) // m.mau AS BIGINT)
+         AS stickiness_ppm
+FROM mau m LEFT JOIN dau d ON m.day = d.day
+ORDER BY m.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# evt_interarrival_stats — per-user inter-event gap distribution, exact
+# ---------------------------------------------------------------------------
+
+
+def evt_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution — the per-user gap between
+    consecutive events (ordered by ts with the event_id tiebreak),
+    reduced to exact integer-second order statistics: lower median,
+    lower p90, max, and the exact-ppm mean. Quantiles come from the
+    VALUE-DOMAIN histogram (gap-second → count, one cumulative window
+    over distinct gap values), never a global rank of rows — the
+    stat_mannwhitney collapse.
+
+    Scale: one lag window partitioned BY USER (parallelism = users),
+    one histogram groupBy, windows over the distinct-gap-value table."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select(
+            "user_id",
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w_u))
+            ).alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    hist = gaps.groupBy("gap_s").agg(F.count("*").alias("cnt"))
+    w_cum = Window.orderBy("gap_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "gap_s",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+        F.sum(F.expr("gap_s * cnt")).over(wall).alias("s"),
+        F.max("gap_s").over(wall).alias("mx"),
+    )
+    return cum.agg(
+        F.max("n").alias("n_gaps"),
+        F.expr("CAST((1000000 * MAX(s)) div MAX(n) AS BIGINT)").alias(
+            "mean_gap_micros"
+        ),
+        F.min(F.expr("IF(cum * 2 >= n, gap_s, NULL)")).alias("p50_s"),
+        F.min(F.expr("IF(cum * 10 >= 9 * n, gap_s, NULL)")).alias("p90_s"),
+        F.max("mx").alias("max_s"),
+    )
+
+
+EVT_INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         CAST(date_diff('second',
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+              ts) AS BIGINT) AS gap_s
+  FROM events
+), g AS (SELECT gap_s FROM gaps WHERE gap_s IS NOT NULL),
+hist AS (SELECT gap_s, COUNT(*) AS cnt FROM g GROUP BY 1),
+cum AS (
+  SELECT gap_s,
+         SUM(cnt) OVER (ORDER BY gap_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER () AS n,
+         SUM(gap_s * cnt) OVER () AS s,
+         MAX(gap_s) OVER () AS mx
+  FROM hist
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_gaps,
+       CAST((1000000 * MAX(s)) // MAX(n) AS BIGINT) AS mean_gap_micros,
+       MIN(CASE WHEN cum * 2 >= n THEN gap_s END) AS p50_s,
+       MIN(CASE WHEN cum * 10 >= 9 * n THEN gap_s END) AS p90_s,
+       MAX(mx) AS max_s
+FROM cum
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_holt_linear — double exponential smoothing as a native recursive CTE
 # ---------------------------------------------------------------------------
 
@@ -3050,6 +3243,9 @@ QUERIES = {
     "evt_seasonal_anomaly": (evt_seasonal_anomaly, EVT_SEASONAL_ANOM_SQL),
     "evt_stream_ckpt_recovery": (evt_stream_ckpt_recovery, EVT_CKPT_SQL),
     "evt_holt_linear": (evt_holt_linear, EVT_HOLT_SQL),
+    "w14_dist_functions": (w14_dist_functions, W14_DIST_SQL),
+    "evt_stickiness_dau_mau": (evt_stickiness_dau_mau, EVT_STICKINESS_SQL),
+    "evt_interarrival_stats": (evt_interarrival_stats, EVT_INTERARRIVAL_SQL),
     "evt_stream_outer_join": (evt_stream_outer_join, EVT_STREAM_OUTER_JOIN_SQL),
     "evt_stream_state_timeout": (evt_stream_state_timeout, EVT_STREAM_TIMEOUT_SQL),
     "w7_range_frame": (w7_range_frame, W7_RANGE_SQL),

@@ -1527,6 +1527,215 @@ ORDER BY band DESC
 
 
 # ---------------------------------------------------------------------------
+# ml_gain_lift_deciles — cumulative gains / lift chart, exact ranks
+# ---------------------------------------------------------------------------
+
+
+def ml_gain_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains + lift by score decile — the campaign-targeting
+    chart (top 10% of scores captures X% of positives at Y× lift).
+    Decile assignment reproduces NTILE over (score DESC, key) EXACTLY
+    but scale-shaped: the global rank decomposes into the cents-value
+    histogram's cumulative base (how many rows score strictly higher)
+    plus a row_number WITHIN the same-cents group (partitioned by the
+    VALUE, never one global partition) — floor(10·(rank−1)/N) is then
+    NTILE's balanced-bucket formula for N divisible by 10 and
+    tie-broken total orders, and recall/lift fold from exact integers
+    into ppm.
+
+    Scale: one histogram groupBy, one per-cents-value window, one
+    10-row rollup. No global sort, no single-partition window."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+        F.expr("IF(o_orderstatus = 'F', 1, 0)").alias("y"),
+    )
+    hist = o.groupBy("cents").agg(F.count("*").alias("cnt"))
+    w_above = Window.orderBy(F.desc("cents")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    base = hist.select(
+        "cents",
+        F.coalesce(F.sum("cnt").over(w_above), F.lit(0)).alias("n_above"),
+    )
+    w_in = Window.partitionBy("cents").orderBy("o_orderkey")
+    ranked = (
+        o.join(base, "cents")
+        .select(
+            "y",
+            (F.col("n_above") + F.row_number().over(w_in)).alias("rk"),
+        )
+    )
+    wall = Window.partitionBy()
+    deciles = (
+        ranked.crossJoin(
+            F.broadcast(ranked.agg(F.count("*").alias("n_tot")))
+        )
+        .select("y", F.expr("(10 * (rk - 1)) div n_tot").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+    )
+    w_cumd = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = deciles.select(
+        "decile",
+        "n",
+        "pos",
+        F.sum("n").over(w_cumd).alias("cum_n"),
+        F.sum("pos").over(w_cumd).alias("cum_pos"),
+        F.sum("n").over(wall).alias("n_tot"),
+        F.sum("pos").over(wall).alias("pos_tot"),
+    )
+    return cum.select(
+        "decile",
+        "n",
+        "pos",
+        F.expr("(1000000 * cum_pos) div pos_tot").alias("gain_ppm"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * cum_pos * n_tot)"
+            " div (CAST(cum_n AS DECIMAL(19,0)) * pos_tot) AS BIGINT)"
+        ).alias("lift_ppm"),
+    ).orderBy("decile")
+
+
+ML_GAIN_LIFT_SQL = """
+WITH src AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), hist AS (
+  SELECT cents, COUNT(*) AS cnt FROM src GROUP BY 1
+), base AS (
+  SELECT cents,
+         COALESCE(SUM(cnt) OVER (ORDER BY cents DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_above
+  FROM hist
+), ranked AS (
+  SELECT s.y,
+         b.n_above
+         + ROW_NUMBER() OVER (PARTITION BY s.cents ORDER BY s.o_orderkey)
+           AS rk
+  FROM src s JOIN base b ON s.cents = b.cents
+), deciles AS (
+  SELECT (10 * (rk - 1)) // (SELECT COUNT(*) FROM src) AS decile,
+         COUNT(*) AS n, SUM(y) AS pos
+  FROM ranked GROUP BY 1
+), cum AS (
+  SELECT decile, n, pos,
+         SUM(n) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         SUM(pos) OVER (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+         SUM(n) OVER () AS n_tot, SUM(pos) OVER () AS pos_tot
+  FROM deciles
+)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n,
+       CAST(pos AS BIGINT) AS pos,
+       CAST((1000000 * cum_pos) // pos_tot AS BIGINT) AS gain_ppm,
+       CAST((CAST(1000000 AS HUGEINT) * cum_pos * n_tot)
+            // (CAST(cum_n AS HUGEINT) * pos_tot) AS BIGINT) AS lift_ppm
+FROM cum ORDER BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# ml_ks_separation — Kolmogorov-Smirnov score separation, exact ppm
+# ---------------------------------------------------------------------------
+
+
+def ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS separation of a scorer — max |TPR − FPR| over thresholds, the
+    credit-scoring discrimination staple (and the ROC-space distance of
+    the best single threshold). Uses the same 25k score bands as
+    ml_roc_auc; the KS numerator |cum_tp·neg − cum_fp·pos| stays an
+    exact BIGINT per band, the argmax band resolves with a smallest-
+    band tiebreak, and ONE division lands ks (double) + ks_ppm (exact).
+
+    Scale: one map-side-combinable groupBy to ~20 band cells; the
+    sweep runs on the cells."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    g = (
+        o.select(
+            F.expr(
+                f"CAST(FLOOR(o_totalprice / CAST({_ROC_BUCKET_W} AS DOUBLE))"
+                " AS BIGINT)"
+            ).alias("band"),
+            F.expr("IF(o_orderstatus = 'F', 1, 0)").alias("y"),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("tp"))
+    )
+    w_cum = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = g.select(
+        "band",
+        F.sum("tp").over(w_cum).alias("cum_tp"),
+        (F.sum("n").over(w_cum) - F.sum("tp").over(w_cum)).alias("cum_fp"),
+        F.sum("tp").over(wall).alias("pos"),
+        (F.sum("n").over(wall) - F.sum("tp").over(wall)).alias("neg"),
+    ).withColumn(
+        "ks_num", F.expr("ABS(cum_tp * neg - cum_fp * pos)")
+    )
+    return (
+        cum.orderBy(F.desc("ks_num"), "band")
+        .limit(1)
+        .select(
+            F.col("band").alias("ks_band"),
+            "cum_tp",
+            "cum_fp",
+            "pos",
+            "neg",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * ks_num)"
+                " div (CAST(pos AS DECIMAL(19,0)) * neg) AS BIGINT)"
+            ).alias("ks_ppm"),
+        )
+    )
+
+
+ML_KS_SEP_SQL = f"""
+WITH g AS (
+  SELECT CAST(FLOOR(o_totalprice / CAST({_ROC_BUCKET_W} AS DOUBLE)) AS BIGINT)
+           AS band,
+         COUNT(*) AS n,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS tp
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT band,
+         SUM(tp) OVER (ORDER BY band DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+         SUM(n) OVER (ORDER BY band DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - SUM(tp) OVER (ORDER BY band DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_fp,
+         SUM(tp) OVER () AS pos,
+         SUM(n) OVER () - SUM(tp) OVER () AS neg
+  FROM g
+), k AS (
+  SELECT *, ABS(cum_tp * neg - cum_fp * pos) AS ks_num FROM cum
+)
+SELECT CAST(band AS BIGINT) AS ks_band,
+       CAST(cum_tp AS BIGINT) AS cum_tp, CAST(cum_fp AS BIGINT) AS cum_fp,
+       CAST(pos AS BIGINT) AS pos, CAST(neg AS BIGINT) AS neg,
+       CAST((CAST(1000000 AS HUGEINT) * ks_num)
+            // (CAST(pos AS HUGEINT) * neg) AS BIGINT) AS ks_ppm
+FROM k ORDER BY ks_num DESC, band LIMIT 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # ml_brier_score — probability-forecast calibration error, exact ppm
 # ---------------------------------------------------------------------------
 
@@ -2244,6 +2453,8 @@ QUERIES = {
     "ml_isotonic_calibration": (ml_isotonic_calibration, ML_ISOTONIC_SQL),
     "ml_roc_auc": (ml_roc_auc, ML_ROC_SQL),
     "ml_pr_auc": (ml_pr_auc, ML_PR_AUC_SQL),
+    "ml_gain_lift_deciles": (ml_gain_lift_deciles, ML_GAIN_LIFT_SQL),
+    "ml_ks_separation": (ml_ks_separation, ML_KS_SEP_SQL),
     "ml_brier_score": (ml_brier_score, ML_BRIER_SQL),
     "ml_cv_kfold": (ml_cv_kfold, ML_CV_SQL),
     "ml_target_encode": (ml_target_encode, ML_TARGET_ENC_SQL),

@@ -1844,6 +1844,76 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# llm_shard_assign — deterministic training-shard assignment + balance audit
+# ---------------------------------------------------------------------------
+
+_SHARDS = 16
+_SHARD_H = (
+    "CAST(conv(substring(md5(concat('shard|', CAST(doc_id AS STRING))), 1, 15),"
+    " 16, 10) AS BIGINT)"
+)
+_SHARD_H_DUCK = (
+    "('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+)
+
+
+def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic doc→training-shard assignment + balance audit —
+    the step that turns a curated corpus into N reproducible shards: a
+    content-independent portable hash of doc_id (the engine-agnostic
+    md5 idiom every split in this repo uses) mod 16 places each
+    document; the census reports per-shard doc and character mass,
+    each shard's ppm share, and the deviation from the ideal 1/16 —
+    re-running on any engine or partitioning reproduces the exact same
+    shards, which is what makes a training run restartable and
+    ablation-comparable.
+
+    Scale: one projection + one 16-group map-side-combinable groupBy;
+    windows run on the 16-row census."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    assigned = d.select(
+        F.expr(f"{_SHARD_H} % {_SHARDS}").alias("shard"),
+        "n_chars",
+    )
+    census = assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    wall = Window.partitionBy()
+    return (
+        census.select(
+            "shard",
+            "n_docs",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.expr(
+                "(1000000 * n_docs) div sum(n_docs) over ()"
+            ).alias("share_ppm"),
+            F.expr(
+                f"(1000000 * n_docs) div sum(n_docs) over () - 1000000 div {_SHARDS}"
+            ).alias("dev_ppm"),
+        )
+        .orderBy("shard")
+    )
+
+
+LLM_SHARD_SQL = f"""
+WITH assigned AS (
+  SELECT {_SHARD_H_DUCK} % {_SHARDS} AS shard, n_chars FROM documents
+), census AS (
+  SELECT shard, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+  FROM assigned GROUP BY 1
+)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST((1000000 * n_docs) // SUM(n_docs) OVER () AS BIGINT) AS share_ppm,
+       CAST((1000000 * n_docs) // SUM(n_docs) OVER ()
+            - 1000000 // {_SHARDS} AS BIGINT) AS dev_ppm
+FROM census ORDER BY shard
+"""
+
+
+# ---------------------------------------------------------------------------
 # txt_word_lift — co-occurrence lift (log-free PMI) over the corpus
 # ---------------------------------------------------------------------------
 
@@ -1944,6 +2014,7 @@ LIMIT {_LIFT_TOPK}
 
 QUERIES = {
     "txt_word_lift": (txt_word_lift, TXT_LIFT_SQL),
+    "llm_shard_assign": (llm_shard_assign, LLM_SHARD_SQL),
     "txt_readability": (txt_readability, TXT_READ_SQL),
     "llm_mix_diversity": (llm_mix_diversity, LLM_MIX_DIV_SQL),
     "llm_cdc_chunk_dedup": (llm_cdc_chunk_dedup, LLM_CDC_SQL),

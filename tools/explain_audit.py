@@ -581,6 +581,44 @@ AUDITS.update({
     "s14_orc_roundtrip": [
         ("rollup is an executor checkpoint", r"Scan ExistingRDD"),
     ],
+    "w14_dist_functions": [
+        ("distribution windows run on the day-grain rollup", r"Window"),
+        ("rollup partial-aggregates before the shuffle", r"partial_count"),
+        ("single-division distribution values, no Python", NO_PYTHON),
+    ],
+    "evt_stickiness_dau_mau": [
+        ("28-day vote fanout stays native (constant-folded Generate)", r"(?s)Generate\b.*explode\("),
+        ("distinct collapse partially aggregated", r"partial_count|HashAggregate"),
+        ("ppm ratio native, no Python", NO_PYTHON),
+    ],
+    "evt_interarrival_stats": [
+        ("lag window partitions BY USER, never globally", r"hashpartitioning\(user_id"),
+        ("gap histogram partial-aggregates", r"partial_count"),
+        ("value-domain quantiles native, no Python", NO_PYTHON),
+    ],
+    "ml_gain_lift_deciles": [
+        (
+            "scan pruned to the three scoring columns",
+            r"ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"
+            r"|ReadSchema: struct<o_orderkey:bigint,o_totalprice:double,o_orderstatus:string>",
+        ),
+        ("within-ties rank partitions by the VALUE, not globally", r"hashpartitioning\(cents"),
+        ("histogram partial-aggregates", r"partial_count"),
+        ("integer gain/lift ppm native, no Python", NO_PYTHON),
+    ],
+    "ml_ks_separation": [
+        ("band cells partial-aggregate (mergeable)", r"partial_count|partial_sum"),
+        ("argmax is a bounded TakeOrdered over the cells", r"TakeOrderedAndProject"),
+        ("exact integer KS numerator, no Python", NO_PYTHON),
+    ],
+    "llm_shard_assign": [
+        (
+            "scan pruned to (doc_id, n_chars)",
+            r"ReadSchema: struct<doc_id:bigint,n_chars:(int|bigint)>",
+        ),
+        ("16-shard census partial-aggregates", r"partial_count|partial_sum"),
+        ("portable-hash assignment native, no Python", NO_PYTHON),
+    ],
     "graph_jaccard_linkpred": [
         ("degree tables broadcast onto the pair table", r"BroadcastHashJoin"),
         ("existing edges drop via anti-join", r"LeftAnti"),
