@@ -1088,7 +1088,63 @@ FROM binned GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def f15_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — transform / filter / aggregate
+    (fold) / reverse+zip_with — the Catalyst lambda surface that keeps
+    array work JVM-side where a row-at-a-time UDF would be the slow
+    path. Per order (keys < 200 for a bounded fixture), the sorted
+    line-quantity array folds to: item count, Σx² (via ``aggregate``),
+    count over 25 (via ``filter``), doubled sum (via ``transform``),
+    and the dot product with its own reversal (via ``zip_with``) — all
+    exact BIGINTs, mirrored by DuckDB's list lambdas.
+
+    Scale: one groupBy builds the arrays (orders are line-bounded, so
+    arrays are small by construction); every lambda is whole-stage
+    codegen, zero Python."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 200
+    )
+    arrs = (
+        l.select("l_orderkey", F.col("l_quantity").cast("long").alias("q"))
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("q")).alias("qs"))
+    )
+    return arrs.select(
+        "l_orderkey",
+        F.expr("size(qs)").cast("long").alias("n_items"),
+        F.expr("aggregate(qs, 0L, (acc, x) -> acc + x * x)").alias("sum_sq"),
+        F.expr("CAST(size(filter(qs, x -> x > 25)) AS BIGINT)").alias(
+            "n_over_25"
+        ),
+        F.expr("aggregate(transform(qs, x -> 2 * x), 0L, (acc, x) -> acc + x)")
+        .alias("doubled_sum"),
+        F.expr(
+            "aggregate(zip_with(qs, reverse(qs), (x, y) -> x * y),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("dot_reversed"),
+    ).orderBy("l_orderkey")
+
+
+F15_HOF_SQL = """
+WITH arrs AS (
+  SELECT l_orderkey, list(CAST(l_quantity AS BIGINT) ORDER BY l_quantity) AS qs
+  FROM lineitem WHERE l_orderkey < 200 GROUP BY 1
+)
+SELECT l_orderkey,
+       CAST(len(qs) AS BIGINT) AS n_items,
+       CAST(list_sum(list_transform(qs, x -> x * x)) AS BIGINT) AS sum_sq,
+       CAST(len(list_filter(qs, x -> x > 25)) AS BIGINT) AS n_over_25,
+       CAST(list_sum(list_transform(qs, x -> 2 * x)) AS BIGINT)
+         AS doubled_sum,
+       CAST(list_sum(list_transform(range(1, len(qs) + 1),
+            i -> qs[i] * qs[len(qs) - i + 1])) AS BIGINT) AS dot_reversed
+FROM arrs
+ORDER BY l_orderkey
+"""
+
+
 QUERIES = {
+    "f15_higher_order_funcs": (f15_higher_order_funcs, F15_HOF_SQL),
     "tpch_q7": (tpch_q7, TPCH_Q7_SQL),
     "tpch_q10": (tpch_q10, TPCH_Q10_SQL),
     "tpch_q14": (tpch_q14, TPCH_Q14_SQL),

@@ -161,6 +161,175 @@ WHERE CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END >= 0.2
 """
 
 
+# --- minhash estimator-error audit ----------------------------------------
+
+
+def dedup_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR-ERROR audit — the measurement that tells you
+    whether num_perm is big enough before you dedup 100 TB with it: for
+    every LSH candidate pair, the signature-agreement estimate
+    (matches/8) sits next to the EXACT shingle Jaccard, grouped by
+    match count into an error profile (n_pairs, mean exact ppm, mean
+    absolute error ppm — all exact integer arithmetic). A estimator
+    drifting from its ±1/√k envelope here means biased signatures
+    (hash collisions, skewed shingles) — caught on a sample, not after
+    a corpus-wide mis-dedup.
+
+    Scale shape: same banded candidate generation as
+    dedup_minhash_pairs (singleton buckets dropped before the join;
+    the salting/cap guards live in minhash_dup_pairs for adversarial
+    corpora); signatures and shingles move only for candidate pairs."""
+    from pyspark.sql import Window
+
+    from ..dedup.minhash import minhash_signature
+
+    d = load_table(spark, sf_dir, "documents")
+    rows_per_band = _NUM_PERM // 4
+    sigs = minhash_signature(d, num_perm=_NUM_PERM, shingle_n=3).persist()
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[i].cast("string")
+                                    for i in range(
+                                        b * rows_per_band, (b + 1) * rows_per_band
+                                    )
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    w_bucket = Window.partitionBy("band_id", "band_hash")
+    joinable = (
+        banded.withColumn("_df", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("_df") >= 2)
+    )
+    a = joinable.alias("a")
+    b = joinable.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    s = sigs.select("doc_id", "sig", "shingles")
+    pairs = cand.join(
+        s.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("sig").alias("sig_a"),
+            F.col("shingles").alias("sh_a"),
+        ),
+        "id_a",
+    ).join(
+        s.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("sig").alias("sig_b"),
+            F.col("shingles").alias("sh_b"),
+        ),
+        "id_b",
+    )
+    scored = pairs.select(
+        F.expr(
+            "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1L, 0L)),"
+            " 0L, (acc, v) -> acc + v)"
+        ).alias("matches"),
+        F.expr(
+            "IF(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)) > 0,"
+            " (1000000L * size(array_intersect(sh_a, sh_b)))"
+            " div (size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))),"
+            " 0L)"
+        ).alias("exact_ppm"),
+    ).withColumn(
+        "est_ppm", F.expr(f"(1000000 * matches) div {_NUM_PERM}")
+    )
+    return (
+        scored.groupBy("matches", "est_ppm")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.expr("sum(exact_ppm) div count(1)").alias("mean_exact_ppm"),
+            F.expr("sum(ABS(est_ppm - exact_ppm)) div count(1)").alias(
+                "mean_abs_err_ppm"
+            ),
+        )
+        .orderBy("matches")
+    )
+
+
+def _duck_minhash_audit_sql() -> str:
+    rows_per_band = _NUM_PERM // 4
+    sig_items = ", ".join(_duck_minhash_item(i) for i in range(_NUM_PERM))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5(concat_ws(',', {parts})) AS band_hash FROM sig".format(
+            b=b,
+            parts=", ".join(
+                f"CAST(sig[{b * rows_per_band + i + 1}] AS VARCHAR)"
+                for i in range(rows_per_band)
+            ),
+        )
+        for b in range(4)
+    )
+    idx = ", ".join(str(i + 1) for i in range(_NUM_PERM))
+    return f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM base),
+hs AS ({_duck_hashed_cte()}),
+sig AS (SELECT doc_id, shingles, [{sig_items}] AS sig FROM hs),
+banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT
+    CAST(list_sum(list_transform([{idx}],
+         i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS BIGINT)
+      AS matches,
+    CAST(CASE WHEN len(sa.shingles) + len(sb.shingles)
+                   - len(list_intersect(sa.shingles, sb.shingles)) > 0
+         THEN (1000000 * len(list_intersect(sa.shingles, sb.shingles)))
+              // (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles)))
+         ELSE 0 END AS BIGINT) AS exact_ppm
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+)
+SELECT matches,
+       CAST((1000000 * matches) // {_NUM_PERM} AS BIGINT) AS est_ppm,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(exact_ppm) // COUNT(*) AS BIGINT) AS mean_exact_ppm,
+       CAST(SUM(ABS((1000000 * matches) // {_NUM_PERM} - exact_ppm))
+            // COUNT(*) AS BIGINT) AS mean_abs_err_ppm
+FROM scored
+GROUP BY matches
+ORDER BY matches
+"""
+
+
+DEDUP_MINHASH_AUDIT_SQL = _duck_minhash_audit_sql()
+
+
 # --- simhash (bit-exact oracle) ------------------------------------------
 
 def dedup_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -902,6 +1071,7 @@ FROM n1t, n2t, mt
 
 
 QUERIES = {
+    "dedup_minhash_error_audit": (dedup_minhash_error_audit, DEDUP_MINHASH_AUDIT_SQL),
     "llm_source_dedup_priority": (llm_source_dedup_priority, LLM_SRC_DEDUP_SQL),
     "dedup_capture_recapture": (dedup_capture_recapture, _crc_sql()),
     "dedup_symspell_join": (dedup_symspell_join, DEDUP_SYMSPELL_SQL),

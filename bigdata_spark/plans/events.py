@@ -2088,6 +2088,90 @@ FROM q GROUP BY event_type ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# evt_stream_out_of_order — shuffled file arrival, identical aggregate
+# ---------------------------------------------------------------------------
+
+
+def evt_stream_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-ORDER arrival robustness: the four chronological quarter
+    files are fed to the stream as q0, q2, q1, q3 — the third
+    micro-batch delivers a week of data entirely BELOW the watermark
+    the q2 batch advanced to — and the append-mode tumbling aggregate
+    must still equal the in-order run bit-for-bit.
+
+    Why that holds (measured on this Spark, pinned by the oracle):
+    arriving rows whose windows were never finalized simply (re)enter
+    state and merge before emission — `numRowsDroppedByWatermark` stays
+    0 — and this arrival pattern can never touch an already-emitted
+    window, because every window carrying q1 data ends after
+    max(q0)−30min, the highest watermark that ran before q1 landed. So
+    the emitted set is exactly the in-order multibatch result: all
+    windows closed by the FINAL watermark (global max ts − 30 min),
+    which is the oracle. A pattern that re-opened an emitted window
+    WOULD duplicate it — that hazard is the reason production
+    pipelines bound disorder to the watermark delay; this entry pins
+    the safe side of the line.
+
+    Scale: identical plan to evt_stream_multibatch — watermarked
+    tumbling aggregation, state bounded by the watermark."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    e = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_ooo_")
+    try:
+        groups = _stage_quarter_files(spark, e, scratch, n_parts=4)
+        indir = os.path.join(scratch, "in")
+        os.makedirs(indir, exist_ok=True)
+        for arrival, qtr in enumerate([0, 2, 1, 3]):
+            for j, src in enumerate(groups[qtr]):
+                shutil.copy(src, os.path.join(indir, f"{arrival:02d}_{j}.parquet"))
+        with _stream_state_partitions(spark):
+            stream = (
+                spark.readStream.schema(e.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(indir)
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+            )
+            windowed = (
+                stream.withWatermark("ts", "30 minutes")
+                .groupBy(F.window("ts", "1 hour"), "event_type")
+                .agg(F.count("*").alias("n"))
+            )
+            qname = "evt_ooo_" + uuid.uuid4().hex[:8]
+            q = (
+                windowed.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "evt_stream_out_of_order: stream did not finish in 300s"
+                )
+        out = spark.table(qname).select(
+            F.col("window.start").alias("window_start"), "event_type", "n"
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+EVT_OOO_SQL = """
+WITH cutoff AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS wm FROM events)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       COUNT(*) AS n
+FROM events, cutoff
+GROUP BY 1, 2, cutoff.wm
+HAVING window_start + INTERVAL 1 HOUR <= cutoff.wm
+"""
+
+
+# ---------------------------------------------------------------------------
 # w14_dist_functions — percent_rank / cume_dist / nth_value coverage
 # ---------------------------------------------------------------------------
 
@@ -3244,6 +3328,7 @@ QUERIES = {
     "evt_stream_ckpt_recovery": (evt_stream_ckpt_recovery, EVT_CKPT_SQL),
     "evt_holt_linear": (evt_holt_linear, EVT_HOLT_SQL),
     "w14_dist_functions": (w14_dist_functions, W14_DIST_SQL),
+    "evt_stream_out_of_order": (evt_stream_out_of_order, EVT_OOO_SQL),
     "evt_stickiness_dau_mau": (evt_stickiness_dau_mau, EVT_STICKINESS_SQL),
     "evt_interarrival_stats": (evt_interarrival_stats, EVT_INTERARRIVAL_SQL),
     "evt_stream_outer_join": (evt_stream_outer_join, EVT_STREAM_OUTER_JOIN_SQL),

@@ -581,6 +581,16 @@ AUDITS.update({
     "s14_orc_roundtrip": [
         ("rollup is an executor checkpoint", r"Scan ExistingRDD"),
     ],
+    "f15_higher_order_funcs": [
+        ("orderkey filter pushed to the scan", r"PushedFilters: \[.*LessThan\(l_orderkey,200"),
+        ("array build partial-aggregates (collect_list partial)", r"objectagg|partial_"),
+        ("every lambda stays JVM-side, no Python", NO_PYTHON),
+    ],
+    "dedup_minhash_error_audit": [
+        ("singleton buckets pruned via the census window", r"Window"),
+        ("candidate join is an equi-join, never a cross join", r"^(?![\s\S]*CartesianProduct)"),
+        ("signature/shingle kernels native, no Python", NO_PYTHON),
+    ],
     "w14_dist_functions": [
         ("distribution windows run on the day-grain rollup", r"Window"),
         ("rollup partial-aggregates before the shuffle", r"partial_count"),
