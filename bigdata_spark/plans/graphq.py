@@ -1465,6 +1465,88 @@ LIMIT {_RA_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# graph_local_clustering — per-node clustering coefficient, exact ppm
+# ---------------------------------------------------------------------------
+
+
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL clustering coefficient per node — 2·t(v)/(deg(v)·(deg(v)−1))
+    in exact ppm — the node-level companion to graph_triangles' single
+    global number: which products sit in tight cliques vs hub-and-spoke
+    stars. t(v) counts closed wedges centered at v: the neighbor-pair
+    wedge join (a < b) probes the oriented edge set with one equi-join
+    — triangles enumerate once per center, never via all-pairs.
+
+    Scale: wedge fan-out is Σ deg(v)², the standard triangle-counting
+    bound; the closing probe is an equi-join on the oriented pair key.
+    Output is node-sized, keyed by part, deterministic."""
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    x = sym.alias("x")
+    y = sym.alias("y")
+    wedges = (
+        x.join(y, F.col("x.src") == F.col("y.src"))
+        .filter(F.col("x.dst") < F.col("y.dst"))
+        .select(
+            F.col("x.src").alias("v"),
+            F.col("x.dst").alias("a"),
+            F.col("y.dst").alias("b"),
+        )
+    )
+    closed = (
+        wedges.join(
+            e.select(F.col("pa").alias("a"), F.col("pb").alias("b")),
+            ["a", "b"],
+        )
+        .groupBy("v")
+        .agg(F.count("*").alias("t"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(closed, deg.src == closed.v, "left_outer")
+        .select(
+            F.col("src").alias("node"),
+            "deg",
+            F.coalesce("t", F.lit(0)).cast("long").alias("triangles"),
+            F.expr(
+                "(2000000 * COALESCE(t, 0L)) div (deg * (deg - 1))"
+            ).alias("local_cc_ppm"),
+        )
+        .orderBy("node")
+    )
+
+
+GRAPH_LOCAL_CC_SQL = f"""
+WITH {_COPURCHASE_CTE},
+sym AS (
+  SELECT pa AS src, pb AS dst FROM edges
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM edges
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY 1),
+wedges AS (
+  SELECT x.src AS v, x.dst AS a, y.dst AS b
+  FROM sym x JOIN sym y ON x.src = y.src AND x.dst < y.dst
+),
+closed AS (
+  SELECT w.v, COUNT(*) AS t
+  FROM wedges w JOIN edges e ON e.pa = w.a AND e.pb = w.b
+  GROUP BY 1
+)
+SELECT d.src AS node, CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(c.t, 0) AS BIGINT) AS triangles,
+       CAST((2000000 * COALESCE(c.t, 0)) // (d.deg * (d.deg - 1)) AS BIGINT)
+         AS local_cc_ppm
+FROM deg d LEFT JOIN closed c ON d.src = c.v
+WHERE d.deg >= 2
+ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
 # graph_jaccard_linkpred — neighborhood-Jaccard link prediction
 # ---------------------------------------------------------------------------
 
@@ -1562,6 +1644,7 @@ LIMIT {_JC_TOPK}
 QUERIES = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "graph_jaccard_linkpred": (graph_jaccard_linkpred, GRAPH_JACCARD_SQL),
+    "graph_local_clustering": (graph_local_clustering, GRAPH_LOCAL_CC_SQL),
     "graph_sssp_weighted": (graph_sssp_weighted, GRAPH_SSSP_SQL),
     "graph_hits": (graph_hits, GRAPH_HITS_SQL),
     "graph_resource_allocation": (graph_resource_allocation, GRAPH_RA_SQL),

@@ -465,7 +465,56 @@ MM_AUDIO_SILENCE_SQL = values_oracle(
 )
 
 
+def mm_image_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY image probe — width/height parsed from the raw
+    payload bytes with NATIVE expressions (PNG IHDR big-endian words
+    via substring+hex+conv; PPM ASCII header via decode+regexp): the
+    100 TB triage pass that inventories a multimodal corpus WITHOUT
+    decoding a single pixel or leaving whole-stage codegen. The oracle
+    recomputes the expected dimensions from the synthetic generator's
+    closed-form (w = 64+(i%4)·32, h = 64 for image rows), so a parse
+    that reads the wrong offsets value-mismatches.
+
+    Scale: a projection over the binary column — no shuffle, no
+    Python, payload bytes never leave the scan stage."""
+    m = synthetic_media_df(spark, n=64).filter(
+        F.col("meta.format").isin("png", "ppm")
+    )
+    ppm_dim = (
+        "CAST(regexp_extract(decode(substring(payload, 1, 20), 'UTF-8'),"
+        " '^P6\\\\n(\\\\d+) (\\\\d+)', {g}) AS BIGINT)"
+    )
+    return m.select(
+        "media_id",
+        F.col("meta.format").alias("fmt"),
+        F.when(
+            F.col("meta.format") == "png",
+            F.expr("CAST(conv(hex(substring(payload, 17, 4)), 16, 10) AS BIGINT)"),
+        ).otherwise(F.expr(ppm_dim.format(g=1))).alias("width"),
+        F.when(
+            F.col("meta.format") == "png",
+            F.expr("CAST(conv(hex(substring(payload, 21, 4)), 16, 10) AS BIGINT)"),
+        ).otherwise(F.expr(ppm_dim.format(g=2))).alias("height"),
+    ).orderBy("media_id")
+
+
+MM_HEADER_PROBE_SQL = """
+WITH ids AS (SELECT i AS media_id FROM range(64) t(i) WHERE i % 3 = 0),
+fm AS (
+  SELECT media_id,
+         CASE WHEN (media_id // 3) % 3 = 0 THEN 'ppm'
+              WHEN (media_id // 3) % 3 = 1 THEN 'png' END AS fmt
+  FROM ids
+)
+SELECT CAST(media_id AS BIGINT) AS media_id, fmt,
+       CAST(64 + (media_id % 4) * 32 AS BIGINT) AS width,
+       CAST(64 AS BIGINT) AS height
+FROM fm WHERE fmt IS NOT NULL ORDER BY media_id
+"""
+
+
 QUERIES = {
+    "mm_image_header_probe": (mm_image_header_probe, MM_HEADER_PROBE_SQL),
     "mm_decode_invariants": (mm_decode_invariants, MM_DECODE_SQL),
     "mm_audio_silence": (mm_audio_silence, MM_AUDIO_SILENCE_SQL),
     "mm_scene_cut": (mm_scene_cut, MM_SCENE_CUT_SQL),

@@ -1844,6 +1844,69 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# llm_ngram_novelty — per-document novel-shingle fraction (curriculum signal)
+# ---------------------------------------------------------------------------
+
+
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram NOVELTY score per document — the fraction of a document's
+    distinct 3-gram shingles never seen in any earlier document (by
+    doc_id order): the dedup-aware curriculum/curation signal that says
+    "this document adds new text" vs "this is remix". One inverted
+    index (shingle → min doc_id) answers it for every document at once;
+    novelty is exact ppm integers.
+
+    Scale: explode to (doc, shingle) distinct, one min-aggregation per
+    shingle (map-side combinable), one join back on the shingle key —
+    the same inverted-index shape as the substring dedup; no pairwise
+    anything."""
+    from ..functions.hashing import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "doc_id", F.explode(shingles(F.col("text"), n=3)).alias("s")
+        )
+        .distinct()
+    )
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.expr("IF(first_doc = doc_id, 1, 0)")).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        F.col("n_novel").cast("long").alias("n_novel"),
+        F.expr("(1000000 * n_novel) div n_shingles").alias("novelty_ppm"),
+    ).orderBy("doc_id")
+
+
+from .dedupq import _DUCK_SHINGLES as _DD_SHINGLES
+
+LLM_NOVELTY_SQL = f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+shx AS (SELECT doc_id, {_DD_SHINGLES} AS shingles FROM base),
+sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM shx),
+first AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+per_doc AS (
+  SELECT sh.doc_id, COUNT(*) AS n_shingles,
+         SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM sh JOIN first f ON sh.s = f.s
+  GROUP BY 1
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       CAST((1000000 * n_novel) // n_shingles AS BIGINT) AS novelty_ppm
+FROM per_doc ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # llm_shard_assign — deterministic training-shard assignment + balance audit
 # ---------------------------------------------------------------------------
 
@@ -2015,6 +2078,7 @@ LIMIT {_LIFT_TOPK}
 QUERIES = {
     "txt_word_lift": (txt_word_lift, TXT_LIFT_SQL),
     "llm_shard_assign": (llm_shard_assign, LLM_SHARD_SQL),
+    "llm_ngram_novelty": (llm_ngram_novelty, LLM_NOVELTY_SQL),
     "txt_readability": (txt_readability, TXT_READ_SQL),
     "llm_mix_diversity": (llm_mix_diversity, LLM_MIX_DIV_SQL),
     "llm_cdc_chunk_dedup": (llm_cdc_chunk_dedup, LLM_CDC_SQL),

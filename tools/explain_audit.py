@@ -581,6 +581,20 @@ AUDITS.update({
     "s14_orc_roundtrip": [
         ("rollup is an executor checkpoint", r"Scan ExistingRDD"),
     ],
+    "llm_ngram_novelty": [
+        ("first-seen index is a map-side-combinable min", r"partial_min"),
+        ("join back on the shingle key (no pairwise join)", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("shingling native, no Python", NO_PYTHON),
+    ],
+    "graph_local_clustering": [
+        ("wedge closure is an equi-join, never a cross join", r"^(?![\s\S]*CartesianProduct)"),
+        ("per-node triangle counts partial-aggregate", r"partial_count"),
+        ("integer ppm coefficients native, no Python", NO_PYTHON),
+    ],
+    "mm_image_header_probe": [
+        ("no shuffle anywhere (pure projection over the payload)", r"^(?![\s\S]*Exchange[\s\S]*hashpartitioning)"),
+        ("header parse native, no Python", NO_PYTHON),
+    ],
     "f15_higher_order_funcs": [
         ("orderkey filter pushed to the scan", r"PushedFilters: \[.*LessThan\(l_orderkey,200"),
         ("array build partial-aggregates (collect_list partial)", r"objectagg|partial_"),
