@@ -2088,6 +2088,124 @@ FROM q GROUP BY event_type ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# evt_bot_detection — rate + regularity heuristics over user activity
+# ---------------------------------------------------------------------------
+
+_BOT_BURST = 2  # events within one minute bucket
+_BOT_REG_PPM = 30_000  # modal-gap share threshold (3%)
+
+
+def evt_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/abuse heuristics — the traffic-quality filter every
+    event pipeline runs before analytics or training-data export. Two
+    exact integer signals per user: BURST (max events in any single
+    minute bucket) and REGULARITY (the modal inter-event gap's ppm
+    share — scripted clients repeat the same delay; humans don't).
+    A user flags when burst ≥ 2 or modal share ≥ 3% with enough
+    events (thresholds sized to the sparse synthetic traffic — real
+    deployments tune them; the PLAN is the point). Output: every flagged user with both signals, deterministic
+    (modal-gap ties break on the smaller gap).
+
+    Scale: minute rollup and gap histogram are both map-side
+    combinable; windows partition BY USER; output is flagged-user-
+    sized."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    per_min = (
+        e.select("user_id", F.date_trunc("minute", "ts").alias("m"))
+        .groupBy("user_id", "m")
+        .agg(F.count("*").alias("k"))
+        .groupBy("user_id")
+        .agg(F.max("k").alias("max_per_minute"))
+    )
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select(
+            "user_id",
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w_u))
+            ).alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    ghist = gaps.groupBy("user_id", "gap_s").agg(F.count("*").alias("c"))
+    w_top = Window.partitionBy("user_id").orderBy(F.desc("c"), "gap_s")
+    w_tot = Window.partitionBy("user_id")
+    modal = (
+        ghist.select(
+            "user_id",
+            "gap_s",
+            "c",
+            F.row_number().over(w_top).alias("rn"),
+            F.sum("c").over(w_tot).alias("n_gaps"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("gap_s").alias("modal_gap_s"),
+            F.col("c").alias("modal_n"),
+            "n_gaps",
+            F.expr("(1000000 * c) div n_gaps").alias("modal_share_ppm"),
+        )
+    )
+    return (
+        per_min.join(modal, "user_id")
+        .filter(
+            (F.col("max_per_minute") >= _BOT_BURST)
+            | (
+                (F.col("modal_share_ppm") >= _BOT_REG_PPM)
+                & (F.col("n_gaps") >= 20)
+            )
+        )
+        .select(
+            "user_id",
+            F.col("max_per_minute").cast("long").alias("max_per_minute"),
+            "modal_gap_s",
+            F.col("modal_n").cast("long").alias("modal_n"),
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            "modal_share_ppm",
+        )
+        .orderBy("user_id")
+    )
+
+
+EVT_BOT_SQL = f"""
+WITH per_min AS (
+  SELECT user_id, MAX(k) AS max_per_minute FROM (
+    SELECT user_id, date_trunc('minute', ts) AS m, COUNT(*) AS k
+    FROM events GROUP BY 1, 2
+  ) GROUP BY 1
+), gaps AS (
+  SELECT user_id,
+         CAST(date_diff('second',
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+              ts) AS BIGINT) AS gap_s
+  FROM events
+), g AS (SELECT user_id, gap_s FROM gaps WHERE gap_s IS NOT NULL),
+ghist AS (SELECT user_id, gap_s, COUNT(*) AS c FROM g GROUP BY 1, 2),
+modal AS (
+  SELECT user_id, gap_s AS modal_gap_s, c AS modal_n, n_gaps,
+         CAST((1000000 * c) // n_gaps AS BIGINT) AS modal_share_ppm
+  FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY c DESC, gap_s) AS rn,
+           SUM(c) OVER (PARTITION BY user_id) AS n_gaps
+    FROM ghist
+  ) WHERE rn = 1
+)
+SELECT p.user_id,
+       CAST(p.max_per_minute AS BIGINT) AS max_per_minute,
+       m.modal_gap_s, CAST(m.modal_n AS BIGINT) AS modal_n,
+       CAST(m.n_gaps AS BIGINT) AS n_gaps, m.modal_share_ppm
+FROM per_min p JOIN modal m ON p.user_id = m.user_id
+WHERE p.max_per_minute >= {_BOT_BURST}
+   OR (m.modal_share_ppm >= {_BOT_REG_PPM} AND m.n_gaps >= 20)
+ORDER BY p.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_stream_out_of_order — shuffled file arrival, identical aggregate
 # ---------------------------------------------------------------------------
 
@@ -3329,6 +3447,7 @@ QUERIES = {
     "evt_holt_linear": (evt_holt_linear, EVT_HOLT_SQL),
     "w14_dist_functions": (w14_dist_functions, W14_DIST_SQL),
     "evt_stream_out_of_order": (evt_stream_out_of_order, EVT_OOO_SQL),
+    "evt_bot_detection": (evt_bot_detection, EVT_BOT_SQL),
     "evt_stickiness_dau_mau": (evt_stickiness_dau_mau, EVT_STICKINESS_SQL),
     "evt_interarrival_stats": (evt_interarrival_stats, EVT_INTERARRIVAL_SQL),
     "evt_stream_outer_join": (evt_stream_outer_join, EVT_STREAM_OUTER_JOIN_SQL),

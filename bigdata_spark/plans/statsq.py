@@ -2590,6 +2590,185 @@ ORDER BY rs
 
 
 # ---------------------------------------------------------------------------
+# stat_influence_diag — regression influence diagnostics (Cook's D)
+# ---------------------------------------------------------------------------
+
+_INF_SLOPE = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+_INF_INTERCEPT = f"(sy - ({_INF_SLOPE}) * sx) / n"
+_INF_MSE = (
+    f"(syy - ({_INF_INTERCEPT}) * sy - ({_INF_SLOPE}) * sxy) / (n - 2)"
+)
+_INF_H = "(CAST(1 AS DOUBLE) / n + (x - sx / n) * (x - sx / n) / (sxx - sx * sx / n))"
+_INF_RESID = f"(y - (({_INF_INTERCEPT}) + ({_INF_SLOPE}) * x))"
+_INF_COOKS = (
+    f"ROUND(({_INF_RESID}) * ({_INF_RESID}) * ({_INF_H})"
+    f" / (2 * ({_INF_MSE}) * (1 - ({_INF_H})) * (1 - ({_INF_H}))), 9)"
+)
+
+
+def stat_influence_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression INFLUENCE diagnostics — Cook's distance + leverage for
+    the price~quantity fit, top-10 most influential line items (the
+    "which rows move my model" audit that should precede any fit on
+    100 TB). Closed-form for simple regression: leverage hᵢ = 1/n +
+    (x−x̄)²/Sxx and D = r²·h / (2·MSE·(1−h)²) — every input is an exact
+    decimal sufficient statistic broadcast back onto the rows, and the
+    per-row doubles come from the SAME expression text in both engines
+    (rounded to 9 dp; ranking ties break on the row key).
+
+    Scale: one partial-agg pass for the 6 sufficient stats, a one-row
+    broadcast back, a projection, and a bounded TakeOrdered top-10 —
+    no global sort, no second pass."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    xd = _dec2("l_quantity")
+    yd = _dec2("l_extendedprice")
+    stats = l.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+    )
+    rows = l.crossJoin(F.broadcast(stats)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+        "n", "sx", "sy", "sxx", "sxy", "syy",
+    )
+    return (
+        rows.select(
+            "l_orderkey",
+            "l_linenumber",
+            "x",
+            "y",
+            F.expr(f"ROUND({_INF_H}, 9)").alias("leverage"),
+            F.expr(_INF_COOKS).alias("cooks_d"),
+        )
+        .orderBy(F.desc("cooks_d"), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+STAT_INFLUENCE_SQL = f"""
+WITH s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+              * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+              * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem
+), rows_ AS (
+  SELECT l_orderkey, l_linenumber, l_quantity AS x, l_extendedprice AS y,
+         n, sx, sy, sxx, sxy, syy
+  FROM lineitem, s
+)
+SELECT l_orderkey, l_linenumber, x, y,
+       ROUND({_INF_H}, 9) AS leverage,
+       {_INF_COOKS} AS cooks_d
+FROM rows_
+ORDER BY cooks_d DESC, l_orderkey, l_linenumber
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# stat_runs_test — Wald-Wolfowitz runs test on the daily revenue series
+# ---------------------------------------------------------------------------
+
+_RUNS_MU = "(2 * n1 * n2 / (n1 + n2) + 1)"
+_RUNS_SIG2 = (
+    "(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)"
+    " / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)))"
+)
+
+
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz RUNS test for randomness of the daily-revenue
+    up/down sequence — too few runs means trending, too many means
+    oscillation. Day-grain exact-cents totals give a deterministic
+    up/down sign vs the previous day (zero-change days count as down);
+    the run count and the up/down tallies are exact integers, and the
+    z statistic folds them through the shared closed-form (rounded 6).
+
+    Scale: one map-side-combinable day rollup; the lag/run windows run
+    on the day-grain table only."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(o_orderdate AS DATE)").alias("day"),
+        F.expr(
+            "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    daily = o.groupBy("day").agg(F.sum("cents").alias("v"))
+    w = Window.orderBy("day")
+    signed = (
+        daily.select(
+            "day", "v", F.lag("v").over(w).alias("pv")
+        )
+        .filter(F.col("pv").isNotNull())
+        .select("day", F.expr("IF(v > pv, 1, 0)").alias("up"))
+    )
+    runs = signed.select(
+        "up",
+        F.expr(
+            "IF(lag(up) over (order by day) IS NULL"
+            " OR up != lag(up) over (order by day), 1, 0)"
+        ).alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("new_run").alias("r"),
+        F.sum("up").alias("n1"),
+        F.sum(F.expr("1 - up")).alias("n2"),
+    )
+    return agg.select(
+        F.col("r").cast("long").alias("n_runs"),
+        F.col("n1").cast("long").alias("n_up"),
+        F.col("n2").cast("long").alias("n_down"),
+        F.expr(
+            f"ROUND((CAST(r AS DOUBLE) - {_RUNS_MU})"
+            f" / SQRT({_RUNS_SIG2}), 6)"
+        ).alias("z"),
+    )
+
+
+STAT_RUNS_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS v
+  FROM orders GROUP BY 1
+), signed AS (
+  SELECT day, CASE WHEN v > pv THEN 1 ELSE 0 END AS up
+  FROM (SELECT day, v, LAG(v) OVER (ORDER BY day) AS pv FROM daily)
+  WHERE pv IS NOT NULL
+), runs AS (
+  SELECT up,
+         CASE WHEN LAG(up) OVER (ORDER BY day) IS NULL
+                OR up != LAG(up) OVER (ORDER BY day) THEN 1 ELSE 0 END
+           AS new_run
+  FROM signed
+), agg AS (
+  SELECT CAST(SUM(new_run) AS DOUBLE) AS r,
+         CAST(SUM(up) AS DOUBLE) AS n1,
+         CAST(SUM(1 - up) AS DOUBLE) AS n2
+  FROM runs
+)
+SELECT CAST(r AS BIGINT) AS n_runs, CAST(n1 AS BIGINT) AS n_up,
+       CAST(n2 AS BIGINT) AS n_down,
+       ROUND((r - {_RUNS_MU}) / SQRT({_RUNS_SIG2}), 6) AS z
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # stat_cohens_kappa — inter-rater agreement, exact integer numerators
 # ---------------------------------------------------------------------------
 
@@ -2894,6 +3073,8 @@ FROM folded
 
 
 QUERIES = {
+    "stat_influence_diag": (stat_influence_diag, STAT_INFLUENCE_SQL),
+    "stat_runs_test": (stat_runs_test, STAT_RUNS_SQL),
     "stat_cohens_kappa": (stat_cohens_kappa, STAT_KAPPA_SQL),
     "stat_cramers_v": (stat_cramers_v, STAT_CRAMERS_SQL),
     "stat_levene_bf": (stat_levene_bf, STAT_LEVENE_SQL),

@@ -1844,6 +1844,71 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# ml_feature_hashing — hashing-trick vectorizer + collision audit
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 32
+_FH_HASH = (
+    "CAST(conv(substring(md5(concat('fh|', term)), 1, 15), 16, 10) AS BIGINT)"
+)
+_FH_HASH_DUCK = "('0x' || substr(md5('fh|' || term), 1, 15))::BIGINT"
+
+
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature HASHING (the hashing trick) — vocabulary-free
+    vectorization: every corpus term maps to one of 32 buckets via the
+    portable md5 hash, so the feature space is fixed-width with no
+    vocabulary build, no fitting pass, and no driver state — the
+    vectorizer that still works when the vocabulary is 10¹⁰ terms. The
+    output is the bucket census an ML engineer checks before trusting
+    it: token mass, DISTINCT terms per bucket (the collision count),
+    and each bucket's ppm share of tokens.
+
+    Scale: one explode + two map-side-combinable aggregations to 32
+    cells; nothing is ever vocabulary-sized except a distinct count."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    bucketed = toks.select(F.expr(f"{_FH_HASH} % {_FH_BUCKETS}").alias("bucket"), "term")
+    census = bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("term").alias("n_distinct_terms"),
+    )
+    return (
+        census.select(
+            "bucket",
+            "n_tokens",
+            "n_distinct_terms",
+            F.expr("(1000000 * n_tokens) div sum(n_tokens) over ()").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+ML_FEATURE_HASH_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_DUCK_TOKENS}) AS term FROM documents
+), t AS (SELECT term FROM toks WHERE term <> ''),
+bucketed AS (
+  SELECT {_FH_HASH_DUCK} % {_FH_BUCKETS} AS bucket, term FROM t
+), census AS (
+  SELECT bucket, COUNT(*) AS n_tokens,
+         COUNT(DISTINCT term) AS n_distinct_terms
+  FROM bucketed GROUP BY 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct_terms AS BIGINT) AS n_distinct_terms,
+       CAST((1000000 * n_tokens) // SUM(n_tokens) OVER () AS BIGINT)
+         AS share_ppm
+FROM census ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # llm_ngram_novelty — per-document novel-shingle fraction (curriculum signal)
 # ---------------------------------------------------------------------------
 
@@ -2079,6 +2144,7 @@ QUERIES = {
     "txt_word_lift": (txt_word_lift, TXT_LIFT_SQL),
     "llm_shard_assign": (llm_shard_assign, LLM_SHARD_SQL),
     "llm_ngram_novelty": (llm_ngram_novelty, LLM_NOVELTY_SQL),
+    "ml_feature_hashing": (ml_feature_hashing, ML_FEATURE_HASH_SQL),
     "txt_readability": (txt_readability, TXT_READ_SQL),
     "llm_mix_diversity": (llm_mix_diversity, LLM_MIX_DIV_SQL),
     "llm_cdc_chunk_dedup": (llm_cdc_chunk_dedup, LLM_CDC_SQL),

@@ -581,6 +581,25 @@ AUDITS.update({
     "s14_orc_roundtrip": [
         ("rollup is an executor checkpoint", r"Scan ExistingRDD"),
     ],
+    "ml_feature_hashing": [
+        ("32-bucket census partial-aggregates", r"partial_count|HashAggregate"),
+        ("portable hash native, no Python", NO_PYTHON),
+    ],
+    "evt_bot_detection": [
+        ("gap/minute windows partition BY USER", r"hashpartitioning\(user_id"),
+        ("histograms partial-aggregate", r"partial_count|partial_max"),
+        ("integer heuristics native, no Python", NO_PYTHON),
+    ],
+    "stat_influence_diag": [
+        ("sufficient stats broadcast back onto rows", r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("top-10 is a bounded TakeOrdered", r"TakeOrderedAndProject"),
+        ("closed-form diagnostics native, no Python", NO_PYTHON),
+    ],
+    "stat_runs_test": [
+        ("day rollup partial-aggregates", r"partial_sum"),
+        ("runs windows over the day-grain table only", r"Window"),
+        ("integer run counting native, no Python", NO_PYTHON),
+    ],
     "llm_ngram_novelty": [
         ("first-seen index is a map-side-combinable min", r"partial_min"),
         ("join back on the shingle key (no pairwise join)", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
