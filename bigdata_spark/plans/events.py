@@ -2088,6 +2088,76 @@ FROM q GROUP BY event_type ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# evt_snaive_backtest — seasonal-naive forecast + exact error metrics
+# ---------------------------------------------------------------------------
+
+
+def evt_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive BACKTEST — ŷ(t) = y(t − 168h), the
+    same-hour-last-week forecast every real model must beat, evaluated
+    with exact micro-integer errors (MAE and MAPE numerators stay
+    BIGINT; two divisions at the end). The hourly series is the exact
+    purchase-value rollup; only hours with a 168-hour-old counterpart
+    score. This is the baseline+metric half of a forecasting pipeline —
+    the model half is evt_holt_linear's recursion.
+
+    Scale: one hourly rollup (map-side combinable), one self-join on
+    hour−168h (hash on the hour key), one scalar fold."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    hourly = (
+        e.select(
+            F.date_trunc("hour", "ts").alias("h"),
+            F.expr(
+                "CAST(FLOOR(value * CAST(1000000 AS DOUBLE)"
+                " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            ).alias("vm"),
+        )
+        .groupBy("h")
+        .agg(F.sum("vm").alias("vm"))
+    )
+    lagged = hourly.select(
+        F.expr("h + INTERVAL 168 HOURS").alias("h"),
+        F.col("vm").alias("pred"),
+    )
+    scored = hourly.join(lagged, "h").select(
+        "h", "vm", "pred", F.expr("ABS(vm - pred)").alias("ae")
+    )
+    return scored.agg(
+        F.count("*").alias("n_hours"),
+        F.expr("CAST(SUM(ae) div COUNT(1) AS BIGINT)").alias("mae_micros"),
+        F.expr(
+            "CAST(SUM((1000000 * ae) div GREATEST(1L, vm)) div COUNT(1)"
+            " AS BIGINT)"
+        ).alias("mape_ppm"),
+        F.max("ae").alias("max_ae_micros"),
+    )
+
+
+EVT_SNAIVE_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         SUM(CAST(FLOOR(value * CAST(1000000 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS vm
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), lagged AS (
+  SELECT h + INTERVAL 168 HOUR AS h, vm AS pred FROM hourly
+), scored AS (
+  SELECT a.h, CAST(a.vm AS BIGINT) AS vm, CAST(l.pred AS BIGINT) AS pred,
+         CAST(ABS(a.vm - l.pred) AS BIGINT) AS ae
+  FROM hourly a JOIN lagged l ON a.h = l.h
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(ae) // COUNT(*) AS BIGINT) AS mae_micros,
+       CAST(SUM((1000000 * ae) // GREATEST(1, vm)) // COUNT(*) AS BIGINT)
+         AS mape_ppm,
+       MAX(ae) AS max_ae_micros
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_bot_detection — rate + regularity heuristics over user activity
 # ---------------------------------------------------------------------------
 
@@ -3448,6 +3518,7 @@ QUERIES = {
     "w14_dist_functions": (w14_dist_functions, W14_DIST_SQL),
     "evt_stream_out_of_order": (evt_stream_out_of_order, EVT_OOO_SQL),
     "evt_bot_detection": (evt_bot_detection, EVT_BOT_SQL),
+    "evt_snaive_backtest": (evt_snaive_backtest, EVT_SNAIVE_SQL),
     "evt_stickiness_dau_mau": (evt_stickiness_dau_mau, EVT_STICKINESS_SQL),
     "evt_interarrival_stats": (evt_interarrival_stats, EVT_INTERARRIVAL_SQL),
     "evt_stream_outer_join": (evt_stream_outer_join, EVT_STREAM_OUTER_JOIN_SQL),

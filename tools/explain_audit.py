@@ -581,6 +581,11 @@ AUDITS.update({
     "s14_orc_roundtrip": [
         ("rollup is an executor checkpoint", r"Scan ExistingRDD"),
     ],
+    "evt_snaive_backtest": [
+        ("hourly rollup partial-aggregates", r"partial_sum"),
+        ("forecast join is an equi-join on the hour key", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("integer error metrics native, no Python", NO_PYTHON),
+    ],
     "ml_feature_hashing": [
         ("32-bucket census partial-aggregates", r"partial_count|HashAggregate"),
         ("portable hash native, no Python", NO_PYTHON),
