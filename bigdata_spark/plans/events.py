@@ -2088,6 +2088,100 @@ FROM q GROUP BY event_type ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# j12_scd2_dim_join — fact rows joined to the SCD2 dimension state
+# ---------------------------------------------------------------------------
+
+
+def j12_scd2_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FACT → SCD2-DIMENSION temporal join — the warehouse pattern
+    evt_scd2 builds the dimension FOR: every purchase joins the
+    dimension row that was valid AT ITS TIMESTAMP (user_id equality +
+    ts ∈ [valid_from, valid_to)), then rolls revenue up by the
+    dimension state — revenue by the ENGAGEMENT state the buyer was
+    in. The SCD2 table is each user's NON-purchase activity history
+    (operators/scd.py — purchases excluded so the joined state is the
+    browsing context, not the purchase itself); purchases before a
+    user's first tracked state drop out of the inner join. Intervals
+    are half-open and deterministic
+    (ties on ts break on event_id), so exactly one dimension row
+    serves each fact and both engines agree bit-for-bit (revenue in
+    exact micro ints).
+
+    Scale: the dimension join is an equi-join ON USER with the range
+    predicate evaluated inside it — per-user row counts bound the
+    work, never a global range join; the SCD2 build itself is two
+    windows over ONE user-partitioned exchange."""
+    from ..operators.scd import scd2_from_changes
+
+    e = load_table(spark, sf_dir, "events")
+    dim = scd2_from_changes(
+        e.filter(F.col("event_type") != "purchase"),
+        ["user_id"], "event_type", "ts", "event_id",
+    ).select(
+        "user_id",
+        F.col("event_type").alias("dim_state"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.expr(
+            "CAST(FLOOR(value * CAST(1000000 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("vm"),
+    )
+    joined = facts.join(
+        dim,
+        on=[
+            facts.user_id == dim.user_id,
+            facts.ts >= dim.valid_from,
+            F.coalesce(facts.ts < dim.valid_to, F.lit(True)),
+        ],
+    )
+    return (
+        joined.groupBy("dim_state")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("vm").alias("revenue_micros"),
+        )
+        .orderBy("dim_state")
+    )
+
+
+J12_SCD2_JOIN_SQL = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events WHERE event_type <> 'purchase'
+), runs AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM marked WHERE prev IS NULL OR event_type <> prev
+), dim AS (
+  SELECT user_id, event_type AS dim_state, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM runs
+), facts AS (
+  SELECT user_id, ts,
+         CAST(FLOOR(value * CAST(1000000 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vm
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT d.dim_state, COUNT(*) AS n_purchases,
+       CAST(SUM(f.vm) AS BIGINT) AS revenue_micros
+FROM facts f
+JOIN dim d
+  ON f.user_id = d.user_id
+ AND f.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_snaive_backtest — seasonal-naive forecast + exact error metrics
 # ---------------------------------------------------------------------------
 
@@ -3519,6 +3613,7 @@ QUERIES = {
     "evt_stream_out_of_order": (evt_stream_out_of_order, EVT_OOO_SQL),
     "evt_bot_detection": (evt_bot_detection, EVT_BOT_SQL),
     "evt_snaive_backtest": (evt_snaive_backtest, EVT_SNAIVE_SQL),
+    "j12_scd2_dim_join": (j12_scd2_dim_join, J12_SCD2_JOIN_SQL),
     "evt_stickiness_dau_mau": (evt_stickiness_dau_mau, EVT_STICKINESS_SQL),
     "evt_interarrival_stats": (evt_interarrival_stats, EVT_INTERARRIVAL_SQL),
     "evt_stream_outer_join": (evt_stream_outer_join, EVT_STREAM_OUTER_JOIN_SQL),

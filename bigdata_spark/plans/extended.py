@@ -1398,6 +1398,154 @@ APPROX_KMV_SQL = _kmv_sql()
 
 
 # ---------------------------------------------------------------------------
+# approx_theta_ops — theta-sketch SET OPERATIONS (union / intersection)
+# ---------------------------------------------------------------------------
+
+_THETA_MAX = 1 << 53
+
+
+def approx_theta_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET OPERATIONS — the audience-overlap estimate at
+    sketch size: the click-user and purchase-user KMV sketches (64
+    smallest portable 53-bit hashes each) combine WITHOUT touching the
+    raw sets: union = bottom-k of the merged sketch values (the KMV
+    estimator again), intersection = the theta rule — count the hash
+    values BOTH sketches hold below θ = min(θ_A, θ_B) and scale by
+    2⁵³ div θ. Every step is deterministic integer arithmetic on the
+    portable hash, so DuckDB replays the sketches, the θ rule, and
+    both estimates bit-for-bit; the exact truths ride along so the
+    output IS the error audit.
+
+    Scale: sketches summarize arbitrarily large sets in 64 BIGINTs;
+    the set algebra runs on ≤128 rows. The per-set bottom-k window
+    sorts DISTINCT user hashes per set — the KMV entry's documented
+    bound — and unfilled sketches degrade to exact counts by the
+    small-set rule."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    hashed = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.col("event_type").alias("lbl"),
+            F.expr(
+                f"({_bloom_hash_spark('user_id', _KMV_SEED)}) div 128"
+            ).alias("h53"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("lbl").orderBy("h53")
+    sk = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    per = sk.groupBy("lbl").agg(
+        F.count("*").alias("fill"), F.max("h53").alias("kth")
+    )
+    theta = per.agg(
+        F.min(
+            F.expr(f"IF(fill < {_KMV_K}, {_THETA_MAX}L, kth)")
+        ).alias("theta")
+    )
+    a = sk.filter(F.col("lbl") == "click").select("h53")
+    b = sk.filter(F.col("lbl") == "purchase").select("h53")
+    inter = (
+        a.join(b, "h53")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h53") < F.col("theta"))
+        .agg(F.count("*").alias("cnt"), F.max("theta").alias("theta"))
+    )
+    wg = Window.orderBy("h53")
+    un = (
+        a.unionAll(b)
+        .distinct()
+        .withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= _KMV_K)
+        .agg(F.count("*").alias("fill"), F.max("h53").alias("kth"))
+    )
+    truth = ev.filter(F.col("event_type").isin("click", "purchase")).groupBy(
+        "user_id"
+    ).agg(
+        F.max(F.expr("IF(event_type = 'click', 1, 0)")).alias("ca"),
+        F.max(F.expr("IF(event_type = 'purchase', 1, 0)")).alias("pb"),
+    ).agg(
+        F.sum(F.expr("IF(ca = 1 OR pb = 1, 1, 0)")).alias("union_true"),
+        F.sum(F.expr("IF(ca = 1 AND pb = 1, 1, 0)")).alias("inter_true"),
+    )
+    return (
+        un.select(F.expr(_KMV_EST).alias("union_est"))
+        .crossJoin(
+            inter.select(
+                F.expr(
+                    f"CAST((cnt * {_THETA_MAX}L) div GREATEST(COALESCE(theta, 1L), 1L)"
+                    " AS BIGINT)"
+                ).alias("inter_est"),
+                F.col("cnt").cast("long").alias("inter_sketch_hits"),
+            )
+        )
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "union_est",
+            F.col("union_true").cast("long").alias("union_true"),
+            "inter_est",
+            F.col("inter_true").cast("long").alias("inter_true"),
+            "inter_sketch_hits",
+        )
+    )
+
+
+def _theta_sql() -> str:
+    from .dedupq import _duck_hash
+
+    h = f"({_duck_hash('user_id', str(_KMV_SEED))}) // 128"
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type AS lbl, {h} AS h53
+  FROM events WHERE event_type IN ('click', 'purchase')
+), sk AS (
+  SELECT lbl, h53 FROM (
+    SELECT lbl, h53,
+           ROW_NUMBER() OVER (PARTITION BY lbl ORDER BY h53) AS rn
+    FROM hashed
+  ) WHERE rn <= {_KMV_K}
+), per AS (
+  SELECT lbl, COUNT(*) AS fill, MAX(h53) AS kth FROM sk GROUP BY 1
+), theta AS (
+  SELECT MIN(CASE WHEN fill < {_KMV_K} THEN {_THETA_MAX} ELSE kth END)
+    AS theta
+  FROM per
+), inter AS (
+  SELECT COUNT(*) AS cnt, MAX(theta) AS theta
+  FROM (SELECT h53 FROM sk WHERE lbl = 'click') a
+  JOIN (SELECT h53 FROM sk WHERE lbl = 'purchase') b USING (h53), theta
+  WHERE h53 < theta
+), un AS (
+  SELECT COUNT(*) AS fill, MAX(h53) AS kth FROM (
+    SELECT h53, ROW_NUMBER() OVER (ORDER BY h53) AS rn
+    FROM (SELECT DISTINCT h53 FROM sk)
+  ) WHERE rn <= {_KMV_K}
+), truth AS (
+  SELECT SUM(CASE WHEN ca = 1 OR pb = 1 THEN 1 ELSE 0 END) AS union_true,
+         SUM(CASE WHEN ca = 1 AND pb = 1 THEN 1 ELSE 0 END) AS inter_true
+  FROM (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pb
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY 1
+  )
+)
+SELECT {_KMV_EST.replace('div', '//')} AS union_est,
+       CAST(truth.union_true AS BIGINT) AS union_true,
+       CAST((inter.cnt * {_THETA_MAX}) // GREATEST(COALESCE(inter.theta, 1), 1) AS BIGINT)
+         AS inter_est,
+       CAST(truth.inter_true AS BIGINT) AS inter_true,
+       CAST(inter.cnt AS BIGINT) AS inter_sketch_hits
+FROM un, inter, truth
+"""
+
+
+APPROX_THETA_SQL = _theta_sql()
+
+
+# ---------------------------------------------------------------------------
 # approx_quantile_hist — mergeable fixed-grid histogram quantile sketch
 # ---------------------------------------------------------------------------
 
@@ -1619,6 +1767,7 @@ QUERIES = {
     "approx_bloom_semijoin": (approx_bloom_semijoin, APPROX_BLOOM_SQL),
     "approx_cms_topk": (approx_cms_topk, APPROX_CMS_SQL),
     "approx_kmv_distinct": (approx_kmv_distinct, APPROX_KMV_SQL),
+    "approx_theta_ops": (approx_theta_ops, APPROX_THETA_SQL),
     "o6_multiset_ops": (o6_multiset_ops, O6_MULTISET_SQL),
     "j5_full_outer": (j5_full_outer, J5_FULL_OUTER_SQL),
     "a15_histogram": (a15_histogram, A15_HISTOGRAM_SQL),

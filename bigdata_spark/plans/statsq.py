@@ -2590,6 +2590,94 @@ ORDER BY rs
 
 
 # ---------------------------------------------------------------------------
+# stat_friedman — within-block rank test across treatments
+# ---------------------------------------------------------------------------
+
+_FRIED_CHI2 = (
+    "12.0 / (nb * kt * (kt + 1)) * r2sum - 3.0 * nb * (kt + 1)"
+)
+
+
+def stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test — the nonparametric repeated-measures ANOVA:
+    months are BLOCKS, order priorities are TREATMENTS, each complete
+    block ranks its 5 treatments by exact monthly cents (ties break on the
+    treatment name — deterministic), and χ²_F folds the per-treatment
+    rank sums through the closed form 12/(n·k·(k+1))·ΣR² − 3n(k+1).
+    Every input to the double expression is an exact integer.
+
+    Scale: one month×priority rollup (map-side combinable), a rank
+    window PARTITIONED BY BLOCK (parallelism = blocks), a k-row rank-sum
+    table; incomplete blocks are excluded exactly as the textbook test
+    requires."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(date_trunc('month', o_orderdate) AS DATE)").alias("day"),
+        F.col("o_orderpriority").alias("trt"),
+        F.expr(
+            "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    cells = o.groupBy("day", "trt").agg(F.sum("cents").alias("v"))
+    w_blk = Window.partitionBy("day")
+    complete = cells.withColumn("k", F.count("*").over(w_blk)).filter(
+        F.col("k") == 5
+    )
+    w_rank = Window.partitionBy("day").orderBy("v", "trt")
+    ranked = complete.withColumn("r", F.row_number().over(w_rank))
+    sums = ranked.groupBy("trt").agg(
+        F.sum("r").alias("rank_sum"), F.count("*").alias("n_blocks")
+    )
+    wall = Window.partitionBy()
+    out = sums.select(
+        "trt",
+        F.col("rank_sum").cast("long").alias("rank_sum"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.count("*").over(wall).cast("double").alias("kt"),
+        F.max("n_blocks").over(wall).cast("double").alias("nb"),
+        F.sum(F.expr("rank_sum * rank_sum")).over(wall)
+        .cast("double")
+        .alias("r2sum"),
+    )
+    return out.select(
+        "trt",
+        "rank_sum",
+        "n_blocks",
+        F.expr(f"ROUND({_FRIED_CHI2}, 6)").alias("chi2_f"),
+    ).orderBy("trt")
+
+
+STAT_FRIEDMAN_SQL = f"""
+WITH cells AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS day,
+         o_orderpriority AS trt,
+         SUM(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS v
+  FROM orders GROUP BY 1, 2
+), complete AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY day) AS k FROM cells
+  ) WHERE k = 5
+), ranked AS (
+  SELECT day, trt,
+         ROW_NUMBER() OVER (PARTITION BY day ORDER BY v, trt) AS r
+  FROM complete
+), sums AS (
+  SELECT trt, SUM(r) AS rank_sum, COUNT(*) AS n_blocks FROM ranked GROUP BY 1
+), folded AS (
+  SELECT trt, CAST(rank_sum AS BIGINT) AS rank_sum,
+         CAST(n_blocks AS BIGINT) AS n_blocks,
+         CAST(COUNT(*) OVER () AS DOUBLE) AS kt,
+         CAST(MAX(n_blocks) OVER () AS DOUBLE) AS nb,
+         CAST(SUM(rank_sum * rank_sum) OVER () AS DOUBLE) AS r2sum
+  FROM sums
+)
+SELECT trt, rank_sum, n_blocks, ROUND({_FRIED_CHI2}, 6) AS chi2_f
+FROM folded ORDER BY trt
+"""
+
+
+# ---------------------------------------------------------------------------
 # stat_influence_diag — regression influence diagnostics (Cook's D)
 # ---------------------------------------------------------------------------
 
@@ -3073,6 +3161,7 @@ FROM folded
 
 
 QUERIES = {
+    "stat_friedman": (stat_friedman, STAT_FRIEDMAN_SQL),
     "stat_influence_diag": (stat_influence_diag, STAT_INFLUENCE_SQL),
     "stat_runs_test": (stat_runs_test, STAT_RUNS_SQL),
     "stat_cohens_kappa": (stat_cohens_kappa, STAT_KAPPA_SQL),

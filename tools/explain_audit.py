@@ -581,6 +581,21 @@ AUDITS.update({
     "s14_orc_roundtrip": [
         ("rollup is an executor checkpoint", r"Scan ExistingRDD"),
     ],
+    "stat_friedman": [
+        ("month-priority rollup partial-aggregates", r"partial_sum"),
+        ("rank window partitions BY BLOCK", r"hashpartitioning\(day"),
+        ("closed-form chi2 native, no Python", NO_PYTHON),
+    ],
+    "approx_theta_ops": [
+        ("distinct collapse partial-aggregates before the sketch", r"partial_|HashAggregate"),
+        ("set algebra joins run on sketch-sized tables", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("integer theta estimators native, no Python", NO_PYTHON),
+    ],
+    "j12_scd2_dim_join": [
+        ("dimension join is an equi-join on user_id (range inside)", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("no cartesian product anywhere", r"^(?![\s\S]*CartesianProduct)"),
+        ("revenue micro-ints native, no Python", NO_PYTHON),
+    ],
     "evt_snaive_backtest": [
         ("hourly rollup partial-aggregates", r"partial_sum"),
         ("forecast join is an equi-join on the hour key", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
