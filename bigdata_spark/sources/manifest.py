@@ -165,6 +165,16 @@ def read_snapshot_pruned(
             if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
                 continue  # cannot intersect the predicate — skip the file
         keep.append(rel)
+    if not keep and m["files"]:
+        # every file pruned: keep one so the scan still has a schema —
+        # the caller's row-level predicate yields the (correct) empty
+        # result; n_files_read stays 0 because no file COULD match
+        df = (
+            spark.read.option("basePath", table_path)
+            .parquet(os.path.join(table_path, m["files"][0]))
+            .limit(0)
+        )
+        return df, len(m["files"]), 0
     df = spark.read.option("basePath", table_path).parquet(
         *(os.path.join(table_path, f) for f in keep)
     )

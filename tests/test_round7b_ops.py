@@ -1061,3 +1061,23 @@ def test_manifest_stats_pruning_api(spark, tmp_path):
     # a column with NO recorded stats never prunes
     _out3, _, n_read3 = read_snapshot_pruned(spark, base, 1, "v", hi=-1)
     assert n_read3 == 4
+
+
+def test_manifest_pruning_all_files_pruned(spark, tmp_path):
+    import os
+
+    from bigdata_spark.sources.manifest import (
+        collect_file_stats,
+        commit_snapshot,
+        list_data_files,
+        read_snapshot_pruned,
+    )
+    from pyspark.sql import functions as F
+
+    base = os.path.join(str(tmp_path), "t")
+    spark.range(0, 100).select(F.col("id").alias("k")).repartition(2).write.parquet(base)
+    files = list_data_files(base)
+    commit_snapshot(base, 1, files, stats=collect_file_stats(spark, files, ["k"]))
+    out, n_total, n_read = read_snapshot_pruned(spark, base, 1, "k", lo=5000)
+    assert (n_total, n_read) == (2, 0)
+    assert out.count() == 0 and "k" in out.columns
