@@ -256,7 +256,11 @@ def s15_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     contain matches — the files a stats-based reader must touch. The
     z-layout must cover the same rows with strictly fewer files; both
     layouts must return exactly the box's rows (value check via the
-    rowcount against DuckDB)."""
+    rowcount against DuckDB). The box bounds derive from the KEY
+    DOMAIN (quarter of each max key ⇒ ~1/16 of the z-space) so the
+    predicate is selective at EVERY scale factor — fixed literal
+    bounds covered the whole toy-SF table, making the file-skipping
+    claim degenerate there (r8 fix)."""
     import shutil
     import tempfile
 
@@ -271,9 +275,15 @@ def s15_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         zord = f"{scratch}/zorder"
         l.repartition(16).write.mode("overwrite").parquet(naive)
         zorder_write(l, zord, ("l_partkey", "l_suppkey"), n_files=16)
+        bounds = l.agg(
+            F.max("l_partkey").alias("pk"), F.max("l_suppkey").alias("sk")
+        ).first()
+        pk_cut, sk_cut = int(bounds["pk"]) // 4, int(bounds["sk"]) // 4
 
         def box(df):
-            return df.filter((F.col("l_partkey") <= 256) & (F.col("l_suppkey") <= 32))
+            return df.filter(
+                (F.col("l_partkey") <= pk_cut) & (F.col("l_suppkey") <= sk_cut)
+            )
 
         def probe(path):
             hits = box(spark.read.parquet(path)).withColumn(
@@ -304,10 +314,14 @@ def s15_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 S15_ZORDER_SQL = """
+WITH b AS (
+  SELECT MAX(l_partkey) // 4 AS pk_cut, MAX(l_suppkey) // 4 AS sk_cut
+  FROM lineitem
+)
 SELECT COUNT(*) AS box_rows, TRUE AS rows_equal,
        TRUE AS zorder_touches_fewer_files, TRUE AS naive_scatters
-FROM lineitem
-WHERE l_partkey <= 256 AND l_suppkey <= 32
+FROM lineitem, b
+WHERE l_partkey <= b.pk_cut AND l_suppkey <= b.sk_cut
 """
 
 
