@@ -3160,7 +3160,423 @@ FROM folded
 """
 
 
+# ---------------------------------------------------------------------------
+# stat_wilcoxon_signed — tie-corrected Wilcoxon signed-rank (paired)
+# ---------------------------------------------------------------------------
+
+# Shared closed-form z (identical text in both engines; every input is a
+# double derived from exact BIGINT aggregates). wpos2 carries 2·W⁺ so
+# tied average ranks (halves) stay integer end to end; the tie-corrected
+# variance of 2·W⁺ is n(n+1)(2n+1)/6 − Σ(t³−t)/12.
+_WSR_Z = (
+    "(CAST(wpos2 AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / CAST(2 AS DOUBLE))"
+    " / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / CAST(6 AS DOUBLE)"
+    " - CAST(tie_t AS DOUBLE) / CAST(12 AS DOUBLE))"
+)
+
+
+def stat_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on the paired per-lineitem difference
+    tax − discount (in exact cents) — the nonparametric paired twin of
+    stat_mannwhitney's two-sample test: zero differences drop, |d| is
+    ranked with tie-averaged ranks, and W⁺ sums the ranks of the
+    positive side.
+
+    Never ranks rows: the difference domain is bounded (≤ ~19 distinct
+    |cents| values), so the average rank of |d| = v derives from
+    per-value counts — 2·rank(v) = 2·(# rows with |d| < v) + count(v)
+    + 1, exact in integers. One map-side-combinable aggregation
+    collapses the fact table to the tiny |d| domain; the cumulative
+    window runs over that domain table, NOT the fact table, so the
+    100 TB cost is a single partial-agg shuffle. 2·W⁺, n and the tie
+    term Σ(t³−t) are exact BIGINTs; z is the same IEEE expression in
+    both engines.
+
+    Reference parity: extends the rank-test family of the reference's
+    statistics coverage (SURVEY.md §2.9 extension surface).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    d = l.select(
+        F.expr(
+            "CAST(FLOOR((l_tax - l_discount) * CAST(100 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("d")
+    ).filter(F.col("d") != 0)
+    per_v = (
+        d.select(
+            F.abs(F.col("d")).alias("v"),
+            (F.col("d") > 0).cast("long").alias("pos"),
+        )
+        .groupBy("v")
+        .agg(F.count("*").alias("c"), F.sum("pos").alias("c_pos"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.withColumn(
+        "r2", 2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1
+    )
+    agg = ranked.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c_pos") * F.col("r2")).alias("wpos2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie_t"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("wpos2").cast("long").alias("wpos2"),
+        F.col("tie_t").cast("long").alias("tie_t"),
+        F.expr(_WSR_Z).alias("z"),
+    )
+
+
+STAT_WILCOXON_SQL = f"""
+WITH d AS (
+  SELECT CAST(FLOOR((l_tax - l_discount) * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS d
+  FROM lineitem
+  WHERE CAST(FLOOR((l_tax - l_discount) * CAST(100 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) AS BIGINT) != 0
+), per_v AS (
+  SELECT ABS(d) AS v, COUNT(*) AS c,
+         SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS c_pos
+  FROM d GROUP BY 1
+), ranked AS (
+  SELECT v, c, c_pos,
+         2 * COALESCE(SUM(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS r2
+  FROM per_v
+), agg AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c_pos * r2) AS BIGINT) AS wpos2,
+         CAST(SUM(c * c * c - c) AS BIGINT) AS tie_t
+  FROM ranked
+)
+SELECT n, wpos2, tie_t, {_WSR_Z} AS z
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# stat_hodges_lehmann — one-sample HL location estimate (Walsh medians)
+# ---------------------------------------------------------------------------
+
+
+def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann one-sample location estimator of l_quantity: the
+    median of all Walsh averages (xᵢ + xⱼ)/2 over pairs i ≤ j — the
+    robust, rank-based companion to the mean (it is the estimator the
+    Wilcoxon test inverts).
+
+    Never materializes the O(n²) Walsh pairs: quantity has a bounded
+    integer domain (≤50 values), so pair MULTIPLICITIES are exact
+    products of per-value counts — c_u·c_v for u < v and
+    c_v·(c_v+1)/2 on the diagonal — over the ≤C(50,2)+50 domain-pair
+    table. The weighted median then runs a cumulative window over that
+    tiny table. At 100 TB the only fact-table cost is one partial-agg
+    shuffle to the 50-row histogram; everything downstream is
+    constant-size. Walsh sums are carried 2× (u+v) so halves stay
+    integer; the estimate reports lower/upper middle Walsh 2×-values
+    exactly plus their IEEE mean.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    hist = (
+        l.select(F.col("l_quantity").cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()  # ≤50 rows; reused by both sides of the pair join
+    )
+    a = hist.select(F.col("v").alias("u"), F.col("c").alias("cu"))
+    b = hist.select(F.col("v").alias("v"), F.col("c").alias("cv"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("u") <= F.col("v"))
+        .select(
+            (F.col("u") + F.col("v")).alias("s2"),
+            F.when(
+                F.col("u") < F.col("v"), F.col("cu") * F.col("cv")
+            ).otherwise(F.col("cv") * (F.col("cv") + 1) / 2)
+            .cast("long")
+            .alias("wt"),
+        )
+        .groupBy("s2")
+        .agg(F.sum("wt").alias("wt"))
+    )
+    w_cum = Window.orderBy("s2").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = pairs.select(
+        "s2",
+        F.sum("wt").over(w_cum).alias("cum"),
+        F.sum("wt").over(w_all).alias("np"),
+    )
+    # lower/upper middle of np items (1-indexed (np+1)//2 and (np+2)//2)
+    mid = cum.select(
+        F.min(F.when(F.col("cum") >= (F.col("np") + 1) / 2, F.col("s2"))).alias(
+            "lo2"
+        ),
+        F.min(F.when(F.col("cum") >= (F.col("np") + 2) / 2, F.col("s2"))).alias(
+            "hi2"
+        ),
+        F.max("np").alias("n_walsh"),
+    )
+    return mid.select(
+        F.col("n_walsh").cast("long").alias("n_walsh"),
+        F.col("lo2").cast("long").alias("lo2"),
+        F.col("hi2").cast("long").alias("hi2"),
+        F.expr(
+            "(CAST(lo2 AS DOUBLE) + hi2) / CAST(4 AS DOUBLE)"
+        ).alias("hl_estimate"),
+    )
+
+
+STAT_HL_SQL = """
+WITH hist AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS c
+  FROM lineitem GROUP BY 1
+), pairs AS (
+  SELECT a.u + b.v AS s2,
+         CAST(SUM(CASE WHEN a.u < b.v THEN a.cu * b.cv
+                       ELSE b.cv * (b.cv + 1) / 2 END) AS BIGINT) AS wt
+  FROM (SELECT v AS u, c AS cu FROM hist) a
+  JOIN (SELECT v, c AS cv FROM hist) b ON a.u <= b.v
+  GROUP BY 1
+), cum AS (
+  SELECT s2,
+         SUM(wt) OVER (ORDER BY s2
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(wt) OVER () AS np
+  FROM pairs
+)
+SELECT CAST(MAX(np) AS BIGINT) AS n_walsh,
+       CAST(MIN(CASE WHEN cum >= (np + 1) / 2 THEN s2 END) AS BIGINT) AS lo2,
+       CAST(MIN(CASE WHEN cum >= (np + 2) / 2 THEN s2 END) AS BIGINT) AS hi2,
+       (CAST(MIN(CASE WHEN cum >= (np + 1) / 2 THEN s2 END) AS DOUBLE)
+        + MIN(CASE WHEN cum >= (np + 2) / 2 THEN s2 END))
+        / CAST(4 AS DOUBLE) AS hl_estimate
+FROM cum
+"""
+
+
+# ---------------------------------------------------------------------------
+# stat_bh_fdr — Benjamini-Hochberg FDR over per-segment mean tests
+# ---------------------------------------------------------------------------
+
+_BH_Q_NUM = 1  # q = 0.10 as an exact rational 1/10
+_BH_Q_DEN = 10
+
+# Welch z of segment vs complement, from exact micro-unit sums (same
+# IEEE text both engines). Two-sided p via the logistic approximation
+# Φ(z) ≈ 1/(1+exp(−1.702·z)) — a monotone, engine-identical transform;
+# the BH PROCEDURE (rank, step-up cutoff) is the operator under test,
+# the CDF approximation only maps z onto (0,1).
+_BH_Z = (
+    "(CAST(s_g AS DOUBLE) / n_g - (CAST(s AS DOUBLE) - s_g) / (n - n_g))"
+    " / sqrt((CAST(q_g AS DOUBLE) / n_g - (CAST(s_g AS DOUBLE) / n_g)"
+    " * (CAST(s_g AS DOUBLE) / n_g)) / n_g"
+    " + ((CAST(q AS DOUBLE) - q_g) / (n - n_g)"
+    " - ((CAST(s AS DOUBLE) - s_g) / (n - n_g))"
+    " * ((CAST(s AS DOUBLE) - s_g) / (n - n_g))) / (n - n_g))"
+)
+_BH_P = "CAST(2 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(CAST(1.702 AS DOUBLE) * abs(z)))"
+
+
+def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over m = (event_type ×
+    day-of-week) segment tests: each segment's mean event value is
+    Welch-tested against its complement, p-values rank ascending, and
+    the step-up rule rejects ranks 1..k* where k* = max{k : p₍ₖ₎ ≤
+    k·q/m} at q = 0.10 — the multiple-testing correction every
+    experiment platform applies before reading 35 dashboards.
+
+    Scale: ONE map-side-combinable aggregation collapses the fact
+    table to m segment rows of exact micro-unit sums (value·10⁶ as
+    BIGINT; squares summed as DECIMAL(38,0) so 100 TB cannot
+    overflow); z, p and the BH walk all run on the m-row table via
+    windows over m, never the fact table. The step-up cutoff uses the
+    exact rational comparison p·m·den ≤ rank·num — no float division
+    on the decision path.
+    """
+    e = load_table(spark, sf_dir, "events")
+    seg = (
+        e.select(
+            F.col("event_type").alias("etype"),
+            F.dayofweek("ts").alias("dow"),
+            F.expr(
+                "CAST(FLOOR(value * CAST(1000000 AS DOUBLE)"
+                " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            ).alias("micro"),
+        )
+        .groupBy("etype", "dow")
+        .agg(
+            F.count("*").alias("n_g"),
+            F.sum("micro").alias("s_g"),
+            F.sum(
+                (F.col("micro").cast("decimal(38,0)") * F.col("micro"))
+            ).alias("q_g"),
+        )
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = seg.select(
+        "etype",
+        "dow",
+        "n_g",
+        "s_g",
+        "q_g",
+        F.sum("n_g").over(w_all).alias("n"),
+        F.sum("s_g").over(w_all).alias("s"),
+        F.sum("q_g").over(w_all).alias("q"),
+        F.count("*").over(w_all).alias("m"),
+    )
+    scored = tot.withColumn("z", F.expr(_BH_Z)).withColumn("p", F.expr(_BH_P))
+    w_rank = Window.orderBy("p", "etype", "dow")
+    ranked = scored.withColumn("rnk", F.row_number().over(w_rank)).withColumn(
+        "ok",
+        (
+            F.col("p") * F.col("m") * F.lit(_BH_Q_DEN)
+            <= F.col("rnk") * F.lit(_BH_Q_NUM)
+        ).cast("long"),
+    )
+    w_kstar = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        ranked.withColumn(
+            "kstar",
+            F.coalesce(
+                F.max(F.when(F.col("ok") == 1, F.col("rnk"))).over(w_kstar),
+                F.lit(0),
+            ),
+        )
+        .select(
+            "etype",
+            "dow",
+            F.col("n_g").cast("long").alias("n_g"),
+            F.round("z", 6).alias("z"),
+            F.round("p", 6).alias("p"),
+            F.col("rnk").cast("long").alias("rnk"),
+            (F.col("rnk") <= F.col("kstar")).alias("rejected"),
+        )
+        .orderBy("rnk")
+    )
+
+
+STAT_BH_SQL = f"""
+WITH seg AS (
+  SELECT event_type AS etype, dayofweek(ts) + 1 AS dow,
+         COUNT(*) AS n_g,
+         CAST(SUM(CAST(FLOOR(value * CAST(1000000 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_g,
+         SUM(CAST(CAST(FLOOR(value * CAST(1000000 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS HUGEINT)
+             * CAST(FLOOR(value * CAST(1000000 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS q_g
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT etype, dow, n_g, s_g, q_g,
+         SUM(n_g) OVER () AS n, SUM(s_g) OVER () AS s,
+         SUM(q_g) OVER () AS q, COUNT(*) OVER () AS m
+  FROM seg
+), scored AS (
+  SELECT *, {_BH_Z} AS z FROM tot
+), pvals AS (
+  SELECT *, {_BH_P} AS p FROM scored
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY p, etype, dow) AS rnk
+  FROM pvals
+), flagged AS (
+  SELECT *, CASE WHEN p * m * {_BH_Q_DEN} <= rnk * {_BH_Q_NUM}
+                 THEN 1 ELSE 0 END AS ok
+  FROM ranked
+)
+SELECT etype, dow, CAST(n_g AS BIGINT) AS n_g,
+       ROUND(z, 6) AS z, ROUND(p, 6) AS p,
+       CAST(rnk AS BIGINT) AS rnk,
+       rnk <= COALESCE(MAX(CASE WHEN ok = 1 THEN rnk END) OVER (), 0)
+         AS rejected
+FROM flagged
+ORDER BY rnk
+"""
+
+
+# ---------------------------------------------------------------------------
+# stat_weighted_median — revenue-weighted median quantity
+# ---------------------------------------------------------------------------
+
+
+def stat_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per returnflag: the quantity value at which
+    cumulative extendedprice-weight first reaches half the group total
+    (lower weighted median, plus the exact cents on each side) — the
+    inventory-planning "half the revenue sits at or below this order
+    size" statistic.
+
+    Scale: weights aggregate to the (flag, quantity) grain first (one
+    map-side-combinable shuffle, ≤ 3×50 rows), cents exact as BIGINT;
+    the cumulative window runs over the tiny grain table. No global
+    sort, no fact-table window.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    grain = (
+        l.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("long").alias("v"),
+            F.expr(
+                "CAST(FLOOR(l_extendedprice * CAST(100 AS DOUBLE)"
+                " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("flag", "v")
+        .agg(F.sum("cents").alias("wt"))
+    )
+    w_cum = Window.partitionBy("flag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_tot = Window.partitionBy("flag")
+    cum = grain.select(
+        "flag",
+        "v",
+        F.sum("wt").over(w_cum).alias("cum"),
+        F.sum("wt").over(w_tot).alias("tot"),
+    )
+    return (
+        cum.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(
+            F.min("v").cast("long").alias("wmedian_qty"),
+            F.max("tot").cast("long").alias("total_cents"),
+        )
+        .orderBy("flag")
+    )
+
+
+STAT_WMEDIAN_SQL = """
+WITH grain AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS v,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS wt
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT flag, v,
+         SUM(wt) OVER (PARTITION BY flag ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(wt) OVER (PARTITION BY flag) AS tot
+  FROM grain
+)
+SELECT flag, CAST(MIN(v) AS BIGINT) AS wmedian_qty,
+       CAST(MAX(tot) AS BIGINT) AS total_cents
+FROM cum
+WHERE 2 * cum >= tot
+GROUP BY flag
+ORDER BY flag
+"""
+
+
 QUERIES = {
+    "stat_wilcoxon_signed": (stat_wilcoxon_signed, STAT_WILCOXON_SQL),
+    "stat_hodges_lehmann": (stat_hodges_lehmann, STAT_HL_SQL),
+    "stat_bh_fdr": (stat_bh_fdr, STAT_BH_SQL),
+    "stat_weighted_median": (stat_weighted_median, STAT_WMEDIAN_SQL),
     "stat_friedman": (stat_friedman, STAT_FRIEDMAN_SQL),
     "stat_influence_diag": (stat_influence_diag, STAT_INFLUENCE_SQL),
     "stat_runs_test": (stat_runs_test, STAT_RUNS_SQL),
