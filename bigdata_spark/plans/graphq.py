@@ -1641,7 +1641,297 @@ LIMIT {_JC_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_closeness — source-seeded closeness + harmonic centrality
+# ---------------------------------------------------------------------------
+
+_CLOSE_MAX_HOPS = 8
+
+
+def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness and harmonic centrality on the (symmetrized) nation
+    trade graph via multi-source BFS: every node seeds a BFS whose
+    state is (root, node, dist) pairs, so ONE delta-iteration loop
+    computes all per-source distance tables at once — the standard
+    "landmark" centrality shape (at 100 TB you seed a sampled landmark
+    set instead of all nodes; the plan is identical, only the seed
+    table shrinks).
+
+    Each round joins only the frontier against the edge list and
+    anti-joins already-settled (root, node) pairs — per-round work is
+    frontier-sized, never graph-sized, and lineage is cut per round.
+    Harmonic sums carry 1/d as exact ppm integers (10⁶ div d);
+    closeness (n_reached−1)/Σd is the one shared IEEE double.
+    """
+    nodes, edges = _trade_edges(spark, sf_dir)
+    sym = (
+        edges.select("src", "dst")
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    settled = nodes.select(
+        F.col("node").alias("root"), "node", F.lit(0).alias("dist")
+    ).localCheckpoint()
+    frontier = settled.select("root", "node")
+    for h in range(1, _CLOSE_MAX_HOPS + 1):
+        nbr = (
+            frontier.join(sym, frontier.node == sym.src)
+            .select("root", F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            nbr.join(settled.select("root", "node"), ["root", "node"], "left_anti")
+            .select("root", "node", F.lit(h).alias("dist"))
+            .localCheckpoint()
+        )
+        if new.isEmpty():
+            break
+        settled = settled.unionAll(new).localCheckpoint()
+        frontier = new.select("root", "node")
+    per = settled.groupBy("root").agg(
+        F.count("*").alias("n_reached"),
+        F.sum("dist").alias("dist_sum"),
+        F.sum(
+            F.when(F.col("dist") > 0, F.expr("1000000 div dist")).otherwise(0)
+        ).alias("harmonic_ppm"),
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        per.join(F.broadcast(n), per.root == n.n_nationkey)
+        .select(
+            F.col("root").alias("n_nationkey"),
+            "n_name",
+            F.col("n_reached").cast("long").alias("n_reached"),
+            F.col("dist_sum").cast("long").alias("dist_sum"),
+            F.col("harmonic_ppm").cast("long").alias("harmonic_ppm"),
+            F.expr(
+                "CAST(n_reached - 1 AS DOUBLE) / dist_sum"
+            ).alias("closeness"),
+        )
+        .orderBy(F.desc("harmonic_ppm"), "n_nationkey")
+    )
+
+
+GRAPH_CLOSENESS_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+),
+sym AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst, src FROM edges
+),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+walk AS (
+  SELECT node AS root, node, 0 AS dist FROM nodes
+  UNION
+  SELECT w.root, s.dst AS node, w.dist + 1 AS dist
+  FROM walk w JOIN sym s ON s.src = w.node
+  WHERE w.dist < {_CLOSE_MAX_HOPS}
+),
+best AS (SELECT root, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2),
+per AS (
+  SELECT root, COUNT(*) AS n_reached,
+         CAST(SUM(dist) AS BIGINT) AS dist_sum,
+         CAST(SUM(CASE WHEN dist > 0 THEN 1000000 // dist ELSE 0 END)
+              AS BIGINT) AS harmonic_ppm
+  FROM best GROUP BY 1
+)
+SELECT p.root AS n_nationkey, n.n_name,
+       CAST(p.n_reached AS BIGINT) AS n_reached,
+       p.dist_sum, p.harmonic_ppm,
+       CAST(p.n_reached - 1 AS DOUBLE) / p.dist_sum AS closeness
+FROM per p JOIN nation n ON p.root = n.n_nationkey
+ORDER BY p.harmonic_ppm DESC, p.root
+"""
+
+
+# ---------------------------------------------------------------------------
+# graph_katz — Katz centrality by integer fixed-point iteration
+# ---------------------------------------------------------------------------
+
+_KATZ_ITERS = 8
+_KATZ_SCALE = 1_000_000_000_000
+_KATZ_ALPHA_DEN = 8  # α = 1/8, safely below 1/λ_max for this graph
+
+
+def graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality on the DIRECTED nation trade graph: x ← 1 +
+    α·Aᵀx iterated 8 rounds from x = 1 — the prestige measure that,
+    unlike PageRank, does not normalize by out-degree (a node is
+    central if many central nodes point AT it, regardless of how
+    diffuse their attention is).
+
+    Bit-exact like graph_pagerank: mass is integer at scale 10¹²,
+    α = 1/8 is an integer division per edge contribution, and the
+    DuckDB oracle unrolls the same 8 rounds as chained CTEs. Each
+    Spark round is one frontier-free edge join + partial aggregate on
+    the 25-node mass table (broadcast-sized here; hash-partitioned by
+    node at scale), localCheckpointed so lineage stays flat.
+    """
+    _, edges_w = _trade_edges(spark, sf_dir)
+    edges = edges_w.select("src", "dst").distinct().localCheckpoint()
+    n = load_table(spark, sf_dir, "nation")
+    nodes = n.select(F.col("n_nationkey").alias("node")).localCheckpoint()
+    mass = nodes.select("node", F.lit(_KATZ_SCALE).alias("mass"))
+    for _ in range(_KATZ_ITERS):
+        contrib = (
+            edges.join(mass, edges.src == mass.node)
+            .select(F.col("dst").alias("node"),
+                    F.expr(f"mass div {_KATZ_ALPHA_DEN}").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        mass = (
+            nodes.join(contrib, "node", "left_outer")
+            .select(
+                "node",
+                (F.lit(_KATZ_SCALE) + F.coalesce("in_mass", F.lit(0))).alias(
+                    "mass"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return (
+        mass.join(F.broadcast(n), mass.node == n.n_nationkey)
+        .select(F.col("node").alias("n_nationkey"), "n_name", "mass")
+        .orderBy(F.desc("mass"), "n_nationkey")
+    )
+
+
+def _katz_sql() -> str:
+    steps = []
+    for i in range(_KATZ_ITERS):
+        steps.append(
+            f"""k{i + 1} AS (
+  SELECT n.node,
+         CAST({_KATZ_SCALE} + COALESCE(SUM(p.mass // {_KATZ_ALPHA_DEN}), 0)
+              AS BIGINT) AS mass
+  FROM nodes n
+  LEFT JOIN (edges e JOIN k{i} p ON p.node = e.src) ON e.dst = n.node
+  GROUP BY n.node
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH nodes AS (SELECT n_nationkey AS node FROM nation),
+edges AS (
+  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+),
+k0 AS (SELECT node, CAST({_KATZ_SCALE} AS BIGINT) AS mass FROM nodes),
+{chain}
+SELECT p.node AS n_nationkey, n.n_name, p.mass
+FROM k{_KATZ_ITERS} p JOIN nation n ON p.node = n.n_nationkey
+ORDER BY p.mass DESC, p.node
+"""
+
+
+GRAPH_KATZ_SQL = _katz_sql()
+
+
+# ---------------------------------------------------------------------------
+# graph_adamic_adar — Adamic-Adar link prediction (log-degree discount)
+# ---------------------------------------------------------------------------
+
+
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the co-purchase graph — the
+    log-discounted sibling of graph_resource_allocation: each shared
+    neighbor z contributes 1/ln(deg(z)), damping hubs gently instead
+    of RA's hard 1/deg. Every wedge midpoint has ≥2 distinct
+    neighbors by construction (the wedge needs two), so ln(deg) ≥
+    ln 2 > 0 and the contribution is always finite.
+
+    Contributions are quantized per-term to exact ppm integers
+    (FLOOR(10⁶/ln(deg)+0.5) — the same IEEE ln in both engines, then
+    an order-free integer sum), so the ranking is hash-exact. Scale
+    shape: identical to RA — only 2-hop pairs materialize via the
+    wedge join, the midpoint degree rides along on one broadcast
+    join, existing edges drop with an anti-join.
+    """
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    x = sym.alias("x")
+    y = sym.alias("y")
+    wedges = (
+        x.join(y, F.col("x.src") == F.col("y.src"))
+        .filter(F.col("x.dst") < F.col("y.dst"))
+        .join(
+            F.broadcast(deg.withColumnRenamed("src", "mid")),
+            F.col("x.src") == F.col("mid"),
+        )
+        .select(
+            F.col("x.dst").alias("a"),
+            F.col("y.dst").alias("b"),
+            F.expr(
+                "CAST(FLOOR(CAST(1000000 AS DOUBLE) / ln(CAST(deg AS DOUBLE))"
+                " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            ).alias("contrib"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cn"), F.sum("contrib").alias("aa_ppm"))
+    )
+    non_edges = wedges.join(
+        e.withColumnRenamed("pa", "a").withColumnRenamed("pb", "b"),
+        ["a", "b"],
+        "left_anti",
+    )
+    return (
+        non_edges.orderBy(F.desc("aa_ppm"), "a", "b")
+        .limit(_RA_TOPK)
+        .select("a", "b", "cn", "aa_ppm")
+    )
+
+
+GRAPH_AA_SQL = f"""
+WITH {_COPURCHASE_CTE},
+sym AS (
+  SELECT pa AS src, pb AS dst FROM edges
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM edges
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY 1),
+wedges AS (
+  SELECT x.dst AS a, y.dst AS b,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(CAST(FLOOR(CAST(1000000 AS DOUBLE)
+              / ln(CAST(d.deg AS DOUBLE))
+              + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS aa_ppm
+  FROM sym x
+  JOIN sym y ON x.src = y.src AND x.dst < y.dst
+  JOIN deg d ON d.src = x.src
+  GROUP BY 1, 2
+),
+non_edges AS (
+  SELECT w.* FROM wedges w
+  LEFT JOIN edges e ON e.pa = w.a AND e.pb = w.b
+  WHERE e.pa IS NULL
+)
+SELECT a, b, cn, aa_ppm
+FROM non_edges
+ORDER BY aa_ppm DESC, a, b
+LIMIT {_RA_TOPK}
+"""
+
+
 QUERIES = {
+    "graph_closeness": (graph_closeness, GRAPH_CLOSENESS_SQL),
+    "graph_katz": (graph_katz, GRAPH_KATZ_SQL),
+    "graph_adamic_adar": (graph_adamic_adar, GRAPH_AA_SQL),
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "graph_jaccard_linkpred": (graph_jaccard_linkpred, GRAPH_JACCARD_SQL),
     "graph_local_clustering": (graph_local_clustering, GRAPH_LOCAL_CC_SQL),
