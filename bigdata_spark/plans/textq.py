@@ -2140,7 +2140,466 @@ LIMIT {_LIFT_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# txt_heaps_law — vocabulary growth curve (Heaps' law checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def txt_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative token count and
+    distinct-vocabulary size at 10 corpus checkpoints (doc_id deciles),
+    plus the growth exponent β between the first checkpoint and each
+    later one (V ∝ Nᵝ) — the curve a corpus-curation team reads to
+    decide whether more data still buys new vocabulary.
+
+    No global window anywhere: a term's FIRST document is one linear
+    min-aggregate; the cumulative pair (tokens, vocab) at each
+    checkpoint is a broadcast join of the 10-row threshold table onto
+    the per-doc token counts / per-term first-docs followed by a
+    10-group rollup. β is the one shared IEEE expression over exact
+    BIGINT checkpoint values (a ratio of two ln-differences — no float
+    sums anywhere)."""
+    from ..operators.parallelism import ensure_parallelism
+    from ..text.analysis import token_count, tokens
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    bounds = d.agg(F.count("*").alias("n_docs"))
+    ks = bounds.select(
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("k"), "n_docs"
+    ).select("k", F.expr("CAST(n_docs * k div 10 AS BIGINT)").alias("thr"))
+    dtoks = d.select("doc_id", token_count("text").alias("ntok"))
+    tok_cum = (
+        dtoks.crossJoin(F.broadcast(ks))
+        .filter(F.col("doc_id") < F.col("thr"))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_docs_cum"),
+            F.sum("ntok").alias("tokens_cum"),
+        )
+    )
+    first = (
+        d.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    voc_cum = (
+        first.crossJoin(F.broadcast(ks))
+        .filter(F.col("fd") < F.col("thr"))
+        .groupBy("k")
+        .agg(F.count("*").alias("vocab_cum"))
+    )
+    curve = tok_cum.join(voc_cum, "k")
+    base = curve.filter(F.col("k") == 1).select(
+        F.col("tokens_cum").alias("t1"), F.col("vocab_cum").alias("v1")
+    )
+    return (
+        curve.crossJoin(F.broadcast(base))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n_docs_cum").cast("long").alias("n_docs_cum"),
+            F.col("tokens_cum").cast("long").alias("tokens_cum"),
+            F.col("vocab_cum").cast("long").alias("vocab_cum"),
+            F.round(
+                F.expr(
+                    "CASE WHEN tokens_cum > t1 THEN"
+                    " (ln(CAST(vocab_cum AS DOUBLE)) - ln(CAST(v1 AS DOUBLE)))"
+                    " / (ln(CAST(tokens_cum AS DOUBLE)) - ln(CAST(t1 AS DOUBLE)))"
+                    " END"
+                ),
+                6,
+            ).alias("heaps_beta"),
+        )
+        .orderBy("k")
+    )
+
+
+TXT_HEAPS_SQL = f"""
+WITH ks AS (
+  SELECT k, CAST((SELECT COUNT(*) FROM documents) * k // 10 AS BIGINT) AS thr
+  FROM (SELECT unnest(generate_series(1, 10)) AS k)
+), dtoks AS (
+  SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS ntok FROM documents
+), tok_cum AS (
+  SELECT k, COUNT(*) AS n_docs_cum, CAST(SUM(ntok) AS BIGINT) AS tokens_cum
+  FROM dtoks JOIN ks ON doc_id < thr GROUP BY k
+), first AS (
+  SELECT u.w, MIN(doc_id) AS fd
+  FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents), unnest(t) AS u(w)
+  GROUP BY u.w
+), voc_cum AS (
+  SELECT k, COUNT(*) AS vocab_cum FROM first JOIN ks ON fd < thr GROUP BY k
+), curve AS (
+  SELECT t.k, t.n_docs_cum, t.tokens_cum, v.vocab_cum
+  FROM tok_cum t JOIN voc_cum v ON t.k = v.k
+), base AS (
+  SELECT tokens_cum AS t1, vocab_cum AS v1 FROM curve WHERE k = 1
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n_docs_cum AS BIGINT) AS n_docs_cum,
+       tokens_cum, CAST(vocab_cum AS BIGINT) AS vocab_cum,
+       ROUND(CASE WHEN tokens_cum > t1 THEN
+         (ln(CAST(vocab_cum AS DOUBLE)) - ln(CAST(v1 AS DOUBLE)))
+         / (ln(CAST(tokens_cum AS DOUBLE)) - ln(CAST(t1 AS DOUBLE))) END, 6)
+         AS heaps_beta
+FROM curve, base
+ORDER BY k
+"""
+
+
+# ---------------------------------------------------------------------------
+# txt_zipf_fit — Zipf rank-frequency log-log OLS over the head vocabulary
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOPN = 100
+
+
+def txt_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS of ln(frequency) on ln(rank) over the top
+    100 corpus terms — slope ≈ −1 is the natural-language signature;
+    a flat slope flags templated/synthetic text before it enters a
+    training mix.
+
+    The rank window runs over the 100-row head of the VOCABULARY table
+    (deterministic (freq desc, term) order), never the corpus; the
+    regression sums cover exactly 100 ln-values so the round(6) output
+    absorbs libm/summation ulps (the PSI/PMI convention). One exploded
+    token count is the only corpus-sized stage."""
+    from ..operators.parallelism import ensure_parallelism
+    from ..text.analysis import tokens
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    head = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(_ZIPF_TOPN)
+    )
+    from pyspark.sql import Window
+
+    ranked = head.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("c"), "w"))
+    ).select(
+        F.expr("ln(CAST(r AS DOUBLE))").alias("x"),
+        F.expr("ln(CAST(c AS DOUBLE))").alias("y"),
+    )
+    fit = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return fit.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(F.expr(_REG_SLOPE_ZIPF), 6).alias("zipf_slope"),
+        F.round(F.expr(_REG_ICEPT_ZIPF), 6).alias("zipf_intercept"),
+        F.round(F.expr(_REG_R2_ZIPF), 6).alias("r2"),
+    )
+
+
+_REG_SLOPE_ZIPF = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+_REG_ICEPT_ZIPF = "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n"
+_REG_R2_ZIPF = (
+    "((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+    " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+)
+
+TXT_ZIPF_SQL = f"""
+WITH head AS (
+  SELECT u.w, COUNT(*) AS c
+  FROM (SELECT {_DUCK_TOKENS} AS t FROM documents), unnest(t) AS u(w)
+  GROUP BY u.w
+  ORDER BY c DESC, u.w
+  LIMIT {_ZIPF_TOPN}
+), ranked AS (
+  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y
+  FROM head
+), fit AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND({_REG_SLOPE_ZIPF}, 6) AS zipf_slope,
+       ROUND({_REG_ICEPT_ZIPF}, 6) AS zipf_intercept,
+       ROUND({_REG_R2_ZIPF}, 6) AS r2
+FROM fit
+"""
+
+
+# ---------------------------------------------------------------------------
+# llm_rouge_eval — ROUGE-1/ROUGE-2 n-gram overlap between doc pairs
+# ---------------------------------------------------------------------------
+
+
+def llm_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mean ROUGE-1 and ROUGE-2 between deterministic
+    candidate/reference pairs (even doc_id = candidate, its successor
+    = reference) — the n-gram overlap scoring an eval pipeline runs
+    over millions of (model output, reference) rows.
+
+    Clipped-overlap = Σ_g min(count_cand(g), count_ref(g)) per pair;
+    precision/recall/F1 are carried as exact ppm integers
+    ((10⁶·overlap) div total — F1 = 2·o/(nc+nr) shares the overlap so
+    it stays one integer division) and the corpus mean is an integer
+    division by the pair count: no float anywhere. Scale: grams
+    explode map-side from token arrays, the overlap join is keyed on
+    (pair, gram) — corpus-linear, hash-partitioned, no windows."""
+    from ..operators.parallelism import ensure_parallelism
+    from ..text.analysis import tokens
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("is_cand"),
+        F.expr("doc_id div 2").alias("pair_id"),
+        tokens("text").alias("toks"),
+    )
+    grams = toks.select(
+        "pair_id",
+        "is_cand",
+        F.size("toks").alias("n1"),
+        F.greatest(F.size("toks") - 1, F.lit(0)).alias("n2"),
+        F.col("toks").alias("g1"),
+        F.expr(
+            "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+            " (x, i) -> concat(x, ' ', toks[i + 1]))"
+        ).alias("g2"),
+    )
+
+    def side(df: DataFrame, cand: bool, gcol: str, tot: str) -> DataFrame:
+        tag = "c" if cand else "r"
+        return (
+            df.filter(F.col("is_cand") == cand)
+            .select("pair_id", F.col(tot).alias(f"n_{tag}"),
+                    F.explode_outer(gcol).alias("g"))
+            .groupBy("pair_id", "g")
+            .agg(
+                F.count(F.col("g")).alias(f"c_{tag}"),
+                F.max(f"n_{tag}").alias(f"n_{tag}"),
+            )
+        )
+
+    def overlap(gcol: str, tot: str) -> DataFrame:
+        c = side(grams, True, gcol, tot)
+        r = side(grams, False, gcol, tot)
+        per_gram = c.join(r, ["pair_id", "g"]).select(
+            "pair_id", F.least("c_c", "c_r").alias("o")
+        )
+        totals = (
+            grams.groupBy("pair_id")
+            .agg(
+                F.max(F.when(F.col("is_cand"), F.col(tot))).alias("n_c"),
+                F.max(F.when(~F.col("is_cand"), F.col(tot))).alias("n_r"),
+            )
+            .filter(F.col("n_c").isNotNull() & F.col("n_r").isNotNull())
+        )
+        osum = per_gram.groupBy("pair_id").agg(F.sum("o").alias("o"))
+        return totals.join(osum, "pair_id", "left_outer").select(
+            "pair_id",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            "n_c",
+            "n_r",
+        )
+
+    def metrics(df: DataFrame, pfx: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias(f"{pfx}_pairs"),
+            F.expr(
+                "CAST(SUM(CASE WHEN n_c > 0 THEN o * 1000000 div n_c"
+                " ELSE 0 END) div COUNT(*) AS BIGINT)"
+            ).alias(f"{pfx}_p_ppm"),
+            F.expr(
+                "CAST(SUM(CASE WHEN n_r > 0 THEN o * 1000000 div n_r"
+                " ELSE 0 END) div COUNT(*) AS BIGINT)"
+            ).alias(f"{pfx}_r_ppm"),
+            F.expr(
+                "CAST(SUM(CASE WHEN n_c + n_r > 0 THEN"
+                " 2 * o * 1000000 div (n_c + n_r) ELSE 0 END)"
+                " div COUNT(*) AS BIGINT)"
+            ).alias(f"{pfx}_f1_ppm"),
+        )
+
+    m1 = metrics(overlap("g1", "n1"), "rouge1")
+    m2 = metrics(overlap("g2", "n2"), "rouge2")
+    return m1.crossJoin(m2)
+
+
+LLM_ROUGE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 2 = 0 AS is_cand, doc_id // 2 AS pair_id,
+         {_DUCK_TOKENS} AS toks
+  FROM documents
+), grams AS (
+  SELECT pair_id, is_cand,
+         CAST(len(toks) AS BIGINT) AS n1,
+         CAST(GREATEST(len(toks) - 1, 0) AS BIGINT) AS n2,
+         toks AS g1,
+         list_transform(toks[1:len(toks) - 1],
+                        (x, i) -> x || ' ' || toks[i + 1]) AS g2
+  FROM toks
+), uni AS (
+  SELECT pair_id, is_cand, u.g FROM grams, unnest(g1) AS u(g)
+), big AS (
+  SELECT pair_id, is_cand, u.g FROM grams, unnest(g2) AS u(g)
+), totals AS (
+  SELECT pair_id,
+         MAX(CASE WHEN is_cand THEN n1 END) AS nc1,
+         MAX(CASE WHEN NOT is_cand THEN n1 END) AS nr1,
+         MAX(CASE WHEN is_cand THEN n2 END) AS nc2,
+         MAX(CASE WHEN NOT is_cand THEN n2 END) AS nr2
+  FROM grams GROUP BY 1
+  HAVING MAX(CASE WHEN is_cand THEN n1 END) IS NOT NULL
+     AND MAX(CASE WHEN NOT is_cand THEN n1 END) IS NOT NULL
+), o1 AS (
+  SELECT c.pair_id, CAST(SUM(LEAST(c.c, r.c)) AS BIGINT) AS o
+  FROM (SELECT pair_id, g, COUNT(*) AS c FROM uni WHERE is_cand GROUP BY 1, 2) c
+  JOIN (SELECT pair_id, g, COUNT(*) AS c FROM uni WHERE NOT is_cand GROUP BY 1, 2) r
+    ON c.pair_id = r.pair_id AND c.g = r.g
+  GROUP BY 1
+), o2 AS (
+  SELECT c.pair_id, CAST(SUM(LEAST(c.c, r.c)) AS BIGINT) AS o
+  FROM (SELECT pair_id, g, COUNT(*) AS c FROM big WHERE is_cand GROUP BY 1, 2) c
+  JOIN (SELECT pair_id, g, COUNT(*) AS c FROM big WHERE NOT is_cand GROUP BY 1, 2) r
+    ON c.pair_id = r.pair_id AND c.g = r.g
+  GROUP BY 1
+), per AS (
+  SELECT t.pair_id,
+         COALESCE(o1.o, 0) AS ov1, COALESCE(o2.o, 0) AS ov2,
+         t.nc1, t.nr1, t.nc2, t.nr2
+  FROM totals t
+  LEFT JOIN o1 ON o1.pair_id = t.pair_id
+  LEFT JOIN o2 ON o2.pair_id = t.pair_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS rouge1_pairs,
+       CAST(SUM(CASE WHEN nc1 > 0 THEN ov1 * 1000000 // nc1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS rouge1_p_ppm,
+       CAST(SUM(CASE WHEN nr1 > 0 THEN ov1 * 1000000 // nr1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS rouge1_r_ppm,
+       CAST(SUM(CASE WHEN nc1 + nr1 > 0 THEN 2 * ov1 * 1000000 // (nc1 + nr1)
+            ELSE 0 END) // COUNT(*) AS BIGINT) AS rouge1_f1_ppm,
+       CAST(COUNT(*) AS BIGINT) AS rouge2_pairs,
+       CAST(SUM(CASE WHEN nc2 > 0 THEN ov2 * 1000000 // nc2 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS rouge2_p_ppm,
+       CAST(SUM(CASE WHEN nr2 > 0 THEN ov2 * 1000000 // nr2 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS rouge2_r_ppm,
+       CAST(SUM(CASE WHEN nc2 + nr2 > 0 THEN 2 * ov2 * 1000000 // (nc2 + nr2)
+            ELSE 0 END) // COUNT(*) AS BIGINT) AS rouge2_f1_ppm
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
+# llm_kl_drift — smoothed unigram KL divergence between two sources
+# ---------------------------------------------------------------------------
+
+
+def llm_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-distribution KL divergence between two corpus slices
+    (src0 vs src1) with add-one smoothing over the union vocabulary —
+    the language-model-level drift monitor that catches a source
+    changing register/topic before it shifts a training mix (PSI's
+    lexical sibling; dq_drift_psi watches numeric columns, this
+    watches the vocabulary itself).
+
+    Each vocabulary term's contribution p·ln(p/q) is quantized to an
+    exact nano integer (FLOOR(x·10⁹ + 0.5) of the same IEEE expression
+    in both engines), so the sum is order-free and hash-exact. Both
+    directions KL(P‖Q) and KL(Q‖P) are reported — asymmetry itself is
+    a signal. Scale: one exploded token count per slice, a full-outer
+    vocab join, and a single-row rollup; everything is vocabulary-
+    bounded after the first aggregation."""
+    from ..operators.parallelism import ensure_parallelism
+    from ..text.analysis import tokens
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents")).filter(
+        F.col("source").isin("src0", "src1")
+    )
+    counts = (
+        d.select(
+            (F.col("source") == "src0").alias("is_a"),
+            F.explode(tokens("text")).alias("w"),
+        )
+        .groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("cb"),
+        )
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = counts.select(
+        "ca",
+        "cb",
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+        F.count("*").over(w_all).alias("v"),
+    )
+    terms = tot.select(
+        "ca",
+        "cb",
+        "na",
+        "nb",
+        "v",
+        F.expr(_KL_PQ_NANO).alias("pq"),
+        F.expr(_KL_QP_NANO).alias("qp"),
+    )
+    return terms.agg(
+        F.max("v").cast("long").alias("n_vocab"),
+        F.max("na").cast("long").alias("n_tokens_a"),
+        F.max("nb").cast("long").alias("n_tokens_b"),
+        F.sum("pq").cast("long").alias("kl_pq_nano"),
+        F.sum("qp").cast("long").alias("kl_qp_nano"),
+    )
+
+
+_KL_P = "((CAST(ca AS DOUBLE) + 1) / (CAST(na AS DOUBLE) + v))"
+_KL_Q = "((CAST(cb AS DOUBLE) + 1) / (CAST(nb AS DOUBLE) + v))"
+_KL_PQ_NANO = (
+    f"CAST(FLOOR({_KL_P} * ln({_KL_P} / {_KL_Q})"
+    " * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_KL_QP_NANO = (
+    f"CAST(FLOOR({_KL_Q} * ln({_KL_Q} / {_KL_P})"
+    " * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+LLM_KL_SQL = f"""
+WITH counts AS (
+  SELECT u.w,
+         SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+  FROM (SELECT source, {_DUCK_TOKENS} AS t FROM documents
+        WHERE source IN ('src0', 'src1')), unnest(t) AS u(w)
+  GROUP BY u.w
+), tot AS (
+  SELECT ca, cb,
+         SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb,
+         COUNT(*) OVER () AS v
+  FROM counts
+), terms AS (
+  SELECT v, na, nb,
+         {_KL_PQ_NANO} AS pq,
+         {_KL_QP_NANO} AS qp
+  FROM tot
+)
+SELECT CAST(MAX(v) AS BIGINT) AS n_vocab,
+       CAST(MAX(na) AS BIGINT) AS n_tokens_a,
+       CAST(MAX(nb) AS BIGINT) AS n_tokens_b,
+       CAST(SUM(pq) AS BIGINT) AS kl_pq_nano,
+       CAST(SUM(qp) AS BIGINT) AS kl_qp_nano
+FROM terms
+"""
+
+
 QUERIES = {
+    "txt_heaps_law": (txt_heaps_law, TXT_HEAPS_SQL),
+    "txt_zipf_fit": (txt_zipf_fit, TXT_ZIPF_SQL),
+    "llm_rouge_eval": (llm_rouge_eval, LLM_ROUGE_SQL),
+    "llm_kl_drift": (llm_kl_drift, LLM_KL_SQL),
     "txt_word_lift": (txt_word_lift, TXT_LIFT_SQL),
     "llm_shard_assign": (llm_shard_assign, LLM_SHARD_SQL),
     "llm_ngram_novelty": (llm_ngram_novelty, LLM_NOVELTY_SQL),
