@@ -3600,7 +3600,92 @@ LIMIT {_PATH_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_changepoint — exact single change-point (AMOC) on the daily series
+# ---------------------------------------------------------------------------
+
+# Between-segment CUSUM² score for a split after position t:
+# (n·S_t − t·S_n)² / (n·t·(n−t)). The difference is an exact BIGINT;
+# the square and division are the same IEEE doubles in both engines.
+_CP_SCORE = (
+    "CAST(n * s_t - t * s_n AS DOUBLE) * CAST(n * s_t - t * s_n AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * t * (n - t))"
+)
+
+
+def evt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-most-one-change-point detection on the daily event-count
+    series: the split t* maximizing the between-segment CUSUM² score
+    (n·S_t − t·S_n)²/(n·t·(n−t)) — the exact argmax every binary-
+    segmentation changepoint routine computes at its top level, here
+    as pure dataflow (ties break on the earlier day).
+
+    Scale: one map-side-combinable rollup to day grain; the cumulative
+    sum, score and argmax all run over the bounded day table (#days
+    rows), never the fact table. The score difference n·S_t − t·S_n
+    stays an exact BIGINT; only the final square/ratio is IEEE."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(F.expr("CAST(ts AS DATE)").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("c"))
+    )
+    w_ord = Window.orderBy("d")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = daily.select(
+        "d",
+        F.row_number().over(w_ord).alias("t"),
+        F.sum("c").over(w_cum).alias("s_t"),
+        F.sum("c").over(w_all).alias("s_n"),
+        F.count("*").over(w_all).alias("n"),
+    ).filter(F.col("t") < F.col("n"))
+    scored = cum.withColumn("score", F.expr(_CP_SCORE))
+    best = scored.orderBy(F.desc("score"), "d").limit(1)
+    return best.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("t").cast("long").alias("t_star"),
+        F.col("d").alias("day_star"),
+        F.col("s_t").cast("long").alias("left_events"),
+        (F.col("s_n") - F.col("s_t")).cast("long").alias("right_events"),
+        F.round("score", 6).alias("cusum_score"),
+        F.round(F.expr("CAST(s_t AS DOUBLE) / t"), 6).alias("mean_left"),
+        F.round(
+            F.expr("CAST(s_n - s_t AS DOUBLE) / (n - t)"), 6
+        ).alias("mean_right"),
+    )
+
+
+EVT_CHANGEPOINT_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c FROM events GROUP BY 1
+), cum AS (
+  SELECT d,
+         ROW_NUMBER() OVER (ORDER BY d) AS t,
+         SUM(c) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t,
+         SUM(c) OVER () AS s_n,
+         COUNT(*) OVER () AS n
+  FROM daily
+), scored AS (
+  SELECT *, {_CP_SCORE} AS score FROM cum WHERE t < n
+)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(t AS BIGINT) AS t_star,
+       d AS day_star, CAST(s_t AS BIGINT) AS left_events,
+       CAST(s_n - s_t AS BIGINT) AS right_events,
+       ROUND(score, 6) AS cusum_score,
+       ROUND(CAST(s_t AS DOUBLE) / t, 6) AS mean_left,
+       ROUND(CAST(s_n - s_t AS DOUBLE) / (n - t), 6) AS mean_right
+FROM scored
+ORDER BY score DESC, d
+LIMIT 1
+"""
+
+
 QUERIES = {
+    "evt_changepoint": (evt_changepoint, EVT_CHANGEPOINT_SQL),
     "evt_markov_stationary": (evt_markov_stationary, EVT_MARKOV_SQL),
     "w13_rising_streaks": (w13_rising_streaks, W13_STREAK_SQL),
     "evt_cohort_ltv": (evt_cohort_ltv, EVT_COHORT_LTV_SQL),

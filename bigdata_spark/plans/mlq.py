@@ -2440,7 +2440,201 @@ FROM ({body}) ORDER BY round
 ML_GBT_SQL = _gbt_sql()
 
 
+# ---------------------------------------------------------------------------
+# ml_woe_iv — weight-of-evidence / information value per feature bucket
+# ---------------------------------------------------------------------------
+
+# Shared closed-forms (exact BIGINT cell counts in, the same IEEE ln
+# out; round(6) is the repo's libm convention).
+_WOE = "ln((CAST(n_good AS DOUBLE) * b) / (CAST(n_bad AS DOUBLE) * g))"
+_IV_C = (
+    "(CAST(n_good AS DOUBLE) / g - CAST(n_bad AS DOUBLE) / b)"
+    f" * {_WOE}"
+)
+
+
+def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of Evidence / Information Value of o_orderpriority
+    against the binary target o_orderstatus = 'F' — the credit-scoring
+    feature screen (IV < 0.02 = useless, > 0.3 = strong) every scorecard
+    pipeline runs before binning features into a model.
+
+    One map-side-combinable aggregation collapses the fact table to
+    ≤5 bucket rows of exact (n_good, n_bad) BIGINTs; totals ride a
+    window over those 5 rows, WoE/IV-contribution are the same IEEE
+    ln expression in both engines (round 6). Nothing downstream of
+    the first aggregation is input-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    cells = (
+        o.select(
+            F.col("o_orderpriority").alias("bucket"),
+            (F.col("o_orderstatus") == "F").cast("long").alias("bad"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(1 - F.col("bad")).alias("n_good"),
+            F.sum("bad").alias("n_bad"),
+        )
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = cells.select(
+        "bucket",
+        "n_good",
+        "n_bad",
+        F.sum("n_good").over(w_all).alias("g"),
+        F.sum("n_bad").over(w_all).alias("b"),
+    )
+    return tot.select(
+        "bucket",
+        F.col("n_good").cast("long").alias("n_good"),
+        F.col("n_bad").cast("long").alias("n_bad"),
+        F.round(F.expr(_WOE), 6).alias("woe"),
+        F.round(F.expr(_IV_C), 6).alias("iv_contrib"),
+    ).orderBy("bucket")
+
+
+ML_WOE_SQL = f"""
+WITH cells AS (
+  SELECT o_orderpriority AS bucket,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS n_good,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_bad
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT bucket, n_good, n_bad,
+         SUM(n_good) OVER () AS g, SUM(n_bad) OVER () AS b
+  FROM cells
+)
+SELECT bucket, CAST(n_good AS BIGINT) AS n_good,
+       CAST(n_bad AS BIGINT) AS n_bad,
+       ROUND({_WOE}, 6) AS woe,
+       ROUND({_IV_C}, 6) AS iv_contrib
+FROM tot
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# ml_mutual_info — mutual information between two categorical columns
+# ---------------------------------------------------------------------------
+
+_MI_TERM = (
+    "CAST(FLOOR((CAST(c_xy AS DOUBLE) / n)"
+    " * ln(CAST(n AS DOUBLE) * c_xy / (CAST(c_x AS DOUBLE) * c_y))"
+    " * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_H_TERM = (
+    "CAST(FLOOR((CAST({c} AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / {c})"
+    " * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def ml_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(X;Y) between o_orderpriority and
+    o_orderstatus, with both marginal entropies and the normalized
+    MI = I/sqrt(H(X)·H(Y)) — the model-free dependence screen feature
+    stores rank candidate features with (chi² tells you IF dependent,
+    MI tells you HOW MUCH in nats).
+
+    Each of the ≤15 cell contributions p·ln(n·c_xy/(c_x·c_y)) is
+    quantized to an exact nano-nat integer (FLOOR(x·10⁹+0.5) of the
+    same IEEE expression both engines), so sums are order-free and
+    hash-exact; marginal entropies use the same per-value trick. One
+    fact-table aggregation to the 15-cell contingency table; marginals
+    derive from it by rollup — nothing else touches the input."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    cells = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+        .agg(F.count("*").alias("c_xy"))
+        .localCheckpoint()  # ≤15 rows, reused by three rollups
+    )
+    w_x = Window.partitionBy("x")
+    w_y = Window.partitionBy("y")
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = cells.select(
+        "c_xy",
+        F.sum("c_xy").over(w_x).alias("c_x"),
+        F.sum("c_xy").over(w_y).alias("c_y"),
+        F.sum("c_xy").over(w_all).alias("n"),
+    )
+    mi = t.agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr(_MI_TERM)).alias("mi_nano"),
+    )
+    hx = (
+        cells.groupBy("x")
+        .agg(F.sum("c_xy").alias("c"))
+        .crossJoin(F.broadcast(cells.agg(F.sum("c_xy").alias("n"))))
+        .agg(F.sum(F.expr(_H_TERM.format(c="c"))).alias("hx_nano"))
+    )
+    hy = (
+        cells.groupBy("y")
+        .agg(F.sum("c_xy").alias("c"))
+        .crossJoin(F.broadcast(cells.agg(F.sum("c_xy").alias("n"))))
+        .agg(F.sum(F.expr(_H_TERM.format(c="c"))).alias("hy_nano"))
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("mi_nano").cast("long").alias("mi_nano"),
+            F.col("hx_nano").cast("long").alias("hx_nano"),
+            F.col("hy_nano").cast("long").alias("hy_nano"),
+            F.round(
+                F.expr(
+                    "CAST(mi_nano AS DOUBLE)"
+                    " / sqrt(CAST(hx_nano AS DOUBLE) * hy_nano)"
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )
+
+
+ML_MI_SQL = f"""
+WITH cells AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS c_xy
+  FROM orders GROUP BY 1, 2
+), t AS (
+  SELECT c_xy,
+         SUM(c_xy) OVER (PARTITION BY x) AS c_x,
+         SUM(c_xy) OVER (PARTITION BY y) AS c_y,
+         SUM(c_xy) OVER () AS n
+  FROM cells
+), mi AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(SUM({_MI_TERM}) AS BIGINT) AS mi_nano
+  FROM t
+), hx AS (
+  SELECT CAST(SUM({_H_TERM.format(c="c")}) AS BIGINT) AS hx_nano
+  FROM (SELECT x, SUM(c_xy) AS c FROM cells GROUP BY 1),
+       (SELECT SUM(c_xy) AS n FROM cells)
+), hy AS (
+  SELECT CAST(SUM({_H_TERM.format(c="c")}) AS BIGINT) AS hy_nano
+  FROM (SELECT y, SUM(c_xy) AS c FROM cells GROUP BY 1),
+       (SELECT SUM(c_xy) AS n FROM cells)
+)
+SELECT n, mi_nano, hx_nano, hy_nano,
+       ROUND(CAST(mi_nano AS DOUBLE)
+             / sqrt(CAST(hx_nano AS DOUBLE) * hy_nano), 6) AS nmi
+FROM mi, hx, hy
+"""
+
+
 QUERIES = {
+    "ml_woe_iv": (ml_woe_iv, ML_WOE_SQL),
+    "ml_mutual_info": (ml_mutual_info, ML_MI_SQL),
     "ml_logreg_gd": (ml_logreg_gd, ML_LOGREG_SQL),
     "ml_gbt_stumps": (ml_gbt_stumps, ML_GBT_SQL),
     "ml_calibration_bins": (ml_calibration_bins, ML_CALIB_SQL),

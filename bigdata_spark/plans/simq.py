@@ -1007,7 +1007,181 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# ml_ranking_metrics — MAP@10 / MRR / NDCG@10 over label-relevant retrieval
+# ---------------------------------------------------------------------------
+
+_RANK_K = 10
+_RANK_QCAP = 32  # query-side cap: pairs stay corpus-linear at scale
+_RANK_LCM = 2520  # lcm(1..10): makes 1/i and 1/rank exact integers
+
+
+def _ndcg_w(i: str) -> str:
+    """Position weight FLOOR(10⁶/log2(i+1)+0.5) — same text both engines."""
+    return (
+        f"CAST(FLOOR(CAST(1000000 AS DOUBLE) / log2(CAST({i} AS DOUBLE) + 1)"
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def ml_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metrics over exact cosine top-10: MAP@10, MRR
+    and NDCG@10 where a hit is a corpus neighbor sharing the query's
+    label — the eval loop every embedding-search deployment runs
+    (label = "the doc the user actually wanted").
+
+    Everything is INTEGER-exact: average precision multiplies through
+    by lcm(1..10)=2520 so Σ rel_i·cumrel_i·(2520/i) is an exact BIGINT;
+    reciprocal rank is 2520 div rank; DCG uses the 10 fixed position
+    weights FLOOR(10⁶/log2(i+1)+0.5) (constants — the same expression
+    over integer i in both engines); ideal DCG truncates at
+    min(R, 10). Corpus means are integer ppm divisions. Scale: the
+    query side is capped (_RANK_QCAP) so the cosine join is
+    corpus-linear; per-query windows are k-bounded; label totals ride
+    a broadcast join.
+    """
+    e = _vecs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _RANK_QCAP)
+    topk = brute_force_topk(q, e, k=_RANK_K)
+    lab = e.select("vec_id", "label")
+    lab_tot = lab.groupBy("label").agg(F.count("*").alias("n_label"))
+    scored = (
+        topk.join(
+            lab.select(F.col("vec_id").alias("query_id"),
+                       F.col("label").alias("q_label")),
+            "query_id",
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("corpus_id"),
+                       F.col("label").alias("c_label")),
+            "corpus_id",
+        )
+        .join(
+            F.broadcast(lab_tot.select(F.col("label").alias("q_label"),
+                                       F.col("n_label"))),
+            "q_label",
+        )
+        .select(
+            "query_id",
+            "rank",
+            (F.col("q_label") == F.col("c_label")).cast("long").alias("rel"),
+            (F.col("n_label") - 1).alias("r_total"),  # exclude the query itself
+        )
+    )
+    w_cum = Window.partitionBy("query_id").orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    per_pos = scored.withColumn("cumrel", F.sum("rel").over(w_cum))
+    per_q = per_pos.groupBy("query_id").agg(
+        F.max("r_total").alias("r_total"),
+        F.sum(
+            F.col("rel") * F.col("cumrel") * (F.lit(_RANK_LCM) / F.col("rank")).cast("long")
+        ).alias("ap_scaled"),
+        F.max(
+            F.when(F.col("rel") == 1, F.expr(f"{_RANK_LCM} div rank")).otherwise(0)
+        ).alias("rr_scaled"),
+        F.sum(F.col("rel") * F.expr(_ndcg_w("rank"))).alias("dcg"),
+        F.sum("rel").alias("hits"),
+    )
+    # ideal DCG: the first min(R, k) position weights (R>=0 exact ints)
+    idcg_expr = "CAST(0 AS BIGINT)"
+    for i in range(1, _RANK_K + 1):
+        idcg_expr = (
+            f"({idcg_expr} + CASE WHEN r_total >= {i} THEN {_ndcg_w(str(i))}"
+            " ELSE 0 END)"
+        )
+    final = per_q.withColumn("idcg", F.expr(idcg_expr)).select(
+        "query_id",
+        F.expr(
+            f"CASE WHEN LEAST(r_total, {_RANK_K}) > 0 THEN"
+            f" ap_scaled * 1000000 div ({_RANK_LCM} * LEAST(r_total, {_RANK_K}))"
+            " ELSE 0 END"
+        ).alias("ap_ppm"),
+        F.expr(f"rr_scaled * 1000000 div {_RANK_LCM}").alias("rr_ppm"),
+        F.expr(
+            "CASE WHEN idcg > 0 THEN dcg * 1000000 div idcg ELSE 0 END"
+        ).alias("ndcg_ppm"),
+        "hits",
+    )
+    return final.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.expr("CAST(SUM(ap_ppm) div COUNT(*) AS BIGINT)").alias("map_ppm"),
+        F.expr("CAST(SUM(rr_ppm) div COUNT(*) AS BIGINT)").alias("mrr_ppm"),
+        F.expr("CAST(SUM(ndcg_ppm) div COUNT(*) AS BIGINT)").alias(
+            "mean_ndcg_ppm"
+        ),
+        F.sum("hits").cast("long").alias("total_hits"),
+    )
+
+
+def _rank_idcg_sql() -> str:
+    expr = "CAST(0 AS BIGINT)"
+    for i in range(1, _RANK_K + 1):
+        expr = (
+            f"({expr} + CASE WHEN r_total >= {i} THEN {_ndcg_w(str(i))}"
+            " ELSE 0 END)"
+        )
+    return expr
+
+
+ML_RANKING_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS v, label AS q_label
+           FROM embeddings WHERE vec_id < {_RANK_QCAP}),
+c AS (SELECT vec_id AS corpus_id, embedding AS v, label AS c_label
+      FROM embeddings),
+lab_tot AS (SELECT label, COUNT(*) AS n_label FROM embeddings GROUP BY 1),
+scored AS (
+  SELECT q.query_id, c.corpus_id, q.q_label, c.c_label,
+    CASE WHEN ({_duck_l2('q.v')} * {_duck_l2('c.v')}) != 0.0
+         THEN {_duck_dot('q.v', 'c.v')} / ({_duck_l2('q.v')} * {_duck_l2('c.v')})
+         ELSE 0.0 END AS cosine
+  FROM c CROSS JOIN q
+  WHERE q.query_id != c.corpus_id
+), ranked AS (
+  SELECT query_id, q_label, c_label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, corpus_id) AS rank
+  FROM scored
+), top AS (
+  SELECT r.query_id, r.rank,
+         CASE WHEN r.q_label = r.c_label THEN 1 ELSE 0 END AS rel,
+         t.n_label - 1 AS r_total
+  FROM ranked r JOIN lab_tot t ON r.q_label = t.label
+  WHERE r.rank <= {_RANK_K}
+), per_pos AS (
+  SELECT *, SUM(rel) OVER (PARTITION BY query_id ORDER BY rank
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumrel
+  FROM top
+), per_q AS (
+  SELECT query_id, MAX(r_total) AS r_total,
+         CAST(SUM(rel * cumrel * ({_RANK_LCM} // rank)) AS BIGINT) AS ap_scaled,
+         CAST(MAX(CASE WHEN rel = 1 THEN {_RANK_LCM} // rank ELSE 0 END)
+              AS BIGINT) AS rr_scaled,
+         CAST(SUM(rel * {_ndcg_w('rank')}) AS BIGINT) AS dcg,
+         CAST(SUM(rel) AS BIGINT) AS hits
+  FROM per_pos GROUP BY 1
+), final AS (
+  SELECT query_id,
+         CASE WHEN LEAST(r_total, {_RANK_K}) > 0 THEN
+           ap_scaled * 1000000 // ({_RANK_LCM} * LEAST(r_total, {_RANK_K}))
+           ELSE 0 END AS ap_ppm,
+         rr_scaled * 1000000 // {_RANK_LCM} AS rr_ppm,
+         CASE WHEN {_rank_idcg_sql()} > 0
+              THEN dcg * 1000000 // ({_rank_idcg_sql()}) ELSE 0 END AS ndcg_ppm,
+         hits
+  FROM per_q
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(ap_ppm) // COUNT(*) AS BIGINT) AS map_ppm,
+       CAST(SUM(rr_ppm) // COUNT(*) AS BIGINT) AS mrr_ppm,
+       CAST(SUM(ndcg_ppm) // COUNT(*) AS BIGINT) AS mean_ndcg_ppm,
+       CAST(SUM(hits) AS BIGINT) AS total_hits
+FROM final
+"""
+
+
 QUERIES = {
+    "ml_ranking_metrics": (ml_ranking_metrics, ML_RANKING_SQL),
     "dist_kernels": (dist_kernels, DIST_KERNELS_SQL),
     "sim_quantized_recall": (sim_quantized_recall, SIM_QREC_SQL),
     "sim_jl_projection_audit": (sim_jl_projection_audit, SIM_JL_SQL),

@@ -3572,7 +3572,74 @@ ORDER BY flag
 """
 
 
+# ---------------------------------------------------------------------------
+# stat_nelson_aalen — cumulative-hazard estimate over user activity spans
+# ---------------------------------------------------------------------------
+
+
+def stat_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over user activity spans: each
+    user's duration is last-event-day − first-event-day; at each
+    duration t the hazard increment is d_t/n_t (events over the
+    at-risk set) and H(t) = Σ_{s≤t} d_s/n_s — the lifetable's
+    estimator-grade sibling (stat_survival_lifetable bins durations;
+    this estimates the continuous hazard at every observed duration,
+    no censoring in this corpus so every span is an event).
+
+    Integer-exact: each increment is quantized ppm by integer division
+    (d·10⁶ div n — both engines), so the cumulative sum is an exact
+    BIGINT. Scale: one user-grain min/max aggregation, one duration-
+    domain rollup (bounded by the observation window in days); both
+    cumulative windows run over the tiny domain table."""
+    e = load_table(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(
+        F.expr("datediff(CAST(MAX(ts) AS DATE), CAST(MIN(ts) AS DATE))").alias(
+            "t"
+        )
+    )
+    dom = spans.groupBy("t").agg(F.count("*").alias("d"))
+    w_risk = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = dom.select(
+        "t", "d", F.sum("d").over(w_risk).alias("n_risk")
+    ).withColumn("hazard_ppm", F.expr("d * 1000000 div n_risk"))
+    return risk.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("hazard_ppm").cast("long").alias("hazard_ppm"),
+        F.sum("hazard_ppm").over(w_cum).cast("long").alias("cumhaz_ppm"),
+    ).orderBy("t_days")
+
+
+STAT_NA_SQL = """
+WITH spans AS (
+  SELECT user_id,
+         datediff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS t
+  FROM events GROUP BY 1
+), dom AS (
+  SELECT t, COUNT(*) AS d FROM spans GROUP BY 1
+), risk AS (
+  SELECT t, d,
+         SUM(d) OVER (ORDER BY t
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+  FROM dom
+), haz AS (
+  SELECT t, d, n_risk, d * 1000000 // n_risk AS hazard_ppm FROM risk
+)
+SELECT CAST(t AS BIGINT) AS t_days, CAST(d AS BIGINT) AS n_events,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(hazard_ppm AS BIGINT) AS hazard_ppm,
+       CAST(SUM(hazard_ppm) OVER (ORDER BY t
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumhaz_ppm
+FROM haz
+ORDER BY t_days
+"""
+
+
 QUERIES = {
+    "stat_nelson_aalen": (stat_nelson_aalen, STAT_NA_SQL),
     "stat_wilcoxon_signed": (stat_wilcoxon_signed, STAT_WILCOXON_SQL),
     "stat_hodges_lehmann": (stat_hodges_lehmann, STAT_HL_SQL),
     "stat_bh_fdr": (stat_bh_fdr, STAT_BH_SQL),
