@@ -1756,7 +1756,118 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# asof_forward_tolerance — forward as-of join with a match tolerance
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_MIN = 60  # forward tolerance, minutes
+
+
+def asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: for every click event, the
+    NEXT purchase by the same user, matched only when it lands within
+    60 minutes — the click-to-conversion attribution join (pandas
+    merge_asof(direction='forward', tolerance=...), here as scalable
+    dataflow: one union + one keyed window, no per-row subquery, no
+    range join blow-up).
+
+    A same-instant purchase is visible to the click (anchors sort
+    before probes at an identical timestamp — the mirror of the
+    backward as-of's tie-break). Latencies are exact epoch-second
+    differences; per-user conversion counts and total latency are
+    exact BIGINTs."""
+    e = load_table(spark, sf_dir, "events")
+    probes = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    anchors = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("anchor_ts")
+    )
+    tagged = probes.select(
+        "user_id", "ts", F.lit(None).cast("timestamp").alias("anchor_ts"),
+        "event_id",
+    ).unionByName(
+        anchors.select(
+            "user_id", F.col("anchor_ts").alias("ts"), F.col("anchor_ts"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    # forward window: anchors (event_id IS NULL) sort FIRST at a tied ts
+    # so a same-instant purchase matches; first_value looks ahead
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("event_id").isNotNull().cast("int"), "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    matched = (
+        tagged.withColumn(
+            "next_anchor", F.first("anchor_ts", ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.when(
+                F.col("next_anchor").isNotNull()
+                & (
+                    F.unix_timestamp("next_anchor") - F.unix_timestamp("ts")
+                    <= _ASOF_TOL_MIN * 60
+                ),
+                F.unix_timestamp("next_anchor") - F.unix_timestamp("ts"),
+            ).alias("latency_s"),
+        )
+    )
+    return (
+        matched.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.count("latency_s").alias("n_converted"),
+            F.coalesce(F.sum("latency_s"), F.lit(0))
+            .cast("long")
+            .alias("total_latency_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ASOF_TOL_SQL = f"""
+WITH tagged AS (
+  SELECT user_id, ts, CAST(NULL AS TIMESTAMP) AS anchor_ts, event_id
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, ts AS anchor_ts, CAST(NULL AS BIGINT) AS event_id
+  FROM events WHERE event_type = 'purchase'
+), fwd AS (
+  SELECT user_id, event_id, ts,
+         FIRST_VALUE(anchor_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, CAST(event_id IS NOT NULL AS INT), event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_anchor
+  FROM tagged
+), matched AS (
+  -- per-timestamp FLOOR before subtracting mirrors Spark's
+  -- unix_timestamp() (whole-second truncation per value)
+  SELECT user_id, event_id,
+         CASE WHEN next_anchor IS NOT NULL
+               AND CAST(FLOOR(epoch(next_anchor)) AS BIGINT)
+                   - CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   <= {_ASOF_TOL_MIN * 60}
+              THEN CAST(FLOOR(epoch(next_anchor)) AS BIGINT)
+                   - CAST(FLOOR(epoch(ts)) AS BIGINT) END
+           AS latency_s
+  FROM fwd WHERE event_id IS NOT NULL
+)
+SELECT user_id, COUNT(*) AS n_clicks,
+       COUNT(latency_s) AS n_converted,
+       CAST(COALESCE(SUM(latency_s), 0) AS BIGINT) AS total_latency_s
+FROM matched
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "asof_forward_tolerance": (asof_forward_tolerance, ASOF_TOL_SQL),
     "approx_hll_portable": (approx_hll_portable, APPROX_HLL_SQL),
     "approx_quantile_hist": (approx_quantile_hist, APPROX_QH_SQL),
     "j10_pit_embargo_join": (j10_pit_embargo_join, J10_PIT_SQL),

@@ -13,7 +13,7 @@ identical integer division — matches bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -1648,21 +1648,15 @@ LIMIT {_JC_TOPK}
 _CLOSE_MAX_HOPS = 8
 
 
-def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Closeness and harmonic centrality on the (symmetrized) nation
-    trade graph via multi-source BFS: every node seeds a BFS whose
-    state is (root, node, dist) pairs, so ONE delta-iteration loop
-    computes all per-source distance tables at once — the standard
-    "landmark" centrality shape (at 100 TB you seed a sampled landmark
-    set instead of all nodes; the plan is identical, only the seed
-    table shrinks).
-
-    Each round joins only the frontier against the edge list and
+def _all_pairs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the symmetrized nation trade graph: every
+    node seeds a BFS whose state is (root, node, dist) pairs, so one
+    delta-iteration loop computes all per-source distance tables at
+    once. Each round joins only the frontier against the edge list and
     anti-joins already-settled (root, node) pairs — per-round work is
     frontier-sized, never graph-sized, and lineage is cut per round.
-    Harmonic sums carry 1/d as exact ppm integers (10⁶ div d);
-    closeness (n_reached−1)/Σd is the one shared IEEE double.
-    """
+    At 100 TB you seed a sampled landmark set instead of all nodes;
+    the plan is identical, only the seed table shrinks."""
     nodes, edges = _trade_edges(spark, sf_dir)
     sym = (
         edges.select("src", "dst")
@@ -1691,6 +1685,25 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         settled = settled.unionAll(new).localCheckpoint()
         frontier = new.select("root", "node")
+    return settled
+
+
+def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness and harmonic centrality on the (symmetrized) nation
+    trade graph via multi-source BFS: every node seeds a BFS whose
+    state is (root, node, dist) pairs, so ONE delta-iteration loop
+    computes all per-source distance tables at once — the standard
+    "landmark" centrality shape (at 100 TB you seed a sampled landmark
+    set instead of all nodes; the plan is identical, only the seed
+    table shrinks).
+
+    Each round joins only the frontier against the edge list and
+    anti-joins already-settled (root, node) pairs — per-round work is
+    frontier-sized, never graph-sized, and lineage is cut per round.
+    Harmonic sums carry 1/d as exact ppm integers (10⁶ div d);
+    closeness (n_reached−1)/Σd is the one shared IEEE double.
+    """
+    settled = _all_pairs_hops(spark, sf_dir)
     per = settled.groupBy("root").agg(
         F.count("*").alias("n_reached"),
         F.sum("dist").alias("dist_sum"),
@@ -1928,8 +1941,138 @@ LIMIT {_RA_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_eccentricity — eccentricity / diameter / radius / center census
+# ---------------------------------------------------------------------------
+
+
+def graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eccentricity census of the symmetrized trade graph: per node the
+    max shortest-hop distance to any reachable node, plus the graph-
+    level diameter (max ecc), radius (min ecc), and center/periphery
+    flags — the structural summary a network-topology monitor reads
+    (reuses the multi-source landmark BFS of graph_closeness; one
+    extra bounded rollup, no new graph-sized work).
+    """
+    settled = _all_pairs_hops(spark, sf_dir)
+    ecc = settled.groupBy("root").agg(F.max("dist").alias("ecc"))
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        ecc.select(
+            "root",
+            "ecc",
+            F.max("ecc").over(w_all).alias("diameter"),
+            F.min("ecc").over(w_all).alias("radius"),
+        )
+        .join(F.broadcast(n), F.col("root") == n.n_nationkey)
+        .select(
+            F.col("root").alias("n_nationkey"),
+            "n_name",
+            F.col("ecc").cast("long").alias("ecc"),
+            F.col("diameter").cast("long").alias("diameter"),
+            F.col("radius").cast("long").alias("radius"),
+            (F.col("ecc") == F.col("radius")).alias("is_center"),
+            (F.col("ecc") == F.col("diameter")).alias("is_periphery"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+GRAPH_ECC_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+),
+sym AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst, src FROM edges
+),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+walk AS (
+  SELECT node AS root, node, 0 AS dist FROM nodes
+  UNION
+  SELECT w.root, s.dst AS node, w.dist + 1 AS dist
+  FROM walk w JOIN sym s ON s.src = w.node
+  WHERE w.dist < {_CLOSE_MAX_HOPS}
+),
+best AS (SELECT root, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2),
+ecc AS (SELECT root, MAX(dist) AS ecc FROM best GROUP BY 1),
+g AS (
+  SELECT root, ecc, MAX(ecc) OVER () AS diameter, MIN(ecc) OVER () AS radius
+  FROM ecc
+)
+SELECT g.root AS n_nationkey, n.n_name,
+       CAST(g.ecc AS BIGINT) AS ecc,
+       CAST(g.diameter AS BIGINT) AS diameter,
+       CAST(g.radius AS BIGINT) AS radius,
+       g.ecc = g.radius AS is_center,
+       g.ecc = g.diameter AS is_periphery
+FROM g JOIN nation n ON g.root = n.n_nationkey
+ORDER BY n_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# graph_reciprocity — mutual-edge fraction of the directed trade graph
+# ---------------------------------------------------------------------------
+
+
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the directed nation trade graph (self-loops
+    excluded): the fraction of directed edges whose reverse edge also
+    exists — the first asymmetry statistic of any directed network
+    (trade, follows, messaging). One edge-list self-join on the
+    reversed key, exact ppm by integer division."""
+    _, edges_w = _trade_edges(spark, sf_dir)
+    e = (
+        edges_w.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    return e.agg(F.count("*").alias("n_edges")).crossJoin(
+        F.broadcast(recip.agg(F.count("*").alias("n_reciprocal")))
+    ).select(
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_reciprocal").cast("long").alias("n_reciprocal"),
+        F.expr("n_reciprocal * 1000000 div n_edges").alias("reciprocity_ppm"),
+    )
+
+
+GRAPH_RECIP_SQL = """
+WITH edges AS (
+  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey != s_nationkey
+),
+recip AS (
+  SELECT e.* FROM edges e
+  WHERE EXISTS (SELECT 1 FROM edges r
+                WHERE r.src = e.dst AND r.dst = e.src)
+)
+SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM recip) AS BIGINT) AS n_reciprocal,
+       CAST((SELECT COUNT(*) FROM recip) * 1000000
+            // (SELECT COUNT(*) FROM edges) AS BIGINT) AS reciprocity_ppm
+"""
+
+
 QUERIES = {
     "graph_closeness": (graph_closeness, GRAPH_CLOSENESS_SQL),
+    "graph_eccentricity": (graph_eccentricity, GRAPH_ECC_SQL),
+    "graph_reciprocity": (graph_reciprocity, GRAPH_RECIP_SQL),
     "graph_katz": (graph_katz, GRAPH_KATZ_SQL),
     "graph_adamic_adar": (graph_adamic_adar, GRAPH_AA_SQL),
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),

@@ -3638,7 +3638,89 @@ ORDER BY t_days
 """
 
 
+# ---------------------------------------------------------------------------
+# stat_mcnemar — paired classifier comparison on the discordant cells
+# ---------------------------------------------------------------------------
+
+# Continuity-corrected McNemar χ² = (|b−c|−1)²/(b+c); exact BIGINTs in,
+# one shared IEEE division out.
+_MCNEMAR = (
+    "CAST((ABS(b - c) - 1) * (ABS(b - c) - 1) AS DOUBLE)"
+    " / CAST(b + c AS DOUBLE)"
+)
+
+
+def stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test comparing two rule classifiers on the SAME
+    orders (paired design): rule A = totalprice > 150k, rule B =
+    priority urgent/high, target = orderstatus 'F'. Only the
+    discordant pairs matter — b = A right & B wrong, c = A wrong &
+    B right; χ² = (|b−c|−1)²/(b+c) with continuity correction — the
+    standard "is model A actually better than model B on identical
+    examples" gate that a two-proportion z-test gets wrong (it
+    ignores the pairing).
+
+    One map-side-combinable aggregation collapses the fact table to
+    four exact BIGINT concordance cells; χ² is one shared IEEE
+    expression."""
+    o = load_table(spark, sf_dir, "orders")
+    flags = o.select(
+        (F.col("o_totalprice") > 150000).cast("long").alias("pa"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long").alias(
+            "pb"
+        ),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+    )
+    cells = flags.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            ((F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y"))).cast(
+                "long"
+            )
+        ).alias("b"),
+        F.sum(
+            ((F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y"))).cast(
+                "long"
+            )
+        ).alias("c"),
+        F.sum(
+            ((F.col("pa") == F.col("y")) & (F.col("pb") == F.col("y"))).cast(
+                "long"
+            )
+        ).alias("both_right"),
+    )
+    return cells.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("both_right").cast("long").alias("both_right"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.round(F.expr(_MCNEMAR), 6).alias("chi2_cc"),
+    )
+
+
+STAT_MCNEMAR_SQL = f"""
+WITH flags AS (
+  SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS pa,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS pb,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), cells AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN pa = y AND pb != y THEN 1 ELSE 0 END) AS b,
+         SUM(CASE WHEN pa != y AND pb = y THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END) AS both_right
+  FROM flags
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(both_right AS BIGINT) AS both_right,
+       CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+       ROUND({_MCNEMAR}, 6) AS chi2_cc
+FROM cells
+"""
+
+
 QUERIES = {
+    "stat_mcnemar": (stat_mcnemar, STAT_MCNEMAR_SQL),
     "stat_nelson_aalen": (stat_nelson_aalen, STAT_NA_SQL),
     "stat_wilcoxon_signed": (stat_wilcoxon_signed, STAT_WILCOXON_SQL),
     "stat_hodges_lehmann": (stat_hodges_lehmann, STAT_HL_SQL),
