@@ -1143,7 +1143,88 @@ ORDER BY l_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# wh_abc_analysis — ABC inventory classification by revenue share
+# ---------------------------------------------------------------------------
+
+
+def wh_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC analysis of parts by lineitem revenue: parts rank by revenue
+    descending (exact cents; ties by partkey), class A covers the first
+    80% of cumulative revenue, B to 95%, C the tail — the 80/15/5
+    inventory-control classification every supply-chain dashboard
+    leads with.
+
+    The class boundary is an exact integer comparison (cum·100 vs
+    total·{{80,95}} — no float on the decision path). Scale: one
+    map-side-combinable rollup to part grain; the cumulative window
+    orders the PART table, not the fact table (at true 100 TB part
+    cardinality you'd range-partition the cumulative sum — the
+    documented two-pass pattern — but the decision arithmetic is
+    unchanged). Output is the 3-class census."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(FLOOR(l_extendedprice * CAST(100 AS DOUBLE)"
+                " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            )
+        ).alias("cents")
+    )
+    w_cum = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    classed = per_part.select(
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_all).alias("tot"),
+    ).select(
+        "cents",
+        F.expr(
+            "CASE WHEN cum * 100 <= tot * 80 THEN 'A'"
+            " WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END"
+        ).alias("abc"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("abc")
+    )
+
+
+WH_ABC_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+), classed AS (
+  SELECT cents,
+         CASE WHEN SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+                <= SUM(cents) OVER () * 80 THEN 'A'
+              WHEN SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+                <= SUM(cents) OVER () * 95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM per_part
+)
+SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM classed
+GROUP BY abc
+ORDER BY abc
+"""
+
+
 QUERIES = {
+    "wh_abc_analysis": (wh_abc_analysis, WH_ABC_SQL),
     "f15_higher_order_funcs": (f15_higher_order_funcs, F15_HOF_SQL),
     "tpch_q7": (tpch_q7, TPCH_Q7_SQL),
     "tpch_q10": (tpch_q10, TPCH_Q10_SQL),

@@ -1180,7 +1180,124 @@ FROM final
 """
 
 
+# ---------------------------------------------------------------------------
+# ml_silhouette — centroid-based silhouette score per label cluster
+# ---------------------------------------------------------------------------
+
+# Squared distance from vector v to a centroid sum/cnt, scaled by cnt²
+# so it stays exact: Σ_d (cnt·v_d − s_d)². Both engines then divide by
+# cnt² in the SAME IEEE expression.
+_SIL_D2 = "CAST(num AS DOUBLE) / (CAST(cnt AS DOUBLE) * cnt)"
+
+
+def ml_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid silhouette of the labeled embedding clusters: per
+    vector, a = distance to its own label centroid, b = distance to
+    the nearest other centroid, s = (b−a)/max(a,b) — the clustering-
+    quality score (the O(n·k) centroid variant of the O(n²) pairwise
+    silhouette — the only formulation that survives a 10⁹-row corpus).
+
+    Everything upstream of the final per-row doubles is exact
+    integers: embeddings quantize to micro units, centroids stay as
+    (component-sum, count) rationals, and the squared distance scales
+    through by cnt² so Σ_d (cnt·v_d − s_d)² is an exact BIGINT. The
+    distance table is (vectors × k centroids) rows via one broadcast
+    join — corpus-linear for bounded k. Per-cluster means round(6)."""
+    e = _vecs(spark, sf_dir)
+    dims = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+                " * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))"
+            )
+        ).alias("dim", "v"),
+    ).localCheckpoint()
+    cent = dims.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        F.sum("v").alias("s"), F.count("*").alias("cnt")
+    )
+    d2 = (
+        dims.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum(
+                (F.col("cnt") * F.col("v") - F.col("s"))
+                * (F.col("cnt") * F.col("v") - F.col("s"))
+            ).alias("num"),
+            F.max("cnt").alias("cnt"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            F.expr(_SIL_D2).alias("d2"),
+        )
+    )
+    per_vec = d2.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("label") == F.col("c_label"), F.col("d2"))).alias(
+            "a2"
+        ),
+        F.min(F.when(F.col("label") != F.col("c_label"), F.col("d2"))).alias(
+            "b2"
+        ),
+    )
+    sil = per_vec.select(
+        "label",
+        F.expr(
+            "(sqrt(b2) - sqrt(a2)) / GREATEST(sqrt(a2), sqrt(b2))"
+        ).alias("s"),
+    )
+    return (
+        sil.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+ML_SILHOUETTE_SQL = f"""
+WITH dims AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+              * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v
+  FROM embeddings
+), cent AS (
+  SELECT label AS c_label, dim, CAST(SUM(v) AS BIGINT) AS s,
+         COUNT(*) AS cnt
+  FROM dims GROUP BY 1, 2
+), nums AS (
+  SELECT d.vec_id, d.label, c.c_label,
+         CAST(SUM((c.cnt * d.v - c.s) * (c.cnt * d.v - c.s)) AS BIGINT)
+           AS num,
+         MAX(c.cnt) AS cnt
+  FROM dims d JOIN cent c ON d.dim = c.dim
+  GROUP BY 1, 2, 3
+), d2 AS (
+  SELECT vec_id, label, c_label, {_SIL_D2} AS d2 FROM nums
+), per_vec AS (
+  SELECT vec_id, label,
+         MAX(CASE WHEN label = c_label THEN d2 END) AS a2,
+         MIN(CASE WHEN label != c_label THEN d2 END) AS b2
+  FROM d2 GROUP BY 1, 2
+), sil AS (
+  SELECT label,
+         (sqrt(b2) - sqrt(a2)) / GREATEST(sqrt(a2), sqrt(b2)) AS s
+  FROM per_vec
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(s), 6) AS mean_silhouette
+FROM sil
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
+    "ml_silhouette": (ml_silhouette, ML_SILHOUETTE_SQL),
     "ml_ranking_metrics": (ml_ranking_metrics, ML_RANKING_SQL),
     "dist_kernels": (dist_kernels, DIST_KERNELS_SQL),
     "sim_quantized_recall": (sim_quantized_recall, SIM_QREC_SQL),

@@ -3719,7 +3719,111 @@ FROM cells
 """
 
 
+# ---------------------------------------------------------------------------
+# stat_granger_daily — one-lag Granger-style predictive causality
+# ---------------------------------------------------------------------------
+
+# Centered second moments from exact BIGINT day-grain sums (the Gram-
+# aggregation pattern of stat_reg_multi), then the restricted (z~y)
+# vs full (z~x+y) RSS comparison — every expression identical text in
+# both engines.
+_GR_MOMS = (
+    "CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS mxx,"
+    " CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS mxy,"
+    " CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * sz / n AS mxz,"
+    " CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS myy,"
+    " CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * sz / n AS myz,"
+    " CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz / n AS mzz"
+)
+_GR_RSS_R = "(mzz - myz * myz / myy)"
+_GR_BX = "((myy * mxz - mxy * myz) / (mxx * myy - mxy * mxy))"
+_GR_BY = "((mxx * myz - mxy * mxz) / (mxx * myy - mxy * mxy))"
+_GR_RSS_F = f"(mzz - (mxz * {_GR_BX} + myz * {_GR_BY}))"
+_GR_F = f"(({_GR_RSS_R} - {_GR_RSS_F}) * (n - 3) / {_GR_RSS_F})"
+
+
+def stat_granger_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-lag Granger-style predictive causality on the daily event
+    series: does today's PURCHASE count (x) improve tomorrow's total
+    event count (z) beyond what today's total (y) already predicts?
+    F-tests the restricted model z ~ y against the full z ~ x + y —
+    the standard leading-indicator screen on KPI dashboards.
+
+    Day pairs come from a self-join of the day-grain table on d+1 (no
+    fact-table window); all sufficient statistics are exact BIGINT
+    sums over that bounded table; the closed-form 2-variable normal
+    equations and F-statistic are the same IEEE expression in both
+    engines (round 6)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.expr("CAST(ts AS DATE)").alias("d"))
+        .agg(
+            F.count("*").alias("y"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("x"),
+        )
+        .localCheckpoint()  # day-grain, reused by both sides of the lag join
+    )
+    nxt = daily.select(
+        F.expr("date_add(d, -1)").alias("d"), F.col("y").alias("z")
+    )
+    pairs = daily.join(nxt, "d")
+    sums = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    moms = sums.selectExpr("n", "sx", "sy", "sz", *_GR_MOMS.split(","))
+    return moms.select(
+        F.col("n").cast("long").alias("n_day_pairs"),
+        F.round(F.expr(_GR_RSS_R), 6).alias("rss_restricted"),
+        F.round(F.expr(_GR_RSS_F), 6).alias("rss_full"),
+        F.round(F.expr(_GR_BX), 6).alias("beta_x"),
+        F.round(F.expr(_GR_F), 6).alias("f_stat"),
+    )
+
+
+STAT_GRANGER_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS y,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1
+), pairs AS (
+  SELECT a.x, a.y, b.y AS z
+  FROM daily a JOIN daily b ON b.d = a.d + INTERVAL 1 DAY
+), sums AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(z) AS BIGINT) AS sz,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * z) AS BIGINT) AS sxz,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(y * z) AS BIGINT) AS syz,
+         CAST(SUM(z * z) AS BIGINT) AS szz
+  FROM pairs
+), moms AS (
+  SELECT n, sx, sy, sz, {_GR_MOMS} FROM sums
+)
+SELECT CAST(n AS BIGINT) AS n_day_pairs,
+       ROUND({_GR_RSS_R}, 6) AS rss_restricted,
+       ROUND({_GR_RSS_F}, 6) AS rss_full,
+       ROUND({_GR_BX}, 6) AS beta_x,
+       ROUND({_GR_F}, 6) AS f_stat
+FROM moms
+"""
+
+
 QUERIES = {
+    "stat_granger_daily": (stat_granger_daily, STAT_GRANGER_SQL),
     "stat_mcnemar": (stat_mcnemar, STAT_MCNEMAR_SQL),
     "stat_nelson_aalen": (stat_nelson_aalen, STAT_NA_SQL),
     "stat_wilcoxon_signed": (stat_wilcoxon_signed, STAT_WILCOXON_SQL),

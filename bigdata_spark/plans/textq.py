@@ -2595,7 +2595,71 @@ FROM terms
 """
 
 
+# ---------------------------------------------------------------------------
+# llm_tokenizer_fertility — subword-per-word fertility audit per source
+# ---------------------------------------------------------------------------
+
+
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per source: subword tokens per
+    whitespace word (the BPE-ish pre-tokenization count over the
+    whitespace count) and characters per subword token — the two
+    ratios that decide tokenizer/vocab fit for a corpus slice (high
+    fertility = the tokenizer fragments this slice; training cost
+    scales with it).
+
+    Exact ppm integers throughout ((10⁶·a) div b on exact BIGINT
+    sums); one map-side-combinable rollup to the ~20-source grain,
+    no joins, no windows."""
+    from ..operators.parallelism import ensure_parallelism
+    from ..text.analysis import bpe_ish_token_count, token_count
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("n_words"),
+        F.sum(bpe_ish_token_count("text")).alias("n_subwords"),
+        F.sum(F.length("text").cast("long")).alias("n_chars"),
+    )
+    return per_src.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_subwords").cast("long").alias("n_subwords"),
+        F.expr(
+            "CASE WHEN n_words > 0 THEN n_subwords * 1000000 div n_words"
+            " ELSE 0 END"
+        ).alias("fertility_ppm"),
+        F.expr(
+            "CASE WHEN n_subwords > 0 THEN n_chars * 1000000 div n_subwords"
+            " ELSE 0 END"
+        ).alias("chars_per_subword_ppm"),
+    ).orderBy("source")
+
+
+LLM_FERTILITY_SQL = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN trim(lower(text)) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END)
+              AS BIGINT) AS n_words,
+         CAST(SUM(len(regexp_extract_all(text,
+              '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+)'))) AS BIGINT) AS n_subwords,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars
+  FROM documents GROUP BY 1
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_words, n_subwords,
+       CASE WHEN n_words > 0 THEN n_subwords * 1000000 // n_words
+            ELSE 0 END AS fertility_ppm,
+       CASE WHEN n_subwords > 0 THEN n_chars * 1000000 // n_subwords
+            ELSE 0 END AS chars_per_subword_ppm
+FROM per_src
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "llm_tokenizer_fertility": (llm_tokenizer_fertility, LLM_FERTILITY_SQL),
     "txt_heaps_law": (txt_heaps_law, TXT_HEAPS_SQL),
     "txt_zipf_fit": (txt_zipf_fit, TXT_ZIPF_SQL),
     "llm_rouge_eval": (llm_rouge_eval, LLM_ROUGE_SQL),
