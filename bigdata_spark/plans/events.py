@@ -3684,7 +3684,70 @@ LIMIT 1
 """
 
 
+# ---------------------------------------------------------------------------
+# w15_cumulative_distinct — cumulative unique users by day (first-seen)
+# ---------------------------------------------------------------------------
+
+
+def w15_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the "total unique users ever"
+    dashboard line — WITHOUT a running COUNT(DISTINCT) window (which
+    would re-scan user sets per day): a user's FIRST day is one linear
+    min-aggregate; dailies then roll up new-user counts and one
+    cumulative window runs over the bounded day table. The same
+    first-occurrence trick as txt_heaps_law, on users instead of
+    vocabulary.
+    """
+    e = load_table(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(
+        F.expr("CAST(MIN(ts) AS DATE)").alias("first_d")
+    )
+    dau = (
+        e.select(F.expr("CAST(ts AS DATE)").alias("d"), "user_id")
+        .distinct()
+        .groupBy("d")
+        .agg(F.count("*").alias("dau"))
+    )
+    news = fs.groupBy(F.col("first_d").alias("d")).agg(
+        F.count("*").alias("new_users")
+    )
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dau.join(news, "d", "left_outer")
+        .select(
+            "d",
+            F.col("dau").cast("long").alias("dau"),
+            F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+        )
+        .withColumn(
+            "cum_users", F.sum("new_users").over(w_cum).cast("long")
+        )
+        .orderBy("d")
+    )
+
+
+W15_CUMDIST_SQL = """
+WITH fs AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS first_d FROM events GROUP BY 1
+), dau AS (
+  SELECT d, COUNT(*) AS dau FROM (
+    SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+  ) GROUP BY 1
+), news AS (
+  SELECT first_d AS d, COUNT(*) AS new_users FROM fs GROUP BY 1
+)
+SELECT dau.d, CAST(dau.dau AS BIGINT) AS dau,
+       CAST(COALESCE(news.new_users, 0) AS BIGINT) AS new_users,
+       CAST(SUM(COALESCE(news.new_users, 0)) OVER (ORDER BY dau.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM dau LEFT JOIN news ON dau.d = news.d
+ORDER BY dau.d
+"""
+
+
 QUERIES = {
+    "w15_cumulative_distinct": (w15_cumulative_distinct, W15_CUMDIST_SQL),
     "evt_changepoint": (evt_changepoint, EVT_CHANGEPOINT_SQL),
     "evt_markov_stationary": (evt_markov_stationary, EVT_MARKOV_SQL),
     "w13_rising_streaks": (w13_rising_streaks, W13_STREAK_SQL),

@@ -2632,7 +2632,113 @@ FROM mi, hx, hy
 """
 
 
+# ---------------------------------------------------------------------------
+# ml_learning_curve — sample-efficiency curve for the price~quantity probe
+# ---------------------------------------------------------------------------
+
+_LC_H = (
+    "CAST(conv(substring(md5(concat('lc|', CAST(l_orderkey AS STRING), '|',"
+    " CAST(l_linenumber AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+)
+_LC_H_DUCK = (
+    "('0x' || substr(md5('lc|' || CAST(l_orderkey AS VARCHAR) || '|'"
+    " || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT"
+)
+_LC_SLOPE = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+_LC_R2 = (
+    "((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+    " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+)
+
+
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve for the extendedprice ~ quantity probe: the same
+    closed-form OLS fitted on deterministic 25/50/75/100% subsets
+    (portable-hash buckets, so any engine reproduces the exact rows)
+    — the sample-efficiency read ("has the model converged or do we
+    need more data?") every training pipeline plots before scaling a
+    run.
+
+    One pass over the fact table: each row lands in hash bucket 0-3
+    and a tiny 4-row fraction table joins on bucket < f (broadcast),
+    so the four nested subsets aggregate in a single shuffle. All
+    sufficient statistics are exact (quantities are small BIGINTs,
+    cents exact; products as DECIMAL(38,0)); slope and R² are the
+    shared IEEE closed form."""
+    l = load_table(spark, sf_dir, "lineitem")
+    rows = l.select(
+        F.expr(f"{_LC_H} % 4").alias("bucket"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.expr(
+            "CAST(FLOOR(l_extendedprice * CAST(100 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("y"),
+    )
+    fracs = spark.range(1, 5).select(F.col("id").cast("long").alias("f"))
+    suff = (
+        rows.join(F.broadcast(fracs), F.col("bucket") < F.col("f"))
+        .groupBy("f")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+            F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        )
+    )
+    casted = suff.selectExpr(
+        "f",
+        "CAST(n AS DOUBLE) AS n",
+        "CAST(sx AS DOUBLE) AS sx",
+        "CAST(sy AS DOUBLE) AS sy",
+        "CAST(sxx AS DOUBLE) AS sxx",
+        "CAST(sxy AS DOUBLE) AS sxy",
+        "CAST(syy AS DOUBLE) AS syy",
+        "n AS n_rows",
+    )
+    return casted.select(
+        (F.col("f") * 25).cast("long").alias("frac_pct"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.expr(_LC_SLOPE), 6).alias("slope_cents_per_qty"),
+        F.round(F.expr(_LC_R2), 6).alias("r2"),
+    ).orderBy("frac_pct")
+
+
+ML_LEARNING_CURVE_SQL = f"""
+WITH rows_h AS (
+  SELECT {_LC_H_DUCK} % 4 AS bucket,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS y
+  FROM lineitem
+), suff AS (
+  SELECT f, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM rows_h JOIN (SELECT unnest(generate_series(1, 4)) AS f) fr
+    ON bucket < f
+  GROUP BY f
+), casted AS (
+  SELECT f, n AS n_rows,
+         CAST(n AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
+         CAST(sy AS DOUBLE) AS sy, CAST(sxx AS DOUBLE) AS sxx,
+         CAST(sxy AS DOUBLE) AS sxy, CAST(syy AS DOUBLE) AS syy
+  FROM suff
+)
+SELECT CAST(f * 25 AS BIGINT) AS frac_pct,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       ROUND({_LC_SLOPE}, 6) AS slope_cents_per_qty,
+       ROUND({_LC_R2}, 6) AS r2
+FROM casted
+ORDER BY frac_pct
+"""
+
+
 QUERIES = {
+    "ml_learning_curve": (ml_learning_curve, ML_LEARNING_CURVE_SQL),
     "ml_woe_iv": (ml_woe_iv, ML_WOE_SQL),
     "ml_mutual_info": (ml_mutual_info, ML_MI_SQL),
     "ml_logreg_gd": (ml_logreg_gd, ML_LOGREG_SQL),

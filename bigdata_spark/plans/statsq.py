@@ -3822,7 +3822,191 @@ FROM moms
 """
 
 
+# ---------------------------------------------------------------------------
+# stat_equivalence_tost — two-one-sided-tests equivalence of segment means
+# ---------------------------------------------------------------------------
+
+_TOST_MARGIN_MICRO = 5_000_000  # ±5.0 in event-value units
+_TOST_Z_CRIT = "1.6448536269514722"  # z_{0.95}, literal in both engines
+
+# Welch SE from exact micro sums (identical text both engines)
+_TOST_SE = (
+    "sqrt((CAST(q1 AS DOUBLE) / n1 - (CAST(s1 AS DOUBLE) / n1)"
+    " * (CAST(s1 AS DOUBLE) / n1)) / n1"
+    " + (CAST(q2 AS DOUBLE) / n2 - (CAST(s2 AS DOUBLE) / n2)"
+    " * (CAST(s2 AS DOUBLE) / n2)) / n2)"
+)
+_TOST_DIFF = "(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)"
+_TOST_ZL = f"(({_TOST_DIFF} + {_TOST_MARGIN_MICRO}) / {_TOST_SE})"
+_TOST_ZU = f"(({_TOST_MARGIN_MICRO} - {_TOST_DIFF}) / {_TOST_SE})"
+
+
+def stat_equivalence_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test: are mean event values of 'click' and
+    'view' equivalent within ±5.0? Two one-sided Welch z-tests — the
+    test an experimentation platform needs when the HYPOTHESIS is "no
+    meaningful difference" (a non-significant t-test is NOT evidence
+    of equivalence; TOST is).
+
+    Equivalent ⇔ both z_lower > z_crit and z_upper > z_crit at the
+    90% TOST level. One map-side-combinable aggregation to exact
+    micro-unit sufficient statistics (squares as DECIMAL(38,0), no
+    overflow at any scale); every downstream expression is the same
+    IEEE text in both engines, including the decision comparison."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    micro = e.select(
+        (F.col("event_type") == "click").alias("is1"),
+        F.expr(
+            "CAST(FLOOR(value * CAST(1000000 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("m"),
+    )
+    suff = micro.agg(
+        F.sum(F.when(F.col("is1"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~F.col("is1"), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("is1"), F.col("m")).otherwise(0)).alias("s1"),
+        F.sum(F.when(~F.col("is1"), F.col("m")).otherwise(0)).alias("s2"),
+        F.sum(
+            F.when(
+                F.col("is1"),
+                F.col("m").cast("decimal(38,0)") * F.col("m"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("q1"),
+        F.sum(
+            F.when(
+                ~F.col("is1"),
+                F.col("m").cast("decimal(38,0)") * F.col("m"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("q2"),
+    )
+    return suff.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(F.expr(_TOST_DIFF), 6).alias("mean_diff_micro"),
+        F.round(F.expr(_TOST_ZL), 6).alias("z_lower"),
+        F.round(F.expr(_TOST_ZU), 6).alias("z_upper"),
+        F.expr(
+            f"{_TOST_ZL} > {_TOST_Z_CRIT} AND {_TOST_ZU} > {_TOST_Z_CRIT}"
+        ).alias("equivalent"),
+    )
+
+
+STAT_TOST_SQL = f"""
+WITH micro AS (
+  SELECT event_type = 'click' AS is1,
+         CAST(FLOOR(value * CAST(1000000 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS m
+  FROM events WHERE event_type IN ('click', 'view')
+), suff AS (
+  SELECT SUM(CASE WHEN is1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN NOT is1 THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN is1 THEN m ELSE 0 END) AS s1,
+         SUM(CASE WHEN NOT is1 THEN m ELSE 0 END) AS s2,
+         SUM(CASE WHEN is1 THEN CAST(m AS HUGEINT) * m ELSE 0 END) AS q1,
+         SUM(CASE WHEN NOT is1 THEN CAST(m AS HUGEINT) * m ELSE 0 END) AS q2
+  FROM micro
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ROUND({_TOST_DIFF}, 6) AS mean_diff_micro,
+       ROUND({_TOST_ZL}, 6) AS z_lower,
+       ROUND({_TOST_ZU}, 6) AS z_upper,
+       {_TOST_ZL} > {_TOST_Z_CRIT} AND {_TOST_ZU} > {_TOST_Z_CRIT}
+         AS equivalent
+FROM suff
+"""
+
+
+# ---------------------------------------------------------------------------
+# stat_sprt — sequential probability ratio test over the daily stream
+# ---------------------------------------------------------------------------
+
+_SPRT_P0 = "0.19"
+_SPRT_P1 = "0.21"
+# nano-quantized per-success / per-failure LLR increments and Wald
+# boundaries (α = β = 0.05) — constant expressions, identical text in
+# both engines, so everything downstream is exact integer arithmetic.
+_SPRT_C1 = (
+    f"CAST(FLOOR(ln(CAST({_SPRT_P1} AS DOUBLE) / {_SPRT_P0})"
+    " * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_SPRT_C0 = (
+    f"CAST(FLOOR(ln((CAST(1 AS DOUBLE) - {_SPRT_P1})"
+    f" / (CAST(1 AS DOUBLE) - {_SPRT_P0}))"
+    " * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_SPRT_UP = (
+    "CAST(FLOOR(ln(CAST(0.95 AS DOUBLE) / CAST(0.05 AS DOUBLE))"
+    " * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_SPRT_LO = (
+    "CAST(FLOOR(ln(CAST(0.05 AS DOUBLE) / CAST(0.95 AS DOUBLE))"
+    " * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def stat_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test on the daily purchase
+    conversion rate (H₀: p = 0.19 vs H₁: p = 0.21, α = β = 0.05): each
+    day contributes k·ln(p₁/p₀) + (n−k)·ln((1−p₁)/(1−p₀)) to the
+    running log-likelihood ratio; the test stops the first day the
+    cumulative LLR crosses a Wald boundary — the always-valid
+    sequential monitor that lets an experiment stop early without
+    p-hacking.
+
+    The four ln constants quantize to nano integers once (identical
+    constant expressions both engines), so every increment, cumulative
+    sum, and boundary comparison is EXACT BIGINT arithmetic. Scale:
+    one day-grain rollup; the cumulative window runs over the bounded
+    day table."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.expr("CAST(ts AS DATE)").alias("d")).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("k"),
+    )
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    llr = daily.withColumn(
+        "inc_nano",
+        F.expr(f"k * {_SPRT_C1} + (n - k) * {_SPRT_C0}"),
+    ).withColumn("llr_nano", F.sum("inc_nano").over(w_cum))
+    return llr.select(
+        "d",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.col("llr_nano").cast("long").alias("llr_nano"),
+        F.expr(
+            f"CASE WHEN llr_nano >= {_SPRT_UP} THEN 'accept_h1'"
+            f" WHEN llr_nano <= {_SPRT_LO} THEN 'accept_h0'"
+            " ELSE 'continue' END"
+        ).alias("decision"),
+    ).orderBy("d")
+
+
+STAT_SPRT_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+  FROM events GROUP BY 1
+), llr AS (
+  SELECT d, n, k,
+         SUM(k * {_SPRT_C1} + (n - k) * {_SPRT_C0}) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr_nano
+  FROM daily
+)
+SELECT d, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       CAST(llr_nano AS BIGINT) AS llr_nano,
+       CASE WHEN llr_nano >= {_SPRT_UP} THEN 'accept_h1'
+            WHEN llr_nano <= {_SPRT_LO} THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM llr
+ORDER BY d
+"""
+
+
 QUERIES = {
+    "stat_equivalence_tost": (stat_equivalence_tost, STAT_TOST_SQL),
+    "stat_sprt": (stat_sprt, STAT_SPRT_SQL),
     "stat_granger_daily": (stat_granger_daily, STAT_GRANGER_SQL),
     "stat_mcnemar": (stat_mcnemar, STAT_MCNEMAR_SQL),
     "stat_nelson_aalen": (stat_nelson_aalen, STAT_NA_SQL),
