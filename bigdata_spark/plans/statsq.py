@@ -4004,7 +4004,197 @@ ORDER BY d
 """
 
 
+# ---------------------------------------------------------------------------
+# ml_adversarial_validation — split-hygiene AUC between two hash splits
+# ---------------------------------------------------------------------------
+
+_AV_H = (
+    "CAST(conv(substring(md5(concat('av|', CAST(l_orderkey AS STRING), '|',"
+    " CAST(l_linenumber AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+)
+_AV_H_DUCK = (
+    "('0x' || substr(md5('av|' || CAST(l_orderkey AS VARCHAR) || '|'"
+    " || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT"
+)
+# AUC from 2×U (tie-adjusted): AUC = U1/(n1·n2), with 2U1 exact.
+_AV_AUC = "CAST(u1x2 AS DOUBLE) / (CAST(2 AS DOUBLE) * n1 * n2)"
+
+
+def ml_adversarial_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial validation of the portable-hash train/test split:
+    the AUC of l_quantity at distinguishing split A from split B.
+    AUC ≈ 0.5 certifies the split is feature-blind (exchangeable);
+    a drifted AUC flags leakage or a skewed split BEFORE a model is
+    trained on it — the standard pre-flight check for any offline
+    evaluation.
+
+    AUC = U/(n₁·n₂) comes from the same bounded-domain rank-sum trick
+    as stat_mannwhitney (2·rank from per-value counts, 2·U exact
+    BIGINT) — no row-level ranking anywhere; one partial-agg shuffle
+    collapses the fact table to the ≤50-value domain."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_v = (
+        l.select(
+            F.col("l_quantity").cast("long").alias("v"),
+            (F.expr(_AV_H) % 2 == 0).cast("long").alias("g1"),
+        )
+        .groupBy("v")
+        .agg(F.count("*").alias("c"), F.sum("g1").alias("c1"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.withColumn(
+        "r2", 2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1
+    )
+    agg = ranked.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n2"),
+        F.sum(F.col("c1") * F.col("r2")).alias("r1x2"),
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1))
+        .cast("long")
+        .alias("u1x2"),
+    ).select(
+        "n1",
+        "n2",
+        "u1x2",
+        F.round(F.expr(_AV_AUC), 6).alias("adversarial_auc"),
+    )
+
+
+ML_ADVERSARIAL_SQL = f"""
+WITH per_v AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS c,
+         SUM(CASE WHEN {_AV_H_DUCK} % 2 = 0 THEN 1 ELSE 0 END) AS c1
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT v, c, c1,
+         2 * COALESCE(SUM(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS r2
+  FROM per_v
+), agg AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c - c1) AS BIGINT) AS n2,
+         CAST(SUM(c1 * r2) AS BIGINT) AS r1x2
+  FROM ranked
+), u AS (
+  SELECT n1, n2, CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1x2 FROM agg
+)
+SELECT n1, n2, u1x2, ROUND({_AV_AUC}, 6) AS adversarial_auc
+FROM u
+"""
+
+
+# ---------------------------------------------------------------------------
+# stat_winsorized_mean — 5%-winsorized mean per group (clamp, not drop)
+# ---------------------------------------------------------------------------
+
+_WINSOR_PCT = 5
+
+
+def stat_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-winsorized mean per order priority — stat_trimmed_mean's
+    sibling that CLAMPS the tails to the boundary order statistics
+    instead of dropping them (keeps n constant, the estimator
+    robust-statistics texts prefer when sample size matters): the
+    bottom k = floor(n·5/100) totals are replaced by the (k+1)-th
+    value and the top k by the (n−k)-th.
+
+    Exact cents end-to-end: ranks break ties on o_orderkey so the
+    clamp set is identical in both engines; the boundary values are
+    window maxima at two fixed ranks; the winsorized sum is an exact
+    BIGINT. One ranking window keyed on the group, then a map-side
+    aggregate (same scale note as stat_trimmed_mean: at heavy-group
+    100 TB you would pre-bucket for the boundaries)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr(
+        "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    w_rank = Window.partitionBy("g").orderBy("v", "o_orderkey")
+    w_g = Window.partitionBy("g")
+    ranked = (
+        o.select(
+            F.col("o_orderpriority").alias("g"),
+            cents.alias("v"),
+            "o_orderkey",
+        )
+        .withColumn("r", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_g))
+        .withColumn("k", F.expr(f"n * {_WINSOR_PCT} div 100"))
+    )
+    bounds = ranked.withColumn(
+        "lo", F.max(F.when(F.col("r") == F.col("k") + 1, F.col("v"))).over(w_g)
+    ).withColumn(
+        "hi", F.max(F.when(F.col("r") == F.col("n") - F.col("k"), F.col("v"))).over(w_g)
+    )
+    wins = bounds.select(
+        "g",
+        "n",
+        "k",
+        F.expr(
+            "CASE WHEN r <= k THEN lo WHEN r > n - k THEN hi ELSE v END"
+        ).alias("wv"),
+        F.col("v"),
+    )
+    return (
+        wins.groupBy("g")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("k").cast("long").alias("k_clamped_each_tail"),
+            F.sum("wv").cast("long").alias("winsorized_cents"),
+            F.round(
+                F.expr("CAST(SUM(wv) AS DOUBLE) / COUNT(*)"), 6
+            ).alias("winsorized_mean_cents"),
+            F.round(
+                F.expr("CAST(SUM(v) AS DOUBLE) / COUNT(*)"), 6
+            ).alias("raw_mean_cents"),
+        )
+        .orderBy("g")
+    )
+
+
+STAT_WINSOR_SQL = f"""
+WITH ranked AS (
+  SELECT o_orderpriority AS g,
+         CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v,
+         o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+           ORDER BY CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT), o_orderkey) AS r,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+), kd AS (
+  SELECT *, n * {_WINSOR_PCT} // 100 AS k FROM ranked
+), bounds AS (
+  SELECT *,
+         MAX(CASE WHEN r = k + 1 THEN v END) OVER (PARTITION BY g) AS lo,
+         MAX(CASE WHEN r = n - k THEN v END) OVER (PARTITION BY g) AS hi
+  FROM kd
+), wins AS (
+  SELECT g, n, k,
+         CASE WHEN r <= k THEN lo WHEN r > n - k THEN hi ELSE v END AS wv,
+         v
+  FROM bounds
+)
+SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(k) AS BIGINT) AS k_clamped_each_tail,
+       CAST(SUM(wv) AS BIGINT) AS winsorized_cents,
+       ROUND(CAST(SUM(wv) AS DOUBLE) / COUNT(*), 6) AS winsorized_mean_cents,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS raw_mean_cents
+FROM wins
+GROUP BY g
+ORDER BY g
+"""
+
+
 QUERIES = {
+    "ml_adversarial_validation": (ml_adversarial_validation, ML_ADVERSARIAL_SQL),
+    "stat_winsorized_mean": (stat_winsorized_mean, STAT_WINSOR_SQL),
     "stat_equivalence_tost": (stat_equivalence_tost, STAT_TOST_SQL),
     "stat_sprt": (stat_sprt, STAT_SPRT_SQL),
     "stat_granger_daily": (stat_granger_daily, STAT_GRANGER_SQL),

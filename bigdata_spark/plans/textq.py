@@ -2658,7 +2658,181 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# llm_budget_waterfill — token-budget allocation across sources
+# ---------------------------------------------------------------------------
+
+
+def llm_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation: distribute a training
+    budget B (60% of corpus tokens) across sources with equal target
+    shares, capped by each source's availability — small sources
+    saturate (contribute everything), the rest split the remainder
+    evenly at the water level c. The closed-form mixture-construction
+    step that replaces iterative "re-normalize after capping" loops.
+
+    Closed form via one sorted pass: rank sources by availability
+    ascending; source at rank r saturates iff avail·(m−r)+prefix ≤ B;
+    the water level is (B − saturated_prefix) div (m − j*) — all
+    EXACT integer arithmetic (BIGINT token counts, integer division),
+    windows over the ~20-row source table only."""
+    from ..operators.parallelism import ensure_parallelism
+    from ..text.analysis import token_count
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    avail = d.groupBy("source").agg(
+        F.sum(token_count("text")).alias("avail")
+    )
+    w_rank = Window.orderBy("avail", "source")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = avail.select(
+        "source",
+        "avail",
+        F.row_number().over(w_rank).alias("r"),
+        F.sum("avail").over(w_cum).alias("prefix"),
+        F.count("*").over(w_all).alias("m"),
+        F.expr("SUM(avail) OVER () * 3 div 5").alias("b"),
+    ).withColumn(
+        "saturated",
+        F.expr("avail * (m - r) + prefix <= b"),
+    )
+    lvl = ranked.withColumn(
+        "jstar",
+        F.coalesce(
+            F.max(F.when(F.col("saturated"), F.col("r"))).over(w_all), F.lit(0)
+        ),
+    ).withColumn(
+        "sat_prefix",
+        F.coalesce(
+            F.max(F.when(F.col("saturated"), F.col("prefix"))).over(w_all),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "c",
+        F.expr(
+            "CASE WHEN jstar < m THEN (b - sat_prefix) div (m - jstar) END"
+        ),
+    )
+    return lvl.select(
+        "source",
+        F.col("avail").cast("long").alias("avail_tokens"),
+        F.expr(
+            "CAST(CASE WHEN saturated THEN avail"
+            " ELSE LEAST(avail, c) END AS BIGINT)"
+        ).alias("allocated_tokens"),
+        "saturated",
+        F.col("b").cast("long").alias("budget_tokens"),
+    ).orderBy("source")
+
+
+LLM_WATERFILL_SQL = f"""
+WITH avail AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN trim(lower(text)) = '' THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END)
+              AS BIGINT) AS avail
+  FROM documents GROUP BY 1
+), ranked AS (
+  SELECT source, avail,
+         ROW_NUMBER() OVER (ORDER BY avail, source) AS r,
+         SUM(avail) OVER (ORDER BY avail, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+         COUNT(*) OVER () AS m,
+         SUM(avail) OVER () * 3 // 5 AS b
+  FROM avail
+), flagged AS (
+  SELECT *, avail * (m - r) + prefix <= b AS saturated FROM ranked
+), lvl AS (
+  SELECT *,
+         COALESCE(MAX(CASE WHEN saturated THEN r END) OVER (), 0) AS jstar,
+         COALESCE(MAX(CASE WHEN saturated THEN prefix END) OVER (), 0)
+           AS sat_prefix
+  FROM flagged
+)
+SELECT source, CAST(avail AS BIGINT) AS avail_tokens,
+       CAST(CASE WHEN saturated THEN avail
+            ELSE LEAST(avail, (b - sat_prefix) // NULLIF(m - jstar, 0)) END
+            AS BIGINT)
+         AS allocated_tokens,
+       saturated,
+       CAST(b AS BIGINT) AS budget_tokens
+FROM lvl
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# llm_boilerplate_sentences — cross-document repeated-sentence census
+# ---------------------------------------------------------------------------
+
+_BP_MIN_DOCS = 3
+_BP_MIN_CHARS = 20
+_BP_TOPK = 15
+
+
+def llm_boilerplate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-sentence census: sentences (split on [.!?]+,
+    trimmed/lowercased, ≥ 20 chars) that appear in ≥ 3 DISTINCT
+    documents, ranked by document reach — the sentence-granularity
+    dedup signal (cookie banners, license headers, nav text) that
+    document-level MinHash misses and that C4-style pipelines strip
+    before training.
+
+    Scale: sentences explode map-side; the census is one (sentence)
+    rollup counting rows and distinct docs — corpus-linear,
+    hash-partitioned on the sentence key. Top-15 by (n_docs,
+    n_occurrences, sentence) is deterministic."""
+    from ..operators.parallelism import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sents = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"[.!?]+")).alias("raw"),
+    ).select("doc_id", F.trim("raw").alias("s")).filter(
+        F.length("s") >= _BP_MIN_CHARS
+    )
+    census = sents.groupBy("s").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return (
+        census.filter(F.col("n_docs") >= _BP_MIN_DOCS)
+        .select(
+            F.col("s").alias("sentence"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "sentence")
+        .limit(_BP_TOPK)
+    )
+
+
+LLM_BOILERPLATE_SQL = f"""
+WITH sents AS (
+  SELECT doc_id, trim(u.raw) AS s
+  FROM (SELECT doc_id, string_split_regex(lower(text), '[.!?]+') AS parts
+        FROM documents), unnest(parts) AS u(raw)
+  WHERE length(trim(u.raw)) >= {_BP_MIN_CHARS}
+), census AS (
+  SELECT s AS sentence, COUNT(*) AS n_occurrences,
+         COUNT(DISTINCT doc_id) AS n_docs
+  FROM sents GROUP BY 1
+)
+SELECT sentence, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM census
+WHERE n_docs >= {_BP_MIN_DOCS}
+ORDER BY n_docs DESC, n_occurrences DESC, sentence
+LIMIT {_BP_TOPK}
+"""
+
+
 QUERIES = {
+    "llm_budget_waterfill": (llm_budget_waterfill, LLM_WATERFILL_SQL),
+    "llm_boilerplate_sentences": (llm_boilerplate_sentences, LLM_BOILERPLATE_SQL),
     "llm_tokenizer_fertility": (llm_tokenizer_fertility, LLM_FERTILITY_SQL),
     "txt_heaps_law": (txt_heaps_law, TXT_HEAPS_SQL),
     "txt_zipf_fit": (txt_zipf_fit, TXT_ZIPF_SQL),
