@@ -842,6 +842,70 @@ AUDITS.update({
     ],
 })
 
+# Round-8 additions: the new operator families must keep the same plan
+# discipline — bounded-domain aggregation before any window, broadcast
+# for small sides, no Python in the pipeline.
+AUDITS.update({
+    "stat_wilcoxon_signed": [
+        ("fact table collapses to the |d| domain first", r"partial_count|partial_sum"),
+        ("scan pruned to the two paired columns", r"ReadSchema: struct<l_tax:double,l_discount:double>|ReadSchema: struct<l_discount:double,l_tax:double>"),
+        ("no Python anywhere", NO_PYTHON),
+    ],
+    "stat_weighted_median": [
+        ("grain rollup partial-aggregated before the window", r"partial_sum"),
+        ("scan pruned to 3 columns", r"ReadSchema: (?![^\n]*l_orderkey)"),
+        ("no Python", NO_PYTHON),
+    ],
+    "graph_adamic_adar": [
+        ("degree table broadcast onto the wedge join", r"BroadcastHashJoin"),
+        ("existing edges dropped via anti join", r"LeftAnti"),
+        ("no Python", NO_PYTHON),
+    ],
+    "ml_ranking_metrics": [
+        ("query-side cap pushed to the scan", r"PushedFilters: \[.*LessThan\(vec_id,32\)"),
+        ("label totals broadcast", r"BroadcastHashJoin|BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("no Python (integer AP/NDCG natively)", NO_PYTHON),
+    ],
+    "ml_silhouette": [
+        ("centroid table broadcast onto the dim join", r"BroadcastHashJoin"),
+        ("partial aggregation of the dim sums", r"partial_sum"),
+        ("no Python", NO_PYTHON),
+    ],
+    "ml_learning_curve": [
+        ("fraction table broadcast (single fact pass)", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("sufficient stats partial-aggregated", r"partial_sum"),
+        ("no Python", NO_PYTHON),
+    ],
+    "wh_abc_analysis": [
+        ("part-grain rollup partial-aggregated before the window", r"partial_sum"),
+        ("scan pruned to partkey+price", r"ReadSchema: struct<l_partkey:bigint,l_extendedprice:double>"),
+        ("no Python", NO_PYTHON),
+    ],
+    "llm_budget_waterfill": [
+        ("per-source availability partial-aggregated", r"partial_sum"),
+        ("scan pruned to (source, text)", r"ReadSchema: struct<source:string,text:string>|ReadSchema: struct<text:string,source:string>"),
+        ("no Python", NO_PYTHON),
+    ],
+    "llm_boilerplate_sentences": [
+        ("sentences explode via native Generate", r"Generate"),
+        ("census partial-aggregated", r"partial_count"),
+        ("no Python", NO_PYTHON),
+    ],
+    "asof_forward_tolerance": [
+        ("event-type filters pushed to parquet", r"PushedFilters: \[.*EqualTo\(event_type,"),
+        ("single keyed window (no per-row subquery)", r"Window"),
+        ("no Python", NO_PYTHON),
+    ],
+    "evt_changepoint": [
+        ("day-grain rollup partial-aggregated", r"partial_count"),
+        ("no Python", NO_PYTHON),
+    ],
+    "ml_adversarial_validation": [
+        ("domain rollup partial-aggregated", r"partial_count|partial_sum"),
+        ("no Python (md5 split is native)", NO_PYTHON),
+    ],
+})
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
