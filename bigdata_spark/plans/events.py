@@ -3746,7 +3746,266 @@ ORDER BY dau.d
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_entropy_rate — conditional next-event entropy of the user stream
+# ---------------------------------------------------------------------------
+
+# Per-cell contribution −(c_ij/N)·ln(c_ij/c_i) quantized to exact nano
+# nats (FLOOR of the same IEEE expression both engines → order-free sum).
+_ER_TERM = (
+    "CAST(FLOOR(-(CAST(n AS DOUBLE) / grand) * ln(CAST(n AS DOUBLE) / tot)"
+    " * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def evt_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy H(next | current) of the per-user event
+    stream — the predictability ceiling of user behavior: 0 means the
+    next action is fully determined by the current one, ln(k) means
+    the Markov structure carries no signal (the information-theoretic
+    twin of evt_transitions / evt_markov_stationary).
+
+    One keyed window builds transition pairs, one rollup gives the
+    ≤k² cell counts; each −p·ln(p|i) term quantizes to exact nano
+    integers so the total is order-free. Also reports the
+    unconditional next-event entropy H(next) and the information gain
+    H(next) − H(next|current), both nano-exact."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    cells = t.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n")
+    ).localCheckpoint()  # ≤k² rows, reused by three rollups
+    w_prev = Window.partitionBy("prev_type")
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cond = cells.select(
+        "n",
+        F.sum("n").over(w_prev).alias("tot"),
+        F.sum("n").over(w_all).alias("grand"),
+    ).agg(
+        F.max("grand").alias("n_transitions"),
+        F.sum(F.expr(_ER_TERM)).alias("h_cond_nano"),
+    )
+    marg = (
+        cells.groupBy("next_type")
+        .agg(F.sum("n").alias("n"))
+        .crossJoin(F.broadcast(cells.agg(F.sum("n").alias("grand"))))
+        .select("n", F.col("grand").alias("tot"), "grand")
+        .agg(F.sum(F.expr(_ER_TERM)).alias("h_marg_nano"))
+    )
+    return cond.crossJoin(F.broadcast(marg)).select(
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.col("h_cond_nano").cast("long").alias("h_cond_nano"),
+        F.col("h_marg_nano").cast("long").alias("h_marg_nano"),
+        (F.col("h_marg_nano") - F.col("h_cond_nano"))
+        .cast("long")
+        .alias("info_gain_nano"),
+    )
+
+
+EVT_ENTROPY_RATE_SQL = f"""
+WITH t AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+), cells AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2
+), cond AS (
+  SELECT CAST(MAX(grand) AS BIGINT) AS n_transitions,
+         CAST(SUM({_ER_TERM}) AS BIGINT) AS h_cond_nano
+  FROM (
+    SELECT n,
+           SUM(n) OVER (PARTITION BY prev_type) AS tot,
+           SUM(n) OVER () AS grand
+    FROM cells
+  )
+), marg AS (
+  SELECT CAST(SUM({_ER_TERM}) AS BIGINT) AS h_marg_nano
+  FROM (
+    SELECT m.n, g.grand AS tot, g.grand
+    FROM (SELECT next_type, SUM(n) AS n FROM cells GROUP BY 1) m,
+         (SELECT SUM(n) AS grand FROM cells) g
+  )
+)
+SELECT n_transitions, h_cond_nano, h_marg_nano,
+       CAST(h_marg_nano - h_cond_nano AS BIGINT) AS info_gain_nano
+FROM cond, marg
+"""
+
+
+# ---------------------------------------------------------------------------
+# evt_retention_halflife — exponential-decay fit of the retention curve
+# ---------------------------------------------------------------------------
+
+
+def evt_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life: the age-w retention rates r_w (distinct
+    users active w weeks after their first week over the user total)
+    fit to r = e^{β·w}; half-life = −ln 2/β — the single number a
+    growth model plugs in for LTV horizon math.
+
+    Rates are exact rationals from two linear aggregations (first
+    week per user, distinct (user, age) presence); the ln-linear OLS
+    runs over the ≤#weeks curve points with the shared closed form
+    (round 6). No fact-table windows."""
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.select(
+        "user_id", F.expr("CAST(date_trunc('week', ts) AS DATE)").alias("w")
+    ).distinct()
+    first = weekly.groupBy("user_id").agg(F.min("w").alias("fw"))
+    ages = (
+        weekly.join(first, "user_id")
+        .select(
+            "user_id",
+            F.expr("datediff(w, fw) div 7").alias("age"),
+        )
+        .distinct()
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    curve = (
+        ages.groupBy("age")
+        .agg(F.count("*").alias("active"))
+        .select(
+            "age",
+            "active",
+            F.max(F.when(F.col("age") == 0, F.col("active"))).over(w_all).alias(
+                "cohort"
+            ),
+        )
+        .filter((F.col("age") >= 1) & (F.col("active") > 0))
+    )
+    pts = curve.select(
+        F.col("age").cast("double").alias("x"),
+        F.expr("ln(CAST(active AS DOUBLE) / cohort)").alias("y"),
+    )
+    fit = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return fit.select(
+        F.col("n").cast("long").alias("n_ages"),
+        F.round(
+            F.expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)"), 6
+        ).alias("decay_beta"),
+        F.round(
+            F.expr(
+                # a zero slope means no measured decay (perfect
+                # retention in-window) — half-life is undefined, not ∞
+                "CASE WHEN (n * sxy - sx * sy) != 0 THEN"
+                " -ln(CAST(2 AS DOUBLE))"
+                " / ((n * sxy - sx * sy) / (n * sxx - sx * sx)) END"
+            ),
+            6,
+        ).alias("halflife_weeks"),
+    )
+
+
+EVT_HALFLIFE_SQL = """
+WITH weekly AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM events
+), first AS (
+  SELECT user_id, MIN(w) AS fw FROM weekly GROUP BY 1
+), ages AS (
+  SELECT DISTINCT wk.user_id,
+         datediff('day', f.fw, wk.w) // 7 AS age
+  FROM weekly wk JOIN first f ON wk.user_id = f.user_id
+), curve AS (
+  SELECT age, active,
+         MAX(CASE WHEN age = 0 THEN active END) OVER () AS cohort
+  FROM (SELECT age, COUNT(*) AS active FROM ages GROUP BY 1)
+), pts AS (
+  SELECT CAST(age AS DOUBLE) AS x,
+         ln(CAST(active AS DOUBLE) / cohort) AS y
+  FROM curve WHERE age >= 1 AND active > 0
+), fit AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_ages,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS decay_beta,
+       ROUND(CASE WHEN (n * sxy - sx * sy) != 0 THEN
+             -ln(CAST(2 AS DOUBLE))
+             / ((n * sxy - sx * sy) / (n * sxx - sx * sx)) END, 6)
+         AS halflife_weeks
+FROM fit
+"""
+
+
+# ---------------------------------------------------------------------------
+# dq_freshness_sla — per-slice staleness against the corpus watermark
+# ---------------------------------------------------------------------------
+
+_FRESH_SLA_S = 86_400  # 1 day
+
+
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness SLA census: per event type, the lag between its
+    latest event and the corpus watermark (global max ts), with a
+    1-day SLA flag — the staleness monitor every ingestion DAG
+    exports (a silent upstream stall shows up here first).
+
+    Exact epoch-second arithmetic (per-timestamp FLOOR, the repo's
+    unix_timestamp convention); two tiny aggregations, watermark via
+    broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), F.max("ts").alias("last_ts")
+    )
+    wm = e.agg(F.max("ts").alias("watermark"))
+    return (
+        per.crossJoin(F.broadcast(wm))
+        .select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            (
+                F.unix_timestamp("watermark") - F.unix_timestamp("last_ts")
+            )
+            .cast("long")
+            .alias("staleness_s"),
+            (
+                F.unix_timestamp("watermark") - F.unix_timestamp("last_ts")
+                <= _FRESH_SLA_S
+            ).alias("within_sla"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DQ_FRESHNESS_SQL = f"""
+WITH per AS (
+  SELECT event_type, COUNT(*) AS n_events, MAX(ts) AS last_ts
+  FROM events GROUP BY 1
+), wm AS (SELECT MAX(ts) AS watermark FROM events)
+SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+       CAST(FLOOR(epoch(watermark)) AS BIGINT)
+         - CAST(FLOOR(epoch(last_ts)) AS BIGINT) AS staleness_s,
+       CAST(FLOOR(epoch(watermark)) AS BIGINT)
+         - CAST(FLOOR(epoch(last_ts)) AS BIGINT) <= {_FRESH_SLA_S}
+         AS within_sla
+FROM per, wm
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "evt_entropy_rate": (evt_entropy_rate, EVT_ENTROPY_RATE_SQL),
+    "evt_retention_halflife": (evt_retention_halflife, EVT_HALFLIFE_SQL),
+    "dq_freshness_sla": (dq_freshness_sla, DQ_FRESHNESS_SQL),
     "w15_cumulative_distinct": (w15_cumulative_distinct, W15_CUMDIST_SQL),
     "evt_changepoint": (evt_changepoint, EVT_CHANGEPOINT_SQL),
     "evt_markov_stationary": (evt_markov_stationary, EVT_MARKOV_SQL),

@@ -2069,10 +2069,98 @@ SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_degree_powerlaw — degree-distribution census + log-log tail fit
+# ---------------------------------------------------------------------------
+
+
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law check on the co-purchase graph:
+    the (degree, node-count) histogram fit by log-log OLS over
+    degrees ≥ 2 — slope ≈ −2…−3 is the scale-free signature; a flat
+    or convex fit flags an artificial/templated graph (the structural
+    sibling of txt_zipf_fit).
+
+    The histogram is two linear aggregations (degree per node, nodes
+    per degree); the regression runs over the ≤max-degree histogram
+    rows (round 6 absorbs libm/summation ulps). Output: fit + the
+    histogram mass so the tail is auditable."""
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    hist = deg.groupBy("deg").agg(F.count("*").alias("n_nodes"))
+    pts = hist.filter(F.col("deg") >= 2).select(
+        F.expr("ln(CAST(deg AS DOUBLE))").alias("x"),
+        F.expr("ln(CAST(n_nodes AS DOUBLE))").alias("y"),
+    )
+    fit = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    tots = hist.agg(
+        F.sum("n_nodes").alias("n_nodes_total"),
+        F.max("deg").alias("max_degree"),
+    )
+    return fit.crossJoin(F.broadcast(tots)).select(
+        F.col("n").cast("long").alias("n_degree_points"),
+        F.col("n_nodes_total").cast("long").alias("n_nodes"),
+        F.col("max_degree").cast("long").alias("max_degree"),
+        F.round(
+            F.expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)"), 6
+        ).alias("powerlaw_slope"),
+        F.round(
+            F.expr(
+                "((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+                " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+GRAPH_POWERLAW_SQL = f"""
+WITH {_COPURCHASE_CTE},
+sym AS (
+  SELECT pa AS src, pb AS dst FROM edges
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM edges
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY 1),
+hist AS (SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY 1),
+pts AS (
+  SELECT ln(CAST(deg AS DOUBLE)) AS x, ln(CAST(n_nodes AS DOUBLE)) AS y
+  FROM hist WHERE deg >= 2
+),
+fit AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM pts
+),
+tots AS (
+  SELECT CAST(SUM(n_nodes) AS BIGINT) AS n_nodes_total,
+         CAST(MAX(deg) AS BIGINT) AS max_degree
+  FROM hist
+)
+SELECT CAST(n AS BIGINT) AS n_degree_points,
+       n_nodes_total AS n_nodes, max_degree,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS powerlaw_slope,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM fit, tots
+"""
+
+
 QUERIES = {
     "graph_closeness": (graph_closeness, GRAPH_CLOSENESS_SQL),
     "graph_eccentricity": (graph_eccentricity, GRAPH_ECC_SQL),
     "graph_reciprocity": (graph_reciprocity, GRAPH_RECIP_SQL),
+    "graph_degree_powerlaw": (graph_degree_powerlaw, GRAPH_POWERLAW_SQL),
     "graph_katz": (graph_katz, GRAPH_KATZ_SQL),
     "graph_adamic_adar": (graph_adamic_adar, GRAPH_AA_SQL),
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),

@@ -4192,7 +4192,90 @@ ORDER BY g
 """
 
 
+# ---------------------------------------------------------------------------
+# stat_circular_hours — circular statistics of event time-of-day
+# ---------------------------------------------------------------------------
+
+# Circular moments from the 24-bin hour histogram: the 24 cos/sin
+# values are the same IEEE expressions over integer h in both engines;
+# each count-weighted term quantizes to an exact nano integer BEFORE
+# summing, because near-uniform hours cancel C and S down to noise
+# where a float-sum ordering difference would swing atan2 wildly —
+# integer sums make the angle bit-stable.
+_CIRC_ANG = "(CAST(h AS DOUBLE) * 2 * pi() / 24)"
+_CIRC_C_NANO = (
+    f"CAST(FLOOR(c * cos({_CIRC_ANG}) * CAST(1000000000 AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_CIRC_S_NANO = (
+    f"CAST(FLOOR(c * sin({_CIRC_ANG}) * CAST(1000000000 AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def stat_circular_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular statistics of event time-of-day per event type: the
+    circular mean hour and the resultant length R̄ (1 = all events at
+    the same hour, 0 = uniform around the clock) — the CORRECT way to
+    average hours (the arithmetic mean of 23:00 and 01:00 is noon;
+    the circular mean is midnight), used for peak-hour detection and
+    diurnal-pattern monitoring.
+
+    One rollup to the (type, hour) 24-bin histogram; C = Σ c·cos θ_h,
+    S = Σ c·sin θ_h over those bins; mean hour = atan2(S, C)·24/2π
+    (shifted into [0, 24)); R̄ = √(C²+S²)/n. All trig runs over the
+    24 integer bins, never the fact table."""
+    e = load_table(spark, sf_dir, "events")
+    hist = e.groupBy(
+        F.col("event_type").alias("etype"), F.hour("ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    moms = hist.groupBy("etype").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.expr(_CIRC_C_NANO)).alias("cc"),
+        F.sum(F.expr(_CIRC_S_NANO)).alias("ss"),
+    )
+    return moms.select(
+        "etype",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.expr(
+                "((atan2(CAST(ss AS DOUBLE), CAST(cc AS DOUBLE))"
+                " * 24 / (2 * pi())) + 24) % 24"
+            ),
+            6,
+        ).alias("circ_mean_hour"),
+        F.round(
+            F.expr(
+                "sqrt(CAST(cc AS DOUBLE) * cc + CAST(ss AS DOUBLE) * ss)"
+                " / (CAST(1000000000 AS DOUBLE) * n)"
+            ),
+            6,
+        ).alias("resultant_r"),
+    ).orderBy("etype")
+
+
+STAT_CIRC_SQL = f"""
+WITH hist AS (
+  SELECT event_type AS etype, hour(ts) AS h, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), moms AS (
+  SELECT etype, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM({_CIRC_C_NANO}) AS BIGINT) AS cc,
+         CAST(SUM({_CIRC_S_NANO}) AS BIGINT) AS ss
+  FROM hist GROUP BY 1
+)
+SELECT etype, n,
+       ROUND(((atan2(CAST(ss AS DOUBLE), CAST(cc AS DOUBLE))
+               * 24 / (2 * pi())) + 24) % 24, 6) AS circ_mean_hour,
+       ROUND(sqrt(CAST(cc AS DOUBLE) * cc + CAST(ss AS DOUBLE) * ss)
+             / (CAST(1000000000 AS DOUBLE) * n), 6) AS resultant_r
+FROM moms
+ORDER BY etype
+"""
+
+
 QUERIES = {
+    "stat_circular_hours": (stat_circular_hours, STAT_CIRC_SQL),
     "ml_adversarial_validation": (ml_adversarial_validation, ML_ADVERSARIAL_SQL),
     "stat_winsorized_mean": (stat_winsorized_mean, STAT_WINSOR_SQL),
     "stat_equivalence_tost": (stat_equivalence_tost, STAT_TOST_SQL),
