@@ -1070,7 +1070,123 @@ FROM n1t, n2t, mt
 """
 
 
+# --- sorted-neighborhood dedup (SNM) --------------------------------------
+
+_SNM_WINDOW = 3
+_SNM_KEYLEN = 24
+_SNM_THRESHOLD = 0.1
+_SNM_TOPK = 20
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernández/Stolfo): docs sort by a
+    normalized 24-char prefix key, and only pairs within a 3-position
+    window compare — the classic O(n·w) entity-resolution method that
+    complements hash blocking (er_blocked_linkage) and LSH banding
+    (dedup_minhash_pairs): it catches near-dups whose keys SORT
+    together without hashing identically (typo'd prefixes, shared
+    openings).
+
+    Candidates verify with exact 3-gram shingle Jaccard computed
+    natively (array_intersect over distinct shingles — the exact
+    arithmetic of dedup_ngram_jaccard). The global sort rank is the
+    method's defining cost: one range-partitioned ranking of the DOC
+    table (not the corpus text), then a rank+δ equi-join keeps the
+    pair count at n·w. Top-20 by (jaccard, pair) is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    norm = d.select(
+        "doc_id",
+        F.expr(
+            f"substring(regexp_replace(trim(lower(text)), '\\\\s+', ' '),"
+            f" 1, {_SNM_KEYLEN})"
+        ).alias("skey"),
+        F.expr(
+            "CASE WHEN trim(lower(text)) = '' THEN CAST(array() AS ARRAY<STRING>)"
+            " ELSE split(trim(lower(text)), '\\\\s+') END"
+        ).alias("toks"),
+    ).select(
+        "doc_id",
+        "skey",
+        F.expr(
+            "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),"
+            " i -> array_join(slice(toks, i, 3), ' ')))"
+        ).alias("shingles"),
+    )
+    ranked = norm.withColumn(
+        "r", F.row_number().over(Window.orderBy("skey", "doc_id"))
+    ).localCheckpoint()
+    deltas = spark.range(1, _SNM_WINDOW + 1).select(
+        F.col("id").cast("int").alias("delta")
+    )
+    right = ranked.select(
+        F.col("r").alias("rb"),
+        F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    pairs = (
+        ranked.crossJoin(F.broadcast(deltas))
+        .withColumn("rb", F.col("r") + F.col("delta"))
+        .join(right, "rb")
+        .select(
+            F.col("doc_id").alias("id_a"),
+            "id_b",
+            F.col("delta").alias("rank_gap"),
+            F.expr(
+                "CASE WHEN size(shingles) + size(sh_b)"
+                " - size(array_intersect(shingles, sh_b)) > 0 THEN"
+                " CAST(size(array_intersect(shingles, sh_b)) AS DOUBLE)"
+                " / (size(shingles) + size(sh_b)"
+                " - size(array_intersect(shingles, sh_b))) ELSE 0.0 END"
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        pairs.filter(F.col("jaccard") >= _SNM_THRESHOLD)
+        .select(
+            "id_a", "id_b", "rank_gap", F.round("jaccard", 9).alias("jaccard")
+        )
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(_SNM_TOPK)
+    )
+
+
+DEDUP_SNM_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                1, {_SNM_KEYLEN}) AS skey,
+         {_DUCK_TOKENS} AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, skey, {_DUCK_SHINGLES} AS shingles FROM base
+), ranked AS (
+  SELECT doc_id, shingles,
+         ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS r
+  FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(b.r - a.r AS INT) AS rank_gap,
+         CASE WHEN len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles)) > 0 THEN
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles)))
+         ELSE 0.0 END AS jaccard
+  FROM ranked a JOIN ranked b
+    ON b.r - a.r BETWEEN 1 AND {_SNM_WINDOW}
+)
+SELECT id_a, id_b, rank_gap, ROUND(jaccard, 9) AS jaccard
+FROM pairs
+WHERE jaccard >= {_SNM_THRESHOLD}
+ORDER BY jaccard DESC, id_a, id_b
+LIMIT {_SNM_TOPK}
+"""
+
+
 QUERIES = {
+    "dedup_sorted_neighborhood": (dedup_sorted_neighborhood, DEDUP_SNM_SQL),
     "dedup_minhash_error_audit": (dedup_minhash_error_audit, DEDUP_MINHASH_AUDIT_SQL),
     "llm_source_dedup_priority": (llm_source_dedup_priority, LLM_SRC_DEDUP_SQL),
     "dedup_capture_recapture": (dedup_capture_recapture, _crc_sql()),

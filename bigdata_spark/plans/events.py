@@ -4002,7 +4002,241 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_markov_absorption — expected steps to conversion (absorbing chain)
+# ---------------------------------------------------------------------------
+
+_ABS_ITERS = 12
+_ABS_TARGET = "purchase"
+_ABS_SCALE = 1_000_000_000
+
+
+def evt_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected number of steps to reach 'purchase' from each event
+    state, treating purchase as ABSORBING in the empirical first-order
+    chain — the "how far is each state from converting" number a
+    funnel-optimization team ranks intervention targets by (the
+    fundamental-matrix quantity N·1, here by value iteration).
+
+    Bit-exact like graph_pagerank: E ← 1 + P·E iterated 24 rounds in
+    integer nano-steps (each edge term is (c_ij·E_j) div c_i, exact
+    BIGINT), purchase pinned at 0; the DuckDB oracle unrolls the same
+    24 rounds as chained CTEs. Each Spark round is one join + partial
+    agg on the k-state table (k ≈ 5 here; hash-partitioned at real
+    state cardinality), localCheckpointed so lineage stays flat."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).filter(F.col("src").isNotNull() & (F.col("src") != _ABS_TARGET))
+    cells = t.groupBy("src", "dst").agg(F.count("*").alias("c")).localCheckpoint()
+    tot = cells.groupBy("src").agg(F.sum("c").alias("ctot"))
+    states = (
+        cells.select(F.col("src").alias("s"))
+        .unionAll(cells.select(F.col("dst").alias("s")))
+        .distinct()
+        .localCheckpoint()
+    )
+    ev = states.select(
+        "s",
+        F.when(F.col("s") == _ABS_TARGET, F.lit(0))
+        .otherwise(F.lit(_ABS_SCALE))
+        .cast("long")
+        .alias("ev"),
+    )
+    trans = cells.join(F.broadcast(tot), "src").localCheckpoint()
+    for _ in range(_ABS_ITERS - 1):
+        nxt = (
+            trans.join(ev, trans.dst == ev.s)
+            .groupBy("src")
+            .agg(
+                F.sum(F.expr("c * ev div ctot")).alias("pe"),
+            )
+        )
+        ev = (
+            states.join(nxt, states.s == nxt.src, "left_outer")
+            .select(
+                "s",
+                F.when(F.col("s") == _ABS_TARGET, F.lit(0))
+                .otherwise(F.lit(_ABS_SCALE) + F.coalesce("pe", F.lit(0)))
+                .cast("long")
+                .alias("ev"),
+            )
+            .localCheckpoint()
+        )
+    return ev.select(
+        F.col("s").alias("state"),
+        F.col("ev").alias("expected_steps_nano"),
+        F.round(F.expr(f"CAST(ev AS DOUBLE) / {_ABS_SCALE}"), 6).alias(
+            "expected_steps"
+        ),
+    ).orderBy("state")
+
+
+def _markov_abs_sql() -> str:
+    steps = []
+    # MATERIALIZED pins each round: DuckDB would otherwise inline the
+    # single-reference CTE chain recursively and the optimizer cost
+    # explodes exponentially with depth (observed: >600 s at depth 23,
+    # sub-second materialized).
+    for i in range(1, _ABS_ITERS):
+        steps.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT st.s,
+         CASE WHEN st.s = '{_ABS_TARGET}' THEN 0
+              ELSE {_ABS_SCALE} + COALESCE(SUM(t.c * p.ev // t.ctot), 0)
+         END AS ev
+  FROM states st
+  LEFT JOIN (trans t JOIN e{i - 1} p ON p.s = t.dst) ON t.src = st.s
+  GROUP BY st.s
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH t AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+), cells AS (
+  SELECT src, dst, COUNT(*) AS c FROM t
+  WHERE src IS NOT NULL AND src != '{_ABS_TARGET}'
+  GROUP BY 1, 2
+), trans AS (
+  SELECT c.src, c.dst, c.c, o.ctot
+  FROM cells c JOIN (SELECT src, SUM(c) AS ctot FROM cells GROUP BY 1) o
+    USING (src)
+), states AS (
+  SELECT DISTINCT src AS s FROM cells
+  UNION
+  SELECT DISTINCT dst AS s FROM cells
+), e0 AS (
+  SELECT s, CASE WHEN s = '{_ABS_TARGET}' THEN CAST(0 AS BIGINT)
+                 ELSE CAST({_ABS_SCALE} AS BIGINT) END AS ev
+  FROM states
+),
+{chain}
+SELECT s AS state, CAST(ev AS BIGINT) AS expected_steps_nano,
+       ROUND(CAST(ev AS DOUBLE) / {_ABS_SCALE}, 6) AS expected_steps
+FROM e{_ABS_ITERS - 1}
+ORDER BY state
+"""
+
+
+EVT_MARKOV_ABS_SQL = _markov_abs_sql()
+
+
+# ---------------------------------------------------------------------------
+# evt_diff_in_diff — difference-in-differences on the event value
+# ---------------------------------------------------------------------------
+
+_DID_H = (
+    "CAST(conv(substring(md5(concat('did|', CAST(user_id AS STRING))),"
+    " 1, 15), 16, 10) AS BIGINT)"
+)
+_DID_H_DUCK = (
+    "('0x' || substr(md5('did|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+)
+_DID_CELL_MEAN = "CAST(s AS DOUBLE) / n"
+_DID_CELL_VARN = (
+    "(CAST(q AS DOUBLE) / n - (CAST(s AS DOUBLE) / n)"
+    " * (CAST(s AS DOUBLE) / n)) / n"
+)
+
+
+def evt_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on mean event value: treatment =
+    portable-hash user split, post = second half of the observation
+    window; DiD = (T_post − T_pre) − (C_post − C_pre) with the
+    four-cell Welch standard error — the quasi-experimental estimator
+    every marketing/product team runs when randomization wasn't
+    possible (on a pure hash split the true effect is 0, so this
+    entry doubles as an A/A guardrail).
+
+    One aggregation to the four (treated, post) cells of exact
+    micro-unit sums (squares as DECIMAL(38,0)); window bounds ride a
+    broadcast 1-row min/max; DiD, SE and t are the same IEEE
+    expressions in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.expr("CAST(MIN(ts) AS DATE)").alias("d0"),
+        F.expr("CAST(MAX(ts) AS DATE)").alias("d1"),
+    )
+    cells = (
+        e.crossJoin(F.broadcast(bounds))
+        .select(
+            (F.expr(_DID_H) % 2 == 0).alias("treated"),
+            (
+                F.expr("datediff(CAST(ts AS DATE), d0)")
+                * 2
+                >= F.expr("datediff(d1, d0)")
+            ).alias("post"),
+            F.expr(
+                "CAST(FLOOR(value * CAST(1000000 AS DOUBLE)"
+                " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            ).alias("m"),
+        )
+        .groupBy("treated", "post")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("m").alias("s"),
+            F.sum(F.col("m").cast("decimal(38,0)") * F.col("m")).alias("q"),
+        )
+    )
+    folded = cells.agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("treated") & F.col("post"), F.expr(_DID_CELL_MEAN))
+            .when(F.col("treated") & ~F.col("post"), -F.expr(_DID_CELL_MEAN))
+            .when(~F.col("treated") & F.col("post"), -F.expr(_DID_CELL_MEAN))
+            .otherwise(F.expr(_DID_CELL_MEAN))
+        ).alias("did_micro"),
+        F.sum(F.expr(_DID_CELL_VARN)).alias("var_sum"),
+    )
+    return folded.select(
+        "n_events",
+        F.round("did_micro", 6).alias("did_micro"),
+        F.round(F.expr("did_micro / sqrt(var_sum)"), 6).alias("t_stat"),
+    )
+
+
+EVT_DID_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+  FROM events
+), cells AS (
+  SELECT {_DID_H_DUCK} % 2 = 0 AS treated,
+         datediff('day', d0, CAST(ts AS DATE)) * 2
+           >= datediff('day', d0, d1) AS post,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(value * CAST(1000000 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s,
+         SUM(CAST(CAST(FLOOR(value * CAST(1000000 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS HUGEINT)
+             * CAST(FLOOR(value * CAST(1000000 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS q
+  FROM events, bounds
+  GROUP BY 1, 2
+), folded AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_events,
+         SUM(CASE WHEN treated AND post THEN {_DID_CELL_MEAN}
+                  WHEN treated AND NOT post THEN -({_DID_CELL_MEAN})
+                  WHEN NOT treated AND post THEN -({_DID_CELL_MEAN})
+                  ELSE {_DID_CELL_MEAN} END) AS did_micro,
+         SUM({_DID_CELL_VARN}) AS var_sum
+  FROM cells
+)
+SELECT n_events, ROUND(did_micro, 6) AS did_micro,
+       ROUND(did_micro / sqrt(var_sum), 6) AS t_stat
+FROM folded
+"""
+
+
 QUERIES = {
+    "evt_markov_absorption": (evt_markov_absorption, EVT_MARKOV_ABS_SQL),
+    "evt_diff_in_diff": (evt_diff_in_diff, EVT_DID_SQL),
     "evt_entropy_rate": (evt_entropy_rate, EVT_ENTROPY_RATE_SQL),
     "evt_retention_halflife": (evt_retention_halflife, EVT_HALFLIFE_SQL),
     "dq_freshness_sla": (dq_freshness_sla, DQ_FRESHNESS_SQL),

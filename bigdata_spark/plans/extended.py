@@ -1866,8 +1866,85 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# j14_relational_division — suppliers covering EVERY nation of a region
+# ---------------------------------------------------------------------------
+
+_DIV_REGION = 0
+
+
+def j14_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ("for all" join): suppliers whose shipments
+    reached customers in EVERY nation of region 0 — the classic
+    universal-quantifier query SQL has no operator for, compiled to
+    the scalable count-match form: distinct (supplier, covered
+    nation) pairs restricted to the divisor set, grouped, and kept
+    when the coverage count equals the divisor cardinality.
+
+    Scale: the divisor (region nations) is a broadcast dim; the fact
+    side reduces to DISTINCT pairs in one shuffle; no correlated
+    NOT EXISTS double-negation (the textbook form that devolves to a
+    per-row subquery)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    divisor = n.filter(F.col("n_regionkey") == _DIV_REGION).select(
+        F.col("n_nationkey").alias("nk")
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pairs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(divisor), c.c_nationkey == F.col("nk"))
+        .select("l_suppkey", "nk")
+        .distinct()
+    )
+    need = divisor.agg(F.count("*").alias("need"))
+    covered = (
+        pairs.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_covered"))
+        .crossJoin(F.broadcast(need))
+        .filter(F.col("n_covered") == F.col("need"))
+    )
+    return (
+        covered.join(F.broadcast(s), covered.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.col("n_covered").cast("long").alias("nations_covered"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+J14_DIVISION_SQL = f"""
+WITH divisor AS (
+  SELECT n_nationkey AS nk FROM nation WHERE n_regionkey = {_DIV_REGION}
+), pairs AS (
+  SELECT DISTINCT l.l_suppkey, d.nk
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN divisor d ON c.c_nationkey = d.nk
+), covered AS (
+  SELECT l_suppkey, COUNT(*) AS n_covered
+  FROM pairs GROUP BY 1
+  HAVING COUNT(*) = (SELECT COUNT(*) FROM divisor)
+)
+SELECT cv.l_suppkey AS s_suppkey, s.s_name,
+       CAST(cv.n_covered AS BIGINT) AS nations_covered
+FROM covered cv JOIN supplier s ON cv.l_suppkey = s.s_suppkey
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "asof_forward_tolerance": (asof_forward_tolerance, ASOF_TOL_SQL),
+    "j14_relational_division": (j14_relational_division, J14_DIVISION_SQL),
     "approx_hll_portable": (approx_hll_portable, APPROX_HLL_SQL),
     "approx_quantile_hist": (approx_quantile_hist, APPROX_QH_SQL),
     "j10_pit_embargo_join": (j10_pit_embargo_join, J10_PIT_SQL),
