@@ -712,7 +712,80 @@ FROM stats, jt, jr
 """
 
 
+# ---------------------------------------------------------------------------
+# dq_k_anonymity — k-anonymity / l-diversity census over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity and l-diversity census over the quasi-identifier
+    tuple (customer nation, order priority, order year): for each
+    equivalence class its size (k) and the number of distinct
+    sensitive values (order status) it contains (l) — the two numbers
+    a privacy review reads before a dataset leaves the warehouse
+    (classes with k < 5 re-identify; l = 1 classes leak the sensitive
+    attribute outright even at high k).
+
+    One joined rollup to the QI-class grain (nation broadcast); the
+    risk summary is a second rollup over the class table. Output: the
+    global census row plus flags, all exact integers."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    classes = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("qi_nation"),
+            F.col("o_orderpriority").alias("qi_priority"),
+            F.year("o_orderdate").alias("qi_year"),
+        )
+        .agg(
+            F.count("*").alias("k"),
+            F.countDistinct("o_orderstatus").alias("l"),
+        )
+    )
+    return classes.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("k").cast("long").alias("n_rows"),
+        F.min("k").cast("long").alias("k_min"),
+        F.sum(F.when(F.col("k") < _KANON_K, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("rows_below_k5"),
+        F.sum(F.when(F.col("k") < _KANON_K, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_below_k5"),
+        F.min("l").cast("long").alias("l_min"),
+        F.sum(F.when(F.col("l") == 1, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("rows_sensitive_leak"),
+    )
+
+
+DQ_KANON_SQL = f"""
+WITH classes AS (
+  SELECT c.c_nationkey AS qi_nation, o.o_orderpriority AS qi_priority,
+         year(o.o_orderdate) AS qi_year,
+         COUNT(*) AS k, COUNT(DISTINCT o.o_orderstatus) AS l
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       CAST(MIN(k) AS BIGINT) AS k_min,
+       CAST(SUM(CASE WHEN k < {_KANON_K} THEN k ELSE 0 END) AS BIGINT)
+         AS rows_below_k5,
+       CAST(SUM(CASE WHEN k < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_k5,
+       CAST(MIN(l) AS BIGINT) AS l_min,
+       CAST(SUM(CASE WHEN l = 1 THEN k ELSE 0 END) AS BIGINT)
+         AS rows_sensitive_leak
+FROM classes
+"""
+
+
 QUERIES = {
+    "dq_k_anonymity": (dq_k_anonymity, DQ_KANON_SQL),
     "dq_pseudonymize_join": (dq_pseudonymize_join, DQ_PSEUDO_SQL),
     "dq_fairness_ratios": (dq_fairness_ratios, DQ_FAIRNESS_SQL),
     "dq_embedding_drift": (dq_embedding_drift, DQ_EMB_DRIFT_SQL),

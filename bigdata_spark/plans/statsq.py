@@ -4274,7 +4274,319 @@ ORDER BY etype
 """
 
 
+# ---------------------------------------------------------------------------
+# stat_anova_twoway — two-factor cell-model ANOVA census
+# ---------------------------------------------------------------------------
+
+
+def stat_anova_twoway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-factor ANOVA census on order totals (A = priority, B =
+    status): the CELL-model F-test (is any A×B cell mean different?)
+    plus the marginal sums of squares for each factor — the first
+    read on a two-way design before picking contrasts. The cell-model
+    F = (SS_cells/(c−1))/(SS_within/(n−c)) is valid for unbalanced
+    data; the A/B marginal SS are reported as descriptive shares of
+    the cell SS (the balanced-design additive decomposition — this
+    corpus is near-balanced; an unbalanced Type-II fit would go
+    through stat_reg_multi's Gram machinery).
+
+    One rollup to the ≤15 exact-cents cell sufficient statistics
+    (squares as DECIMAL(38,0)); margins and totals fold from the cell
+    table; every ratio is the shared IEEE expression (round 6)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr(
+        "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    cells = (
+        o.select(
+            F.col("o_orderpriority").alias("a"),
+            F.col("o_orderstatus").alias("b"),
+            cents.alias("v"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("n_c"),
+            F.sum("v").alias("s_c"),
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("q_c"),
+        )
+        .localCheckpoint()  # ≤15 rows, feeds four rollups
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    base = cells.select(
+        "a",
+        "b",
+        "n_c",
+        "s_c",
+        "q_c",
+        F.sum("n_c").over(w_all).alias("n"),
+        F.sum("s_c").over(w_all).alias("s"),
+        F.sum("q_c").over(w_all).alias("q"),
+        F.count("*").over(w_all).alias("n_cells"),
+    )
+    # Each S²/n term quantizes to an integer (FLOOR of the same IEEE
+    # expression in both engines) and sums as DECIMAL(38,0): a plain
+    # double sum over the 15 terms is ORDER-DEPENDENT at 1e15 magnitude
+    # where round(6) can't absorb it (observed 11th-digit drift). Terms
+    # scale down by 10⁶ first because Spark's FLOOR(double) returns
+    # LONG and the grand term exceeds Long.MAX at sf0.01 (observed
+    # saturation at 9.22e18); 10⁶-unit granularity leaves 9+ exact
+    # significant digits on every SS.
+    def _sq_term(s: str, n: str) -> str:
+        return (
+            f"CAST(FLOOR(CAST({s} AS DOUBLE) * {s} / {n}"
+            " / CAST(1000000 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS DECIMAL(38,0))"
+        )
+
+    folded = base.agg(
+        F.max("n").alias("n"),
+        F.max("n_cells").alias("n_cells"),
+        F.round(
+            F.max(
+                F.expr("CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n")
+            ),
+            6,
+        ).alias("ss_total"),
+        (
+            (
+                F.sum(F.expr(_sq_term("s_c", "n_c")))
+                - F.max(F.expr(_sq_term("s", "n")))
+            ).cast("double")
+            * F.lit(1_000_000.0)
+        ).alias("ss_cells"),
+    )
+    marg_a = (
+        cells.groupBy("a")
+        .agg(F.sum("n_c").alias("n_a"), F.sum("s_c").alias("s_a"))
+        .crossJoin(
+            F.broadcast(
+                cells.agg(
+                    F.sum("n_c").alias("n"), F.sum("s_c").alias("s")
+                )
+            )
+        )
+        .agg(
+            (
+                (
+                    F.sum(F.expr(_sq_term("s_a", "n_a")))
+                    - F.max(F.expr(_sq_term("s", "n")))
+                ).cast("double")
+                * F.lit(1_000_000.0)
+            ).alias("ss_a")
+        )
+    )
+    marg_b = (
+        cells.groupBy("b")
+        .agg(F.sum("n_c").alias("n_b"), F.sum("s_c").alias("s_b"))
+        .crossJoin(
+            F.broadcast(
+                cells.agg(
+                    F.sum("n_c").alias("n"), F.sum("s_c").alias("s")
+                )
+            )
+        )
+        .agg(
+            (
+                (
+                    F.sum(F.expr(_sq_term("s_b", "n_b")))
+                    - F.max(F.expr(_sq_term("s", "n")))
+                ).cast("double")
+                * F.lit(1_000_000.0)
+            ).alias("ss_b")
+        )
+    )
+    return (
+        folded.crossJoin(F.broadcast(marg_a))
+        .crossJoin(F.broadcast(marg_b))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            "ss_total",
+            "ss_cells",
+            "ss_a",
+            "ss_b",
+            F.round(
+                F.expr(
+                    "((ss_cells) / (n_cells - 1))"
+                    " / ((ss_total - ss_cells) / (n - n_cells))"
+                ),
+                6,
+            ).alias("f_cells"),
+        )
+    )
+
+
+STAT_ANOVA2_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b,
+         COUNT(*) AS n_c,
+         CAST(SUM(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_c,
+         SUM(CAST(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS HUGEINT)
+             * CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS q_c
+  FROM orders GROUP BY 1, 2
+), base AS (
+  SELECT *, SUM(n_c) OVER () AS n, SUM(s_c) OVER () AS s,
+         SUM(q_c) OVER () AS q, COUNT(*) OVER () AS n_cells
+  FROM cells
+), folded AS (
+  SELECT MAX(n) AS n, MAX(n_cells) AS n_cells,
+         ROUND(MAX(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 6)
+           AS ss_total,
+         CAST(SUM(CAST(FLOOR(CAST(s_c AS DOUBLE) * s_c / n_c
+                  / CAST(1000000 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS HUGEINT))
+              - MAX(CAST(FLOOR(CAST(s AS DOUBLE) * s / n
+                  / CAST(1000000 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS HUGEINT)) AS DOUBLE)
+           * CAST(1000000 AS DOUBLE) AS ss_cells
+  FROM base
+), marg_a AS (
+  SELECT CAST(SUM(CAST(FLOOR(CAST(s_a AS DOUBLE) * s_a / n_a
+                  / CAST(1000000 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS HUGEINT))
+              - MAX(CAST(FLOOR(CAST(s AS DOUBLE) * s / n
+                  / CAST(1000000 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS HUGEINT)) AS DOUBLE)
+           * CAST(1000000 AS DOUBLE) AS ss_a
+  FROM (SELECT a, SUM(n_c) AS n_a, SUM(s_c) AS s_a FROM cells GROUP BY 1),
+       (SELECT SUM(n_c) AS n, SUM(s_c) AS s FROM cells)
+), marg_b AS (
+  SELECT CAST(SUM(CAST(FLOOR(CAST(s_b AS DOUBLE) * s_b / n_b
+                  / CAST(1000000 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS HUGEINT))
+              - MAX(CAST(FLOOR(CAST(s AS DOUBLE) * s / n
+                  / CAST(1000000 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS HUGEINT)) AS DOUBLE)
+           * CAST(1000000 AS DOUBLE) AS ss_b
+  FROM (SELECT b, SUM(n_c) AS n_b, SUM(s_c) AS s_b FROM cells GROUP BY 1),
+       (SELECT SUM(n_c) AS n, SUM(s_c) AS s FROM cells)
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+       ss_total, ss_cells, ss_a, ss_b,
+       ROUND((ss_cells / (n_cells - 1))
+             / ((ss_total - ss_cells) / (n - n_cells)), 6) AS f_cells
+FROM folded, marg_a, marg_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# ml_pinball_eval — pinball-loss evaluation of group quantile forecasts
+# ---------------------------------------------------------------------------
+
+
+def ml_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of per-group q50/q90 point forecasts on
+    order totals — the metric that scores quantile forecasts the way
+    RMSE scores mean forecasts (a forecast that nails the median can
+    still be terrible at the 90th percentile; this shows both).
+
+    Predictions are the EXACT group quantiles by deterministic rank
+    selection (type-1, ties on orderkey — identical row in both
+    engines); the loss keeps exactness by scaling ×100: each term is
+    q·(y−ŷ) or (100−q)·(ŷ−y) in integer cents, so group sums and the
+    integer-ppm means are hash-exact. One ranking window keyed on the
+    group, then one aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr(
+        "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    w_rank = Window.partitionBy("g").orderBy("v", "o_orderkey")
+    w_g = Window.partitionBy("g")
+    ranked = (
+        o.select(
+            F.col("o_orderpriority").alias("g"), cents.alias("v"), "o_orderkey"
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_g))
+    )
+    preds = ranked.withColumn(
+        "q50",
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) * 50 div 100 + 1"), F.col("v"))
+        ).over(w_g),
+    ).withColumn(
+        "q90",
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) * 90 div 100 + 1"), F.col("v"))
+        ).over(w_g),
+    )
+    losses = preds.select(
+        "g",
+        F.expr(
+            "CASE WHEN v >= q50 THEN 50 * (v - q50)"
+            " ELSE 50 * (q50 - v) END"
+        ).alias("pb50"),
+        F.expr(
+            "CASE WHEN v >= q90 THEN 90 * (v - q90)"
+            " ELSE 10 * (q90 - v) END"
+        ).alias("pb90"),
+        "q50",
+        "q90",
+    )
+    return (
+        losses.groupBy("g")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.max("q50").cast("long").alias("q50_cents"),
+            F.max("q90").cast("long").alias("q90_cents"),
+            F.expr("CAST(SUM(pb50) div COUNT(*) AS BIGINT)").alias(
+                "mean_pinball50_x100"
+            ),
+            F.expr("CAST(SUM(pb90) div COUNT(*) AS BIGINT)").alias(
+                "mean_pinball90_x100"
+            ),
+        )
+        .orderBy("g")
+    )
+
+
+ML_PINBALL_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority AS g,
+         CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v,
+         o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+           ORDER BY CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT), o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+), preds AS (
+  SELECT *,
+         MAX(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN v END)
+           OVER (PARTITION BY g) AS q50,
+         MAX(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN v END)
+           OVER (PARTITION BY g) AS q90
+  FROM ranked
+), losses AS (
+  SELECT g, q50, q90,
+         CASE WHEN v >= q50 THEN 50 * (v - q50)
+              ELSE 50 * (q50 - v) END AS pb50,
+         CASE WHEN v >= q90 THEN 90 * (v - q90)
+              ELSE 10 * (q90 - v) END AS pb90
+  FROM preds
+)
+SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(q50) AS BIGINT) AS q50_cents,
+       CAST(MAX(q90) AS BIGINT) AS q90_cents,
+       CAST(SUM(pb50) // COUNT(*) AS BIGINT) AS mean_pinball50_x100,
+       CAST(SUM(pb90) // COUNT(*) AS BIGINT) AS mean_pinball90_x100
+FROM losses
+GROUP BY g
+ORDER BY g
+"""
+
+
 QUERIES = {
+    "stat_anova_twoway": (stat_anova_twoway, STAT_ANOVA2_SQL),
+    "ml_pinball_eval": (ml_pinball_eval, ML_PINBALL_SQL),
     "stat_circular_hours": (stat_circular_hours, STAT_CIRC_SQL),
     "ml_adversarial_validation": (ml_adversarial_validation, ML_ADVERSARIAL_SQL),
     "stat_winsorized_mean": (stat_winsorized_mean, STAT_WINSOR_SQL),
