@@ -4234,7 +4234,144 @@ FROM folded
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_shapley_attribution — exact Shapley credit over touch channels
+# ---------------------------------------------------------------------------
+
+# channel → mask bit (fixed order; purchase is the CONVERSION, not a
+# channel)
+_SHAP_CHANNELS = [("click", 1), ("error", 2), ("signup", 4), ("view", 8)]
+# |S|!·(k−1−|S|)!·24/k! for k=4 channels: exact integer weights ×24
+_SHAP_W24 = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+def evt_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution: the coalition value
+    v(S) is the conversion rate of users whose touched-channel set is
+    ⊆ S (computed for all 16 coalitions by a subset-sum over the
+    16-row mask census), and each channel's credit is the exact
+    Shapley average of its marginal contributions — the
+    game-theoretically fair attribution that last-touch/linear rules
+    approximate, exact here because the channel alphabet is small
+    (2^k coalitions is the standard regime for marketing Shapley).
+
+    Everything after ONE user-grain rollup is 16-row arithmetic:
+    coalition rates quantize to exact ppm integers; Shapley weights
+    ×24 are exact integers ({6,2,2,6} by |S|); the final credits are
+    integer sums. At 100 TB only the user rollup touches the fact
+    table."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)) * 1
+            + F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)) * 2
+            + F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)) * 4
+            + F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)) * 8
+        ).alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    census = users.groupBy("mask").agg(
+        F.count("*").alias("n_u"), F.sum("conv").alias("c_u")
+    ).localCheckpoint()  # ≤16 rows
+    sets = spark.range(0, 16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        sets.join(
+            F.broadcast(census),
+            F.expr("CAST(mask AS INT) & s") == F.col("mask").cast("int"),
+            "left_outer",
+        )
+        .groupBy("s")
+        .agg(
+            F.coalesce(F.sum("n_u"), F.lit(0)).alias("n_s"),
+            F.coalesce(F.sum("c_u"), F.lit(0)).alias("c_s"),
+        )
+        .select(
+            "s",
+            F.expr(
+                "CASE WHEN n_s > 0 THEN c_s * 1000000 div n_s ELSE 0 END"
+            ).alias("v_ppm"),
+        )
+        .localCheckpoint()  # 16 rows
+    )
+    chans = spark.createDataFrame(_SHAP_CHANNELS, "channel string, bit int")
+    rest = v.select(F.col("s").alias("s0"), F.col("v_ppm").alias("v0"))
+    with_ch = (
+        chans.crossJoin(F.broadcast(rest))
+        .filter(F.expr("s0 & bit") == 0)
+        .join(
+            F.broadcast(
+                v.select(F.col("s").alias("s1"), F.col("v_ppm").alias("v1"))
+            ),
+            F.expr("s0 | bit") == F.col("s1"),
+        )
+        .select(
+            "channel",
+            F.expr(
+                "CASE bit_count(CAST(s0 AS LONG)) WHEN 0 THEN 6 WHEN 1 THEN 2"
+                " WHEN 2 THEN 2 ELSE 6 END"
+            ).alias("w24"),
+            (F.col("v1") - F.col("v0")).alias("dv"),
+        )
+    )
+    return (
+        with_ch.groupBy("channel")
+        .agg(F.sum(F.col("w24") * F.col("dv")).alias("shap_x24_ppm"))
+        .select(
+            "channel",
+            F.col("shap_x24_ppm").cast("long").alias("shap_x24_ppm"),
+            F.round(
+                F.expr("CAST(shap_x24_ppm AS DOUBLE) / 24 / 1000000"), 9
+            ).alias("shapley_credit"),
+        )
+        .orderBy("channel")
+    )
+
+
+EVT_SHAPLEY_SQL = """
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 1
+         + MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 2
+         + MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) * 4
+         + MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * 8 AS mask,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+), census AS (
+  SELECT mask, COUNT(*) AS n_u, SUM(conv) AS c_u FROM users GROUP BY 1
+), sets AS (SELECT unnest(generate_series(0, 15)) AS s),
+v AS (
+  SELECT s,
+         CASE WHEN COALESCE(SUM(n_u), 0) > 0
+              THEN COALESCE(SUM(c_u), 0) * 1000000 // SUM(n_u)
+              ELSE 0 END AS v_ppm
+  FROM sets LEFT JOIN census ON (mask & s) = mask
+  GROUP BY s
+), chans AS (
+  SELECT * FROM (VALUES ('click', 1), ('error', 2), ('signup', 4),
+                        ('view', 8)) t(channel, bit)
+), terms AS (
+  SELECT c.channel,
+         CASE bit_count(v0.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+              WHEN 2 THEN 2 ELSE 6 END AS w24,
+         v1.v_ppm - v0.v_ppm AS dv
+  FROM chans c
+  JOIN v v0 ON (v0.s & c.bit) = 0
+  JOIN v v1 ON v1.s = (v0.s | c.bit)
+)
+SELECT channel,
+       CAST(SUM(w24 * dv) AS BIGINT) AS shap_x24_ppm,
+       ROUND(CAST(SUM(w24 * dv) AS DOUBLE) / 24 / 1000000, 9)
+         AS shapley_credit
+FROM terms
+GROUP BY channel
+ORDER BY channel
+"""
+
+
 QUERIES = {
+    "evt_shapley_attribution": (evt_shapley_attribution, EVT_SHAPLEY_SQL),
     "evt_markov_absorption": (evt_markov_absorption, EVT_MARKOV_ABS_SQL),
     "evt_diff_in_diff": (evt_diff_in_diff, EVT_DID_SQL),
     "evt_entropy_rate": (evt_entropy_rate, EVT_ENTROPY_RATE_SQL),

@@ -2156,11 +2156,69 @@ FROM fit, tots
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_rectangles — 4-cycle (C4) motif census via wedge pairing
+# ---------------------------------------------------------------------------
+
+
+def graph_rectangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-cycle census of the co-purchase graph: rectangles (two items
+    sharing TWO distinct co-purchase partners) via the wedge-pairing
+    identity #C4 = (Σ_{a<b} C(w_ab, 2))/2 where w_ab counts the
+    wedges with endpoints (a, b) — each cycle is seen once from each
+    of its two diagonals, hence the halving. Rectangles are the motif
+    behind bipartite-core spam/collusion detection (triangle-free
+    graphs can still be rectangle-dense).
+
+    Scale shape: the same endpoint-pair aggregation as link
+    prediction — only 2-hop pairs materialize, never triples; the
+    combinatorics fold map-side. All exact BIGINTs."""
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    x = sym.alias("x")
+    y = sym.alias("y")
+    wedges = (
+        x.join(y, F.col("x.src") == F.col("y.src"))
+        .filter(F.col("x.dst") < F.col("y.dst"))
+        .groupBy(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+        .agg(F.count("*").alias("w"))
+    )
+    return wedges.agg(
+        F.count("*").cast("long").alias("n_endpoint_pairs"),
+        F.sum("w").cast("long").alias("n_wedges"),
+        F.expr("CAST(SUM(w * (w - 1) div 2) div 2 AS BIGINT)").alias(
+            "n_rectangles"
+        ),
+    )
+
+
+GRAPH_RECT_SQL = f"""
+WITH {_COPURCHASE_CTE},
+sym AS (
+  SELECT pa AS src, pb AS dst FROM edges
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM edges
+),
+wedges AS (
+  SELECT x.dst AS a, y.dst AS b, COUNT(*) AS w
+  FROM sym x JOIN sym y ON x.src = y.src AND x.dst < y.dst
+  GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_endpoint_pairs,
+       CAST(SUM(w) AS BIGINT) AS n_wedges,
+       CAST(SUM(w * (w - 1) // 2) // 2 AS BIGINT) AS n_rectangles
+FROM wedges
+"""
+
+
 QUERIES = {
     "graph_closeness": (graph_closeness, GRAPH_CLOSENESS_SQL),
     "graph_eccentricity": (graph_eccentricity, GRAPH_ECC_SQL),
     "graph_reciprocity": (graph_reciprocity, GRAPH_RECIP_SQL),
     "graph_degree_powerlaw": (graph_degree_powerlaw, GRAPH_POWERLAW_SQL),
+    "graph_rectangles": (graph_rectangles, GRAPH_RECT_SQL),
     "graph_katz": (graph_katz, GRAPH_KATZ_SQL),
     "graph_adamic_adar": (graph_adamic_adar, GRAPH_AA_SQL),
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),

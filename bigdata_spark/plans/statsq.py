@@ -4584,7 +4584,214 @@ ORDER BY g
 """
 
 
+# ---------------------------------------------------------------------------
+# stat_ljung_box — portmanteau whiteness test on the daily series
+# ---------------------------------------------------------------------------
+
+_LB_MAXLAG = 5
+
+# Centered lag-k autocorrelation from exact integer sums:
+# ρ_k = (Σ x_t·x_{t-k} − x̄·(tail+head) + (n−k)·x̄²) / (Σ x² − n·x̄²)
+_LB_RHO = (
+    "((CAST(sxy AS DOUBLE) - (CAST(s AS DOUBLE) / n) * (tail_s + head_s)"
+    " + (n - k) * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
+    " / (CAST(sxx AS DOUBLE) - CAST(s AS DOUBLE) * s / n))"
+)
+
+
+def stat_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (lags 1-5) on daily event counts:
+    Q = n(n+2)·Σ ρ_k²/(n−k) — the "is anything left in the residuals"
+    whiteness gate every forecasting pipeline runs after fitting
+    (large Q = the series still has structure a model should capture).
+
+    One fact rollup to day grain; lag cross-products ride a window
+    over the bounded day table (the stat_acf shape); every ρ_k comes
+    from exact integer sufficient statistics through the same IEEE
+    expression, and Q sums 5 such terms (round 6)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count("*").alias("x")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "x",
+        *[
+            F.lag("x", k).over(w).alias(f"x_{k}")
+            for k in range(1, _LB_MAXLAG + 1)
+        ],
+    ).localCheckpoint()
+    per_lag = None
+    for k in range(1, _LB_MAXLAG + 1):
+        part = lagged.filter(F.col(f"x_{k}").isNotNull()).agg(
+            F.lit(k).alias("k"),
+            F.sum(F.col("x") * F.col(f"x_{k}")).alias("sxy"),
+            F.sum("x").alias("tail_s"),
+            F.sum(f"x_{k}").alias("head_s"),
+        )
+        per_lag = part if per_lag is None else per_lag.unionByName(part)
+    glob = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    rho = per_lag.crossJoin(F.broadcast(glob)).select(
+        "k",
+        "n",
+        F.expr(_LB_RHO).alias("rho"),
+    )
+    return rho.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.lit(_LB_MAXLAG).cast("long").alias("max_lag"),
+        F.round(
+            F.sum(F.expr("n * (n + 2) * rho * rho / (n - k)")), 6
+        ).alias("ljung_box_q"),
+    )
+
+
+STAT_LJUNGBOX_SQL = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, COUNT(*) AS x FROM events GROUP BY 1
+), lagged AS (
+  SELECT d, x,
+         {', '.join(f"LAG(x, {k}) OVER (ORDER BY d) AS x_{k}" for k in range(1, _LB_MAXLAG + 1))}
+  FROM daily
+), per_lag AS (
+  {' UNION ALL '.join(
+      f'''SELECT {k} AS k, CAST(SUM(x * x_{k}) AS BIGINT) AS sxy,
+         CAST(SUM(x) AS BIGINT) AS tail_s,
+         CAST(SUM(x_{k}) AS BIGINT) AS head_s
+  FROM lagged WHERE x_{k} IS NOT NULL'''
+      for k in range(1, _LB_MAXLAG + 1)
+  )}
+), gtot AS (
+  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM daily
+), rho AS (
+  SELECT k, n, {_LB_RHO} AS rho FROM per_lag, gtot
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST({_LB_MAXLAG} AS BIGINT) AS max_lag,
+       ROUND(SUM(n * (n + 2) * rho * rho / (n - k)), 6) AS ljung_box_q
+FROM rho
+"""
+
+
+# ---------------------------------------------------------------------------
+# stat_mood_median — Mood's median test across order priorities
+# ---------------------------------------------------------------------------
+
+
+def stat_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: does any order-priority group sit above or
+    below the GLOBAL median total more often than chance? Counts per
+    group above vs ≤ the global lower median feed a 2×5 chi-squared —
+    the quick nonparametric "are the medians equal" screen (coarser
+    than Kruskal-Wallis but robust to any tail shape).
+
+    The global median is a deterministic rank selection (the w6
+    pattern, here one global ranking window — at heavy scale you'd
+    swap in the pre-bucketed quantile); the chi-squared folds exact
+    integer cells through the shared IEEE expression."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr(
+        "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    w_rank = Window.orderBy("v", "o_orderkey")
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = o.select(
+        F.col("o_orderpriority").alias("g"), cents.alias("v"), "o_orderkey"
+    ).select(
+        "g",
+        "v",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    med = ranked.withColumn(
+        "gmed",
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("v"))).over(
+            w_all
+        ),
+    )
+    cells = med.groupBy("g").agg(
+        F.sum(F.expr("IF(v > gmed, 1, 0)")).alias("above"),
+        F.sum(F.expr("IF(v <= gmed, 1, 0)")).alias("below"),
+    )
+    tot = cells.select(
+        "g",
+        "above",
+        "below",
+        F.sum("above").over(w_all).alias("ta"),
+        F.sum("below").over(w_all).alias("tb"),
+        F.sum(F.col("above") + F.col("below")).over(w_all).alias("n"),
+    )
+    chi = tot.select(
+        "g",
+        "above",
+        "below",
+        F.expr(
+            "(above - CAST((above + below) AS DOUBLE) * ta / n)"
+            " * (above - CAST((above + below) AS DOUBLE) * ta / n)"
+            " / (CAST((above + below) AS DOUBLE) * ta / n)"
+            " + (below - CAST((above + below) AS DOUBLE) * tb / n)"
+            " * (below - CAST((above + below) AS DOUBLE) * tb / n)"
+            " / (CAST((above + below) AS DOUBLE) * tb / n)"
+        ).alias("chi_g"),
+    )
+    return chi.agg(
+        F.sum(F.col("above") + F.col("below")).cast("long").alias("n"),
+        F.count("*").cast("long").alias("k_groups"),
+        F.round(F.sum("chi_g"), 6).alias("chi2"),
+    )
+
+
+STAT_MOOD_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority AS g,
+         CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (ORDER BY CAST(FLOOR(o_totalprice
+           * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT),
+           o_orderkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM orders
+), med AS (
+  SELECT *, MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) OVER () AS gmed
+  FROM ranked
+), cells AS (
+  SELECT g, SUM(CASE WHEN v > gmed THEN 1 ELSE 0 END) AS above,
+         SUM(CASE WHEN v <= gmed THEN 1 ELSE 0 END) AS below
+  FROM med GROUP BY 1
+), tot AS (
+  SELECT g, above, below,
+         SUM(above) OVER () AS ta, SUM(below) OVER () AS tb,
+         SUM(above + below) OVER () AS n
+  FROM cells
+), chi AS (
+  SELECT g, above, below,
+         (above - CAST((above + below) AS DOUBLE) * ta / n)
+         * (above - CAST((above + below) AS DOUBLE) * ta / n)
+         / (CAST((above + below) AS DOUBLE) * ta / n)
+         + (below - CAST((above + below) AS DOUBLE) * tb / n)
+         * (below - CAST((above + below) AS DOUBLE) * tb / n)
+         / (CAST((above + below) AS DOUBLE) * tb / n) AS chi_g
+  FROM tot
+)
+SELECT CAST(SUM(above + below) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS k_groups,
+       ROUND(SUM(chi_g), 6) AS chi2
+FROM chi
+"""
+
+
 QUERIES = {
+    "stat_ljung_box": (stat_ljung_box, STAT_LJUNGBOX_SQL),
+    "stat_mood_median": (stat_mood_median, STAT_MOOD_SQL),
     "stat_anova_twoway": (stat_anova_twoway, STAT_ANOVA2_SQL),
     "ml_pinball_eval": (ml_pinball_eval, ML_PINBALL_SQL),
     "stat_circular_hours": (stat_circular_hours, STAT_CIRC_SQL),
