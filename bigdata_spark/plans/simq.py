@@ -1296,7 +1296,115 @@ ORDER BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# sim_contrastive_pairs — hard-negative / positive mining for metric learning
+# ---------------------------------------------------------------------------
+
+_CONTRAST_QCAP = 24
+
+
+def sim_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining: for each query embedding the nearest
+    SAME-label neighbor (positive) and the nearest DIFFERENT-label
+    neighbor (hard negative), plus the margin between them — the data
+    prep step every metric-learning / embedding-finetune run does
+    (hard negatives are where the gradient is; margin ≤ 0 rows are
+    the mislabeled-or-hard cases worth auditing).
+
+    The query side is capped so the cosine join stays corpus-linear;
+    per-query argmax picks are deterministic (cosine DESC, corpus_id)
+    via one k-bounded window each. Cosines round(9) — the repo's
+    shared-IEEE convention for the cosine kernel."""
+    e = _vecs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _CONTRAST_QCAP)
+    lab = e.select("vec_id", "label")
+    scored = (
+        brute_force_topk(q, e, k=10_000_000)  # full ranking, query-capped
+        .join(
+            lab.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("corpus_id"), F.col("label").alias("cl")
+            ),
+            "corpus_id",
+        )
+    )
+    w_pos = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "corpus_id"
+    )
+    pos = (
+        scored.filter(F.col("ql") == F.col("cl"))
+        .withColumn("rk", F.row_number().over(w_pos))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            F.col("corpus_id").alias("positive_id"),
+            F.col("cosine").alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("ql") != F.col("cl"))
+        .withColumn("rk", F.row_number().over(w_pos))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            F.col("corpus_id").alias("hard_negative_id"),
+            F.col("cosine").alias("neg_cos"),
+        )
+    )
+    return (
+        pos.join(neg, "query_id")
+        .select(
+            "query_id",
+            "positive_id",
+            F.round("pos_cos", 9).alias("pos_cos"),
+            "hard_negative_id",
+            F.round("neg_cos", 9).alias("neg_cos"),
+            F.round(F.col("pos_cos") - F.col("neg_cos"), 9).alias("margin"),
+        )
+        .orderBy("query_id")
+    )
+
+
+SIM_CONTRAST_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS v, label AS ql
+           FROM embeddings WHERE vec_id < {_CONTRAST_QCAP}),
+c AS (SELECT vec_id AS corpus_id, embedding AS v, label AS cl
+      FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.corpus_id, q.ql, c.cl,
+    CASE WHEN ({_duck_l2('q.v')} * {_duck_l2('c.v')}) != 0.0
+         THEN {_duck_dot('q.v', 'c.v')} / ({_duck_l2('q.v')} * {_duck_l2('c.v')})
+         ELSE 0.0 END AS cosine
+  FROM c CROSS JOIN q
+  WHERE q.query_id != c.corpus_id
+), pos AS (
+  SELECT query_id, corpus_id AS positive_id, cosine AS pos_cos
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, corpus_id) AS rk
+        FROM scored WHERE ql = cl)
+  WHERE rk = 1
+), neg AS (
+  SELECT query_id, corpus_id AS hard_negative_id, cosine AS neg_cos
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, corpus_id) AS rk
+        FROM scored WHERE ql != cl)
+  WHERE rk = 1
+)
+SELECT p.query_id, p.positive_id, ROUND(p.pos_cos, 9) AS pos_cos,
+       n.hard_negative_id, ROUND(n.neg_cos, 9) AS neg_cos,
+       ROUND(p.pos_cos - n.neg_cos, 9) AS margin
+FROM pos p JOIN neg n ON p.query_id = n.query_id
+ORDER BY p.query_id
+"""
+
+
 QUERIES = {
+    "sim_contrastive_pairs": (sim_contrastive_pairs, SIM_CONTRAST_SQL),
     "ml_silhouette": (ml_silhouette, ML_SILHOUETTE_SQL),
     "ml_ranking_metrics": (ml_ranking_metrics, ML_RANKING_SQL),
     "dist_kernels": (dist_kernels, DIST_KERNELS_SQL),

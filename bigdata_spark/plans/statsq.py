@@ -4789,7 +4789,92 @@ FROM chi
 """
 
 
+# ---------------------------------------------------------------------------
+# stat_mann_kendall — nonparametric monotone-trend test on the daily series
+# ---------------------------------------------------------------------------
+
+# Tie-corrected variance of S: (n(n−1)(2n+5) − Σ t(t−1)(2t+5)) / 18,
+# with the ±1 continuity correction toward zero.
+_MK_Z = (
+    "CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(var18 / 18.0)"
+    " WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var18 / 18.0)"
+    " ELSE CAST(0 AS DOUBLE) END"
+)
+
+
+def stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on daily event counts:
+    S = Σ_{i<j} sign(x_j − x_i) with the tie-corrected variance and
+    continuity-corrected z — the nonparametric trend detector paired
+    with stat_theil_sen's slope (KPI drift monitoring without a
+    linearity assumption).
+
+    The pairwise sum runs over the BOUNDED day table (one self-join
+    of ≤#days rows — never the fact table); S, the tie term and the
+    18×variance are exact BIGINTs; z is one shared IEEE expression."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.expr("CAST(ts AS DATE)").alias("d")).agg(
+        F.count("*").alias("x")
+    ).localCheckpoint()
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    s_stat = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(F.expr("CAST(SIGN(xb - xa) AS BIGINT)")).alias("s_stat"),
+            F.count("*").alias("n_pairs"),
+        )
+    )
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count("*").alias("t"))
+        .agg(
+            F.sum(
+                F.expr("t * (t - 1) * (2 * t + 5)")
+            ).alias("tie18"),
+            F.sum(F.lit(1) * F.col("t")).alias("n"),
+        )
+    )
+    return (
+        s_stat.crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").cast("long").alias("n_days"),
+            F.col("s_stat").cast("long").alias("s_stat"),
+            F.expr(
+                "CAST(n * (n - 1) * (2 * n + 5) - tie18 AS BIGINT)"
+            ).alias("var18"),
+        )
+        .select(
+            "n_days",
+            "s_stat",
+            "var18",
+            F.round(F.expr(_MK_Z), 6).alias("z"),
+        )
+    )
+
+
+STAT_MK_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x FROM events GROUP BY 1
+), s AS (
+  SELECT CAST(SUM(CAST(SIGN(b.x - a.x) AS BIGINT)) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b ON a.d < b.d
+), ties AS (
+  SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18,
+         CAST(SUM(t) AS BIGINT) AS n
+  FROM (SELECT x, COUNT(*) AS t FROM daily GROUP BY 1)
+), folded AS (
+  SELECT n AS n_days, s_stat,
+         CAST(n * (n - 1) * (2 * n + 5) - tie18 AS BIGINT) AS var18
+  FROM s, ties
+)
+SELECT n_days, s_stat, var18, ROUND({_MK_Z}, 6) AS z
+FROM folded
+"""
+
+
 QUERIES = {
+    "stat_mann_kendall": (stat_mann_kendall, STAT_MK_SQL),
     "stat_ljung_box": (stat_ljung_box, STAT_LJUNGBOX_SQL),
     "stat_mood_median": (stat_mood_median, STAT_MOOD_SQL),
     "stat_anova_twoway": (stat_anova_twoway, STAT_ANOVA2_SQL),

@@ -2830,7 +2830,81 @@ LIMIT {_BP_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# llm_oov_rate — out-of-vocabulary rate per source vs the head vocab
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB = 1000
+
+
+def llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit: each source's token mass that falls
+    outside the corpus top-1000 vocabulary (exact ppm) — the
+    tokenizer-coverage read that flags a slice whose vocabulary a
+    fixed tokenizer will shred into bytes (high OOV = high fertility
+    = expensive tokens), the corpus-side complement of
+    llm_tokenizer_fertility.
+
+    The head vocabulary is a deterministic top-k (count desc, term)
+    — a ≤1000-row broadcast; per-source OOV mass is one anti-joined
+    rollup. Exact integer ppm everywhere."""
+    from ..operators.parallelism import ensure_parallelism
+    from ..text.analysis import tokens
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "source", F.explode(tokens("text")).alias("w")
+    ).localCheckpoint()
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(_OOV_VOCAB)
+        .select("w")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("in_v", F.lit(1))), "w", "left_outer"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            F.expr("n_oov * 1000000 div n_tokens").alias("oov_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+LLM_OOV_SQL = f"""
+WITH toks AS (
+  SELECT source, u.w
+  FROM (SELECT source, {_DUCK_TOKENS} AS t FROM documents), unnest(t) AS u(w)
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, COUNT(*) AS c FROM toks GROUP BY 1
+    ORDER BY c DESC, w LIMIT {_OOV_VOCAB}
+  )
+)
+SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS oov_ppm
+FROM toks t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY t.source
+ORDER BY t.source
+"""
+
+
 QUERIES = {
+    "llm_oov_rate": (llm_oov_rate, LLM_OOV_SQL),
     "llm_budget_waterfill": (llm_budget_waterfill, LLM_WATERFILL_SQL),
     "llm_boilerplate_sentences": (llm_boilerplate_sentences, LLM_BOILERPLATE_SQL),
     "llm_tokenizer_fertility": (llm_tokenizer_fertility, LLM_FERTILITY_SQL),
