@@ -4873,7 +4873,322 @@ FROM folded
 """
 
 
+# ---------------------------------------------------------------------------
+# ml_auc_delong — AUC with the DeLong placement-based standard error
+# ---------------------------------------------------------------------------
+
+# Placement of score v for positives: fraction of negatives strictly
+# below + half the ties (the midrank convention), from exact counts.
+_DL_V10 = (
+    "((CAST(cum_neg_below AS DOUBLE) + CAST(c_neg AS DOUBLE) / 2) / n_neg)"
+)
+_DL_V01 = (
+    "((CAST(pos_above AS DOUBLE) + CAST(c_pos AS DOUBLE) / 2) / n_pos)"
+)
+
+
+def ml_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC of quantity at separating returned (returnflag 'R') from
+    kept lineitems, WITH the DeLong standard error and 95% CI — the
+    inference-grade AUC report (a point AUC without its DeLong SE
+    can't say whether 0.52 beats 0.50).
+
+    The placement machinery never touches rows: quantity's bounded
+    domain gives per-value positive/negative counts, placements
+    V10/V01 derive from cumulative windows over that ≤50-row table,
+    and the placement variances are count-weighted sums over it. One
+    fact-table rollup is the only corpus-sized stage. AUC itself is
+    the exact midrank U; variances round(6)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_v = (
+        l.select(
+            F.col("l_quantity").cast("long").alias("v"),
+            (F.col("l_returnflag") == "R").cast("long").alias("pos"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("pos").alias("c_pos"),
+            F.sum(1 - F.col("pos")).alias("c_neg"),
+        )
+    )
+    w_below = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_above = Window.orderBy("v").rowsBetween(1, Window.unboundedFollowing)
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    placed = per_v.select(
+        "v",
+        "c_pos",
+        "c_neg",
+        F.coalesce(F.sum("c_neg").over(w_below), F.lit(0)).alias(
+            "cum_neg_below"
+        ),
+        F.coalesce(F.sum("c_pos").over(w_above), F.lit(0)).alias("pos_above"),
+        F.sum("c_pos").over(w_all).alias("n_pos"),
+        F.sum("c_neg").over(w_all).alias("n_neg"),
+    )
+    # exact midrank AUC ×2: 2·Σ c_pos·(2·cum_neg_below + c_neg) carries
+    # the halves as integers
+    scored = placed.select(
+        "c_pos",
+        "c_neg",
+        "n_pos",
+        "n_neg",
+        F.expr("c_pos * (2 * cum_neg_below + c_neg)").alias("u2"),
+        F.expr(_DL_V10).alias("v10"),
+        F.expr(_DL_V01).alias("v01"),
+    )
+    agg = scored.agg(
+        F.max("n_pos").alias("n_pos"),
+        F.max("n_neg").alias("n_neg"),
+        F.sum("u2").alias("u2"),
+        F.sum(F.expr("c_pos * v10 * v10")).alias("s10_raw"),
+        F.sum(F.expr("c_neg * v01 * v01")).alias("s01_raw"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round(
+            F.expr("CAST(u2 AS DOUBLE) / (2 * CAST(n_pos AS DOUBLE) * n_neg)"),
+            9,
+        ).alias("auc"),
+        F.round(
+            F.expr(
+                "sqrt("
+                "(s10_raw / n_pos - (CAST(u2 AS DOUBLE)"
+                " / (2 * CAST(n_pos AS DOUBLE) * n_neg))"
+                " * (CAST(u2 AS DOUBLE) / (2 * CAST(n_pos AS DOUBLE) * n_neg)))"
+                " * n_pos / (n_pos - 1) / n_pos"
+                " + (s01_raw / n_neg - (CAST(u2 AS DOUBLE)"
+                " / (2 * CAST(n_pos AS DOUBLE) * n_neg))"
+                " * (CAST(u2 AS DOUBLE) / (2 * CAST(n_pos AS DOUBLE) * n_neg)))"
+                " * n_neg / (n_neg - 1) / n_neg"
+                ")"
+            ),
+            9,
+        ).alias("delong_se"),
+    )
+
+
+ML_DELONG_SQL = f"""
+WITH per_v AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c_pos,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS c_neg
+  FROM lineitem GROUP BY 1
+), placed AS (
+  SELECT v, c_pos, c_neg,
+         COALESCE(SUM(c_neg) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_neg_below,
+         COALESCE(SUM(c_pos) OVER (ORDER BY v
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+           AS pos_above,
+         SUM(c_pos) OVER () AS n_pos,
+         SUM(c_neg) OVER () AS n_neg
+  FROM per_v
+), scored AS (
+  SELECT c_pos, c_neg, n_pos, n_neg,
+         c_pos * (2 * cum_neg_below + c_neg) AS u2,
+         {_DL_V10} AS v10,
+         {_DL_V01} AS v01
+  FROM placed
+), agg AS (
+  SELECT CAST(MAX(n_pos) AS BIGINT) AS n_pos,
+         CAST(MAX(n_neg) AS BIGINT) AS n_neg,
+         CAST(SUM(u2) AS BIGINT) AS u2,
+         SUM(c_pos * v10 * v10) AS s10_raw,
+         SUM(c_neg * v01 * v01) AS s01_raw
+  FROM scored
+)
+SELECT n_pos, n_neg,
+       ROUND(CAST(u2 AS DOUBLE) / (2 * CAST(n_pos AS DOUBLE) * n_neg), 9)
+         AS auc,
+       ROUND(sqrt(
+         (s10_raw / n_pos - (CAST(u2 AS DOUBLE)
+          / (2 * CAST(n_pos AS DOUBLE) * n_neg))
+          * (CAST(u2 AS DOUBLE) / (2 * CAST(n_pos AS DOUBLE) * n_neg)))
+          * n_pos / (n_pos - 1) / n_pos
+         + (s01_raw / n_neg - (CAST(u2 AS DOUBLE)
+          / (2 * CAST(n_pos AS DOUBLE) * n_neg))
+          * (CAST(u2 AS DOUBLE) / (2 * CAST(n_pos AS DOUBLE) * n_neg)))
+          * n_neg / (n_neg - 1) / n_neg
+       ), 9) AS delong_se
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# stat_jonckheere — Jonckheere-Terpstra ordered-alternative trend test
+# ---------------------------------------------------------------------------
+
+
+def stat_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED alternative across
+    return-flag classes (A < N < R in the fixed label order): J sums the two-sample
+    U statistics over all ordered group pairs — strictly more
+    powerful than Kruskal-Wallis when the hypothesis is monotone
+    ("higher priority ⇒ higher totals"), the standard dose-response
+    trend test.
+
+    2·J stays an exact BIGINT via the bounded-domain midrank trick on
+    every (g₁<g₂, value) pair table (quantity domain ≤50 × 10 group
+    pairs); z uses the no-tie null variance (documented
+    approximation — ties are corrected in the U's themselves via
+    midranks). One fact rollup; everything after is 500-row
+    arithmetic."""
+    l = load_table(spark, sf_dir, "lineitem")
+    hist = (
+        l.select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").cast("long").alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    w_below = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        "g",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w_below), F.lit(0)).alias("cum_below"),
+    )
+    a = cum.select(
+        F.col("g").alias("g1"),
+        F.col("v").alias("v1"),
+        F.col("c").alias("c1"),
+        F.col("cum_below").alias("cb1"),
+    )
+    b = cum.select(
+        F.col("g").alias("g2"),
+        F.col("v").alias("v2"),
+        F.col("c").alias("c2"),
+    )
+    # 2·U(g1,g2) = Σ_v c2(v)·(2·cum1_below(v) + c1(v)) over matching v,
+    # plus 2·(pairs where v2 has no matching v1 bucket) — handled by
+    # joining b to a's cumulative at the same v via a full domain join.
+    u2 = (
+        b.join(
+            a,
+            (F.col("g1") < F.col("g2")) & (F.col("v1") == F.col("v2")),
+            "inner",
+        )
+        .groupBy("g1", "g2")
+        .agg(F.sum(F.expr("c2 * (2 * cb1 + c1)")).alias("u2_matched"))
+    )
+    # buckets of g2 with no exact-v bucket in g1 contribute
+    # c2 · 2 · (count of g1 values < v) — fold them via an asof-style
+    # join on the g1 cumulative evaluated at the largest v1 ≤ v2
+    tot1 = cum.groupBy("g").agg(F.sum("c").alias("n_g")).localCheckpoint()
+    unmatched = (
+        b.join(
+            cum.select(
+                F.col("g").alias("g1"),
+                F.col("v").alias("v1"),
+                F.col("c").alias("c1"),
+                F.col("cum_below").alias("cb1"),
+            ),
+            (F.col("g1") < F.col("g2")) & (F.col("v1") == F.col("v2")),
+            "left_anti",
+        )
+        .join(
+            cum.select(
+                F.col("g").alias("g1"),
+                F.col("v").alias("v1"),
+                (F.col("cum_below") + F.col("c")).alias("cum_le1"),
+            ),
+            (F.col("g1") < F.col("g2")) & (F.col("v1") < F.col("v2")),
+            "inner",
+        )
+        .groupBy("g1", "g2", "v2", "c2")
+        .agg(F.max("cum_le1").alias("below1"))
+        .groupBy("g1", "g2")
+        .agg(F.sum(F.expr("c2 * 2 * below1")).alias("u2_unmatched"))
+    )
+    per_pair = (
+        u2.join(unmatched, ["g1", "g2"], "full_outer")
+        .select(
+            "g1",
+            "g2",
+            (
+                F.coalesce("u2_matched", F.lit(0))
+                + F.coalesce("u2_unmatched", F.lit(0))
+            ).alias("u2"),
+        )
+    )
+    j2 = per_pair.agg(F.sum("u2").alias("j2"))
+    sizes = tot1.agg(
+        F.sum("n_g").alias("n"),
+        F.sum(F.expr("n_g * n_g")).alias("sum_ng2"),
+        F.sum(F.expr("n_g * n_g * (2 * n_g + 3)")).alias("sum_ng2_term"),
+    )
+    return j2.crossJoin(F.broadcast(sizes)).select(
+        F.col("j2").cast("long").alias("j_x2"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.expr(
+                "(CAST(j2 AS DOUBLE) / 2"
+                " - (CAST(n AS DOUBLE) * n - sum_ng2) / 4)"
+                " / sqrt((CAST(n AS DOUBLE) * n * (2 * n + 3)"
+                " - sum_ng2_term) / 72)"
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+STAT_JT_SQL = """
+WITH hist AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT g, v, c,
+         COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_below
+  FROM hist
+), u2m AS (
+  SELECT a.g AS g1, b.g AS g2,
+         CAST(SUM(b.c * (2 * a.cum_below + a.c)) AS BIGINT) AS u2_matched
+  FROM cum a JOIN cum b ON a.g < b.g AND a.v = b.v
+  GROUP BY 1, 2
+), unmatched_b AS (
+  SELECT a1.g AS g1, b.g AS g2, b.v AS v2, b.c AS c2,
+         MAX(a1.cum_below + a1.c) AS below1
+  FROM cum b
+  JOIN cum a1 ON a1.g < b.g AND a1.v < b.v
+  WHERE NOT EXISTS (SELECT 1 FROM cum a2
+                    WHERE a2.g = a1.g AND a2.v = b.v)
+  GROUP BY 1, 2, 3, 4
+), u2u AS (
+  SELECT g1, g2, CAST(SUM(c2 * 2 * below1) AS BIGINT) AS u2_unmatched
+  FROM unmatched_b GROUP BY 1, 2
+), per_pair AS (
+  SELECT COALESCE(m.g1, u.g1) AS g1, COALESCE(m.g2, u.g2) AS g2,
+         COALESCE(m.u2_matched, 0) + COALESCE(u.u2_unmatched, 0) AS u2
+  FROM u2m m FULL OUTER JOIN u2u u ON m.g1 = u.g1 AND m.g2 = u.g2
+), j AS (
+  SELECT CAST(SUM(u2) AS BIGINT) AS j2 FROM per_pair
+), sizes AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(n_g * n_g) AS BIGINT) AS sum_ng2,
+         CAST(SUM(n_g * n_g * (2 * n_g + 3)) AS BIGINT) AS sum_ng2_term
+  FROM (SELECT g, SUM(c) AS n_g FROM hist GROUP BY 1)
+)
+SELECT j2 AS j_x2, n,
+       ROUND((CAST(j2 AS DOUBLE) / 2
+              - (CAST(n AS DOUBLE) * n - sum_ng2) / 4)
+             / sqrt((CAST(n AS DOUBLE) * n * (2 * n + 3)
+              - sum_ng2_term) / 72), 6) AS z
+FROM j, sizes
+"""
+
+
 QUERIES = {
+    "ml_auc_delong": (ml_auc_delong, ML_DELONG_SQL),
+    "stat_jonckheere": (stat_jonckheere, STAT_JT_SQL),
     "stat_mann_kendall": (stat_mann_kendall, STAT_MK_SQL),
     "stat_ljung_box": (stat_ljung_box, STAT_LJUNGBOX_SQL),
     "stat_mood_median": (stat_mood_median, STAT_MOOD_SQL),
