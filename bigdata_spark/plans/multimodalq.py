@@ -513,7 +513,85 @@ FROM fm WHERE fmt IS NOT NULL ORDER BY media_id
 """
 
 
+# ---------------------------------------------------------------------------
+# mm_patch_census — ViT-style patch-grid accounting from native headers
+# ---------------------------------------------------------------------------
+
+_PATCH = 24  # deliberately NOT a divisor of the widths → real padding math
+
+
+def mm_patch_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch-grid census: per image, the 24×24 patch grid a
+    vision transformer would cut it into — patches per axis (ceil
+    division), sequence length with the CLS token, and padded pixels —
+    computed from dimensions parsed NATIVELY out of the payload bytes
+    (the mm_image_header_probe expressions; no pixel decode, no
+    Python). This is the token-budget accounting a multimodal training
+    pipeline runs before deciding resize policy: padded pixels are
+    wasted FLOPs, sequence length is the context cost.
+
+    The oracle recomputes everything from the synthetic generator's
+    closed form, so a wrong header offset or a wrong ceil-division
+    value-mismatches. Scale: pure projection over the binary scan."""
+    m = synthetic_media_df(spark, n=64).filter(
+        F.col("meta.format").isin("png", "ppm")
+    )
+    ppm_dim = (
+        "CAST(regexp_extract(decode(substring(payload, 1, 20), 'UTF-8'),"
+        " '^P6\\\\n(\\\\d+) (\\\\d+)', {g}) AS BIGINT)"
+    )
+    dims = m.select(
+        "media_id",
+        F.when(
+            F.col("meta.format") == "png",
+            F.expr("CAST(conv(hex(substring(payload, 17, 4)), 16, 10) AS BIGINT)"),
+        ).otherwise(F.expr(ppm_dim.format(g=1))).alias("w"),
+        F.when(
+            F.col("meta.format") == "png",
+            F.expr("CAST(conv(hex(substring(payload, 21, 4)), 16, 10) AS BIGINT)"),
+        ).otherwise(F.expr(ppm_dim.format(g=2))).alias("h"),
+    )
+    return dims.select(
+        "media_id",
+        "w",
+        "h",
+        F.expr(f"CAST((w + {_PATCH} - 1) div {_PATCH} AS BIGINT)").alias("np_x"),
+        F.expr(f"CAST((h + {_PATCH} - 1) div {_PATCH} AS BIGINT)").alias("np_y"),
+        F.expr(
+            f"CAST((w + {_PATCH} - 1) div {_PATCH}"
+            f" * ((h + {_PATCH} - 1) div {_PATCH}) + 1 AS BIGINT)"
+        ).alias("seq_len"),
+        F.expr(
+            f"CAST((w + {_PATCH} - 1) div {_PATCH} * {_PATCH}"
+            f" * ((h + {_PATCH} - 1) div {_PATCH}) * {_PATCH}"
+            " - w * h AS BIGINT)"
+        ).alias("pad_pixels"),
+    ).orderBy("media_id")
+
+
+MM_PATCH_SQL = f"""
+WITH ids AS (SELECT i AS media_id FROM range(64) t(i) WHERE i % 3 = 0),
+fm AS (
+  SELECT media_id,
+         CASE WHEN (media_id // 3) % 3 = 0 THEN 'ppm'
+              WHEN (media_id // 3) % 3 = 1 THEN 'png' END AS fmt,
+         CAST(64 + (media_id % 4) * 32 AS BIGINT) AS w,
+         CAST(64 AS BIGINT) AS h
+  FROM ids
+)
+SELECT CAST(media_id AS BIGINT) AS media_id, w, h,
+       (w + {_PATCH} - 1) // {_PATCH} AS np_x,
+       (h + {_PATCH} - 1) // {_PATCH} AS np_y,
+       (w + {_PATCH} - 1) // {_PATCH} * ((h + {_PATCH} - 1) // {_PATCH}) + 1
+         AS seq_len,
+       (w + {_PATCH} - 1) // {_PATCH} * {_PATCH}
+         * ((h + {_PATCH} - 1) // {_PATCH}) * {_PATCH} - w * h AS pad_pixels
+FROM fm WHERE fmt IS NOT NULL ORDER BY media_id
+"""
+
+
 QUERIES = {
+    "mm_patch_census": (mm_patch_census, MM_PATCH_SQL),
     "mm_image_header_probe": (mm_image_header_probe, MM_HEADER_PROBE_SQL),
     "mm_decode_invariants": (mm_decode_invariants, MM_DECODE_SQL),
     "mm_audio_silence": (mm_audio_silence, MM_AUDIO_SILENCE_SQL),

@@ -2903,7 +2903,79 @@ ORDER BY t.source
 """
 
 
+# ---------------------------------------------------------------------------
+# llm_best_of_n — rejection-sampling acceptance math per source
+# ---------------------------------------------------------------------------
+
+_BON_N = 4
+_BON_MIN_CHARS = 400
+
+
+def llm_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n rejection-sampling math per source: with acceptance
+    rate p (docs passing the ≥400-char quality bar), the chance that
+    at least one of n=4 independent samples passes is 1 − (1−p)ⁿ, and
+    the expected number of raw samples per accepted one is 1/p — the
+    two numbers that size a rejection-sampling pipeline's compute bill
+    before anyone launches it.
+
+    Acceptance counts are exact integers from one rollup; the
+    closed-form probabilities are the same IEEE expression in both
+    engines (round 9). Expected draws is NULL for a source with
+    nothing above the bar — an honest "infinite" rather than a
+    sentinel."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            (F.col("n_chars") >= _BON_MIN_CHARS).cast("long")
+        ).alias("n_pass"),
+    )
+    return per.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_pass").cast("long").alias("n_pass"),
+        F.expr("n_pass * 1000000 div n_docs").alias("accept_ppm"),
+        F.round(
+            F.expr(
+                "CAST(1 AS DOUBLE)"
+                " - pow(CAST(n_docs - n_pass AS DOUBLE) / n_docs,"
+                f" {_BON_N})"
+            ),
+            9,
+        ).alias(f"best_of_{_BON_N}_rate"),
+        F.round(
+            F.expr(
+                "CASE WHEN n_pass > 0 THEN"
+                " CAST(n_docs AS DOUBLE) / n_pass END"
+            ),
+            9,
+        ).alias("expected_draws_per_accept"),
+    ).orderBy("source")
+
+
+LLM_BON_SQL = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(CASE WHEN n_chars >= {_BON_MIN_CHARS} THEN 1 ELSE 0 END)
+           AS n_pass
+  FROM documents GROUP BY 1
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_pass AS BIGINT) AS n_pass,
+       CAST(n_pass * 1000000 // n_docs AS BIGINT) AS accept_ppm,
+       ROUND(CAST(1 AS DOUBLE)
+             - pow(CAST(n_docs - n_pass AS DOUBLE) / n_docs, {_BON_N}), 9)
+         AS best_of_{_BON_N}_rate,
+       ROUND(CASE WHEN n_pass > 0 THEN CAST(n_docs AS DOUBLE) / n_pass END, 9)
+         AS expected_draws_per_accept
+FROM per
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "llm_best_of_n": (llm_best_of_n, LLM_BON_SQL),
     "llm_oov_rate": (llm_oov_rate, LLM_OOV_SQL),
     "llm_budget_waterfill": (llm_budget_waterfill, LLM_WATERFILL_SQL),
     "llm_boilerplate_sentences": (llm_boilerplate_sentences, LLM_BOILERPLATE_SQL),
