@@ -904,6 +904,55 @@ AUDITS.update({
         ("domain rollup partial-aggregated", r"partial_count|partial_sum"),
         ("no Python (md5 split is native)", NO_PYTHON),
     ],
+    "evt_shapley_attribution": [
+        # the user rollup sits behind a localCheckpoint (16-row census),
+        # so the final plan only shows the coalition arithmetic
+        ("coalition table broadcast", r"BroadcastHashJoin|BroadcastNestedLoopJoin"),
+        ("no Python", NO_PYTHON),
+    ],
+    "stat_mann_kendall": [
+        ("day-grain rollup before the pair join", r"partial_count"),
+        ("no Python", NO_PYTHON),
+    ],
+    "sim_contrastive_pairs": [
+        ("query-side cap pushed to the scan", r"PushedFilters: \[.*LessThan\(vec_id,24\)"),
+        ("no Python (native cosine kernel)", NO_PYTHON),
+    ],
+    "llm_oov_rate": [
+        # the token stream is localCheckpointed (reused by vocab + census)
+        ("vocab head broadcast onto the token stream", r"BroadcastHashJoin"),
+        ("no Python", NO_PYTHON),
+    ],
+    "dedup_sorted_neighborhood": [
+        ("window deltas broadcast (rank+δ equi-join)", r"BroadcastHashJoin|BroadcastNestedLoopJoin"),
+        ("native shingle intersection, no Python", NO_PYTHON),
+    ],
+    "ml_auc_delong": [
+        ("bounded-domain rollup partial-aggregated", r"partial_sum"),
+        ("scan pruned to 2 columns", r"ReadSchema: struct<l_quantity:double,l_returnflag:string>|ReadSchema: struct<l_returnflag:string,l_quantity:double>"),
+        ("no Python", NO_PYTHON),
+    ],
+    "graph_rectangles": [
+        ("wedge counts fold map-side", r"partial_count|partial_sum"),
+        ("no Python", NO_PYTHON),
+    ],
+    "j14_relational_division": [
+        ("divisor dim broadcast", r"BroadcastHashJoin"),
+        ("distinct-pair reduction before the coverage count", r"partial_"),
+        ("no Python", NO_PYTHON),
+    ],
+    "evt_markov_absorption": [
+        # cells/ev live behind per-round localCheckpoints; the final plan
+        # is the last integer value-iteration round
+        ("no Python (integer value iteration)", NO_PYTHON),
+    ],
+    "mm_patch_census": [
+        ("header parse native — payload never leaves the scan", NO_PYTHON),
+    ],
+    "dq_k_anonymity": [
+        ("QI-class rollup partial-aggregated", r"partial_count"),
+        ("no Python", NO_PYTHON),
+    ],
 })
 
 
