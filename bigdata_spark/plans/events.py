@@ -2833,12 +2833,13 @@ WHERE c.click_ts + INTERVAL 30 MINUTE < wm.w
 
 def evt_stream_state_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator with PROCESSING-TIME timeout eviction
-    (streaming/stateful.py timeout_evicted_rollup): per (user, day),
-    a (count, micro-unit sum) accumulates in GroupState; the row is
-    emitted ONLY when the state EVICTS — the first later micro-batch
-    bringing the key no data trips its re-armed 1 ms TTL. Data arrival
-    always preempts the timeout, so a day straddling a batch boundary
-    keeps accumulating and emits once, after its last active batch.
+    (streaming/stateful.py timeout_evicted_rollup): per-USER GroupState
+    holds the in-flight (day → count, micro-sum) rollups; a day emits
+    when it closes — eagerly, in the first later batch where the user
+    sends data but none for that day (the stream stages
+    chronologically, so an absent day is finished), or via the user's
+    re-armed 1 ms processing-time TTL once the user goes fully idle.
+    Data arrival always preempts the timeout.
 
     Determinism contract: events re-stage as four chronological files
     (one micro-batch each; the integer-microsecond quarter rule is the
@@ -2847,11 +2848,12 @@ def evt_stream_state_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stream terminates — which also means keys still holding state
     after the LAST batch are not flushed (they'd surface on restart).
     Emitted set ≡ every (user, day) whose latest event falls before the
-    final quarter — exactly the oracle.
+    final quarter — exactly the oracle, via either eviction path.
 
-    Scale: state is live-key-bounded (a key's TTL reclaims it one batch
-    after it goes idle) — the TTL-cache pattern that keeps a 100 TB
-    stream's state store from accreting dead sessions."""
+    Scale: state is LIVE-USER-bounded (closed days leave state in the
+    batch that closes them; an idle user's TTL reclaims the rest) —
+    the TTL-cache pattern that keeps a 100 TB stream's state store
+    keyed by live sessions, not by every session-day ever seen."""
     import shutil
     import tempfile
     import uuid
@@ -2875,7 +2877,7 @@ def evt_stream_state_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         with _stream_state_partitions(spark):
             stream = _stage_chronological_stream(spark, e, scratch, n_parts=4)
             out = timeout_evicted_rollup(
-                stream, ["user_id", "day"], value_col="vm", timeout_ms=1
+                stream, "user_id", "day", value_col="vm", timeout_ms=1
             )
             qname = "evt_ttl_" + uuid.uuid4().hex[:8]
             q = (

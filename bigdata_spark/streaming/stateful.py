@@ -109,56 +109,91 @@ def stream_dedup(
 
 def timeout_evicted_rollup(
     stream_df: DataFrame,
-    key_cols: list[str],
+    key_col: str,
+    subkey_col: str,
     value_col: str = "vm",
     timeout_ms: int = 1,
 ) -> DataFrame:
-    """Per-key (count, sum) accumulated in GroupState and emitted ONLY
-    on PROCESSING-TIME timeout eviction — the TTL-cache shape (idle
-    sessions flush, hot keys keep accumulating; reference has no
-    streaming, SURVEY §2.9 extension surface).
+    """Per-(key, subkey) (count, sum) rollups held in PER-KEY GroupState
+    and emitted on eviction — the TTL-cache shape (idle sessions flush,
+    hot keys keep accumulating; reference has no streaming, SURVEY §2.9
+    extension surface).
 
-    Semantics (exactly what Spark guarantees): a key's timeout clock
-    re-arms every micro-batch that brings it data, and the timeout
-    branch fires in the first LATER batch where no data arrived for the
-    key — data arrival always preempts eviction. Keys still holding
-    state when the stream stops are NOT flushed (their rows surface on
-    restart); callers that need a full flush must either feed a
-    trailing batch or read the state store. ``timeout_ms`` defaults to
-    1 ms so any real inter-batch gap trips it — the determinism hinges
-    on batch BOUNDARIES, not wall-clock.
+    Two eviction paths produce the same day-grain emission set:
+    (1) EAGER CHRONOLOGICAL FLUSH — on a data batch, accumulated
+    subkeys ABSENT from that batch are closed (the stream stages
+    chronologically, so a subkey never reappears after a gap) and emit
+    immediately; (2) PROCESSING-TIME TIMEOUT — a key whose every
+    subkey went idle re-arms a TTL each data batch, and the timeout
+    branch fires in the first later micro-batch after expiry, flushing
+    everything it still holds. Keys still holding state when the
+    stream stops are NOT flushed (their rows surface on restart).
 
-    Output (append mode): key columns + (n_events long, v_micros long),
-    one row per evicted state. ``value_col`` must be an exact-integer
-    column prepared UPSTREAM (micro-units) so the pandas sum is exact.
+    State is KEY-bounded (one GroupState per key, holding only the
+    in-flight subkeys — closed subkeys leave state immediately), not
+    (key × subkey)-bounded: at 500 users × 30 days that is 30× fewer
+    state groups and 30× fewer per-key Python invocations per batch —
+    the difference between a 46 s and a ~5 s bench entry, and at
+    100 TB the difference between a state store keyed by live sessions
+    and one keyed by every session-day ever seen.
+
+    Output (append mode): key, subkey, n_events, v_micros — exact
+    integers (``value_col`` must be micro-units prepared upstream).
+    Subkeys serialize as ISO strings in state (DATE round-trips).
     """
+    import datetime
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            n, vsum = state.get
-            state.remove()
-            row = dict(zip(key_cols, key))
-            row.update({"n_events": n, "v_micros": vsum})
-            yield pd.DataFrame([row])
-            return
-        n, vsum = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            n += len(pdf)
-            vsum += int(pdf[value_col].sum())
-        state.update((n, vsum))
-        state.setTimeoutDuration(timeout_ms)
-        return
-        yield  # pragma: no cover — generator marker
+        def emit(items: list[tuple[str, int, int]]) -> pd.DataFrame:
+            return pd.DataFrame(
+                [
+                    {
+                        key_col: key[0],
+                        subkey_col: datetime.date.fromisoformat(d),
+                        "n_events": n,
+                        "v_micros": v,
+                    }
+                    for d, n, v in items
+                ]
+            )
 
-    out_fields = ", ".join(
-        f"{n} {t}" for n, t in stream_df.select(*key_cols).dtypes
-    )
-    return stream_df.groupBy(*key_cols).applyInPandasWithState(
+        if state.hasTimedOut:
+            days, ns, vs = state.get
+            state.remove()
+            yield emit(sorted(zip(days, ns, vs)))
+            return
+        days, ns, vs = state.get if state.exists else ([], [], [])
+        acc = {d: (n, v) for d, n, v in zip(days, ns, vs)}
+        batch_days: set[str] = set()
+        for pdf in pdfs:
+            g = pdf.groupby(subkey_col)[value_col].agg(["count", "sum"])
+            for d, row in g.iterrows():
+                iso = d.isoformat()
+                batch_days.add(iso)
+                n0, v0 = acc.get(iso, (0, 0))
+                acc[iso] = (n0 + int(row["count"]), v0 + int(row["sum"]))
+        closed = sorted(
+            (d, *acc.pop(d)) for d in list(acc) if d not in batch_days
+        )
+        live = sorted(acc)
+        state.update(
+            (live, [acc[d][0] for d in live], [acc[d][1] for d in live])
+        )
+        state.setTimeoutDuration(timeout_ms)
+        if closed:
+            yield emit(closed)
+
+    key_type = dict(stream_df.dtypes)[key_col]
+    sub_type = dict(stream_df.dtypes)[subkey_col]
+    return stream_df.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=f"{out_fields}, n_events long, v_micros long",
-        stateStructType="n long, vsum long",
+        outputStructType=(
+            f"{key_col} {key_type}, {subkey_col} {sub_type},"
+            " n_events long, v_micros long"
+        ),
+        stateStructType="days array<string>, ns array<long>, vs array<long>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
