@@ -5123,7 +5123,11 @@ def stat_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = tot1.agg(
         F.sum("n_g").alias("n"),
         F.sum(F.expr("n_g * n_g")).alias("sum_ng2"),
-        F.sum(F.expr("n_g * n_g * (2 * n_g + 3)")).alias("sum_ng2_term"),
+        # n_g³-scale term overflows BIGINT past ~2M rows/group — exact
+        # DECIMAL(38,0) in Spark, HUGEINT in the oracle
+        F.sum(
+            F.expr("CAST(n_g AS DECIMAL(38,0)) * n_g * (2 * n_g + 3)")
+        ).alias("sum_ng2_term"),
     )
     return j2.crossJoin(F.broadcast(sizes)).select(
         F.col("j2").cast("long").alias("j_x2"),
@@ -5174,7 +5178,7 @@ WITH hist AS (
 ), sizes AS (
   SELECT CAST(SUM(n_g) AS BIGINT) AS n,
          CAST(SUM(n_g * n_g) AS BIGINT) AS sum_ng2,
-         CAST(SUM(n_g * n_g * (2 * n_g + 3)) AS BIGINT) AS sum_ng2_term
+         SUM(CAST(n_g AS HUGEINT) * n_g * (2 * n_g + 3)) AS sum_ng2_term
   FROM (SELECT g, SUM(c) AS n_g FROM hist GROUP BY 1)
 )
 SELECT j2 AS j_x2, n,
