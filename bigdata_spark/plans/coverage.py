@@ -1156,7 +1156,8 @@ def wh_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     leads with.
 
     The class boundary is an exact integer comparison (cum·100 vs
-    total·{{80,95}} — no float on the decision path). Scale: one
+    total·{{80,95}} in DECIMAL(38,0)/HUGEINT — BIGINT cents ×100 would
+    wrap around sf~4000; no float on the decision path). Scale: one
     map-side-combinable rollup to part grain; the cumulative window
     orders the PART table, not the fact table (at true 100 TB part
     cardinality you'd range-partition the cumulative sum — the
@@ -1183,9 +1184,14 @@ def wh_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w_all).alias("tot"),
     ).select(
         "cents",
+        # cum·100 passes BIGINT around sf~4000 (and DuckDB would promote
+        # to HUGEINT while Spark wraps — a silent cross-engine divergence):
+        # carry the decision comparison in exact DECIMAL(38,0)
         F.expr(
-            "CASE WHEN cum * 100 <= tot * 80 THEN 'A'"
-            " WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END"
+            "CASE WHEN CAST(cum AS DECIMAL(38,0)) * 100"
+            " <= CAST(tot AS DECIMAL(38,0)) * 80 THEN 'A'"
+            " WHEN CAST(cum AS DECIMAL(38,0)) * 100"
+            " <= CAST(tot AS DECIMAL(38,0)) * 95 THEN 'B' ELSE 'C' END"
         ).alias("abc"),
     )
     return (
@@ -1206,12 +1212,14 @@ WITH per_part AS (
   FROM lineitem GROUP BY 1
 ), classed AS (
   SELECT cents,
-         CASE WHEN SUM(cents) OVER (ORDER BY cents DESC, l_partkey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
-                <= SUM(cents) OVER () * 80 THEN 'A'
-              WHEN SUM(cents) OVER (ORDER BY cents DESC, l_partkey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
-                <= SUM(cents) OVER () * 95 THEN 'B'
+         CASE WHEN CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS HUGEINT) * 100
+                <= CAST(SUM(cents) OVER () AS HUGEINT) * 80 THEN 'A'
+              WHEN CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS HUGEINT) * 100
+                <= CAST(SUM(cents) OVER () AS HUGEINT) * 95 THEN 'B'
               ELSE 'C' END AS abc
   FROM per_part
 )

@@ -1090,11 +1090,15 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates verify with exact 3-gram shingle Jaccard computed
     natively (array_intersect over distinct shingles — the exact
     arithmetic of dedup_ngram_jaccard). The global sort rank is the
-    method's defining cost: one range-partitioned ranking of the DOC
-    table (not the corpus text), then a rank+δ equi-join keeps the
-    pair count at n·w. Top-20 by (jaccard, pair) is deterministic."""
+    method's defining cost, and it runs as the two-pass
+    range-partitioned rank (operators/ranking.py:range_rank) over the
+    SLIM (skey, doc_id) projection only — no single-partition
+    exchange, and the shingle arrays never enter the rank; they join
+    back by doc_id afterwards. A rank+δ equi-join then keeps the pair
+    count at n·w. Top-20 by (jaccard, pair) is deterministic."""
+    from bigdata_spark.operators.ranking import range_rank
+
     d = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
 
     norm = d.select(
         "doc_id",
@@ -1114,9 +1118,10 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> array_join(slice(toks, i, 3), ' ')))"
         ).alias("shingles"),
     )
-    ranked = norm.withColumn(
-        "r", F.row_number().over(Window.orderBy("skey", "doc_id"))
-    ).localCheckpoint()
+    slim_ranked = range_rank(
+        norm.select("doc_id", "skey"), ["skey", "doc_id"]
+    ).select("doc_id", "r")
+    ranked = slim_ranked.join(norm.select("doc_id", "shingles"), "doc_id")
     deltas = spark.range(1, _SNM_WINDOW + 1).select(
         F.col("id").cast("int").alias("delta")
     )

@@ -2841,17 +2841,25 @@ def evt_stream_state_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-armed 1 ms processing-time TTL once the user goes fully idle.
     Data arrival always preempts the timeout.
 
-    Determinism contract: events re-stage as four chronological files
-    (one micro-batch each; the integer-microsecond quarter rule is the
-    one evt_stream_ckpt_recovery pins); no-data micro-batches are OFF
-    for this query, so timeouts fire only on real batch boundaries and
-    the stream terminates — which also means keys still holding state
-    after the LAST batch are not flushed (they'd surface on restart).
-    Emitted set ≡ every (user, day) whose latest event falls before the
-    final quarter — exactly the oracle, via either eviction path.
+    Determinism contract: events re-stage as TWO chronological files
+    (one micro-batch each; the integer-microsecond boundary rule is
+    the one evt_stream_ckpt_recovery pins — two triggers is the
+    minimum that still exercises BOTH eviction paths mid-stream: the
+    second data batch eagerly closes the first batch's finished days
+    AND fires the TTL branch for users idle since batch one; r8 ran
+    four triggers and the cost term is triggers × per-user state
+    invocations, so halving the triggers halves the fleet's most
+    expensive entry); no-data micro-batches are OFF for this query, so
+    timeouts fire only on real batch boundaries and the stream
+    terminates — which also means keys still holding state after the
+    LAST batch are not flushed (they'd surface on restart). Emitted
+    set ≡ every (user, day) whose latest event falls before the final
+    half — exactly the oracle, via either eviction path.
 
     Scale: state is LIVE-USER-bounded (closed days leave state in the
-    batch that closes them; an idle user's TTL reclaims the rest) —
+    batch that closes them; an idle user's TTL reclaims the rest) and
+    hash-partitioned 16 ways so per-user Python invocations run in
+    parallel —
     the TTL-cache pattern that keeps a 100 TB stream's state store
     keyed by live sessions, not by every session-day ever seen."""
     import shutil
@@ -2874,8 +2882,11 @@ def evt_stream_state_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_nodata = spark.conf.get(nodata_key)
     spark.conf.set(nodata_key, "false")
     try:
-        with _stream_state_partitions(spark):
-            stream = _stage_chronological_stream(spark, e, scratch, n_parts=4)
+        # 16 state partitions: 1500 live users fan out over 16 Python
+        # workers per trigger instead of 4 — state hash-partitioning is
+        # result-invariant and MORE partitions is the production shape
+        with _stream_state_partitions(spark, n=16):
+            stream = _stage_chronological_stream(spark, e, scratch, n_parts=2)
             out = timeout_evicted_rollup(
                 stream, "user_id", "day", value_col="vm", timeout_ms=1
             )
@@ -2906,12 +2917,12 @@ WITH b AS (
   SELECT user_id, CAST(ts AS DATE) AS day,
          CAST(FLOOR(value * CAST(1000000 AS DOUBLE)
               + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vm,
-         least(3, (epoch_us(ts) - b.lo) // greatest(1, (b.hi - b.lo) // 4)) AS qt
+         least(1, (epoch_us(ts) - b.lo) // greatest(1, (b.hi - b.lo) // 2)) AS qt
   FROM events, b
 )
 SELECT user_id, day, COUNT(*) AS n_events,
        CAST(SUM(vm) AS BIGINT) AS v_micros
-FROM ev GROUP BY 1, 2 HAVING MAX(qt) < 3
+FROM ev GROUP BY 1, 2 HAVING MAX(qt) < 1
 """
 
 
@@ -3234,10 +3245,12 @@ def evt_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative LTV per user (ppm-exact by integer division, plus the
     one shared IEEE double).
 
-    Scale: one groupBy to user grain (first-event week), one broadcast
-    join back onto purchases, one cell-grain rollup — the triangle is
-    #cohorts × #ages rows and the cumulative window runs over it, not
-    the fact table."""
+    Scale: one groupBy to user grain (first-event week), one
+    user-keyed shuffle join back onto purchases (both sides hash on
+    user_id; the first-event table is user-set cardinality, so it is
+    NEVER broadcast — AQE picks the join strategy), one cell-grain
+    rollup — the triangle is #cohorts × #ages rows and the cumulative
+    window runs over it, not the fact table."""
     e = load_table(spark, sf_dir, "events")
     first = e.groupBy("user_id").agg(
         F.expr("CAST(date_trunc('week', MIN(ts)) AS DATE)").alias("cohort_w")
@@ -3245,7 +3258,7 @@ def evt_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = first.groupBy("cohort_w").agg(F.count("*").alias("cohort_users"))
     buys = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(first), "user_id")
+        .join(first, "user_id")
         .select(
             "cohort_w",
             F.expr(

@@ -452,9 +452,11 @@ def stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     (value, count, count_group1) rows; the cumulative window runs over
     that tiny domain table, NOT the fact table, so there is no global
     row sort anywhere — the 100 TB cost is a single partial-agg
-    shuffle. 2×R1, 2×U1 and the tie term Σ(t³−t) are exact BIGINTs;
-    z and the rank-biserial effect size are the same IEEE expression
-    in both engines.
+    shuffle. 2×R1, 2×U1 and the tie term Σ(t³−t) are exact
+    DECIMAL(38,0) (HUGEINT in the oracle) — BIGINT overflows past ~2M
+    rows per value — exposed as the identical nearest-DOUBLE; z and
+    the rank-biserial effect size are the same IEEE expression in both
+    engines.
     """
     from pyspark.sql import Window
 
@@ -473,16 +475,21 @@ def stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = per_v.withColumn(
         "r2", 2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1
     )
+    # Σ(c1·r2) ≈ 2n² and the cubic tie term Σ(c³−c) overflow BIGINT once
+    # per-value counts pass ~2M (sf≳20): carry both as exact
+    # DECIMAL(38,0) (HUGEINT in the oracle) and expose them as DOUBLE —
+    # both engines round the same exact integer to the same nearest
+    # double, so the cross-engine hash still matches.
     agg = ranked.agg(
         F.sum("c1").alias("n1"),
         F.sum(F.col("c") - F.col("c1")).alias("n2"),
-        F.sum(F.col("c1") * F.col("r2")).alias("r1x2"),
-        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie_t"),
+        F.sum(F.expr("CAST(c1 AS DECIMAL(38,0)) * r2")).alias("r1x2"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c * c - c")).alias("tie_t"),
     )
     return agg.select(
         "n1",
         "n2",
-        (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).alias("u1x2"),
+        F.expr("r1x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)").alias("u1x2"),
         "tie_t",
     ).select(
         "n1",
@@ -491,6 +498,13 @@ def stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tie_t",
         F.expr(_MW_Z).alias("z"),
         F.expr(_MW_EFFECT).alias("rank_biserial"),
+    ).select(
+        "n1",
+        "n2",
+        F.col("u1x2").cast("double").alias("u1x2"),
+        F.col("tie_t").cast("double").alias("tie_t"),
+        "z",
+        "rank_biserial",
     )
 
 
@@ -511,17 +525,22 @@ ranked AS (
 agg AS (
   SELECT CAST(SUM(c1) AS BIGINT) AS n1,
          CAST(SUM(c - c1) AS BIGINT) AS n2,
-         CAST(SUM(c1 * r2) AS BIGINT) AS r1x2,
-         CAST(SUM(c * c * c - c) AS BIGINT) AS tie_t
+         SUM(CAST(c1 AS HUGEINT) * r2) AS r1x2,
+         SUM(CAST(c AS HUGEINT) * c * c - c) AS tie_t
   FROM ranked
 ),
 u AS (
-  SELECT n1, n2, CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1x2, tie_t FROM agg
+  SELECT n1, n2, r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1x2, tie_t FROM agg
+),
+fin AS (
+  SELECT n1, n2, u1x2, tie_t,
+         {_MW_Z} AS z,
+         {_MW_EFFECT} AS rank_biserial
+  FROM u
 )
-SELECT n1, n2, u1x2, tie_t,
-       {_MW_Z} AS z,
-       {_MW_EFFECT} AS rank_biserial
-FROM u
+SELECT n1, n2, CAST(u1x2 AS DOUBLE) AS u1x2, CAST(tie_t AS DOUBLE) AS tie_t,
+       z, rank_biserial
+FROM fin
 """
 
 
@@ -569,9 +588,15 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per_v.agg(
         F.sum("c1").alias("n1"), F.sum(F.col("c") - F.col("c1")).alias("n2")
     )
+    # cum·n cross-products grow ~n² (past BIGINT around sf~500): exact
+    # DECIMAL(38,0) internally (HUGEINT in the oracle), d_num exposed
+    # as the identical nearest-DOUBLE
     agg = cum.crossJoin(F.broadcast(tot)).agg(
         F.max(
-            F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+            F.abs(
+                F.expr("CAST(cum1 AS DECIMAL(38,0)) * n2")
+                - F.expr("CAST(cum2 AS DECIMAL(38,0)) * n1")
+            )
         ).alias("d_num"),
         F.min("n1").alias("n1"),
         F.min("n2").alias("n2"),
@@ -582,6 +607,12 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_num",
         F.expr(_KS_D).alias("ks_d"),
         F.expr(_KS_LAMBDA).alias("ks_lambda"),
+    ).select(
+        "n1",
+        "n2",
+        F.col("d_num").cast("double").alias("d_num"),
+        "ks_d",
+        "ks_lambda",
     )
 
 
@@ -603,14 +634,18 @@ tot AS (
   FROM per_v
 ),
 agg AS (
-  SELECT CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+  SELECT MAX(ABS(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1))
+           AS d_num,
          CAST(MIN(n1) AS BIGINT) AS n1, CAST(MIN(n2) AS BIGINT) AS n2
   FROM cum CROSS JOIN tot
+), fin AS (
+  SELECT n1, n2, d_num,
+         {_KS_D} AS ks_d,
+         {_KS_LAMBDA} AS ks_lambda
+  FROM agg
 )
-SELECT n1, n2, d_num,
-       {_KS_D} AS ks_d,
-       {_KS_LAMBDA} AS ks_lambda
-FROM agg
+SELECT n1, n2, CAST(d_num AS DOUBLE) AS d_num, ks_d, ks_lambda
+FROM fin
 """
 
 
@@ -1674,9 +1709,11 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     Concordant and discordant pair counts reduce to ONE self-join of
     the ≤ 550-cell joint table (cnt_a·cnt_b per ordered cell pair,
     sign from the discount direction); tie corrections n1/n2 come from
-    the marginals as c·(c−1) div 2.  All counts are exact BIGINTs —
-    C, D ≤ n²/2 ≈ 1.8e13 at sf1 — and tau-b is one closed-form IEEE
-    expression over them, shared verbatim with the DuckDB oracle.
+    the marginals as c·(c−1) div 2.  Pair-scale counts (C, D, n0, n1,
+    n2 all grow ~n²/2, past BIGINT around sf~500) are exact
+    DECIMAL(38,0) — HUGEINT in the oracle — exposed as the identical
+    nearest-DOUBLE; tau-b is one closed-form IEEE expression over
+    them, shared verbatim with the DuckDB oracle.
 
     Scale: the only data-sized pass is the same map-side-combinable
     (q, d) count the Spearman query uses; the pair arithmetic is
@@ -1696,40 +1733,59 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = joint.select(
         F.col("q").alias("qb"), F.col("d").alias("db"), F.col("cnt").alias("cb")
     )
+    # pair products, the halved tie binomials c·(c−1)/2 and n0=n(n−1)/2
+    # all pass BIGINT around sf~500: carry them as exact DECIMAL(38,0)
+    # (HUGEINT in the oracle) and expose as the identical nearest-DOUBLE.
+    # The binomial halves exactly via the even/odd factor split, so no
+    # decimal division is needed.
+    _half_binom = (
+        "SUM(CAST(CASE WHEN c % 2 = 0 THEN c div 2 ELSE c END"
+        " AS DECIMAL(38,0))"
+        " * CASE WHEN c % 2 = 0 THEN c - 1 ELSE (c - 1) div 2 END)"
+    )
     pairs = a.join(
         F.broadcast(b),
         (F.col("qb") > F.col("qa")) & (F.col("db") != F.col("da")),
     ).agg(
-        F.sum(
-            F.expr("CASE WHEN db > da THEN ca * cb ELSE 0 END")
+        F.expr(
+            "SUM(CASE WHEN db > da THEN CAST(ca AS DECIMAL(38,0)) * cb"
+            " ELSE CAST(0 AS DECIMAL(38,0)) END)"
         ).alias("c"),
-        F.sum(
-            F.expr("CASE WHEN db < da THEN ca * cb ELSE 0 END")
+        F.expr(
+            "SUM(CASE WHEN db < da THEN CAST(ca AS DECIMAL(38,0)) * cb"
+            " ELSE CAST(0 AS DECIMAL(38,0)) END)"
         ).alias("d"),
     )
     n_tot = joint.agg(F.sum("cnt").alias("n"))
     n1 = (
         joint.groupBy("q")
         .agg(F.sum("cnt").alias("c"))
-        .agg(F.expr("SUM(c * (c - 1) div 2)").alias("n1"))
+        .agg(F.expr(_half_binom).alias("n1"))
     )
     n2 = (
         joint.groupBy("d")
         .agg(F.sum("cnt").alias("c"))
-        .agg(F.expr("SUM(c * (c - 1) div 2)").alias("n2"))
+        .agg(F.expr(_half_binom).alias("n2"))
     )
     out = (
         pairs.crossJoin(n_tot)
         .crossJoin(n1)
         .crossJoin(n2)
-        .withColumn("n0", F.expr("n * (n - 1) div 2"))
+        .withColumn(
+            "n0",
+            F.expr(
+                "CAST(CASE WHEN n % 2 = 0 THEN n div 2 ELSE n END"
+                " AS DECIMAL(38,0))"
+                " * CASE WHEN n % 2 = 0 THEN n - 1 ELSE (n - 1) div 2 END"
+            ),
+        )
     )
     return out.select(
         "n",
-        F.col("c").alias("concordant"),
-        F.col("d").alias("discordant"),
-        F.col("n1").alias("tied_q_pairs"),
-        F.col("n2").alias("tied_d_pairs"),
+        F.col("c").cast("double").alias("concordant"),
+        F.col("d").cast("double").alias("discordant"),
+        F.col("n1").cast("double").alias("tied_q_pairs"),
+        F.col("n2").cast("double").alias("tied_d_pairs"),
         F.expr(_KENDALL_TAU).alias("kendall_tau_b"),
     )
 
@@ -1739,24 +1795,24 @@ WITH joint AS (
   SELECT l_quantity AS q, l_discount AS d, COUNT(*) AS cnt
   FROM lineitem GROUP BY 1, 2
 ), pairs AS (
-  SELECT CAST(SUM(CASE WHEN b.d > a.d THEN a.cnt * b.cnt ELSE 0 END)
-              AS BIGINT) AS c,
-         CAST(SUM(CASE WHEN b.d < a.d THEN a.cnt * b.cnt ELSE 0 END)
-              AS BIGINT) AS d
+  SELECT SUM(CASE WHEN b.d > a.d THEN CAST(a.cnt AS HUGEINT) * b.cnt
+             ELSE CAST(0 AS HUGEINT) END) AS c,
+         SUM(CASE WHEN b.d < a.d THEN CAST(a.cnt AS HUGEINT) * b.cnt
+             ELSE CAST(0 AS HUGEINT) END) AS d
   FROM joint a JOIN joint b ON b.q > a.q AND b.d <> a.d
 ), nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM joint),
 t1 AS (
-  SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n1
+  SELECT SUM(CAST(c AS HUGEINT) * (c - 1) // 2) AS n1
   FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS c FROM joint GROUP BY q)
 ), t2 AS (
-  SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n2
+  SELECT SUM(CAST(c AS HUGEINT) * (c - 1) // 2) AS n2
   FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS c FROM joint GROUP BY d)
 ), z AS (
-  SELECT n, c, d, n1, n2, n * (n - 1) // 2 AS n0
+  SELECT n, c, d, n1, n2, CAST(n AS HUGEINT) * (n - 1) // 2 AS n0
   FROM pairs, nn, t1, t2
 )
-SELECT n, c AS concordant, d AS discordant,
-       n1 AS tied_q_pairs, n2 AS tied_d_pairs,
+SELECT n, CAST(c AS DOUBLE) AS concordant, CAST(d AS DOUBLE) AS discordant,
+       CAST(n1 AS DOUBLE) AS tied_q_pairs, CAST(n2 AS DOUBLE) AS tied_d_pairs,
        {_KENDALL_TAU} AS kendall_tau_b
 FROM z
 """
@@ -3188,9 +3244,10 @@ def stat_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     + 1, exact in integers. One map-side-combinable aggregation
     collapses the fact table to the tiny |d| domain; the cumulative
     window runs over that domain table, NOT the fact table, so the
-    100 TB cost is a single partial-agg shuffle. 2·W⁺, n and the tie
-    term Σ(t³−t) are exact BIGINTs; z is the same IEEE expression in
-    both engines.
+    100 TB cost is a single partial-agg shuffle. 2·W⁺ and the tie term
+    Σ(t³−t) are exact DECIMAL(38,0) (HUGEINT in the oracle; BIGINT
+    overflows past ~2M rows per value), exposed as the identical
+    nearest-DOUBLE; z is the same IEEE expression in both engines.
 
     Reference parity: extends the rank-test family of the reference's
     statistics coverage (SURVEY.md §2.9 extension surface).
@@ -3214,16 +3271,24 @@ def stat_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = per_v.withColumn(
         "r2", 2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1
     )
+    # Σ(c_pos·r2) ≈ 2n² and Σ(c³−c) overflow BIGINT once per-value
+    # counts pass ~2M (sf≳20): exact DECIMAL(38,0) internally (HUGEINT
+    # in the oracle), exposed as the identical nearest-DOUBLE.
     agg = ranked.agg(
         F.sum("c").alias("n"),
-        F.sum(F.col("c_pos") * F.col("r2")).alias("wpos2"),
-        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie_t"),
+        F.sum(F.expr("CAST(c_pos AS DECIMAL(38,0)) * r2")).alias("wpos2"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c * c - c")).alias("tie_t"),
     )
     return agg.select(
         F.col("n").cast("long").alias("n"),
-        F.col("wpos2").cast("long").alias("wpos2"),
-        F.col("tie_t").cast("long").alias("tie_t"),
+        "wpos2",
+        "tie_t",
         F.expr(_WSR_Z).alias("z"),
+    ).select(
+        "n",
+        F.col("wpos2").cast("double").alias("wpos2"),
+        F.col("tie_t").cast("double").alias("tie_t"),
+        "z",
     )
 
 
@@ -3246,12 +3311,14 @@ WITH d AS (
   FROM per_v
 ), agg AS (
   SELECT CAST(SUM(c) AS BIGINT) AS n,
-         CAST(SUM(c_pos * r2) AS BIGINT) AS wpos2,
-         CAST(SUM(c * c * c - c) AS BIGINT) AS tie_t
+         SUM(CAST(c_pos AS HUGEINT) * r2) AS wpos2,
+         SUM(CAST(c AS HUGEINT) * c * c - c) AS tie_t
   FROM ranked
+), fin AS (
+  SELECT n, wpos2, tie_t, {_WSR_Z} AS z FROM agg
 )
-SELECT n, wpos2, tie_t, {_WSR_Z} AS z
-FROM agg
+SELECT n, CAST(wpos2 AS DOUBLE) AS wpos2, CAST(tie_t AS DOUBLE) AS tie_t, z
+FROM fin
 """
 
 
@@ -4691,36 +4758,64 @@ def stat_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quick nonparametric "are the medians equal" screen (coarser
     than Kruskal-Wallis but robust to any tail shape).
 
-    The global median is a deterministic rank selection (the w6
-    pattern, here one global ranking window — at heavy scale you'd
-    swap in the pre-bucketed quantile); the chi-squared folds exact
-    integer cells through the shared IEEE expression."""
+    The global lower median is a TWO-PASS bucketed quantile selection —
+    never a row ranking: the fact table collapses once to the
+    (priority, cents) histogram; a ~600-row $1000-bucket rollup of that
+    histogram locates the median bucket by cumulative count, and the
+    exact cent selects within that single bucket (≤1e5 distinct cents,
+    a bounded-constant grain). No window anywhere touches a
+    row-count-sized input, so the plan is two partial-agg shuffles plus
+    broadcast joins at 100 TB. The chi-squared folds exact integer
+    cells through the shared IEEE expression."""
     o = load_table(spark, sf_dir, "orders")
     cents = F.expr(
         "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
         " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
     )
-    w_rank = Window.orderBy("v", "o_orderkey")
     w_all = Window.orderBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    ranked = o.select(
-        F.col("o_orderpriority").alias("g"), cents.alias("v"), "o_orderkey"
-    ).select(
-        "g",
-        "v",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count("*").over(w_all).alias("n"),
+    bucket_w = 100000  # $1000 buckets over the o_totalprice cents domain
+    ghist = (
+        o.select(F.col("o_orderpriority").alias("g"), cents.alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
     )
-    med = ranked.withColumn(
-        "gmed",
-        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("v"))).over(
-            w_all
-        ),
+    hist = ghist.groupBy("v").agg(F.sum("c").alias("c"))
+    tot = hist.agg(F.sum("c").alias("n"))
+    coarse = hist.groupBy((F.col("v") - F.col("v") % bucket_w).alias("b")).agg(
+        F.sum("c").alias("cb")
     )
-    cells = med.groupBy("g").agg(
-        F.sum(F.expr("IF(v > gmed, 1, 0)")).alias("above"),
-        F.sum(F.expr("IF(v <= gmed, 1, 0)")).alias("below"),
+    w_b = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    sel = (
+        coarse.select(
+            "b", "cb", F.coalesce(F.sum("cb").over(w_b), F.lit(0)).alias("cum0")
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.expr("cum0 + cb >= (n + 1) div 2"))
+        .orderBy("b")
+        .limit(1)
+        .select(F.col("b").alias("b_star"), "cum0", "n")
+    )
+    fine = hist.join(
+        F.broadcast(sel), (F.col("v") - F.col("v") % bucket_w) == F.col("b_star")
+    )
+    w_f = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    gmed_row = (
+        fine.select(
+            "v", (F.col("cum0") + F.sum("c").over(w_f)).alias("cum"), "n"
+        )
+        .filter(F.expr("cum >= (n + 1) div 2"))
+        .agg(F.min("v").alias("gmed"))
+    )
+    cells = (
+        ghist.crossJoin(F.broadcast(gmed_row))
+        .groupBy("g")
+        .agg(
+            F.sum(F.expr("IF(v > gmed, c, 0)")).alias("above"),
+            F.sum(F.expr("IF(v <= gmed, c, 0)")).alias("below"),
+        )
     )
     tot = cells.select(
         "g",
@@ -4934,7 +5029,8 @@ def ml_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_neg",
         "n_pos",
         "n_neg",
-        F.expr("c_pos * (2 * cum_neg_below + c_neg)").alias("u2"),
+        # 2·U grows ~n_pos·n_neg — exact decimal, past BIGINT at scale
+        F.expr("CAST(c_pos AS DECIMAL(38,0)) * (2 * cum_neg_below + c_neg)").alias("u2"),
         F.expr(_DL_V10).alias("v10"),
         F.expr(_DL_V01).alias("v01"),
     )
@@ -4989,14 +5085,14 @@ WITH per_v AS (
   FROM per_v
 ), scored AS (
   SELECT c_pos, c_neg, n_pos, n_neg,
-         c_pos * (2 * cum_neg_below + c_neg) AS u2,
+         CAST(c_pos AS HUGEINT) * (2 * cum_neg_below + c_neg) AS u2,
          {_DL_V10} AS v10,
          {_DL_V01} AS v01
   FROM placed
 ), agg AS (
   SELECT CAST(MAX(n_pos) AS BIGINT) AS n_pos,
          CAST(MAX(n_neg) AS BIGINT) AS n_neg,
-         CAST(SUM(u2) AS BIGINT) AS u2,
+         SUM(u2) AS u2,
          SUM(c_pos * v10 * v10) AS s10_raw,
          SUM(c_neg * v01 * v01) AS s01_raw
   FROM scored
@@ -5031,7 +5127,8 @@ def stat_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("higher priority ⇒ higher totals"), the standard dose-response
     trend test.
 
-    2·J stays an exact BIGINT via the bounded-domain midrank trick on
+    2·J stays exact (DECIMAL(38,0); HUGEINT in the oracle — it grows
+    ~n²/2, past BIGINT around sf~500) via the bounded-domain midrank trick on
     every (g₁<g₂, value) pair table (quantity domain ≤50 × 10 group
     pairs); z uses the no-tie null variance (documented
     approximation — ties are corrected in the U's themselves via
@@ -5077,7 +5174,11 @@ def stat_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inner",
         )
         .groupBy("g1", "g2")
-        .agg(F.sum(F.expr("c2 * (2 * cb1 + c1)")).alias("u2_matched"))
+        .agg(
+            F.sum(
+                F.expr("CAST(c2 AS DECIMAL(38,0)) * (2 * cb1 + c1)")
+            ).alias("u2_matched")
+        )
     )
     # buckets of g2 with no exact-v bucket in g1 contribute
     # c2 · 2 · (count of g1 values < v) — fold them via an asof-style
@@ -5106,7 +5207,11 @@ def stat_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g1", "g2", "v2", "c2")
         .agg(F.max("cum_le1").alias("below1"))
         .groupBy("g1", "g2")
-        .agg(F.sum(F.expr("c2 * 2 * below1")).alias("u2_unmatched"))
+        .agg(
+            F.sum(
+                F.expr("CAST(c2 AS DECIMAL(38,0)) * 2 * below1")
+            ).alias("u2_unmatched")
+        )
     )
     per_pair = (
         u2.join(unmatched, ["g1", "g2"], "full_outer")
@@ -5122,7 +5227,7 @@ def stat_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
     j2 = per_pair.agg(F.sum("u2").alias("j2"))
     sizes = tot1.agg(
         F.sum("n_g").alias("n"),
-        F.sum(F.expr("n_g * n_g")).alias("sum_ng2"),
+        F.sum(F.expr("CAST(n_g AS DECIMAL(38,0)) * n_g")).alias("sum_ng2"),
         # n_g³-scale term overflows BIGINT past ~2M rows/group — exact
         # DECIMAL(38,0) in Spark, HUGEINT in the oracle
         F.sum(
@@ -5130,7 +5235,8 @@ def stat_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_ng2_term"),
     )
     return j2.crossJoin(F.broadcast(sizes)).select(
-        F.col("j2").cast("long").alias("j_x2"),
+        # 2·J grows ~n²/2 — exact decimal internally, nearest-double out
+        F.col("j2").cast("double").alias("j_x2"),
         F.col("n").cast("long").alias("n"),
         F.round(
             F.expr(
@@ -5155,7 +5261,7 @@ WITH hist AS (
   FROM hist
 ), u2m AS (
   SELECT a.g AS g1, b.g AS g2,
-         CAST(SUM(b.c * (2 * a.cum_below + a.c)) AS BIGINT) AS u2_matched
+         SUM(CAST(b.c AS HUGEINT) * (2 * a.cum_below + a.c)) AS u2_matched
   FROM cum a JOIN cum b ON a.g < b.g AND a.v = b.v
   GROUP BY 1, 2
 ), unmatched_b AS (
@@ -5167,21 +5273,21 @@ WITH hist AS (
                     WHERE a2.g = a1.g AND a2.v = b.v)
   GROUP BY 1, 2, 3, 4
 ), u2u AS (
-  SELECT g1, g2, CAST(SUM(c2 * 2 * below1) AS BIGINT) AS u2_unmatched
+  SELECT g1, g2, SUM(CAST(c2 AS HUGEINT) * 2 * below1) AS u2_unmatched
   FROM unmatched_b GROUP BY 1, 2
 ), per_pair AS (
   SELECT COALESCE(m.g1, u.g1) AS g1, COALESCE(m.g2, u.g2) AS g2,
          COALESCE(m.u2_matched, 0) + COALESCE(u.u2_unmatched, 0) AS u2
   FROM u2m m FULL OUTER JOIN u2u u ON m.g1 = u.g1 AND m.g2 = u.g2
 ), j AS (
-  SELECT CAST(SUM(u2) AS BIGINT) AS j2 FROM per_pair
+  SELECT SUM(CAST(u2 AS HUGEINT)) AS j2 FROM per_pair
 ), sizes AS (
   SELECT CAST(SUM(n_g) AS BIGINT) AS n,
-         CAST(SUM(n_g * n_g) AS BIGINT) AS sum_ng2,
+         SUM(CAST(n_g AS HUGEINT) * n_g) AS sum_ng2,
          SUM(CAST(n_g AS HUGEINT) * n_g * (2 * n_g + 3)) AS sum_ng2_term
   FROM (SELECT g, SUM(c) AS n_g FROM hist GROUP BY 1)
 )
-SELECT j2 AS j_x2, n,
+SELECT CAST(j2 AS DOUBLE) AS j_x2, n,
        ROUND((CAST(j2 AS DOUBLE) / 2
               - (CAST(n AS DOUBLE) * n - sum_ng2) / 4)
              / sqrt((CAST(n AS DOUBLE) * n * (2 * n + 3)

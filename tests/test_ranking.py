@@ -1,0 +1,62 @@
+"""Tests for operators/ranking.range_rank — the two-pass
+range-partitioned global row_number (no single-partition exchange)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bigdata_spark.operators.ranking import range_rank
+
+
+def test_range_rank_matches_global_row_number(spark):
+    df = (
+        spark.range(0, 500)
+        .select(
+            (F.col("id") * 37 % 211).alias("k"),
+            F.col("id").alias("tie"),
+        )
+    )
+    got = {
+        (r["k"], r["tie"]): r["r"]
+        for r in range_rank(df, ["k", "tie"], num_partitions=7).collect()
+    }
+    want = {
+        (r["k"], r["tie"]): r["r"]
+        for r in df.withColumn(
+            "r", F.row_number().over(Window.orderBy("k", "tie"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_range_rank_is_dense_and_total(spark):
+    df = spark.range(1, 301).select((F.col("id") % 13).alias("k"), "id")
+    ranks = [
+        r["r"] for r in range_rank(df, ["k", "id"], num_partitions=5).collect()
+    ]
+    assert sorted(ranks) == list(range(1, 301))
+
+
+def test_range_rank_plan_has_no_single_partition_exchange(spark):
+    """The defining property: the rank never funnels the input through
+    one task. The pre-checkpoint plan must contain a range exchange and
+    must NOT contain Exchange SinglePartition."""
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("tie")
+    )
+    parts = df.repartitionByRange(6, "k", "tie")
+    w_local = Window.partitionBy("_pid").orderBy("k", "tie")
+    staged = parts.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_lr", F.row_number().over(w_local)
+    )
+    plan = staged._sc._jvm.PythonSQLUtils.explainString(
+        staged._jdf.queryExecution(), "formatted"
+    )
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
+
+
+def test_range_rank_empty_input(spark):
+    df = spark.range(0).select(F.col("id").alias("k"))
+    assert range_rank(df, ["k"]).count() == 0

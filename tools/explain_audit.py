@@ -953,7 +953,69 @@ AUDITS.update({
         ("QI-class rollup partial-aggregated", r"partial_count"),
         ("no Python", NO_PYTHON),
     ],
+    "evt_cohort_ltv": [
+        ("no Python", NO_PYTHON),
+    ],
 })
+
+
+# --- source-level hint audit ------------------------------------------------
+# A forced F.broadcast() on an unbounded-grain table (user grain, doc
+# grain, …) OOMs executors at 100 TB no matter what the sf0.01 plan
+# looks like — and at sf0.01 Catalyst legitimately broadcasts small
+# aggregates on its own, so the physical plan can't distinguish
+# "forced" from "chosen". This check audits the SOURCE: every
+# F.broadcast(<name>) in plans/events.py must name a variable from the
+# reviewed bounded-grain allowlist below. A new hint fails the audit
+# until its grain is reviewed and the name added here.
+EVENTS_BROADCAST_ALLOWLIST = {
+    "bounds",    # per-metric min/max rows
+    "totals",    # per-type totals (event-type grain)
+    "stats",     # per-type mean/var (event-type grain)
+    "census",    # 16-row coalition census
+    "rest",      # coalition-subset table (2^8 rows)
+    "v",         # coalition value table (2^8 rows)
+    "tot",       # one-row grand total
+    "wm",        # one-row watermark
+    "marg",      # marginal distribution (type grain)
+    "cells",     # broadcast of cells.agg(...) — one-row grand total
+    "maxw",      # one-row max week
+    "season",    # season-cell grain (hour × dow)
+    "sizes",     # cohort-week grain
+    "dim",       # static dimension literal table
+    "seasonal",  # season-cell grain
+    "ref",       # reference-window distribution (type grain)
+    "peak",      # one-row argmax
+    "offsets",   # shard-offset table (shard grain)
+    "chans",     # 8-row channel literal table
+    "deltas",    # window-delta literal table
+}
+
+
+def audit_events_broadcast_hints() -> int:
+    import pathlib
+
+    src = pathlib.Path(__file__).resolve().parent.parent.joinpath(
+        "bigdata_spark/plans/events.py"
+    ).read_text()
+    names = re.findall(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z_0-9]*)", src)
+    failures = 0
+    bad = sorted({n for n in names if n not in EVENTS_BROADCAST_ALLOWLIST})
+    if bad:
+        failures = len(bad)
+        for n in bad:
+            print(
+                f"FAIL events.py broadcast hint on {n!r}: not in the"
+                " reviewed bounded-grain allowlist (unbounded-grain"
+                " broadcasts OOM at 100 TB — review the grain, then"
+                " allowlist or drop the hint)"
+            )
+    else:
+        print(
+            f"ok   events.py broadcast hints: {len(names)} sites, all on"
+            " reviewed bounded-grain tables"
+        )
+    return failures
 
 
 def main() -> int:
@@ -964,7 +1026,7 @@ def main() -> int:
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
-    failures = 0
+    failures = audit_events_broadcast_hints()
     for name, checks in AUDITS.items():
         fn, _ = registry[name]
         df = fn(spark, sf_dir)
