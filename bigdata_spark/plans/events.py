@@ -2827,6 +2827,135 @@ WHERE c.click_ts + INTERVAL 30 MINUTE < wm.w
 
 
 # ---------------------------------------------------------------------------
+# evt_stream_full_outer_join — stream-stream FULL OUTER join
+# ---------------------------------------------------------------------------
+
+
+def evt_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join — the last join mode after
+    evt_stream_join (inner) and evt_stream_outer_join (left):
+    watermark expiry now null-pads BOTH unmatched sides. A click with
+    no purchase in its 30-minute window emits (click_id, NULL) once no
+    match can still arrive; a purchase no click preceded emits
+    (NULL, purchase_id) symmetrically — the audit-complete attribution
+    join (every event accounted for exactly once).
+
+    Determinism contract (oracle-pinned): with W = min(max click_ts,
+    max purchase_ts) − 30 min — Spark's multi-input watermark —
+    emitted = all matched pairs, PLUS unmatched clicks with
+    click_ts + 30 min < W (a future purchase p ≥ W could still land
+    inside a younger click's window), PLUS unmatched purchases with
+    purchase_ts < W (a future click c ≥ W can only match purchases
+    p ≥ c — the asymmetry falls straight out of the one-sided window
+    p ∈ [c, c + 30 min]). Rows younger than their side's horizon stay
+    in state and would surface on restart.
+
+    Scale: state on each side is watermark-bounded (30 min + range of
+    in-flight stream volume), hash-partitioned on user_id — identical
+    asymptotics to the inner join; FULL OUTER adds only the eviction-
+    time null emission, no extra state."""
+    import shutil
+    import tempfile
+    import uuid
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_foj_")
+    try:
+        with _stream_state_partitions(spark):
+            stream = _stage_chronological_stream(spark, e, scratch, n_parts=4)
+            clicks = (
+                stream.filter(F.col("event_type") == "click")
+                .select(
+                    F.col("event_id").alias("click_id"),
+                    "user_id",
+                    F.col("ts").alias("click_ts"),
+                )
+                .withWatermark("click_ts", "30 minutes")
+            )
+            purchases = (
+                stream.filter(F.col("event_type") == "purchase")
+                .select(
+                    F.col("event_id").alias("purchase_id"),
+                    F.col("user_id").alias("p_user_id"),
+                    F.col("ts").alias("purchase_ts"),
+                )
+                .withWatermark("purchase_ts", "30 minutes")
+            )
+            joined = clicks.join(
+                purchases,
+                on=[
+                    clicks.user_id == purchases.p_user_id,
+                    purchases.purchase_ts >= clicks.click_ts,
+                    purchases.purchase_ts
+                    <= clicks.click_ts + F.expr("INTERVAL 30 MINUTES"),
+                ],
+                how="full_outer",
+            ).select(
+                "click_id",
+                F.coalesce("user_id", "p_user_id").alias("user_id"),
+                "purchase_id",
+                (
+                    F.unix_timestamp("purchase_ts")
+                    - F.unix_timestamp("click_ts")
+                ).alias("gap_s"),
+            )
+            qname = "evt_foj_" + uuid.uuid4().hex[:8]
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "evt_stream_full_outer_join: availableNow stream did not "
+                    "finish in 300s"
+                )
+        return spark.table(qname).localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+EVT_STREAM_FULL_OUTER_JOIN_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id AS p_user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT LEAST((SELECT MAX(click_ts) FROM c),
+               (SELECT MAX(purchase_ts) FROM p)) - INTERVAL 30 MINUTE AS w
+), m AS (
+  SELECT c.click_id, c.user_id, c.click_ts, p.purchase_id, p.purchase_ts
+  FROM c JOIN p
+    ON c.user_id = p.p_user_id
+   AND p.purchase_ts >= c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+)
+SELECT click_id, user_id, purchase_id,
+       CAST(date_diff('second', click_ts, purchase_ts) AS BIGINT) AS gap_s
+FROM m
+UNION ALL
+SELECT c.click_id, c.user_id,
+       CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS BIGINT) AS gap_s
+FROM c, wm
+WHERE c.click_ts + INTERVAL 30 MINUTE < wm.w
+  AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+UNION ALL
+SELECT CAST(NULL AS BIGINT) AS click_id, p.p_user_id AS user_id,
+       p.purchase_id, CAST(NULL AS BIGINT) AS gap_s
+FROM p, wm
+WHERE p.purchase_ts < wm.w
+  AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_stream_state_timeout — processing-time TTL eviction of custom state
 # ---------------------------------------------------------------------------
 
@@ -2925,6 +3054,114 @@ SELECT user_id, day, COUNT(*) AS n_events,
 FROM ev GROUP BY 1, 2 HAVING MAX(qt) < 1
 """
 
+
+# ---------------------------------------------------------------------------
+# evt_stream_event_time_timeout — watermark-driven GroupState eviction
+# ---------------------------------------------------------------------------
+
+_ETS_GAP_US = 6 * 3600 * 1_000_000
+_ETS_DELAY = "30 minutes"
+_ETS_DELAY_US = 30 * 60 * 1_000_000
+
+
+def evt_stream_event_time_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization whose idle-session eviction is driven
+    by GroupStateTimeout.EventTimeTimeout — the WATERMARK-clocked state
+    timeout that completes the state-timeout matrix next to
+    evt_stream_state_timeout's processing-time TTL (streaming/
+    stateful.py:event_time_sessionize): a session closes either when a
+    later event of the same user exceeds the 6 h gap (data path), or
+    when the stream's event-time watermark passes the session's gap
+    horizon (timeout path) — replay-deterministic in a way a
+    processing-time TTL can never be, because the clock is the data's.
+
+    Determinism contract (oracle-pinned): events re-stage as three
+    chronological files (one micro-batch each); under availableNow
+    Spark appends one final NO-DATA micro-batch whose watermark
+    includes the LAST batch's data, so the emitted set is exactly:
+    every non-final session of a user, plus the final session iff
+    end + gap < global max event time − 30 min delay — measured
+    empirically and pinned by the oracle (the two eviction paths agree
+    by construction on a chronological stream; see the operator
+    docstring).
+
+    Scale: one GroupState row per LIVE user (start/last/count/sum as
+    exact epoch-micro integers), hash-partitioned 16 ways; watermark
+    state is O(partitions). This is the production sessionization
+    shape — state bounded by concurrent sessions, not history."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.stateful import event_time_sessionize
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.expr(
+            "CAST(FLOOR(value * CAST(1000000 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("vm"),
+    )
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_ets_")
+    try:
+        with _stream_state_partitions(spark, n=16):
+            stream = _stage_chronological_stream(spark, e, scratch, n_parts=3)
+            out = event_time_sessionize(
+                stream.withWatermark("ts", _ETS_DELAY),
+                "user_id",
+                "ts",
+                "vm",
+                gap_us=_ETS_GAP_US,
+            )
+            qname = "evt_ets_" + uuid.uuid4().hex[:8]
+            q = (
+                out.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "evt_stream_event_time_timeout: availableNow stream did"
+                    " not finish in 300s"
+                )
+        return spark.table(qname).localCheckpoint()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+EVT_STREAM_ETS_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * CAST(1000000 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vm
+  FROM events
+), wm AS (SELECT MAX(us) - {_ETS_DELAY_US} AS w FROM ev),
+l AS (
+  SELECT user_id, us, vm,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                   OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                      > {_ETS_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM ev
+), g AS (
+  SELECT user_id, us, vm,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM l
+), s AS (
+  SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS end_us,
+         COUNT(*) AS n_events, CAST(SUM(vm) AS BIGINT) AS v_micros,
+         MAX(sid) OVER (PARTITION BY user_id) AS maxsid
+  FROM g GROUP BY 1, 2
+)
+SELECT user_id, start_us, end_us, n_events, v_micros
+FROM s, wm
+WHERE sid < maxsid OR end_us + {_ETS_GAP_US} < wm.w
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -4410,7 +4647,15 @@ QUERIES = {
     "evt_stickiness_dau_mau": (evt_stickiness_dau_mau, EVT_STICKINESS_SQL),
     "evt_interarrival_stats": (evt_interarrival_stats, EVT_INTERARRIVAL_SQL),
     "evt_stream_outer_join": (evt_stream_outer_join, EVT_STREAM_OUTER_JOIN_SQL),
+    "evt_stream_full_outer_join": (
+        evt_stream_full_outer_join,
+        EVT_STREAM_FULL_OUTER_JOIN_SQL,
+    ),
     "evt_stream_state_timeout": (evt_stream_state_timeout, EVT_STREAM_TIMEOUT_SQL),
+    "evt_stream_event_time_timeout": (
+        evt_stream_event_time_timeout,
+        EVT_STREAM_ETS_SQL,
+    ),
     "w7_range_frame": (w7_range_frame, W7_RANGE_SQL),
     "w8_islands_rle": (w8_islands_rle, W8_ISLANDS_SQL),
     "w12_seq_pattern": (w12_seq_pattern, W12_SEQ_SQL),

@@ -197,3 +197,100 @@ def timeout_evicted_rollup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def event_time_sessionize(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "vm",
+    gap_us: int = 6 * 3600 * 1_000_000,
+) -> DataFrame:
+    """Gap-based sessionization with EVENT-TIME timeout eviction — the
+    watermark-driven twin of timeout_evicted_rollup's processing-time
+    TTL, completing the GroupStateTimeout matrix (SURVEY §2.9; the
+    reference is batch-only).
+
+    Per-key GroupState holds exactly ONE in-flight session
+    (start, last, count, value-sum in exact integer micro-units). Two
+    eviction paths:
+
+    (1) DATA-DRIVEN — an arriving event more than ``gap_us`` past the
+        session's last event closes and emits it, then opens a fresh
+        one (events sort by event time inside the batch, so several
+        sessions can close in one invocation);
+    (2) EVENT-TIME TIMEOUT — ``setTimeoutTimestamp(last + gap)`` arms
+        the state clock against the WATERMARK, not wall time: when the
+        watermark (min over inputs of max event time − delay) passes
+        the session's gap horizon, ``hasTimedOut`` fires in the next
+        micro-batch and flushes the idle session — the semantics that
+        close abandoned sessions deterministically under replay, which
+        a processing-time TTL cannot promise.
+
+    The two paths agree by construction on a chronologically staged
+    stream: if the timeout horizon precedes the key's next event, that
+    event would have opened a new session anyway (watermark ≤ any
+    later event's time minus delay).
+
+    Timestamps ride as exact epoch-microsecond BIGINTs end to end
+    (the watermark itself is millisecond-grain inside Spark; session
+    arithmetic never divides). State is LIVE-KEY-bounded — one row per
+    key with an armed eviction clock — the production sessionization
+    shape at 100 TB stream volume.
+
+    Output (append mode): key, start_us, end_us, n_events, v_micros.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def row(st: int, la: int, n: int, vm: int) -> dict:
+            return {
+                key_col: key[0],
+                "start_us": st,
+                "end_us": la,
+                "n_events": n,
+                "v_micros": vm,
+            }
+
+        if state.hasTimedOut:
+            st, la, n, vm = state.get
+            state.remove()
+            yield pd.DataFrame([row(st, la, n, vm)])
+            return
+        ev: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            if len(pdf):
+                us = pdf[ts_col].astype("int64") // 1000
+                ev.extend(zip(us.tolist(), pdf[value_col].tolist()))
+        if not ev:
+            return
+        ev.sort()
+        st, la, n, vm = state.get if state.exists else (None, 0, 0, 0)
+        closed: list[dict] = []
+        for u, v in ev:
+            if st is None:
+                st, la, n, vm = u, u, 1, int(v)
+            elif u - la > gap_us:
+                closed.append(row(st, la, n, vm))
+                st, la, n, vm = u, u, 1, int(v)
+            else:
+                la, n, vm = u, n + 1, vm + int(v)
+        state.update((st, la, n, vm))
+        # arm the event-time clock: chronological staging guarantees
+        # la ≥ the previous batches' max event time > current watermark
+        state.setTimeoutTimestamp((la + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    key_type = dict(stream_df.dtypes)[key_col]
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} {key_type}, start_us long, end_us long,"
+            " n_events long, v_micros long"
+        ),
+        stateStructType="start_us long, last_us long, n long, vm long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -106,3 +106,67 @@ def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
         "k5": (9, 0),
         "k7": (10, 1),
     }
+
+
+def test_event_time_sessionize_both_eviction_paths(spark, tmp_path):
+    """Synthetic 2-batch stream exercising BOTH eviction paths of
+    event_time_sessionize: user A's first session closes via the DATA
+    path (a later over-gap event), user B's only session closes via the
+    EVENT-TIME TIMEOUT path (B is absent from batch 2, and the final
+    watermark passes B's gap horizon). User A's second session stays in
+    state (never emitted)."""
+    import datetime
+
+    from bigdata_spark.streaming.stateful import event_time_sessionize
+
+    gap_us = 3600 * 1_000_000  # 1 h
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    b1 = [
+        ("A", ts(0), 10),
+        ("A", ts(10), 20),   # A session 1: [0, 10min], n=2, vm=30
+        ("B", ts(5), 7),     # B session: [5min, 5min], n=1, vm=7
+    ]
+    b2 = [
+        ("A", ts(600), 1),   # 10 h later: closes A s1 (data path),
+                             # opens A s2 (stays in state)
+        ("C", ts(610), 2),   # advances the watermark past B's horizon
+    ]
+    schema = "user_id string, ts timestamp, vm long"
+    src = str(tmp_path / "ets_src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/p1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/p2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/p*")
+        .withWatermark("ts", "1 minute")
+    )
+    out = event_time_sessionize(stream, "user_id", "ts", "vm", gap_us=gap_us)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ets_unit")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"], r["v_micros"])
+        for r in spark.table("ets_unit").collect()
+    }
+    us0 = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+
+    def mins(m):
+        return us0 + m * 60 * 1_000_000
+
+    want = {
+        ("A", mins(0), mins(10), 2, 30),  # data-path close
+        ("B", mins(5), mins(5), 1, 7),    # timeout-path close
+    }
+    assert got == want
