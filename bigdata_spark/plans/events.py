@@ -3592,8 +3592,10 @@ def evt_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits only the alarming hours (|z| > 3).
 
     Scale: one map-side-combinable rollup to hour grain, one broadcast
-    of the 168-cell seasonal profile, one global-moment window over the
-    hour table — the fact table is scanned once."""
+    of the 168-cell seasonal profile, and the global residual moments
+    fold as a one-row aggregate broadcast back onto the hour table (no
+    single-partition window — the hour grain grows with the time
+    span) — the fact table is scanned once."""
     e = load_table(spark, sf_dir, "events")
     hourly = (
         e.filter(F.col("event_type") == "purchase")
@@ -3624,22 +3626,20 @@ def evt_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_micro",
         (F.col("vm") - F.col("mean_micro")).alias("resid_micro"),
     )
-    wall = Window.partitionBy()
-    z = resid.select(
-        "h",
-        "dow",
-        "hod",
-        "vm",
-        "mean_micro",
-        "resid_micro",
-        F.count("*").over(wall).alias("g_n"),
+    # global residual moments: one-row aggregate + crossJoin(broadcast)
+    # instead of a zero-partition window — the hour grain grows linearly
+    # with the time span, so a single-partition window over it would
+    # funnel the whole series through one task at long horizons
+    moments = resid.agg(
+        F.count("*").alias("g_n"),
         F.sum(
             F.expr(
                 "CAST(resid_micro AS DECIMAL(19,0))"
                 " * CAST(resid_micro AS DECIMAL(19,0))"
             )
-        ).over(wall).alias("g_r2"),
+        ).alias("g_r2"),
     )
+    z = resid.crossJoin(F.broadcast(moments))
     return (
         z.selectExpr(
             "h", "dow", "hod", "vm", "mean_micro", "resid_micro",

@@ -1745,7 +1745,284 @@ ORDER BY v
 """
 
 
+# ---------------------------------------------------------------------------
+# s37_incremental_mv — incremental materialized-view maintenance
+# ---------------------------------------------------------------------------
+
+_S37_BUCKETS = 8
+
+
+def s37_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance over manifest
+    snapshots — the append-only refresh loop every warehouse MV /
+    Delta-style aggregate table runs: orders lands in three commits
+    (v1 = 4 key-range files, v2 = +2, v3 = +2); the MV (order count +
+    exact revenue cents by priority) is built ONCE over v1, then each
+    refresh scans ONLY the delta files (set difference of two manifest
+    file lists — pure metadata, no directory diffing) and folds the
+    delta's partial aggregates into the stored MV by a group-key merge.
+    COUNT/SUM are self-mergeable, so the refresh never rescans history.
+
+    The measured counters are part of the oracle-checked output:
+    files_total (8), files_initial_scan (4), files_incremental_scanned
+    (4 across both refreshes) — a refresh that silently rescans
+    history fails the value gate, the s35 files-pruned discipline.
+
+    Scale: each refresh costs O(delta) scan + a MV-grain merge
+    (priority grain here; date×dim grain in production — bounded
+    either way); the stored MV re-materializes per refresh via an
+    eager localCheckpoint exactly as a real MV table would persist.
+    Deletes/updates are out of scope by design — they need partition
+    recompute or retractable aggregates (the s23_merge_into path).
+
+    Reference parity: extends the reference's snapshot/model
+    persistence intent (code/src/model_manager) to derived-table
+    maintenance; no reference analog (SURVEY §2.9 extension)."""
+    import re
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import (
+        commit_snapshot,
+        list_data_files,
+        snapshot_files,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_imv_")
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        k = int(o.agg(F.max("o_orderkey")).first()[0])  # scalar — bounded
+        width = max(1, (k + 1) // _S37_BUCKETS)
+        base = os.path.join(scratch, "table")
+        (
+            o.withColumn(
+                "_b",
+                F.least(
+                    F.lit(_S37_BUCKETS - 1),
+                    F.expr(f"o_orderkey div {width}L"),
+                ).cast("int"),
+            )
+            .repartition("_b")
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(base)
+        )
+        files = list_data_files(base)
+
+        def bucket_of(path: str) -> int:
+            return int(re.search(r"_b=(\d+)", path).group(1))
+
+        commit_snapshot(base, 1, [f for f in files if bucket_of(f) <= 3])
+        commit_snapshot(base, 2, [f for f in files if bucket_of(f) <= 5])
+        commit_snapshot(base, 3, files)
+
+        cents = F.expr(
+            "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        )
+
+        def partial(df: DataFrame) -> DataFrame:
+            return df.groupBy("o_orderpriority").agg(
+                F.count("*").alias("n_orders"),
+                F.sum(cents).alias("revenue_cents"),
+            )
+
+        def read_files(fs: list[str]) -> DataFrame:
+            return spark.read.option("basePath", base).parquet(*fs)
+
+        prev = snapshot_files(base, 1)
+        # initial build — the only full scan the MV ever pays
+        mv = partial(read_files(prev)).localCheckpoint(eager=True)
+        scanned = 0
+        for v in (2, 3):
+            cur = snapshot_files(base, v)
+            delta = sorted(set(cur) - set(prev))
+            scanned += len(delta)
+            mv = (
+                mv.unionByName(partial(read_files(delta)))
+                .groupBy("o_orderpriority")
+                .agg(
+                    F.sum("n_orders").alias("n_orders"),
+                    F.sum("revenue_cents").alias("revenue_cents"),
+                )
+                .localCheckpoint(eager=True)  # MV persisted per refresh
+            )
+            prev = cur
+        counters = spark.createDataFrame(
+            [(len(files), len(snapshot_files(base, 1)), scanned)],
+            "files_total long, files_initial_scan long,"
+            " files_incremental_scanned long",
+        )
+        return (
+            mv.crossJoin(F.broadcast(counters))
+            .select(
+                "o_orderpriority",
+                "n_orders",
+                F.col("revenue_cents").cast("long").alias("revenue_cents"),
+                "files_total",
+                "files_initial_scan",
+                "files_incremental_scanned",
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S37_IMV_SQL = f"""
+WITH k AS (SELECT MAX(o_orderkey) AS k FROM orders),
+w AS (SELECT GREATEST(1, (k + 1) // {_S37_BUCKETS}) AS width FROM k),
+b AS (
+  SELECT LEAST({_S37_BUCKETS - 1}, o_orderkey // width) AS bucket,
+         o_orderpriority,
+         CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+  FROM orders, w
+),
+census AS (
+  SELECT CAST(COUNT(DISTINCT bucket) AS BIGINT) AS files_total,
+         CAST(COUNT(DISTINCT CASE WHEN bucket <= 3 THEN bucket END)
+              AS BIGINT) AS files_initial_scan,
+         CAST(COUNT(DISTINCT CASE WHEN bucket >= 4 THEN bucket END)
+              AS BIGINT) AS files_incremental_scanned
+  FROM b
+)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       files_total, files_initial_scan, files_incremental_scanned
+FROM b, census
+GROUP BY o_orderpriority, files_total, files_initial_scan,
+         files_incremental_scanned
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# opt_join_order_cost — cost-modeled join-order selection audit
+# ---------------------------------------------------------------------------
+
+
+def opt_join_order_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join-order selection made AUDITABLE: the classic
+    System-R estimate |R ⋈ S| = |R|·|S| / max(ndv_R(k), ndv_S(k)) is
+    computed from EXACT distributed statistics (filtered cardinalities
+    and key NDVs — one aggregate pass per table), every connected
+    left-deep order of the customer ⋈ orders ⋈ lineitem chain is
+    costed by its intermediate size, and the output ranks the orders
+    with the winner flagged plus the MEASURED final row count. This is
+    the join-reordering decision Catalyst/CBO makes internally,
+    externalized so a pipeline owner can see WHY an order wins and how
+    far the estimate sits from reality.
+
+    All cost arithmetic is exact integers (BIGINT products under a
+    DECIMAL(38,0) guard, truncating division), so DuckDB reproduces
+    the model bit-for-bit from the same COUNT/COUNT(DISTINCT)
+    statistics. The join graph c—o—l is a chain: the two connected
+    first joins are {c ⋈ o} (then l) and {o ⋈ l} (then c); orders
+    starting with the cross pair c×l are pruned as every real
+    enumerator does.
+
+    Scale: the stats pass is three map-side-combinable aggregations
+    (COUNT + exact NDV per join key — at 100 TB you would swap
+    approx_count_distinct in with the same plumbing); the enumeration
+    itself is scalar arithmetic over the one-row stats crossJoin —
+    the whole query is ONE Spark plan (stats aggs + measured join
+    count + cost model + stack to ranked rows), no driver loops. The
+    measured count runs the join once (dims broadcast by AQE)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    cs = c.agg(
+        F.count("*").alias("n_c"),
+        F.countDistinct("c_custkey").alias("ndv_c_custkey"),
+    )
+    os_ = o.agg(
+        F.count("*").alias("n_o"),
+        F.countDistinct("o_custkey").alias("ndv_o_custkey"),
+        F.countDistinct("o_orderkey").alias("ndv_o_orderkey"),
+    )
+    ls = l.agg(
+        F.count("*").alias("n_l"),
+        F.countDistinct("l_orderkey").alias("ndv_l_orderkey"),
+    )
+    act = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count("*").alias("actual"))
+    )
+    est = (
+        cs.crossJoin(os_)
+        .crossJoin(ls)
+        .crossJoin(act)
+        .selectExpr(
+            "CAST(CAST(n_c AS DECIMAL(38,0)) * n_o"
+            " div GREATEST(ndv_c_custkey, ndv_o_custkey, 1L)"
+            " AS BIGINT) AS est_co",
+            "CAST(CAST(n_o AS DECIMAL(38,0)) * n_l"
+            " div GREATEST(ndv_o_orderkey, ndv_l_orderkey, 1L)"
+            " AS BIGINT) AS est_ol",
+            "actual",
+        )
+    )
+    return est.selectExpr(
+        "stack(2,"
+        " '(customer JOIN orders) JOIN lineitem', est_co, est_co <= est_ol,"
+        " '(orders JOIN lineitem) JOIN customer', est_ol, est_ol <= est_co"
+        ") AS (join_order, est_intermediate_rows, chosen)",
+        "actual AS actual_final_rows",
+    ).orderBy("est_intermediate_rows", "join_order")
+
+
+OPT_JOIN_ORDER_SQL = """
+WITH cs AS (
+  SELECT COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS ndv_custkey
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+), os AS (
+  SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS ndv_custkey,
+         COUNT(DISTINCT o_orderkey) AS ndv_orderkey
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+), ls AS (
+  SELECT COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS ndv_orderkey
+  FROM lineitem
+), act AS (
+  SELECT COUNT(*) AS actual FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01'
+), est AS (
+  SELECT
+    CAST(CAST(cs.n AS HUGEINT) * os.n
+         // GREATEST(cs.ndv_custkey, os.ndv_custkey, 1) AS BIGINT) AS est_co,
+    CAST(CAST(os.n AS HUGEINT) * ls.n
+         // GREATEST(os.ndv_orderkey, ls.ndv_orderkey, 1) AS BIGINT) AS est_ol
+  FROM cs, os, ls
+)
+SELECT join_order, est_intermediate_rows, chosen,
+       CAST(actual AS BIGINT) AS actual_final_rows
+FROM (
+  SELECT '(customer JOIN orders) JOIN lineitem' AS join_order,
+         est_co AS est_intermediate_rows,
+         est_co <= est_ol AS chosen FROM est
+  UNION ALL
+  SELECT '(orders JOIN lineitem) JOIN customer' AS join_order,
+         est_ol AS est_intermediate_rows,
+         est_ol <= est_co AS chosen FROM est
+), act
+ORDER BY est_intermediate_rows, join_order
+"""
+
+
 QUERIES = {
+    "s37_incremental_mv": (s37_incremental_mv, S37_IMV_SQL),
+    "opt_join_order_cost": (opt_join_order_cost, OPT_JOIN_ORDER_SQL),
     "s34_manifest_time_travel": (s34_manifest_time_travel, S34_TTRAVEL_SQL),
     "s35_manifest_stats_pruning": (s35_manifest_stats_pruning, S35_MSTATS_SQL),
     "s36_manifest_compaction": (s36_manifest_compaction, S36_COMPACT_SQL),

@@ -162,9 +162,10 @@ SELECT c_count, COUNT(*) AS custdist FROM (
 
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue view over one quarter, then the having-on-global-max
-    shape. The max is a global window over the ALREADY-aggregated
-    per-supplier rows (supplier-cardinality table — the single
-    partition is fine at any fact scale; it never sees fact rows)."""
+    shape. The max folds as a ONE-ROW aggregate broadcast back onto the
+    per-supplier rollup — supplier cardinality grows with scale factor,
+    so even the aggregated table must never funnel through a
+    single-partition window."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
@@ -173,8 +174,8 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = l.groupBy("l_suppkey").agg(
         F.sum(_vol()).cast("double").alias("total_revenue")
     )
-    mx = Window.partitionBy()
-    top = rev.withColumn("_mx", F.max("total_revenue").over(mx)).filter(
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
         F.col("total_revenue") == F.col("_mx")
     )
     return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(

@@ -988,8 +988,71 @@ EVENTS_BROADCAST_ALLOWLIST = {
     "peak",      # one-row argmax
     "offsets",   # shard-offset table (shard grain)
     "chans",     # 8-row channel literal table
+    "moments",   # one-row global residual moments
     "deltas",    # window-delta literal table
 }
+
+
+# --- zero-partition window audit -------------------------------------------
+# ``Window.partitionBy()`` plans as Exchange SinglePartition: the whole
+# window input funnels through ONE task. That is fine over a BOUNDED
+# grain (score bands, contingency cells, a 16-shard census) and fatal
+# over anything that grows with the data. Every zero-partition window
+# site in the plans package must be registered here with its reviewed
+# grain; a new site fails the audit until its input grain is reviewed.
+# (The same review retired the unbounded ones: evt_seasonal_anomaly's
+# hour-grain moments and tpch_q15's supplier-grain max both became
+# one-row aggregates broadcast back.)
+ZERO_PARTITION_WINDOW_ALLOWLIST = {
+    ("events.py", "evt_interarrival_stats"),   # gap-seconds histogram (bounded domain)
+    ("extended.py", "approx_quantile_hist"),   # fixed bucket grid
+    ("mlq.py", "ml_roc_auc"),                  # score-band grain
+    ("mlq.py", "ml_pr_auc"),                   # score-band grain
+    ("mlq.py", "ml_gain_lift_deciles"),        # 10 deciles
+    ("mlq.py", "ml_ks_separation"),            # score-band grain
+    ("qualityq.py", "dq_drift_psi"),           # PSI bucket grid (2 sites)
+    ("qualityq.py", "dq_fairness_ratios"),     # demographic-group grain
+    ("samplingq.py", "p9_neyman_allocation"),  # stratum grain
+    ("statsq.py", "stat_chi2_independence"),   # contingency cells
+    ("statsq.py", "stat_theil_sen"),           # month-pair grain (time-span-bounded)
+    ("statsq.py", "stat_control_chart"),       # month grain (time-span-bounded)
+    ("statsq.py", "stat_friedman"),            # 5-treatment grain
+    ("statsq.py", "stat_cramers_v"),           # contingency cells
+    ("statsq.py", "stat_levene_bf"),           # 5-group grain
+    ("textq.py", "llm_shard_assign"),          # 16-shard census
+}
+
+
+def audit_zero_partition_windows() -> int:
+    import pathlib
+
+    plans = pathlib.Path(__file__).resolve().parent.parent.joinpath(
+        "bigdata_spark/plans"
+    )
+    sites: list[tuple[str, str]] = []
+    for f in sorted(plans.glob("*.py")):
+        curdef = None
+        for ln in f.read_text().splitlines():
+            m = re.match(r"def (\w+)", ln)
+            if m:
+                curdef = m.group(1)
+            if "Window.partitionBy()" in ln:
+                sites.append((f.name, curdef))
+    bad = sorted(set(sites) - ZERO_PARTITION_WINDOW_ALLOWLIST)
+    if bad:
+        for fname, fn in bad:
+            print(
+                f"FAIL {fname}:{fn}: zero-partition window not in the"
+                " reviewed bounded-grain allowlist (single-partition"
+                " exchange — review the input grain; if it grows with"
+                " the data, fold it as agg + crossJoin(broadcast))"
+            )
+        return len(bad)
+    print(
+        f"ok   zero-partition windows: {len(sites)} sites, all on"
+        " reviewed bounded grains"
+    )
+    return 0
 
 
 def audit_events_broadcast_hints() -> int:
@@ -1027,6 +1090,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
     failures = audit_events_broadcast_hints()
+    failures += audit_zero_partition_windows()
     for name, checks in AUDITS.items():
         fn, _ = registry[name]
         df = fn(spark, sf_dir)
