@@ -2827,6 +2827,111 @@ WHERE c.click_ts + INTERVAL 30 MINUTE < wm.w
 
 
 # ---------------------------------------------------------------------------
+# evt_stream_incremental_mv — foreachBatch aggregate-MERGE MV refresh
+# ---------------------------------------------------------------------------
+
+
+def evt_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATERIALIZED-VIEW maintenance — the foreachBatch twin
+    of the batch entry s37_incremental_mv (plans/scaleq.py) and the
+    aggregate-MERGE counterpart of evt_stream_upsert's latest-per-key
+    sink: each micro-batch folds its PARTIAL aggregates (per-type
+    event count + exact value micro-sum — both self-mergeable) into a
+    versioned MV table, so the view stays fresh after every trigger
+    without ever rescanning stream history. Three chronological
+    micro-batches force three real refreshes; the committed version
+    counter (part of the oracle-checked output) proves each batch
+    published, and the final MV must equal the global batch aggregate
+    — the exactly-once-shaped invariant.
+
+    Scale: per refresh the sink reads the MV (view grain — bounded),
+    unions the batch partials, re-aggregates at view grain and
+    publishes one immutable snapshot via an atomic marker flip
+    (streaming/upsert_sink.py — object-store-safe). The stream's own
+    state is ZERO: aggregation state lives in the MV table, which is
+    what makes this the restartable production shape (a crashed job
+    resumes from the committed snapshot + checkpoint offsets)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.upsert_sink import VersionedParquetTable
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.expr(
+            "CAST(FLOOR(value * CAST(1000000 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("vm"),
+    )
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_smv_")
+    target_root = f"{scratch}/mv"
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        table = VersionedParquetTable(batch.sparkSession, target_root)
+        partial = batch.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum("vm").alias("v_micros"),
+        )
+        cur = table.read()
+        merged = (
+            partial
+            if cur is None
+            else cur.unionByName(partial)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("v_micros").alias("v_micros"),
+            )
+        )
+        table.publish(merged)
+
+    try:
+        stream = _stage_chronological_stream(spark, e, scratch, n_parts=3)
+        q = (
+            stream.writeStream.foreachBatch(refresh)
+            .option("checkpointLocation", f"{scratch}/ckpt_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "evt_stream_incremental_mv did not finish in 300s"
+            )
+        table = VersionedParquetTable(spark, target_root)
+        mv = table.read()
+        if mv is None:
+            raise RuntimeError("MV sink published no version")
+        n_refreshes = int(table.current_version()) + 1
+        out = (
+            mv.select(
+                "event_type",
+                "n_events",
+                F.col("v_micros").cast("long").alias("v_micros"),
+                F.lit(n_refreshes).cast("long").alias("n_refreshes"),
+            )
+            .orderBy("event_type")
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(out)
+
+
+EVT_STREAM_IMV_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * CAST(1000000 AS DOUBLE)
+            + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS v_micros,
+       CAST(3 AS BIGINT) AS n_refreshes
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_stream_full_outer_join — stream-stream FULL OUTER join
 # ---------------------------------------------------------------------------
 
@@ -4650,6 +4755,10 @@ QUERIES = {
     "evt_stream_full_outer_join": (
         evt_stream_full_outer_join,
         EVT_STREAM_FULL_OUTER_JOIN_SQL,
+    ),
+    "evt_stream_incremental_mv": (
+        evt_stream_incremental_mv,
+        EVT_STREAM_IMV_SQL,
     ),
     "evt_stream_state_timeout": (evt_stream_state_timeout, EVT_STREAM_TIMEOUT_SQL),
     "evt_stream_event_time_timeout": (

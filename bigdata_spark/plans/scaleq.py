@@ -1901,6 +1901,176 @@ ORDER BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# s38_mv_retraction — MV maintenance under UPDATE/DELETE via signed partials
+# ---------------------------------------------------------------------------
+
+
+def s38_mv_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance under UPDATES and DELETES — the
+    half s37_incremental_mv declares out of scope: a v2 commit REWRITES
+    one key-range file (bucket 2, prices doubled) and DROPS another
+    (bucket 5); the refresh diffs the two manifest file lists (pure
+    metadata), scans ONLY the three changed files, and folds them into
+    the stored MV as SIGNED partial aggregates — removed files
+    contribute (−n, −cents), added files (+n, +cents); COUNT and SUM
+    are retractable, so MV − old + new is exact and groups whose
+    support hits zero drop out (HAVING n > 0). This is the
+    Delta/Iceberg CDF refresh loop: history is never rescanned even
+    when it is edited, because immutable files make every change an
+    explicit (removed, added) file pair.
+
+    Measured counters in the oracle-checked output: files_total_v2 (7),
+    files_delta_scanned (3 = 2 removed + 1 added) — a refresh that
+    silently recomputes fails the value gate.
+
+    Scale: O(changed files) scan + a view-grain merge per refresh; the
+    manifest diff is one JSON read per side. Min/max-style aggregates
+    are NOT retractable — those need partition recompute, which the
+    same (removed, added) diff scopes to the touched partitions."""
+    import re
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import (
+        commit_snapshot,
+        list_data_files,
+        snapshot_files,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_mvr_")
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        k = int(o.agg(F.max("o_orderkey")).first()[0])  # scalar — bounded
+        width = max(1, (k + 1) // _S37_BUCKETS)
+        bucket = F.least(
+            F.lit(_S37_BUCKETS - 1), F.expr(f"o_orderkey div {width}L")
+        ).cast("int")
+        base = os.path.join(scratch, "table")
+        (
+            o.withColumn("_b", bucket)
+            .repartition("_b")
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(base)
+        )
+        v1_files = list_data_files(base)
+        commit_snapshot(base, 1, v1_files)
+
+        def bucket_of(path: str) -> int:
+            return int(re.search(r"_b=(\d+)", path).group(1))
+
+        # v2: bucket 2 rewritten (prices doubled) into a NEW immutable
+        # file; bucket 5 deleted outright. v1's files stay on disk.
+        patch_dir = os.path.join(scratch, "staged_v2")
+        (
+            o.withColumn("_b", bucket)
+            .filter(F.col("_b") == 2)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+            .repartition("_b")
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(patch_dir)
+        )
+        added = []
+        for src in list_data_files(patch_dir):
+            rel = os.path.relpath(src, patch_dir)
+            dst = os.path.join(
+                base, os.path.dirname(rel), "v2-" + os.path.basename(rel)
+            )
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(src, dst)
+            added.append(dst)
+        keep = [f for f in v1_files if bucket_of(f) not in (2, 5)]
+        commit_snapshot(base, 2, keep + added)
+
+        cents = F.expr(
+            "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        )
+
+        def signed_partial(files: list[str], sign: int) -> DataFrame:
+            return (
+                spark.read.option("basePath", base)
+                .parquet(*files)
+                .groupBy("o_orderpriority")
+                .agg(
+                    (F.lit(sign) * F.count("*")).alias("n_orders"),
+                    (F.lit(sign) * F.sum(cents)).alias("revenue_cents"),
+                )
+            )
+
+        mv1 = signed_partial(snapshot_files(base, 1), 1).localCheckpoint(
+            eager=True
+        )
+        v1s, v2s = set(snapshot_files(base, 1)), set(snapshot_files(base, 2))
+        removed = sorted(v1s - v2s)
+        new = sorted(v2s - v1s)
+        mv2 = (
+            mv1.unionByName(signed_partial(removed, -1))
+            .unionByName(signed_partial(new, 1))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum("n_orders").alias("n_orders"),
+                F.sum("revenue_cents").alias("revenue_cents"),
+            )
+            .filter(F.col("n_orders") > 0)
+            .localCheckpoint(eager=True)  # the refreshed stored MV
+        )
+        counters = spark.createDataFrame(
+            [(len(v2s), len(removed) + len(new))],
+            "files_total_v2 long, files_delta_scanned long",
+        )
+        return (
+            mv2.crossJoin(F.broadcast(counters))
+            .select(
+                "o_orderpriority",
+                "n_orders",
+                F.col("revenue_cents").cast("long").alias("revenue_cents"),
+                "files_total_v2",
+                "files_delta_scanned",
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S38_MVR_SQL = f"""
+WITH k AS (SELECT MAX(o_orderkey) AS k FROM orders),
+w AS (SELECT GREATEST(1, (k + 1) // {_S37_BUCKETS}) AS width FROM k),
+b AS (
+  SELECT LEAST({_S37_BUCKETS - 1}, o_orderkey // width) AS bucket,
+         o_orderpriority, o_totalprice
+  FROM orders, w
+),
+v2 AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(CASE WHEN bucket = 2 THEN o_totalprice * 2.0
+                         ELSE o_totalprice END * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+  FROM b WHERE bucket <> 5
+),
+census AS (
+  SELECT CAST(COUNT(DISTINCT bucket) - 1 AS BIGINT) AS files_total_v2,
+         CAST(COUNT(DISTINCT CASE WHEN bucket IN (2, 5) THEN bucket END)
+              + COUNT(DISTINCT CASE WHEN bucket = 2 THEN bucket END)
+              AS BIGINT) AS files_delta_scanned
+  FROM b
+)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       files_total_v2, files_delta_scanned
+FROM v2, census
+GROUP BY o_orderpriority, files_total_v2, files_delta_scanned
+HAVING COUNT(*) > 0
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # opt_join_order_cost — cost-modeled join-order selection audit
 # ---------------------------------------------------------------------------
 
@@ -2023,6 +2193,7 @@ ORDER BY est_intermediate_rows, join_order
 QUERIES = {
     "s37_incremental_mv": (s37_incremental_mv, S37_IMV_SQL),
     "opt_join_order_cost": (opt_join_order_cost, OPT_JOIN_ORDER_SQL),
+    "s38_mv_retraction": (s38_mv_retraction, S38_MVR_SQL),
     "s34_manifest_time_travel": (s34_manifest_time_travel, S34_TTRAVEL_SQL),
     "s35_manifest_stats_pruning": (s35_manifest_stats_pruning, S35_MSTATS_SQL),
     "s36_manifest_compaction": (s36_manifest_compaction, S36_COMPACT_SQL),
