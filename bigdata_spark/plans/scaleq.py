@@ -2071,6 +2071,311 @@ ORDER BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# s39_change_data_feed — row-level CDC between two manifest snapshots
+# ---------------------------------------------------------------------------
+
+
+def s39_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHANGE DATA FEED between two snapshots — the consumer
+    side of the s38 commit (bucket 2 rewritten with doubled prices,
+    bucket 5 deleted): the manifest diff names the (removed, added)
+    files, and a keyed FULL OUTER join over ONLY those files classifies
+    every changed row — key in both sides → an update (pre/post pair),
+    key only in removed → delete, key only in added → insert. This is
+    Delta CDF / Iceberg changelog semantics derived from nothing but
+    immutable files + manifests: history files never open, so the feed
+    costs O(changed files) no matter how big the table is.
+
+    Output is the per-priority change census (update_pre and
+    update_post carried as separate change types, the CDF convention)
+    plus the exact revenue-cents delta each type contributes — the
+    numbers a downstream incremental consumer (s38's signed-partial
+    refresh) would apply verbatim.
+
+    Scale: two file-list reads, one join keyed on the primary key over
+    the changed rows only; at 100 TB with a 0.1% daily churn the feed
+    reads ~0.1% of the table."""
+    import re
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import (
+        commit_snapshot,
+        list_data_files,
+        snapshot_files,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_cdf_")
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        k = int(o.agg(F.max("o_orderkey")).first()[0])  # scalar — bounded
+        width = max(1, (k + 1) // _S37_BUCKETS)
+        bucket = F.least(
+            F.lit(_S37_BUCKETS - 1), F.expr(f"o_orderkey div {width}L")
+        ).cast("int")
+        base = os.path.join(scratch, "table")
+        (
+            o.withColumn("_b", bucket)
+            .repartition("_b")
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(base)
+        )
+        v1_files = list_data_files(base)
+        commit_snapshot(base, 1, v1_files)
+
+        def bucket_of(path: str) -> int:
+            return int(re.search(r"_b=(\d+)", path).group(1))
+
+        patch_dir = os.path.join(scratch, "staged_v2")
+        (
+            o.withColumn("_b", bucket)
+            .filter(F.col("_b") == 2)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+            .repartition("_b")
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(patch_dir)
+        )
+        added = []
+        for src in list_data_files(patch_dir):
+            rel = os.path.relpath(src, patch_dir)
+            dst = os.path.join(
+                base, os.path.dirname(rel), "v2-" + os.path.basename(rel)
+            )
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(src, dst)
+            added.append(dst)
+        keep = [f for f in v1_files if bucket_of(f) not in (2, 5)]
+        commit_snapshot(base, 2, keep + added)
+
+        v1s, v2s = set(snapshot_files(base, 1)), set(snapshot_files(base, 2))
+        cents = (
+            "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        )
+
+        def side(files: set, pre: str) -> DataFrame:
+            return (
+                spark.read.option("basePath", base)
+                .parquet(*sorted(files))
+                .selectExpr(
+                    f"o_orderkey AS {pre}_key",
+                    f"o_orderpriority AS {pre}_prio",
+                    f"{cents} AS {pre}_cents",
+                )
+            )
+
+        pre = side(v1s - v2s, "pre")
+        post = side(v2s - v1s, "post")
+        changes = pre.join(
+            post, pre.pre_key == post.post_key, "full_outer"
+        ).selectExpr(
+            "CASE WHEN pre_key IS NULL THEN array('insert')"
+            " WHEN post_key IS NULL THEN array('delete')"
+            " ELSE array('update_pre', 'update_post') END AS kinds",
+            "coalesce(pre_prio, post_prio) AS o_orderpriority",
+            "pre_cents",
+            "post_cents",
+        )
+        feed = changes.select(
+            F.explode("kinds").alias("change_type"),
+            "o_orderpriority",
+            "pre_cents",
+            "post_cents",
+        ).select(
+            "change_type",
+            "o_orderpriority",
+            F.expr(
+                "CASE WHEN change_type IN ('delete', 'update_pre')"
+                " THEN -pre_cents ELSE post_cents END"
+            ).alias("delta_cents"),
+        )
+        return (
+            feed.groupBy("change_type", "o_orderpriority")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("delta_cents").cast("long").alias("delta_cents"),
+            )
+            .orderBy("change_type", "o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S39_CDF_SQL = f"""
+WITH k AS (SELECT MAX(o_orderkey) AS k FROM orders),
+w AS (SELECT GREATEST(1, (k + 1) // {_S37_BUCKETS}) AS width FROM k),
+b AS (
+  SELECT LEAST({_S37_BUCKETS - 1}, o_orderkey // width) AS bucket,
+         o_orderpriority,
+         CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents,
+         CAST(FLOOR(o_totalprice * 2.0 * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents2
+  FROM orders, w
+),
+feed AS (
+  SELECT 'delete' AS change_type, o_orderpriority, -cents AS delta_cents
+  FROM b WHERE bucket = 5
+  UNION ALL
+  SELECT 'update_pre', o_orderpriority, -cents FROM b WHERE bucket = 2
+  UNION ALL
+  SELECT 'update_post', o_orderpriority, cents2 FROM b WHERE bucket = 2
+)
+SELECT change_type, o_orderpriority, COUNT(*) AS n_rows,
+       CAST(SUM(delta_cents) AS BIGINT) AS delta_cents
+FROM feed
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# s40_schema_evolution — additive column evolution across snapshots
+# ---------------------------------------------------------------------------
+
+
+def s40_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive SCHEMA EVOLUTION under snapshot isolation — the table
+    grows a column without rewriting history: v1 files carry
+    (key, priority, price); a v2 commit appends NEW files that also
+    carry ``o_channel``; reading @v2 with schema merging surfaces the
+    new column with NULL for every legacy row (exactly Delta/Iceberg
+    add-column semantics), while @v1 still has no such column at all —
+    both facts are part of the oracle-checked output
+    (v1_has_channel = false, v2_has_channel = true alongside the
+    per-channel census where NULL is the legacy population).
+
+    The channel is a deterministic key derivation (o_orderkey % 3 over
+    the appended key range), so DuckDB recomputes the census from rows
+    alone. Scale: evolution costs ZERO data movement — old files are
+    never touched; the only price is the footer-schema merge at plan
+    time, which the manifest bounds to the listed files."""
+    import re
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import (
+        commit_snapshot,
+        list_data_files,
+        snapshot_files,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_sev_")
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        k = int(o.agg(F.max("o_orderkey")).first()[0])  # scalar — bounded
+        width = max(1, (k + 1) // _S37_BUCKETS)
+        bucket = F.least(
+            F.lit(_S37_BUCKETS - 1), F.expr(f"o_orderkey div {width}L")
+        ).cast("int")
+        base = os.path.join(scratch, "table")
+        (
+            o.withColumn("_b", bucket)
+            .filter(F.col("_b") <= 5)
+            .repartition("_b")
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(base)
+        )
+        v1_files = list_data_files(base)
+        commit_snapshot(base, 1, v1_files)
+
+        # v2 appends the 6..7 key range as NEW files that carry the new
+        # o_channel column; v1 files are never rewritten
+        patch_dir = os.path.join(scratch, "staged_v2")
+        (
+            o.withColumn("_b", bucket)
+            .filter(F.col("_b") >= 6)
+            .withColumn(
+                "o_channel",
+                F.expr(
+                    "CASE o_orderkey % 3 WHEN 0 THEN 'web'"
+                    " WHEN 1 THEN 'store' ELSE 'app' END"
+                ),
+            )
+            .repartition("_b")
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(patch_dir)
+        )
+        added = []
+        for src in list_data_files(patch_dir):
+            rel = os.path.relpath(src, patch_dir)
+            dst = os.path.join(
+                base, os.path.dirname(rel), "v2-" + os.path.basename(rel)
+            )
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(src, dst)
+            added.append(dst)
+        commit_snapshot(base, 2, v1_files + added)
+
+        v1df = spark.read.option("basePath", base).parquet(
+            *snapshot_files(base, 1)
+        )
+        v2df = (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", base)
+            .parquet(*snapshot_files(base, 2))
+        )
+        cents = F.expr(
+            "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        )
+        return (
+            v2df.groupBy("o_channel")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(cents).cast("long").alias("revenue_cents"),
+            )
+            .select(
+                "o_channel",
+                "n_orders",
+                "revenue_cents",
+                F.lit("o_channel" in v1df.columns).alias("v1_has_channel"),
+                F.lit("o_channel" in v2df.columns).alias("v2_has_channel"),
+            )
+            .orderBy(F.col("o_channel").asc_nulls_first())
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S40_SEV_SQL = f"""
+WITH k AS (SELECT MAX(o_orderkey) AS k FROM orders),
+w AS (SELECT GREATEST(1, (k + 1) // {_S37_BUCKETS}) AS width FROM k),
+b AS (
+  SELECT LEAST({_S37_BUCKETS - 1}, o_orderkey // width) AS bucket,
+         o_orderkey,
+         CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+  FROM orders, w
+),
+v2 AS (
+  SELECT CASE WHEN bucket <= 5 THEN NULL
+              WHEN o_orderkey % 3 = 0 THEN 'web'
+              WHEN o_orderkey % 3 = 1 THEN 'store'
+              ELSE 'app' END AS o_channel,
+         cents
+  FROM b
+)
+SELECT o_channel, COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       false AS v1_has_channel, true AS v2_has_channel
+FROM v2
+GROUP BY o_channel
+ORDER BY o_channel NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
 # opt_join_order_cost — cost-modeled join-order selection audit
 # ---------------------------------------------------------------------------
 
@@ -2194,6 +2499,8 @@ QUERIES = {
     "s37_incremental_mv": (s37_incremental_mv, S37_IMV_SQL),
     "opt_join_order_cost": (opt_join_order_cost, OPT_JOIN_ORDER_SQL),
     "s38_mv_retraction": (s38_mv_retraction, S38_MVR_SQL),
+    "s39_change_data_feed": (s39_change_data_feed, S39_CDF_SQL),
+    "s40_schema_evolution": (s40_schema_evolution, S40_SEV_SQL),
     "s34_manifest_time_travel": (s34_manifest_time_travel, S34_TTRAVEL_SQL),
     "s35_manifest_stats_pruning": (s35_manifest_stats_pruning, S35_MSTATS_SQL),
     "s36_manifest_compaction": (s36_manifest_compaction, S36_COMPACT_SQL),
