@@ -2376,6 +2376,119 @@ ORDER BY o_channel NULLS FIRST
 
 
 # ---------------------------------------------------------------------------
+# s41_metadata_only_count — COUNT answered from manifest stats alone
+# ---------------------------------------------------------------------------
+
+
+def s41_metadata_only_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY aggregation — the table-format fast path every
+    Iceberg/Delta reader ships: ``COUNT(*)`` (global and per key-range
+    file, plus a min/max key envelope) answered ENTIRELY from the
+    manifest's per-file footer stats; zero data files open at query
+    time, and the output says so (data_files_opened = 0 is part of the
+    oracle-checked row). The stats were harvested once at commit time
+    by the distributed footer pass (sources/manifest.py
+    collect_file_stats — no data pages read even then).
+
+    The oracle recomputes the same counts and envelopes from the raw
+    rows with the identical bucket rule, so a manifest that miscounts
+    or misrecords min/max fails the value gate.
+
+    Scale: at 100 TB this is the difference between a row-count probe
+    costing one JSON read and costing a full scan; it is also why
+    manifest stats must be transactionally committed WITH the files
+    (s34's atomic rename) — stale stats would silently lie here."""
+    import json as _json
+    import re
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import (
+        _manifest_dir,
+        collect_file_stats,
+        commit_snapshot,
+        list_data_files,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_moc_")
+    try:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        k = int(o.agg(F.max("o_orderkey")).first()[0])  # scalar — bounded
+        width = max(1, (k + 1) // _S37_BUCKETS)
+        base = os.path.join(scratch, "table")
+        (
+            o.withColumn(
+                "_b",
+                F.least(
+                    F.lit(_S37_BUCKETS - 1),
+                    F.expr(f"o_orderkey div {width}L"),
+                ).cast("int"),
+            )
+            .repartition("_b")
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(base)
+        )
+        files = list_data_files(base)
+        stats = collect_file_stats(spark, files, ["o_orderkey"])
+        commit_snapshot(base, 1, files, stats=stats)
+
+        # the query itself: ONE manifest read, no parquet opened
+        with open(os.path.join(_manifest_dir(base), "v1.json")) as fh:
+            manifest = _json.load(fh)
+        rows = [
+            (
+                int(re.search(r"_b=(\d+)", rel).group(1)),
+                int(manifest["stats"][rel]["rows"]),
+                int(manifest["stats"][rel]["cols"]["o_orderkey"][0]),
+                int(manifest["stats"][rel]["cols"]["o_orderkey"][1]),
+            )
+            for rel in manifest["files"]
+        ]
+        per_file = spark.createDataFrame(
+            rows, "bucket int, n_rows long, min_key long, max_key long"
+        )
+        return (
+            per_file.groupBy("bucket")
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.min("min_key").alias("min_key"),
+                F.max("max_key").alias("max_key"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    per_file.agg(
+                        F.sum("n_rows").alias("total_rows"),
+                        F.lit(0).cast("long").alias("data_files_opened"),
+                    )
+                )
+            )
+            .orderBy("bucket")
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S41_MOC_SQL = f"""
+WITH k AS (SELECT MAX(o_orderkey) AS k FROM orders),
+w AS (SELECT GREATEST(1, (k + 1) // {_S37_BUCKETS}) AS width FROM k),
+b AS (
+  SELECT LEAST({_S37_BUCKETS - 1}, o_orderkey // width) AS bucket, o_orderkey
+  FROM orders, w
+)
+SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n_rows,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+       (SELECT COUNT(*) FROM orders) AS total_rows,
+       CAST(0 AS BIGINT) AS data_files_opened
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # opt_join_order_cost — cost-modeled join-order selection audit
 # ---------------------------------------------------------------------------
 
@@ -2501,6 +2614,7 @@ QUERIES = {
     "s38_mv_retraction": (s38_mv_retraction, S38_MVR_SQL),
     "s39_change_data_feed": (s39_change_data_feed, S39_CDF_SQL),
     "s40_schema_evolution": (s40_schema_evolution, S40_SEV_SQL),
+    "s41_metadata_only_count": (s41_metadata_only_count, S41_MOC_SQL),
     "s34_manifest_time_travel": (s34_manifest_time_travel, S34_TTRAVEL_SQL),
     "s35_manifest_stats_pruning": (s35_manifest_stats_pruning, S35_MSTATS_SQL),
     "s36_manifest_compaction": (s36_manifest_compaction, S36_COMPACT_SQL),
