@@ -3180,10 +3180,13 @@ def evt_stream_event_time_timeout(spark: SparkSession, sf_dir: str) -> DataFrame
     horizon (timeout path) — replay-deterministic in a way a
     processing-time TTL can never be, because the clock is the data's.
 
-    Determinism contract (oracle-pinned): events re-stage as three
-    chronological files (one micro-batch each); under availableNow
-    Spark appends one final NO-DATA micro-batch whose watermark
-    includes the LAST batch's data, so the emitted set is exactly:
+    Determinism contract (oracle-pinned): events re-stage as two
+    chronological files (one micro-batch each — batch 2 exercises the
+    DATA eviction path on batch-1 sessions and the watermark timeout
+    for users idle since batch 1); under availableNow Spark appends
+    one final NO-DATA micro-batch whose watermark includes the LAST
+    batch's data — the timeout trigger for everything still idle — so
+    the emitted set is batch-structure-independent and exactly:
     every non-final session of a user, plus the final session iff
     end + gap < global max event time − 30 min delay — measured
     empirically and pinned by the oracle (the two eviction paths agree
@@ -3211,7 +3214,7 @@ def evt_stream_event_time_timeout(spark: SparkSession, sf_dir: str) -> DataFrame
     scratch = tempfile.mkdtemp(prefix="bigdata_spark_ets_")
     try:
         with _stream_state_partitions(spark, n=16):
-            stream = _stage_chronological_stream(spark, e, scratch, n_parts=3)
+            stream = _stage_chronological_stream(spark, e, scratch, n_parts=2)
             out = event_time_sessionize(
                 stream.withWatermark("ts", _ETS_DELAY),
                 "user_id",
