@@ -805,7 +805,7 @@ def approx_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = l.filter("pass").drop("bits", "pass")
     matched = survivors.join(
-        F.broadcast(o), survivors.l_orderkey == o.o_orderkey, "left_semi"
+        o, survivors.l_orderkey == o.o_orderkey, "left_semi"
     )
     stats = l.agg(
         F.count("*").alias("n_fact"),
@@ -1911,7 +1911,7 @@ def j14_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_covered") == F.col("need"))
     )
     return (
-        covered.join(F.broadcast(s), covered.l_suppkey == s.s_suppkey)
+        covered.join(s, covered.l_suppkey == s.s_suppkey)
         .select(
             F.col("l_suppkey").alias("s_suppkey"),
             "s_name",

@@ -33,7 +33,7 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     edges = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .select(
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
@@ -257,11 +257,11 @@ def mb_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _copurchase_pairs(spark, sf_dir)
     return (
         e.join(
-            F.broadcast(item_cnt.withColumnRenamed("l_partkey", "pa").withColumnRenamed("cnt", "cnt_a")),
+            item_cnt.withColumnRenamed("l_partkey", "pa").withColumnRenamed("cnt", "cnt_a"),
             "pa",
         )
         .join(
-            F.broadcast(item_cnt.withColumnRenamed("l_partkey", "pb").withColumnRenamed("cnt", "cnt_b")),
+            item_cnt.withColumnRenamed("l_partkey", "pb").withColumnRenamed("cnt", "cnt_b"),
             "pb",
         )
         .crossJoin(F.broadcast(n_orders))
@@ -566,11 +566,11 @@ def rec_item_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         sym.join(
-            F.broadcast(item_cnt.select(F.col("l_partkey").alias("item"), F.col("cnt").alias("cnt_i"))),
+            item_cnt.select(F.col("l_partkey").alias("item"), F.col("cnt").alias("cnt_i")),
             "item",
         )
         .join(
-            F.broadcast(item_cnt.select(F.col("l_partkey").alias("other"), F.col("cnt").alias("cnt_o"))),
+            item_cnt.select(F.col("l_partkey").alias("other"), F.col("cnt").alias("cnt_o")),
             "other",
         )
         .withColumn(
@@ -817,8 +817,8 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b"))
     return (
-        non_edges.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
+        non_edges.join(da, "a")
+        .join(db, "b")
         .select(
             "a",
             "b",
@@ -960,7 +960,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("degree"))
     )
     comm = (
-        deg.join(F.broadcast(bmap), deg.node == bmap.p_partkey)
+        deg.join(bmap, deg.node == bmap.p_partkey)
         .groupBy(F.col("p_brand").alias("community"))
         .agg(
             F.count("*").alias("n_nodes"),
@@ -974,8 +974,8 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("pb_key"), F.col("p_brand").alias("brand_b")
     )
     intra = (
-        edges.join(F.broadcast(ba), edges.pa == ba.pa_key)
-        .join(F.broadcast(bb), edges.pb == bb.pb_key)
+        edges.join(ba, edges.pa == ba.pa_key)
+        .join(bb, edges.pb == bb.pb_key)
         .filter(F.col("brand_a") == F.col("brand_b"))
         .groupBy(F.col("brand_a").alias("community"))
         .agg(F.count("*").alias("intra_edges"))
@@ -1326,11 +1326,11 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
     decorated = (
-        sym.join(F.broadcast(deg), "src")
+        sym.join(deg, "src")
         .withColumnRenamed("deg", "dx")
         .join(
-            F.broadcast(deg.withColumnRenamed("src", "dst")
-                        .withColumnRenamed("deg", "dy")),
+            deg.withColumnRenamed("src", "dst")
+            .withColumnRenamed("deg", "dy"),
             "dst",
         )
     )
@@ -1413,7 +1413,7 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges = (
         x.join(y, F.col("x.src") == F.col("y.src"))
         .filter(F.col("x.dst") < F.col("y.dst"))
-        .join(F.broadcast(deg.withColumnRenamed("src", "mid")),
+        .join(deg.withColumnRenamed("src", "mid"),
               F.col("x.src") == F.col("mid"))
         .select(
             F.col("x.dst").alias("a"),
@@ -1580,11 +1580,11 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         cn.join(
-            F.broadcast(deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a"))),
+            deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a")),
             "a",
         )
         .join(
-            F.broadcast(deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b"))),
+            deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b")),
             "b",
         )
         .select(
@@ -1884,7 +1884,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.join(y, F.col("x.src") == F.col("y.src"))
         .filter(F.col("x.dst") < F.col("y.dst"))
         .join(
-            F.broadcast(deg.withColumnRenamed("src", "mid")),
+            deg.withColumnRenamed("src", "mid"),
             F.col("x.src") == F.col("mid"),
         )
         .select(

@@ -550,7 +550,7 @@ def dq_fairness_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
         F.expr(f"CASE WHEN {_FAIR_PRED} THEN 1 ELSE 0 END").alias("pred"),
         F.expr(f"CASE WHEN {_FAIR_LABEL} THEN 1 ELSE 0 END").alias("label"),

@@ -128,7 +128,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem shuffle only on join keys."""
     r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
-    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    s = load_table(spark, sf_dir, "supplier")
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
@@ -775,7 +775,7 @@ def j6_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.col("s_nationkey"), F.lit(0)).alias("sk")
     )
     return (
-        c.join(F.broadcast(s), c.ck.eqNullSafe(s.sk))
+        c.join(s, c.ck.eqNullSafe(s.sk))
         .groupBy("ck")
         .agg(F.count("*").alias("n_pairs"))
         .select(

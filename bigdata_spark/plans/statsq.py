@@ -2073,7 +2073,7 @@ def stat_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
     )
     units = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(
             F.col("n_regionkey").alias("region"),
@@ -2583,7 +2583,7 @@ def stat_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     g = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_nationkey", "n_name")
         .agg(

@@ -198,7 +198,7 @@ def txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(dlen, "doc_id")
-        .join(F.broadcast(dfreq), "term")
+        .join(dfreq, "term")
         .withColumn(
             "tfidf",
             (F.col("tf").cast("double") / F.col("dlen"))
@@ -327,7 +327,7 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
     return (
         grams.filter(F.col("doc_id") % 97 != 0)
-        .join(F.broadcast(bench), "g")
+        .join(bench, "g")
         .groupBy("doc_id")
         # word_ngrams is per-doc distinct, so count(*) == distinct hits
         .agg(F.count("*").alias("n_hits"))
@@ -778,11 +778,11 @@ def txt_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         bgc.join(
-            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("cw").alias("ca"))),
+            uni.select(F.col("w").alias("w1"), F.col("cw").alias("ca")),
             "w1",
         )
         .join(
-            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("cw").alias("cb"))),
+            uni.select(F.col("w").alias("w2"), F.col("cw").alias("cb")),
             "w2",
         )
         .select(
@@ -869,7 +869,7 @@ def txt_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("freq"), F.sum("plen").alias("deg")
     )
     inst = (
-        pw.join(F.broadcast(ws), "w")
+        pw.join(ws, "w")
         .withColumn("wscore", F.expr("CAST(deg AS DOUBLE) / freq"))
         .groupBy("doc_id", "g")
         .agg(
@@ -1182,7 +1182,7 @@ def txt_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * (CAST(dl AS DOUBLE) * n_docs / CAST(total_len AS DOUBLE))))"
     )
     scored = (
-        tf.join(F.broadcast(df_t), "w")
+        tf.join(df_t, "w")
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn("term_score", F.expr(term_score))

@@ -52,12 +52,12 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     zero = F.lit(0).cast("decimal(18,6)")
     df = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == n1.c_nkey)
         .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == n2.s_nkey)
     )
     return (
@@ -107,9 +107,9 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(F.sum(_vol()).cast("double").alias("sum_revenue"))
@@ -178,7 +178,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rev.crossJoin(F.broadcast(mx)).filter(
         F.col("total_revenue") == F.col("_mx")
     )
-    return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
+    return top.join(s, top.l_suppkey == s.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
     )
 
@@ -211,7 +211,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = load_table(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -239,8 +239,8 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(_dec2("l_quantity")).cast("double") / F.count("*")).alias("avg_q")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(avg_q), l.l_partkey == F.col("ap_key"))
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(avg_q, l.l_partkey == F.col("ap_key"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_q"))
         .agg(
             (F.sum(_dec2("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly")
@@ -288,7 +288,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(F.sum(_vol()).cast("double").alias("revenue"))
     )
@@ -378,7 +378,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = _dec2("l_extendedprice").cast("double") / _dec2("l_quantity").cast("double")
     ps = l.groupBy("l_partkey", "l_suppkey").agg(F.min(unit).alias("ps_cost"))
     eu = (
-        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        ps.join(s, ps.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -386,8 +386,8 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ps_cost").alias("min_cost")
     )
     return (
-        eu.join(F.broadcast(p), eu.l_partkey == p.p_partkey)
-        .join(F.broadcast(best), eu.l_partkey == F.col("bp_key"))
+        eu.join(p, eu.l_partkey == p.p_partkey)
+        .join(best, eu.l_partkey == F.col("bp_key"))
         .filter(F.col("ps_cost") == F.col("min_cost"))
         .select(
             "s_acctbal", "s_name", F.col("n_name"), "p_partkey",
@@ -436,7 +436,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     base = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("l_partkey", _dec2("l_extendedprice").alias("v"))
     )
@@ -488,7 +488,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     qualifying = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(_dec2("l_quantity")).alias("qty"))
         .filter(F.col("qty").cast("double") > 100.0)
@@ -541,7 +541,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l1 = (
         lo.filter("late")
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("l_orderkey", "l_suppkey", "s_name")
     )
@@ -683,7 +683,7 @@ def tpch_q2_true(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") == 4) & (F.col("p_type") == "SMALL")
     )
     eu = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -691,8 +691,8 @@ def tpch_q2_true(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ps_cost_cents").alias("min_cents")
     )
     return (
-        eu.join(F.broadcast(p), eu.ps_partkey == p.p_partkey)
-        .join(F.broadcast(best), eu.ps_partkey == F.col("bp_key"))
+        eu.join(p, eu.ps_partkey == p.p_partkey)
+        .join(best, eu.ps_partkey == F.col("bp_key"))
         .filter(F.col("ps_cost_cents") == F.col("min_cents"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey",
@@ -738,7 +738,7 @@ def tpch_q11_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     base = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             "ps_partkey",
@@ -805,8 +805,8 @@ def tpch_q16_true(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").alias("bad_key"))
     )
     return (
-        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
-        .join(F.broadcast(bad), ps.ps_suppkey == F.col("bad_key"), "left_anti")
+        ps.join(p, ps.ps_partkey == p.p_partkey)
+        .join(bad, ps.ps_suppkey == F.col("bad_key"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -849,7 +849,7 @@ def tpch_q20_true(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("sq_part"), F.col("l_suppkey").alias("sq_supp")
     ).agg(F.sum(_dec2("l_quantity")).alias("qty"))
     qualifying = (
-        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        ps.join(p, ps.ps_partkey == p.p_partkey)
         .join(
             shipped,
             (ps.ps_partkey == F.col("sq_part")) & (ps.ps_suppkey == F.col("sq_supp")),

@@ -227,12 +227,12 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(100)
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(
             ps,
             (l.l_partkey == ps.ps_partkey) & (l.l_suppkey == ps.ps_suppkey),
         )
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .select(
@@ -390,7 +390,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(census, F.col("l_orderkey") == F.col("g_okey"))
         .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

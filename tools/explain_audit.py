@@ -960,37 +960,204 @@ AUDITS.update({
 
 
 # --- source-level hint audit ------------------------------------------------
-# A forced F.broadcast() on an unbounded-grain table (user grain, doc
-# grain, …) OOMs executors at 100 TB no matter what the sf0.01 plan
-# looks like — and at sf0.01 Catalyst legitimately broadcasts small
-# aggregates on its own, so the physical plan can't distinguish
-# "forced" from "chosen". This check audits the SOURCE: every
-# F.broadcast(<name>) in plans/events.py must name a variable from the
-# reviewed bounded-grain allowlist below. A new hint fails the audit
-# until its grain is reviewed and the name added here.
-EVENTS_BROADCAST_ALLOWLIST = {
-    "bounds",    # per-metric min/max rows
-    "totals",    # per-type totals (event-type grain)
-    "stats",     # per-type mean/var (event-type grain)
-    "census",    # 16-row coalition census
-    "rest",      # coalition-subset table (2^8 rows)
-    "v",         # coalition value table (2^8 rows)
-    "tot",       # one-row grand total
-    "wm",        # one-row watermark
-    "marg",      # marginal distribution (type grain)
-    "cells",     # broadcast of cells.agg(...) — one-row grand total
-    "maxw",      # one-row max week
-    "season",    # season-cell grain (hour × dow)
-    "sizes",     # cohort-week grain
-    "dim",       # static dimension literal table
-    "seasonal",  # season-cell grain
-    "ref",       # reference-window distribution (type grain)
-    "peak",      # one-row argmax
-    "offsets",   # shard-offset table (shard grain)
-    "chans",     # 8-row channel literal table
-    "moments",   # one-row global residual moments
-    "deltas",    # window-delta literal table
+# A forced F.broadcast() on a table whose cardinality grows with the
+# data (part/supplier/customer dims, node degrees, vocabulary, doc
+# pairs, fact subsets) OOMs executors at 100 TB no matter what the
+# sf0.01 plan looks like — and at sf0.01 Catalyst legitimately
+# broadcasts small tables on its own, so the physical plan cannot
+# distinguish "forced" from "chosen". Policy (round 9): hints are
+# FORCED only on bounded-grain tables — constant dims (nation=25,
+# region=5), literal grids, one-row or group-count-bounded aggregates,
+# capped query sides, bounded value-domain tables. Every SF-grown side
+# (TPC-H part/supplier, per-node degree tables, per-item counts,
+# vocabulary frequencies, customer dims, filtered fact subsets) had
+# its hint REMOVED and joins by stats/AQE, which still picks broadcast
+# at bench scale and switches to shuffle when the side outgrows the
+# threshold. This audit pins the policy at the SOURCE level: every
+# F.broadcast(<name>) in the plans package must appear below as
+# (file, function, name); a new hint fails until its grain is reviewed.
+BROADCAST_HINT_ALLOWLIST = {
+    ("coverage.py", "f12_quantile_bins", "bnd"),
+    ("coverage.py", "tpch_q10", "n"),
+    ("coverage.py", "tpch_q7", "cust_n"),
+    ("coverage.py", "tpch_q7", "supp_n"),
+    ("dedupq.py", "dedup_capture_recapture", "b"),
+    ("dedupq.py", "dedup_capture_recapture", "both"),
+    ("dedupq.py", "dedup_sorted_neighborhood", "deltas"),
+    ("events.py", "dq_freshness_sla", "wm"),
+    ("events.py", "evt_anomaly_zscore", "stats"),
+    ("events.py", "evt_cohort_ltv", "sizes"),
+    ("events.py", "evt_decay_score", "ref"),
+    ("events.py", "evt_diff_in_diff", "bounds"),
+    ("events.py", "evt_entropy_rate", "cells"),
+    ("events.py", "evt_entropy_rate", "marg"),
+    ("events.py", "evt_growth_accounting", "maxw"),
+    ("events.py", "evt_markov_absorption", "tot"),
+    ("events.py", "evt_markov_stationary", "totals"),
+    ("events.py", "evt_peak_concurrency", "offsets"),
+    ("events.py", "evt_peak_concurrency", "peak"),
+    ("events.py", "evt_rolling_wau", "bounds"),
+    ("events.py", "evt_seasonal_anomaly", "moments"),
+    ("events.py", "evt_seasonal_anomaly", "season"),
+    ("events.py", "evt_seasonal_decompose", "seasonal"),
+    ("events.py", "evt_shapley_attribution", "census"),
+    ("events.py", "evt_shapley_attribution", "rest"),
+    ("events.py", "evt_shapley_attribution", "v"),
+    ("events.py", "evt_stickiness_dau_mau", "bounds"),
+    ("events.py", "evt_stream_enrich", "dim"),
+    ("events.py", "evt_transitions", "totals"),
+    ("events.py", "w10_m4_downsample", "bounds"),
+    ("extended.py", "above_avg_orders", "avg_price"),
+    ("extended.py", "approx_cms_topk", "sketch"),
+    ("extended.py", "approx_quantile_hist", "pcts"),
+    ("extended.py", "approx_theta_ops", "theta"),
+    ("extended.py", "approx_theta_ops", "truth"),
+    ("extended.py", "j14_relational_division", "divisor"),
+    ("extended.py", "j14_relational_division", "need"),
+    ("extended.py", "null_semantics", "dim"),
+    ("extended.py", "range_join_price_bands", "bands"),
+    ("graphq.py", "graph_closeness", "n"),
+    ("graphq.py", "graph_degree_powerlaw", "tots"),
+    ("graphq.py", "graph_eccentricity", "n"),
+    ("graphq.py", "graph_hits", "n"),
+    ("graphq.py", "graph_hits", "total"),
+    ("graphq.py", "graph_katz", "n"),
+    ("graphq.py", "graph_modularity", "m_df"),
+    ("graphq.py", "graph_pagerank", "n"),
+    ("graphq.py", "graph_ppr", "n"),
+    ("graphq.py", "graph_reciprocity", "recip"),
+    ("graphq.py", "graph_sssp_weighted", "n"),
+    ("graphq.py", "mb_frequent_pairs", "n_orders"),
+    ("mlq.py", "ml_brier_score", "mm"),
+    ("mlq.py", "ml_conformal_interval", "fit"),
+    ("mlq.py", "ml_conformal_interval", "qhat"),
+    ("mlq.py", "ml_cv_kfold", "folds"),
+    ("mlq.py", "ml_gain_lift_deciles", "ranked"),
+    ("mlq.py", "ml_isotonic_calibration", "fit_df"),
+    ("mlq.py", "ml_kmeans_fixed", "spark"),
+    ("mlq.py", "ml_learning_curve", "fracs"),
+    ("mlq.py", "ml_mutual_info", "cells"),
+    ("mlq.py", "ml_mutual_info", "hx"),
+    ("mlq.py", "ml_mutual_info", "hy"),
+    ("mlq.py", "ml_naive_bayes", "likel"),
+    ("mlq.py", "ml_naive_bayes", "priors"),
+    ("mlq.py", "ml_target_encode", "stats"),
+    ("qualityq.py", "dq_benford", "total"),
+    ("qualityq.py", "dq_drift_psi", "bnd"),
+    ("qualityq.py", "dq_pseudonymize_join", "joined"),
+    ("qualityq.py", "dq_pseudonymize_join", "raw"),
+    ("relational.py", "tpch_q5", "load_table"),
+    ("samplingq.py", "p7_pps_systematic", "offs"),
+    ("samplingq.py", "p7_pps_systematic", "wtot"),
+    ("scaleq.py", "s37_incremental_mv", "counters"),
+    ("scaleq.py", "s38_mv_retraction", "counters"),
+    ("scaleq.py", "s41_metadata_only_count", "per_file"),
+    ("simq.py", "ml_ranking_metrics", "lab_tot"),
+    ("simq.py", "ml_silhouette", "cent"),
+    ("simq.py", "nearest_exemplar", "ex"),
+    ("simq.py", "sim_jl_projection_audit", "matrix"),
+    ("simq.py", "sim_maxsim_multivector", "q"),
+    ("simq.py", "sim_quantized_recall", "qq"),
+    ("simq.py", "sim_topk_pq", "qv"),
+    ("statsq.py", "stat_acf", "glob"),
+    ("statsq.py", "stat_anova_twoway", "cells"),
+    ("statsq.py", "stat_anova_twoway", "marg_a"),
+    ("statsq.py", "stat_anova_twoway", "marg_b"),
+    ("statsq.py", "stat_bootstrap_ci", "band"),
+    ("statsq.py", "stat_cem_att", "n"),
+    ("statsq.py", "stat_cem_att", "unmatched"),
+    ("statsq.py", "stat_cohens_kappa", "cols"),
+    ("statsq.py", "stat_cohens_kappa", "pe"),
+    ("statsq.py", "stat_cuped", "cut"),
+    ("statsq.py", "stat_eb_shrinkage", "n"),
+    ("statsq.py", "stat_hodges_lehmann", "b"),
+    ("statsq.py", "stat_influence_diag", "stats"),
+    ("statsq.py", "stat_jonckheere", "sizes"),
+    ("statsq.py", "stat_kendall_tau", "b"),
+    ("statsq.py", "stat_ks_test", "tot"),
+    ("statsq.py", "stat_levene_bf", "med"),
+    ("statsq.py", "stat_ljung_box", "glob"),
+    ("statsq.py", "stat_mad_outliers", "mad"),
+    ("statsq.py", "stat_mad_outliers", "med"),
+    ("statsq.py", "stat_mann_kendall", "ties"),
+    ("statsq.py", "stat_mood_median", "gmed_row"),
+    ("statsq.py", "stat_mood_median", "sel"),
+    ("statsq.py", "stat_mood_median", "tot"),
+    ("statsq.py", "stat_spearman", "rx"),
+    ("statsq.py", "stat_spearman", "ry"),
+    ("statsq.py", "stat_survival_lifetable", "horizon"),
+    ("textq.py", "llm_mix_temperature", "tot"),
+    ("textq.py", "llm_oov_rate", "vocab"),
+    ("textq.py", "txt_bm25", "stats"),
+    ("textq.py", "txt_heaps_law", "base"),
+    ("textq.py", "txt_heaps_law", "ks"),
+    ("textq.py", "txt_langid_eval", "w_pred"),
+    ("textq.py", "txt_langid_eval", "w_true"),
+    ("textq.py", "txt_word_lift", "frequent"),
+    ("tpch_ext.py", "tpch_q11", "n"),
+    ("tpch_ext.py", "tpch_q11", "total"),
+    ("tpch_ext.py", "tpch_q11_true", "n"),
+    ("tpch_ext.py", "tpch_q11_true", "total"),
+    ("tpch_ext.py", "tpch_q15", "mx"),
+    ("tpch_ext.py", "tpch_q2", "n"),
+    ("tpch_ext.py", "tpch_q2", "r"),
+    ("tpch_ext.py", "tpch_q20", "n"),
+    ("tpch_ext.py", "tpch_q20_true", "n"),
+    ("tpch_ext.py", "tpch_q21", "n"),
+    ("tpch_ext.py", "tpch_q22", "avg_df"),
+    ("tpch_ext.py", "tpch_q2_true", "n"),
+    ("tpch_ext.py", "tpch_q2_true", "r"),
+    ("tpch_ext.py", "tpch_q8", "n1"),
+    ("tpch_ext.py", "tpch_q8", "n2"),
+    ("tpch_ext.py", "tpch_q8", "r"),
+    ("tpch_ext.py", "tpch_q9", "n"),
+    ("tpch_full.py", "tpch_q21", "n"),
+    ("tpch_full.py", "tpch_q22", "avg_bal"),
+    ("tpch_full.py", "tpch_q9", "n"),
 }
+
+
+def audit_broadcast_hints() -> int:
+    import pathlib
+
+    plans = pathlib.Path(__file__).resolve().parent.parent.joinpath(
+        "bigdata_spark/plans"
+    )
+    sites = []
+    for f in sorted(plans.glob("*.py")):
+        src = f.read_text()
+        lines = src.splitlines()
+        curdef = None
+        for ln in lines:
+            m = re.match(r"def (\w+)", ln)
+            if m:
+                curdef = m.group(1)
+            for mm in re.finditer(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z_0-9]*)", ln):
+                sites.append((f.name, curdef, mm.group(1)))
+        for mm in re.finditer(r"F\.broadcast\(\n\s*([A-Za-z_][A-Za-z_0-9]*)", src):
+            ln_no = src[: mm.start()].count("\n")
+            d = None
+            for i in range(ln_no, -1, -1):
+                m = re.match(r"def (\w+)", lines[i])
+                if m:
+                    d = m.group(1)
+                    break
+            sites.append((f.name, d, mm.group(1)))
+    bad = sorted(set(sites) - BROADCAST_HINT_ALLOWLIST)
+    if bad:
+        for fname, fn, nm in bad:
+            print(
+                f"FAIL {fname}:{fn}: broadcast hint on {nm!r} not in the"
+                " reviewed bounded-grain allowlist (forced broadcasts on"
+                " SF-grown tables OOM at 100 TB — review the grain, then"
+                " allowlist or drop the hint)"
+            )
+        return len(bad)
+    print(
+        f"ok   broadcast hints: {len(sites)} sites package-wide, all on"
+        " reviewed bounded-grain tables"
+    )
+    return 0
 
 
 # --- zero-partition window audit -------------------------------------------
@@ -1055,32 +1222,6 @@ def audit_zero_partition_windows() -> int:
     return 0
 
 
-def audit_events_broadcast_hints() -> int:
-    import pathlib
-
-    src = pathlib.Path(__file__).resolve().parent.parent.joinpath(
-        "bigdata_spark/plans/events.py"
-    ).read_text()
-    names = re.findall(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z_0-9]*)", src)
-    failures = 0
-    bad = sorted({n for n in names if n not in EVENTS_BROADCAST_ALLOWLIST})
-    if bad:
-        failures = len(bad)
-        for n in bad:
-            print(
-                f"FAIL events.py broadcast hint on {n!r}: not in the"
-                " reviewed bounded-grain allowlist (unbounded-grain"
-                " broadcasts OOM at 100 TB — review the grain, then"
-                " allowlist or drop the hint)"
-            )
-    else:
-        print(
-            f"ok   events.py broadcast hints: {len(names)} sites, all on"
-            " reviewed bounded-grain tables"
-        )
-    return failures
-
-
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bigdata_spark.plans import all_queries
@@ -1089,7 +1230,7 @@ def main() -> int:
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
-    failures = audit_events_broadcast_hints()
+    failures = audit_broadcast_hints()
     failures += audit_zero_partition_windows()
     for name, checks in AUDITS.items():
         fn, _ = registry[name]
