@@ -73,7 +73,8 @@ LIMIT 20
 # aggregate F4 over a fact scan) ---------------------------------------------
 
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lineitem ⋈ part with part broadcast; conditional revenue ratio.
+    """lineitem ⋈ part (part joins by stats/AQE — broadcast while the
+    dim fits, shuffle beyond); conditional revenue ratio.
     The testdata's p_type domain has no 'PROMO%', so 'ECONOMY' plays
     the promo class — same shape, same plan."""
     l = load_table(spark, sf_dir, "lineitem").filter(

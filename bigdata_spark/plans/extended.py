@@ -755,7 +755,9 @@ def approx_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     every probe task as a literal (no join, no shuffle) and discards
     non-matching rows at the scan, where a plain semi-join would ship
     them all to the join. False positives are then removed by the
-    exact (broadcast) semi-join, so the final aggregate is exact; no
+    exact semi-join (planned by stats/AQE — the build side is a
+    filtered fact subset that grows with SF), so the final aggregate
+    is exact; no
     false negatives is a structural Bloom guarantee. The bitmap uses
     the portable md5 hash, so the DuckDB oracle rebuilds the identical
     filter and even the false-positive count matches bit-for-bit."""
@@ -1881,7 +1883,8 @@ def j14_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation) pairs restricted to the divisor set, grouped, and kept
     when the coverage count equals the divisor cardinality.
 
-    Scale: the divisor (region nations) is a broadcast dim; the fact
+    Scale: the divisor (region nations) is a broadcast dim; supplier
+    joins by stats/AQE (it grows with SF); the fact
     side reduces to DISTINCT pairs in one shuffle; no correlated
     NOT EXISTS double-negation (the textbook form that devolves to a
     per-row subquery)."""

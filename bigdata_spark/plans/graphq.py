@@ -46,9 +46,10 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-round fixed-point PageRank on the nation trade graph. The
-    fact joins build the edge list once (one shuffle per join, dims
-    broadcast); each round is a partial-aggregated groupBy + broadcast-
-    scale node join on a 25-node rank table."""
+    fact joins build the edge list once (one shuffle per join; the
+    bounded nation dim broadcasts, supplier/customer join by
+    stats/AQE); each round is a partial-aggregated groupBy +
+    broadcast-scale node join on a 25-node rank table."""
     from ..operators.graph import pagerank_fixed_point
 
     nodes, edges = _trade_edges(spark, sf_dir)
@@ -247,7 +248,8 @@ def mb_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The classic market-basket mining kernel (apriori level 2): pair
     support from basket-local expansion, item frequencies and order
     count joined on to score lift. Item-frequency join sides are
-    product-catalog-sized → broadcast."""
+    product-catalog-sized: it joins by stats/AQE — broadcast while it
+    fits, shuffle-join once the catalog outgrows the threshold."""
     l = load_table(spark, sf_dir, "lineitem")
     oi = l.select("l_orderkey", "l_partkey").distinct()
     item_cnt = oi.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
@@ -549,7 +551,8 @@ def rec_item_item(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything upstream of the final cosine is exact integers from the
     basket-local pair expansion (no fact self-join — _copurchase_pairs);
-    item frequencies broadcast onto the thresholded pair table; top-3
+    item frequencies join onto the thresholded pair table by stats/AQE
+    (item grain grows with the catalog — never force-broadcast); top-3
     is a per-item window over the pair table (group limit, no global
     sort). The cosine is one shared-text double expression, so ranks
     and scores are engine-identical. At 100 TB this is the same
@@ -792,7 +795,8 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: candidate pairs come from the WEDGE join (two edges
     sharing a midpoint), so only 2-hop pairs are ever materialized —
     never the n² non-edge set; existing edges drop via one anti-join
-    on the canonical edge table; degrees broadcast. All integers until
+    on the canonical edge table; the node-grain degree table joins by
+    stats/AQE (it grows with the graph). All integers until
     the one shared-text Jaccard projection. Top-20 by (jaccard, pair)
     keeps the output stable."""
     e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
@@ -945,7 +949,8 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the edge list comes from the basket-expansion builder
     (`_copurchase_pairs` — one exchange, no fact self-join), degree
     and intra-edge counts are two map-side-combinable aggregations,
-    and the brand dimension broadcasts.  Per-community rows (≤ #brands)
+    and the part→brand map joins by stats/AQE (part grain grows with
+    SF).  Per-community rows (≤ #brands)
     carry their own contribution, so a Louvain-style optimizer could
     re-score a move from these aggregates alone — the standard
     delta-modularity trick at cluster scale.
@@ -1316,7 +1321,8 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-decorated edge pass, and r is ONE closed-form double shared
     verbatim with the oracle.
 
-    Scale: two broadcast joins of the degree table onto the edges plus
+    Scale: two stats/AQE-planned joins of the node-grain degree table
+    onto the edges plus
     one map-side-combinable aggregate — no quadratic structure, no
     windows. Output carries the exact sums so the gate pins more than
     the one float."""
@@ -1400,7 +1406,7 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact ppm integers (10⁶ div deg) so the ranking is hash-exact.
 
     Scale shape: same wedge join as link prediction — only 2-hop pairs
-    materialize, the midpoint's degree rides along via one broadcast
+    materialize, the midpoint's degree rides along via one keyed
     join, existing edges drop with an anti-join. Top-20 by
     (ra_ppm, pair) keeps the output stable."""
     e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
@@ -1562,7 +1568,8 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm integers (1e6·cn div union), hash-exact ranking.
 
     Scale shape: the same wedge equi-join (only 2-hop pairs ever
-    materialize), degree table broadcast TWICE (a- and b-side), anti-
+    materialize), the degree table joined TWICE (a- and b-side, planned
+    by stats/AQE — node grain grows with the graph), anti-
     join drops existing edges. Top-20 by (j_ppm, pair) is a bounded
     TakeOrdered, not a global sort."""
     e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
@@ -1870,7 +1877,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     (FLOOR(10⁶/ln(deg)+0.5) — the same IEEE ln in both engines, then
     an order-free integer sum), so the ranking is hash-exact. Scale
     shape: identical to RA — only 2-hop pairs materialize via the
-    wedge join, the midpoint degree rides along on one broadcast
+    wedge join, the midpoint degree rides along on one keyed
     join, existing edges drop with an anti-join.
     """
     e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()

@@ -535,7 +535,8 @@ def dq_fairness_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios, and the 80%-rule flag all hash-match the DuckDB oracle
     with no float discipline needed (the repo's ppm pattern).
 
-    Scale: one broadcast-dimension join (customer segment onto
+    Scale: one user-dim join planned by stats/AQE (customer grows with
+    SF — never force-broadcast) (customer segment onto
     orders), one map-side-combinable aggregation down to n_segments
     rows, then a window over those few rows for the max selection
     rate.  Nothing after the first aggregation scales with the fact

@@ -123,7 +123,8 @@ LIMIT 10
 # --- TPC-H Q5: local supplier volume (6-way join) ------------------------
 
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join with explicit broadcasts of the dim chain
+    """Star join with explicit broadcasts of the BOUNDED dims
+    (region/nation; supplier joins by stats/AQE — it grows with SF)
     (region→nation→supplier) — at 100 TB these stay tiny while orders/
     lineitem shuffle only on join keys."""
     r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))

@@ -2061,7 +2061,8 @@ def stat_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float summation over strata — and the final dollar value is two
     shared-verbatim IEEE divisions.
 
-    Scale: one broadcast dim join + one map-side-combinable stratum
+    Scale: one customer-dim join by stats/AQE (user grain grows with
+    SF) + one map-side-combinable stratum
     aggregation over the fact table; everything after runs on
     #strata rows. The same stratum cells merge across data increments.
     """
@@ -2575,7 +2576,8 @@ def stat_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ranking. Both the raw and shrunk ranks are emitted with the
     rank movement.
 
-    Everything reduces over one broadcast-dim join + one map-side
+    Everything reduces over one stats/AQE-planned customer-dim join +
+    one map-side
     combinable groupBy to 25 rows; rates are ppm-exact integers
     (portable trunc division) plus shared-verbatim IEEE doubles; the
     re-ranking windows run over the 25-row table."""

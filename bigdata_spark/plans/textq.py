@@ -180,7 +180,8 @@ def txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine reproducible at the last ulp — see the float
     discipline in plans/__init__). Monotone in df like the log form.
     Plan shape: one explode, two key-partitioned aggregations (term
-    frequencies, document frequencies), a broadcast of the term-df
+    frequencies, document frequencies), a stats/AQE-planned join of the
+    vocab-grain term-df
     table back onto the per-doc terms, ranked window with a
     deterministic (score desc, term) tie-break."""
     from ..operators.parallelism import ensure_parallelism
@@ -316,7 +317,8 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     check): flag every corpus document sharing at least one word
     4-gram with the held-out benchmark set (here the deterministic
     doc_id % 97 == 0 slice). Scale shape: n-grams explode per side,
-    the benchmark gram set is broadcast (it is small by construction —
+    the benchmark gram set joins by stats/AQE (a REAL benchmark set is
+    small and broadcasts; this simulated one grows with the corpus —
     benchmarks are, corpora aren't), and the hit count is a partial
     aggregation on doc_id; nothing is quadratic in the corpus."""
     from ..operators.parallelism import ensure_parallelism
@@ -750,7 +752,7 @@ def txt_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocation mining: bigrams with count ≥ 5 scored by
     pointwise mutual information ln(N·c(ab) / (c(a)·c(b))) — the
     classic phrase-detection step before tokenizer training (the
-    word2vec phrases recipe). Unigram counts broadcast onto the
+    word2vec phrases recipe). Unigram counts join onto the
     thresholded bigram table; everything inside the log is an exact
     integer ratio, so the rounded score is engine-stable. One exploded
     pass each for unigrams and bigrams, map-side combined."""
@@ -838,7 +840,8 @@ def txt_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distribution shape: phrase segmentation is the gaps-and-islands
     trick (stopword-count prefix sum) — two windows sharing ONE
-    (doc_id; pos) sort, so one shuffle on doc_id; word stats broadcast
+    (doc_id; pos) sort, so one shuffle on doc_id; vocab-grain word
+    stats join by stats/AQE
     back onto phrase words; the only ordered float sum (word scores
     within a phrase) is evaluated in explicit pos order in BOTH
     engines, so scores are bit-identical and the top-20 cut is
