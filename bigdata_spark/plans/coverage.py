@@ -664,23 +664,35 @@ def wh_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order count), Monetary (exact decimal spend) each quintile-ranked
     by NTILE over a deterministic total order (metric, then custkey),
     concatenated into a 3-digit segment. One groupBy to customer grain
-    (map-side combined), three windows sharing that tiny table, one
-    rollup to segments."""
+    (map-side combined); the customer table GROWS with the data, so
+    each quintile cut is operators/ranking.range_ntile over a slim
+    (metric, custkey) projection — bit-identical to ANSI NTILE with no
+    single-partition exchange — joined back by custkey (AQE-planned
+    shuffle joins at customer grain); one rollup to segments."""
+    from ..operators.ranking import range_ntile
+
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("freq"),
         F.sum(_dec2("o_totalprice")).alias("spend_dec"),
-    )
-    w_r = Window.orderBy("last_order", "o_custkey")
-    w_f = Window.orderBy("freq", "o_custkey")
-    w_m = Window.orderBy("spend_dec", "o_custkey")
-    scored = cust.select(
-        "o_custkey",
-        "spend_dec",
-        F.ntile(5).over(w_r).alias("r"),
-        F.ntile(5).over(w_f).alias("f"),
-        F.ntile(5).over(w_m).alias("m"),
+    ).localCheckpoint()  # four consumers below — scan orders once
+    r_b = range_ntile(
+        cust.select("o_custkey", "last_order"),
+        ["last_order", "o_custkey"], 5, "r",
+    ).select("o_custkey", "r")
+    f_b = range_ntile(
+        cust.select("o_custkey", "freq"), ["freq", "o_custkey"], 5, "f"
+    ).select("o_custkey", "f")
+    m_b = range_ntile(
+        cust.select("o_custkey", "spend_dec"),
+        ["spend_dec", "o_custkey"], 5, "m",
+    ).select("o_custkey", "m")
+    scored = (
+        cust.select("o_custkey", "spend_dec")
+        .join(r_b, "o_custkey")
+        .join(f_b, "o_custkey")
+        .join(m_b, "o_custkey")
     )
     return (
         scored.groupBy(
@@ -1159,11 +1171,15 @@ def wh_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     The class boundary is an exact integer comparison (cum·100 vs
     total·{{80,95}} in DECIMAL(38,0)/HUGEINT — BIGINT cents ×100 would
     wrap around sf~4000; no float on the decision path). Scale: one
-    map-side-combinable rollup to part grain; the cumulative window
-    orders the PART table, not the fact table (at true 100 TB part
-    cardinality you'd range-partition the cumulative sum — the
-    documented two-pass pattern — but the decision arithmetic is
-    unchanged). Output is the 3-class census."""
+    map-side-combinable rollup to part grain; the PART table grows
+    with the data, so the cumulative revenue is
+    operators/ranking.range_cumsum (the two-pass range-partitioned
+    running sum — revenue DESC rides as an exact integer negation) and
+    the grand total is a one-row aggregate broadcast back — no
+    single-partition exchange anywhere. Output is the 3-class
+    census."""
+    from ..operators.ranking import range_cumsum
+
     l = load_table(spark, sf_dir, "lineitem")
     per_part = l.groupBy("l_partkey").agg(
         F.sum(
@@ -1173,17 +1189,16 @@ def wh_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cents")
     )
-    w_cum = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    w_all = Window.orderBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    classed = per_part.select(
+    cum_df = range_cumsum(
+        per_part.withColumn("neg_cents", -F.col("cents")),
+        ["neg_cents", "l_partkey"],
         "cents",
-        F.sum("cents").over(w_cum).alias("cum"),
-        F.sum("cents").over(w_all).alias("tot"),
-    ).select(
+        "cum",
+    )
+    # grand total off the checkpointed cumsum pass — the lineitem scan
+    # and part-grain rollup run exactly once
+    tot_df = cum_df.agg(F.sum("cents").alias("tot"))
+    classed = cum_df.crossJoin(F.broadcast(tot_df)).select(
         "cents",
         # cum·100 passes BIGINT around sf~4000 (and DuckDB would promote
         # to HUGEINT while Spark wraps — a silent cross-engine divergence):

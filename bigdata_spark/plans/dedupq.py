@@ -330,6 +330,250 @@ ORDER BY matches
 DEDUP_MINHASH_AUDIT_SQL = _duck_minhash_audit_sql()
 
 
+# --- cross-run dedup against a persisted MinHash index --------------------
+
+_INC_JACCARD_PPM = 200_000  # exact-verify admission threshold (0.2)
+
+
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) LSH rows — the compact shape a
+    persisted dedup index stores (same banding as minhash_dup_pairs)."""
+    rows_per_band = _NUM_PERM // 4
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[i].cast("string")
+                                    for i in range(
+                                        b * rows_per_band,
+                                        (b + 1) * rows_per_band,
+                                    )
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run dedup against a PERSISTED MinHash index — the
+    production LLM-corpus admission shape: an already-admitted corpus
+    owns an on-disk LSH band index; each new batch is signed, PROBED
+    against the index (never against the raw corpus), exact-verified
+    against the document store for the candidates only, and the
+    survivors' band rows are appended as the next index version.
+
+    Staged here as two real index publishes around a real disk
+    roundtrip: (run 1) the base corpus (doc_id % 5 ≠ 0) builds index
+    v0 via the atomic-marker sink (streaming/upsert_sink.py); (run 2)
+    the incoming batch (doc_id % 5 = 0) probes the index READ BACK
+    FROM PARQUET — so the gated values prove the persisted bytes, not
+    a cached plan — rejects any doc whose banded candidate match
+    exact-verifies at Jaccard ≥ 0.2, and publishes v1 with the
+    admitted docs' band rows appended.
+
+    Batch-internal duplicates are admitted by contract (admission
+    checks the INDEX only — order-free, so the result is a pure
+    function of the corpus and both engines agree); the next run's
+    probe catches them, exactly like production incremental admission.
+
+    Scale: the index stores 4 compact rows/doc; probing is one hash
+    join on (band_id, band_hash) — batch × index, never corpus ×
+    corpus; exact verify touches candidate pairs only; the append is
+    admitted-batch-sized. Nothing rescans admitted history.
+    Signatures are computed ONCE for the whole table and split, so
+    the corpus is shingled in a single pass."""
+    import shutil
+    import tempfile
+
+    from ..dedup.minhash import minhash_signature
+    from ..streaming.upsert_sink import VersionedParquetTable
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, num_perm=_NUM_PERM, shingle_n=3).persist()
+    is_new = F.pmod(F.col("doc_id"), F.lit(5)) == 0
+    base_banded = _band_rows(sigs.filter(~is_new))
+    inc_banded = _band_rows(sigs.filter(is_new))
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_mhidx_")
+    try:
+        index = VersionedParquetTable(spark, f"{scratch}/index")
+        index.publish(base_banded)  # run 1: build + persist v0
+
+        idx = index.read()  # run 2 starts from the PERSISTED bytes
+        rows_before = idx.count()
+        cand = (
+            inc_banded.alias("n")
+            .join(
+                idx.alias("o"),
+                on=[
+                    F.col("n.band_id") == F.col("o.band_id"),
+                    F.col("n.band_hash") == F.col("o.band_hash"),
+                ],
+            )
+            .select(
+                F.col("n.doc_id").alias("new_id"),
+                F.col("o.doc_id").alias("old_id"),
+            )
+            .dropDuplicates(["new_id", "old_id"])
+        )
+        sh = sigs.select("doc_id", "shingles")
+        verified = (
+            cand.join(
+                sh.select(
+                    F.col("doc_id").alias("new_id"),
+                    F.col("shingles").alias("sh_n"),
+                ),
+                "new_id",
+            )
+            .join(
+                sh.select(
+                    F.col("doc_id").alias("old_id"),
+                    F.col("shingles").alias("sh_o"),
+                ),
+                "old_id",
+            )
+            .filter(
+                F.expr(
+                    "IF(size(sh_n) + size(sh_o)"
+                    " - size(array_intersect(sh_n, sh_o)) > 0,"
+                    " (1000000L * size(array_intersect(sh_n, sh_o)))"
+                    " div (size(sh_n) + size(sh_o)"
+                    "      - size(array_intersect(sh_n, sh_o))), 0L)"
+                    f" >= {_INC_JACCARD_PPM}"
+                )
+            )
+        )
+        rejected = verified.select("new_id").distinct()
+        incoming_ids = sigs.filter(is_new).select(
+            F.col("doc_id").alias("new_id")
+        )
+        admitted = incoming_ids.join(rejected, "new_id", "left_anti")
+        index.publish(
+            idx.unionByName(
+                inc_banded.join(
+                    admitted.select(F.col("new_id").alias("doc_id")),
+                    "doc_id",
+                )
+            )
+        )
+        final = VersionedParquetTable(spark, f"{scratch}/index")
+        stats = (
+            incoming_ids.agg(
+                F.count("*").alias("n_incoming"),
+                F.coalesce(F.sum("new_id"), F.lit(0)).alias("sum_incoming_ids"),
+            )
+            .crossJoin(
+                rejected.agg(
+                    F.count("*").alias("n_rejected"),
+                    F.coalesce(F.sum("new_id"), F.lit(0)).alias(
+                        "sum_rejected_ids"
+                    ),
+                )
+            )
+            .crossJoin(
+                sigs.filter(~is_new).agg(F.count("*").alias("n_base"))
+            )
+            .select(
+                "n_base",
+                "n_incoming",
+                "n_rejected",
+                (F.col("n_incoming") - F.col("n_rejected")).alias(
+                    "n_admitted"
+                ),
+                "sum_incoming_ids",
+                "sum_rejected_ids",
+                F.lit(rows_before).cast("long").alias("index_rows_before"),
+                F.lit(final.read().count())
+                .cast("long")
+                .alias("index_rows_after"),
+                F.lit(int(final.current_version()) + 1)
+                .cast("long")
+                .alias("n_versions"),
+            )
+            .localCheckpoint()
+        )
+        return stats
+    finally:
+        sigs.unpersist()
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _duck_minhash_incremental_sql() -> str:
+    rows_per_band = _NUM_PERM // 4
+    sig_items = ", ".join(_duck_minhash_item(i) for i in range(_NUM_PERM))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5(concat_ws(',', {parts})) AS band_hash FROM sig".format(
+            b=b,
+            parts=", ".join(
+                f"CAST(sig[{b * rows_per_band + i + 1}] AS VARCHAR)"
+                for i in range(rows_per_band)
+            ),
+        )
+        for b in range(4)
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM base),
+hs AS ({_duck_hashed_cte()}),
+sig AS (SELECT doc_id, shingles, [{sig_items}] AS sig FROM hs),
+banded AS ({band_rows}),
+oldb AS (SELECT * FROM banded WHERE doc_id % 5 <> 0),
+newb AS (SELECT * FROM banded WHERE doc_id % 5 = 0),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM newb n JOIN oldb o
+    ON n.band_id = o.band_id AND n.band_hash = o.band_hash
+),
+rej AS (
+  SELECT DISTINCT c.new_id
+  FROM cand c
+  JOIN sh sn ON sn.doc_id = c.new_id
+  JOIN sh so ON so.doc_id = c.old_id
+  WHERE CASE WHEN len(sn.shingles) + len(so.shingles)
+                  - len(list_intersect(sn.shingles, so.shingles)) > 0
+        THEN (1000000 * len(list_intersect(sn.shingles, so.shingles)))
+             // (len(sn.shingles) + len(so.shingles)
+                 - len(list_intersect(sn.shingles, so.shingles)))
+        ELSE 0 END >= {_INC_JACCARD_PPM}
+),
+counts AS (
+  SELECT
+    (SELECT COUNT(*) FROM documents WHERE doc_id % 5 <> 0) AS n_base,
+    (SELECT COUNT(*) FROM documents WHERE doc_id % 5 = 0) AS n_incoming,
+    (SELECT COUNT(*) FROM rej) AS n_rejected,
+    (SELECT COALESCE(SUM(doc_id), 0) FROM documents
+      WHERE doc_id % 5 = 0) AS sum_incoming_ids,
+    (SELECT COALESCE(SUM(new_id), 0) FROM rej) AS sum_rejected_ids
+)
+SELECT CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_incoming AS BIGINT) AS n_incoming,
+       CAST(n_rejected AS BIGINT) AS n_rejected,
+       CAST(n_incoming - n_rejected AS BIGINT) AS n_admitted,
+       CAST(sum_incoming_ids AS BIGINT) AS sum_incoming_ids,
+       CAST(sum_rejected_ids AS BIGINT) AS sum_rejected_ids,
+       CAST(4 * n_base AS BIGINT) AS index_rows_before,
+       CAST(4 * (n_base + n_incoming - n_rejected) AS BIGINT)
+         AS index_rows_after,
+       CAST(2 AS BIGINT) AS n_versions
+FROM counts
+"""
+
+
+DEDUP_MINHASH_INCREMENTAL_SQL = _duck_minhash_incremental_sql()
+
+
 # --- simhash (bit-exact oracle) ------------------------------------------
 
 def dedup_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1193,6 +1437,10 @@ LIMIT {_SNM_TOPK}
 QUERIES = {
     "dedup_sorted_neighborhood": (dedup_sorted_neighborhood, DEDUP_SNM_SQL),
     "dedup_minhash_error_audit": (dedup_minhash_error_audit, DEDUP_MINHASH_AUDIT_SQL),
+    "dedup_minhash_incremental": (
+        dedup_minhash_incremental,
+        DEDUP_MINHASH_INCREMENTAL_SQL,
+    ),
     "llm_source_dedup_priority": (llm_source_dedup_priority, LLM_SRC_DEDUP_SQL),
     "dedup_capture_recapture": (dedup_capture_recapture, _crc_sql()),
     "dedup_symspell_join": (dedup_symspell_join, DEDUP_SYMSPELL_SQL),

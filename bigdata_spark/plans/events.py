@@ -2830,6 +2830,10 @@ WHERE c.click_ts + INTERVAL 30 MINUTE < wm.w
 # evt_stream_incremental_mv — foreachBatch aggregate-MERGE MV refresh
 # ---------------------------------------------------------------------------
 
+# staged chronological file groups == expected non-empty refreshes;
+# shared between the plan (n_parts=) and the oracle (n_refreshes)
+_SMV_N_PARTS = 3
+
 
 def evt_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MATERIALIZED-VIEW maintenance — the foreachBatch twin
@@ -2842,7 +2846,11 @@ def evt_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches force three real refreshes; the committed version
     counter (part of the oracle-checked output) proves each batch
     published, and the final MV must equal the global batch aggregate
-    — the exactly-once-shaped invariant.
+    — the exactly-once-shaped invariant. Empty micro-batches (a
+    no-data trigger, a source batching change) SKIP the publish — an
+    MV refresh that changes nothing should not burn a version — so
+    the version counter equals the staged file-group count
+    (``_SMV_N_PARTS``), which is also what the oracle pins.
 
     Scale: per refresh the sink reads the MV (view grain — bounded),
     unions the batch partials, re-aggregates at view grain and
@@ -2869,6 +2877,8 @@ def evt_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     target_root = f"{scratch}/mv"
 
     def refresh(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
         table = VersionedParquetTable(batch.sparkSession, target_root)
         partial = batch.groupBy("event_type").agg(
             F.count("*").alias("n_events"),
@@ -2888,7 +2898,9 @@ def evt_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         table.publish(merged)
 
     try:
-        stream = _stage_chronological_stream(spark, e, scratch, n_parts=3)
+        stream = _stage_chronological_stream(
+            spark, e, scratch, n_parts=_SMV_N_PARTS
+        )
         q = (
             stream.writeStream.foreachBatch(refresh)
             .option("checkpointLocation", f"{scratch}/ckpt_{uuid.uuid4().hex[:8]}")
@@ -2920,11 +2932,11 @@ def evt_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out)
 
 
-EVT_STREAM_IMV_SQL = """
+EVT_STREAM_IMV_SQL = f"""
 SELECT event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(FLOOR(value * CAST(1000000 AS DOUBLE)
             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS v_micros,
-       CAST(3 AS BIGINT) AS n_refreshes
+       CAST({_SMV_N_PARTS} AS BIGINT) AS n_refreshes
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -3187,11 +3199,15 @@ def evt_stream_event_time_timeout(spark: SparkSession, sf_dir: str) -> DataFrame
     one final NO-DATA micro-batch whose watermark includes the LAST
     batch's data — the timeout trigger for everything still idle — so
     the emitted set is batch-structure-independent and exactly:
-    every non-final session of a user, plus the final session iff
-    end + gap < global max event time − 30 min delay — measured
-    empirically and pinned by the oracle (the two eviction paths agree
-    by construction on a chronological stream; see the operator
-    docstring).
+    every non-final session of a user, plus the final session iff its
+    gap horizon (armed at the CEILING millisecond of end + gap — the
+    operator's exact arming grain) lies strictly below the final
+    watermark (floor-ms of the global max event time, minus the 30 min
+    delay — Spark's own ms-grain watermark arithmetic). The oracle
+    computes BOTH sides at that millisecond grain, so operator and
+    oracle are bit-aligned rather than empirically pinned (the two
+    eviction paths agree by construction on a chronological stream;
+    see the operator docstring).
 
     Scale: one GroupState row per LIVE user (start/last/count/sum as
     exact epoch-micro integers), hash-partitioned 16 ways; watermark
@@ -3241,13 +3257,19 @@ def evt_stream_event_time_timeout(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+_ETS_DELAY_MS = _ETS_DELAY_US // 1000
+
+# Final-session eviction is compared at Spark's own grain: the timeout
+# clock arms at ceil-ms of (end + gap) and fires strictly below the
+# ms-grain watermark floor(max event us / 1000) - delay_ms — both
+# sides of the inequality below are that exact integer arithmetic.
 EVT_STREAM_ETS_SQL = f"""
 WITH ev AS (
   SELECT user_id, epoch_us(ts) AS us,
          CAST(FLOOR(value * CAST(1000000 AS DOUBLE)
               + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vm
   FROM events
-), wm AS (SELECT MAX(us) - {_ETS_DELAY_US} AS w FROM ev),
+), wm AS (SELECT (MAX(us) // 1000) - {_ETS_DELAY_MS} AS w_ms FROM ev),
 l AS (
   SELECT user_id, us, vm,
          CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
@@ -3268,8 +3290,114 @@ l AS (
 )
 SELECT user_id, start_us, end_us, n_events, v_micros
 FROM s, wm
-WHERE sid < maxsid OR end_us + {_ETS_GAP_US} < wm.w
+WHERE sid < maxsid OR (end_us + {_ETS_GAP_US} + 999) // 1000 < wm.w_ms
 """
+
+
+# ---------------------------------------------------------------------------
+# evt_stream_checkpoint_recovery — kill/restart proof of state recovery
+# ---------------------------------------------------------------------------
+
+
+def evt_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-recovery PROOF for stateful streaming — the invariant
+    every docstring in this family asserts ("state would surface on
+    restart"), here actually exercised and oracle-gated: the
+    event-time sessionizer (streaming/stateful.py) runs against a
+    file source, is STOPPED after it drains the first chronological
+    file group, then a SECOND query restarts from the SAME checkpoint
+    after more files land — and the union of the two runs' emissions
+    must equal the uninterrupted run bit-for-bit (the same ms-aligned
+    contract EVT_STREAM_ETS_SQL pins for evt_stream_event_time_timeout).
+
+    What restart actually recovers, all from the checkpoint dir:
+    (1) SOURCE OFFSETS — the file-source log marks group-1 files
+    processed, so run 2 reads only the new files (no double counting —
+    any replay would double n_events/v_micros and fail the value
+    hash); (2) GROUP STATE — sessions still open at shutdown resume
+    with their exact (start, last, n, Σv) and close later by data or
+    timeout; (3) THE WATERMARK — run 2 starts from run 1's final
+    watermark, so timeout eviction stays replay-deterministic.
+    Emission-set equality with the uninterrupted run holds by the
+    two-path agreement: any session run 1's final no-data batch
+    evicted by timeout would have been closed by the same user's next
+    (chronologically later) event in run 2 anyway, with an identical
+    row.
+
+    Scale: this is the production restart path itself — state
+    proportional to live sessions, recovery cost proportional to
+    state + one checkpoint read, never to stream history. Each run
+    writes its append-mode emissions to the same parquet dir; the
+    final read is the union."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.stateful import event_time_sessionize
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.expr(
+            "CAST(FLOOR(value * CAST(1000000 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("vm"),
+    )
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_ckpt_")
+    indir = os.path.join(scratch, "in")
+    ckpt = os.path.join(scratch, "ckpt")  # SHARED by both runs
+    outdir = os.path.join(scratch, "out")
+    os.makedirs(indir, exist_ok=True)
+
+    def run_until_drained() -> None:
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        out = event_time_sessionize(
+            stream.withWatermark("ts", _ETS_DELAY),
+            "user_id",
+            "ts",
+            "vm",
+            gap_us=_ETS_GAP_US,
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(outdir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "evt_stream_checkpoint_recovery: run did not drain in 300s"
+            )
+
+    try:
+        groups = _stage_quarter_files(spark, e, scratch, n_parts=2)
+        with _stream_state_partitions(spark, n=16):
+            # run 1: only the first chronological group is visible
+            for j, src in enumerate(groups[0]):
+                shutil.copy(src, os.path.join(indir, f"00_{j}.parquet"))
+            run_until_drained()
+            # the query is STOPPED; the rest of the corpus lands;
+            # run 2 restarts from the same checkpoint
+            for j, src in enumerate(groups[1]):
+                shutil.copy(src, os.path.join(indir, f"01_{j}.parquet"))
+            run_until_drained()
+        out_schema = (
+            "user_id bigint, start_us long, end_us long,"
+            " n_events long, v_micros long"
+        )
+        return (
+            spark.read.schema(out_schema).parquet(outdir).localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -4766,6 +4894,12 @@ QUERIES = {
     "evt_stream_state_timeout": (evt_stream_state_timeout, EVT_STREAM_TIMEOUT_SQL),
     "evt_stream_event_time_timeout": (
         evt_stream_event_time_timeout,
+        EVT_STREAM_ETS_SQL,
+    ),
+    # same ms-aligned emission contract — the restart must be
+    # invisible in the output, so the oracle IS the uninterrupted run
+    "evt_stream_checkpoint_recovery": (
+        evt_stream_checkpoint_recovery,
         EVT_STREAM_ETS_SQL,
     ),
     "w7_range_frame": (w7_range_frame, W7_RANGE_SQL),

@@ -2155,21 +2155,26 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-row probabilities quantize to micro-units so bin sums are
     exact BIGINTs and the ntile order (p_micro, vec_id) is total in
-    both engines. The ntile window runs over the embeddings-grain
-    rows — at a 100 TB score table you would bin by fixed thresholds
-    or sampled quantile cut points instead of a global window.
+    both engines. The score table GROWS with the data, so the
+    equal-mass cut is operators/ranking.range_ntile (range-partitioned
+    two-pass rank + integer bucket arithmetic — bit-identical to ANSI
+    NTILE, no single-partition exchange).
     """
-    from pyspark.sql import Window
+    from ..operators.ranking import range_ntile
 
     data, w, n = _lr_train(spark, sf_dir)
     p = f"(1.0 / (1.0 + exp(-{_lr_z(w)})))"
-    binned = data.select(
-        "vec_id",
-        F.expr(f"CAST(floor({p} * {_LR_Q} + 0.5) AS BIGINT)").alias("p_micro"),
-        F.col("y").cast("long").alias("pos"),
-    ).withColumn(
+    binned = range_ntile(
+        data.select(
+            "vec_id",
+            F.expr(
+                f"CAST(floor({p} * {_LR_Q} + 0.5) AS BIGINT)"
+            ).alias("p_micro"),
+            F.col("y").cast("long").alias("pos"),
+        ),
+        ["p_micro", "vec_id"],
+        10,
         "bin",
-        F.ntile(10).over(Window.orderBy("p_micro", "vec_id")),
     )
     return (
         binned.groupBy("bin")

@@ -2568,6 +2568,101 @@ def opt_join_order_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("est_intermediate_rows", "join_order")
 
 
+def opt_join_order_cost_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE shape of opt_join_order_cost: the same System-R
+    cost model fed by ``approx_count_distinct`` (HyperLogLog++, 5%
+    default rsd) instead of exact COUNT(DISTINCT) — the swap the exact
+    entry's docstring promises for 100 TB, pinned here as its own
+    gated entry. An exact NDV pass soaked 6.5× at sf1 because
+    COUNT(DISTINCT key) shuffles every distinct key; the HLL sketch
+    partial-aggregates map-side into a constant-size buffer, so the
+    stats pass costs one scan regardless of key cardinality.
+
+    The oracle contract is DECISION INVARIANCE, not sketch equality
+    (two engines' HLL implementations differ): the entry outputs the
+    CHOSEN join order and the measured final row count, and the
+    oracle recomputes the winner from EXACT statistics — on this
+    chain the two intermediate estimates differ by ~40× (filtered
+    customer⋈orders vs full orders⋈lineitem ≈ |lineitem|), so a 5%
+    NDV error cannot flip the argmin; if it ever did, that is
+    precisely the regression the gate should catch. One Spark plan,
+    no driver loops; the measured join runs once (dims by AQE)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    cs = c.agg(
+        F.count("*").alias("n_c"),
+        F.approx_count_distinct("c_custkey").alias("ndv_c_custkey"),
+    )
+    os_ = o.agg(
+        F.count("*").alias("n_o"),
+        F.approx_count_distinct("o_custkey").alias("ndv_o_custkey"),
+        F.approx_count_distinct("o_orderkey").alias("ndv_o_orderkey"),
+    )
+    ls = l.agg(
+        F.count("*").alias("n_l"),
+        F.approx_count_distinct("l_orderkey").alias("ndv_l_orderkey"),
+    )
+    act = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count("*").alias("actual"))
+    )
+    est = (
+        cs.crossJoin(os_)
+        .crossJoin(ls)
+        .crossJoin(act)
+        .selectExpr(
+            "CAST(CAST(n_c AS DECIMAL(38,0)) * n_o"
+            " div GREATEST(ndv_c_custkey, ndv_o_custkey, 1L)"
+            " AS BIGINT) AS est_co",
+            "CAST(CAST(n_o AS DECIMAL(38,0)) * n_l"
+            " div GREATEST(ndv_o_orderkey, ndv_l_orderkey, 1L)"
+            " AS BIGINT) AS est_ol",
+            "actual",
+        )
+    )
+    return est.selectExpr(
+        "IF(est_co <= est_ol,"
+        " '(customer JOIN orders) JOIN lineitem',"
+        " '(orders JOIN lineitem) JOIN customer') AS chosen_join_order",
+        "actual AS actual_final_rows",
+    )
+
+
+OPT_JOIN_ORDER_APPROX_SQL = """
+SELECT CASE WHEN est_co <= est_ol
+            THEN '(customer JOIN orders) JOIN lineitem'
+            ELSE '(orders JOIN lineitem) JOIN customer' END
+         AS chosen_join_order,
+       CAST(act.actual AS BIGINT) AS actual_final_rows
+FROM (
+  SELECT
+    CAST(CAST(cs.n AS HUGEINT) * os.n
+         // GREATEST(cs.ndv_custkey, os.ndv_custkey, 1) AS BIGINT) AS est_co,
+    CAST(CAST(os.n AS HUGEINT) * ls.n
+         // GREATEST(os.ndv_orderkey, ls.ndv_orderkey, 1) AS BIGINT) AS est_ol
+  FROM (SELECT COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS ndv_custkey
+        FROM customer WHERE c_mktsegment = 'BUILDING') cs,
+       (SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS ndv_custkey,
+               COUNT(DISTINCT o_orderkey) AS ndv_orderkey
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01') os,
+       (SELECT COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS ndv_orderkey
+        FROM lineitem) ls
+), (
+  SELECT COUNT(*) AS actual FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01'
+) act
+"""
+
+
 OPT_JOIN_ORDER_SQL = """
 WITH cs AS (
   SELECT COUNT(*) AS n, COUNT(DISTINCT c_custkey) AS ndv_custkey
@@ -2611,6 +2706,10 @@ ORDER BY est_intermediate_rows, join_order
 QUERIES = {
     "s37_incremental_mv": (s37_incremental_mv, S37_IMV_SQL),
     "opt_join_order_cost": (opt_join_order_cost, OPT_JOIN_ORDER_SQL),
+    "opt_join_order_cost_approx": (
+        opt_join_order_cost_approx,
+        OPT_JOIN_ORDER_APPROX_SQL,
+    ),
     "s38_mv_retraction": (s38_mv_retraction, S38_MVR_SQL),
     "s39_change_data_feed": (s39_change_data_feed, S39_CDF_SQL),
     "s40_schema_evolution": (s40_schema_evolution, S40_SEV_SQL),

@@ -1295,22 +1295,23 @@ def stat_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-customer order spend (Lorenz form).
 
     Pass 1 aggregates spend per customer (exact DECIMAL, one shuffle
-    over orders).  Pass 2 ranks customers by (spend, custkey) and
-    reduces Σ rank·spend — rank·DECIMAL products stay exact, so the
-    Gini is one closed-form double at the end.  At scale the rank is
-    the only global sort, over the already-aggregated per-customer
-    table (orders-table cardinality never hits the window).
+    over orders).  Pass 2 ranks customers by (spend, custkey) through
+    operators/ranking.range_rank — the two-pass range-partitioned
+    ranker, because the per-customer table GROWS with the data and a
+    bare Window.orderBy would funnel it through one task — and reduces
+    Σ rank·spend; rank·DECIMAL products stay exact, so the Gini is one
+    closed-form double at the end.  The only data-sized movements are
+    the groupBy shuffle and the range exchange of the slim
+    (spend, custkey) projection.
     """
+    from ..operators.ranking import range_rank
+
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(_dec2("o_totalprice")).alias("spend")
     )
-    ranked = spend.select(
-        "spend",
-        F.row_number()
-        .over(Window.orderBy("spend", "o_custkey"))
-        .cast("long")
-        .alias("rk"),
+    ranked = range_rank(spend, ["spend", "o_custkey"], "rk").select(
+        "spend", "rk"
     )
     agg = ranked.agg(
         F.count("*").cast("double").alias("n"),
@@ -2194,20 +2195,28 @@ def stat_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     outcome is any purchase.
 
     Deciles come from NTILE(10) over (score DESC, user_id) — a total
-    order, so both engines bucket identically; per-decile arm counts
-    and their running sums stay BIGINT, and the Qini value / cumulative
-    uplift are shared-verbatim IEEE expressions over those exact
-    integers. Scale: one data-sized groupBy to user grain, then
-    windows over users (rank by score is the unavoidable sort of any
-    targeting evaluation — at 100 TB you'd pre-bucket scores the
-    approx_quantile_hist way); everything after is 10 rows."""
+    order, so both engines bucket identically. The user table GROWS
+    with the data, so the decile cut runs through
+    operators/ranking.range_ntile (range-partitioned two-pass rank +
+    integer bucket arithmetic — bit-identical to ANSI NTILE, no
+    single-partition exchange; score DESC rides as an exact integer
+    negation). Per-decile arm counts and their running sums stay
+    BIGINT, and the Qini value / cumulative uplift are shared-verbatim
+    IEEE expressions over those exact integers; everything after the
+    decile groupBy is 10 rows."""
+    from ..operators.ranking import range_ntile
+
     e = load_table(spark, sf_dir, "events")
     users = e.groupBy("user_id").agg(
         F.sum(F.expr("IF(event_type = 'click', 1, 0)")).alias("score"),
         F.max(F.expr("IF(event_type = 'purchase', 1, 0)")).alias("y"),
     ).withColumn("t", F.expr(f"IF({_QINI_BUCKET_SPARK} >= 50, 1, 0)"))
-    w = Window.orderBy(F.desc("score"), "user_id")
-    deciles = users.withColumn("decile", F.ntile(10).over(w))
+    deciles = range_ntile(
+        users.withColumn("neg_score", -F.col("score")),
+        ["neg_score", "user_id"],
+        10,
+        "decile",
+    ).drop("neg_score")
     g = deciles.groupBy("decile").agg(
         F.sum("t").alias("n_t"),
         (F.count("*") - F.sum("t")).alias("n_c"),

@@ -1450,8 +1450,12 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an exact BIGINT in any aggregation order. Only the 3 bucket-
     level exp() calls are float. Scale: two LM groupBys + one shuffle
     join of doc-bigrams against the LM (big-big hash join — the 100 TB
-    shape) + ntile over doc-grain rows.
+    shape); the tertile cut over the DOC-GRAIN score table (corpus-
+    grown) is operators/ranking.range_ntile — bit-identical to ANSI
+    NTILE on the total key (mean surprisal, doc_id), no
+    single-partition exchange.
     """
+    from ..operators.ranking import range_ntile
     from ..text.analysis import tokens
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -1489,15 +1493,15 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s_micro").alias("surprisal_micro"),
         )
     )
-    bucketed = scored.withColumn(
-        "bucket",
-        F.ntile(3).over(
-            Window.orderBy(
-                (F.col("surprisal_micro").cast("double") / F.col("n_bigrams")),
-                F.col("doc_id"),
-            )
+    bucketed = range_ntile(
+        scored.withColumn(
+            "_ord",
+            F.col("surprisal_micro").cast("double") / F.col("n_bigrams"),
         ),
-    )
+        ["_ord", "doc_id"],
+        3,
+        "bucket",
+    ).drop("_ord")
     return (
         bucketed.groupBy("bucket")
         .agg(
@@ -2511,9 +2515,12 @@ def llm_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact nano integer (FLOOR(x·10⁹ + 0.5) of the same IEEE expression
     in both engines), so the sum is order-free and hash-exact. Both
     directions KL(P‖Q) and KL(Q‖P) are reported — asymmetry itself is
-    a signal. Scale: one exploded token count per slice, a full-outer
-    vocab join, and a single-row rollup; everything is vocabulary-
-    bounded after the first aggregation."""
+    a signal. Scale: one exploded token count per slice, then the
+    global totals come from a ONE-ROW aggregate cross-joined back by
+    broadcast — the vocabulary table grows with the corpus (Heaps'
+    law), so an unbounded window over it would plan an Exchange
+    SinglePartition; the agg+broadcast shape gives identical totals
+    with no single-task sort. Everything after is one rollup."""
     from ..operators.parallelism import ensure_parallelism
     from ..text.analysis import tokens
 
@@ -2531,16 +2538,12 @@ def llm_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("cb"),
         )
     )
-    w_all = Window.orderBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    totals = counts.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count("*").alias("v"),
     )
-    tot = counts.select(
-        "ca",
-        "cb",
-        F.sum("ca").over(w_all).alias("na"),
-        F.sum("cb").over(w_all).alias("nb"),
-        F.count("*").over(w_all).alias("v"),
-    )
+    tot = counts.crossJoin(F.broadcast(totals))
     terms = tot.select(
         "ca",
         "cb",

@@ -232,6 +232,17 @@ def event_time_sessionize(
     event would have opened a new session anyway (watermark ≤ any
     later event's time minus delay).
 
+    Strictly-chronological staging is the determinism contract, not a
+    correctness precondition: a LATE-but-within-watermark event (u ≤
+    the session's last timestamp) merges by CLAMPING — start = min,
+    last = max — so it can extend a session backward but never move
+    its end backward or corrupt the gap test, and the timeout is armed
+    at max(horizon, watermark + 1 ms) so a late-key update can never
+    arm a clock at or below the current watermark (which Spark
+    rejects). Events late enough to belong to an ALREADY-CLOSED
+    session fold into the current one — exactly the watermark
+    semantics (beyond the delay, attribution is best-effort).
+
     Timestamps ride as exact epoch-microsecond BIGINTs end to end
     (the watermark itself is millisecond-grain inside Spark; session
     arithmetic never divides). State is LIVE-KEY-bounded — one row per
@@ -275,11 +286,18 @@ def event_time_sessionize(
                 closed.append(row(st, la, n, vm))
                 st, la, n, vm = u, u, 1, int(v)
             else:
-                la, n, vm = u, n + 1, vm + int(v)
+                # clamped merge: a late (u ≤ la) in-watermark event may
+                # extend the session start backward but never its end
+                st, la, n, vm = min(st, u), max(la, u), n + 1, vm + int(v)
         state.update((st, la, n, vm))
-        # arm the event-time clock: chronological staging guarantees
-        # la ≥ the previous batches' max event time > current watermark
-        state.setTimeoutTimestamp((la + gap_us) // 1000)
+        # arm the event-time clock at the CEILING millisecond of the
+        # microsecond horizon (truncation would fire a session one ms
+        # early relative to the µs contract), and never at or below
+        # the current watermark — Spark throws on that, and a late-key
+        # update could otherwise compute such a horizon
+        horizon_ms = (la + gap_us + 999) // 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(horizon_ms, wm_ms + 1))
         if closed:
             yield pd.DataFrame(closed)
 

@@ -60,3 +60,56 @@ def test_range_rank_plan_has_no_single_partition_exchange(spark):
 def test_range_rank_empty_input(spark):
     df = spark.range(0).select(F.col("id").alias("k"))
     assert range_rank(df, ["k"]).count() == 0
+
+def test_range_ntile_matches_spark_ntile(spark):
+    """range_ntile must be bit-identical to NTILE over a
+    single-partition window on a total key, across n % k residues
+    (n < k, n divisible, n with remainder)."""
+    from bigdata_spark.operators.ranking import range_ntile
+
+    for n, k in [(500, 10), (499, 7), (3, 5), (16, 4), (101, 100)]:
+        df = spark.range(0, n).select(
+            (F.col("id") * 37 % 211).alias("v"), F.col("id").alias("tie")
+        )
+        got = {
+            (r["v"], r["tie"]): r["bucket"]
+            for r in range_ntile(
+                df, ["v", "tie"], k, num_partitions=5
+            ).collect()
+        }
+        want = {
+            (r["v"], r["tie"]): r["bucket"]
+            for r in df.withColumn(
+                "bucket", F.ntile(k).over(Window.orderBy("v", "tie"))
+            ).collect()
+        }
+        assert got == want, f"ntile mismatch at n={n} k={k}"
+
+
+def test_range_ntile_empty_input(spark):
+    from bigdata_spark.operators.ranking import range_ntile
+
+    df = spark.range(0).select(F.col("id").alias("k"))
+    assert range_ntile(df, ["k"], 10).count() == 0
+
+
+def test_range_cumsum_matches_global_window(spark):
+    from bigdata_spark.operators.ranking import range_cumsum
+
+    df = spark.range(0, 400).select(
+        (F.col("id") * 53 % 149).alias("v"),
+        F.col("id").alias("tie"),
+        ((F.col("id") % 19) - 7).alias("x"),
+    )
+    got = {
+        (r["v"], r["tie"]): r["cum"]
+        for r in range_cumsum(
+            df, ["v", "tie"], "x", num_partitions=6
+        ).collect()
+    }
+    w = Window.orderBy("v", "tie").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r["v"], r["tie"]): r["cum"]
+        for r in df.withColumn("cum", F.sum("x").over(w)).collect()
+    }
+    assert got == want

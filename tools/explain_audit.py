@@ -877,8 +877,11 @@ AUDITS.update({
         ("no Python", NO_PYTHON),
     ],
     "wh_abc_analysis": [
-        ("part-grain rollup partial-aggregated before the window", r"partial_sum"),
-        ("scan pruned to partkey+price", r"ReadSchema: struct<l_partkey:bigint,l_extendedprice:double>"),
+        # the part-grain rollup + range exchange run once, eagerly
+        # checkpointed inside range_cumsum; the visible plan is the
+        # bounded offsets pass + broadcast joins back onto it
+        ("offsets/total partial-aggregated", r"partial_sum"),
+        ("bounded sides broadcast onto the checkpointed cumsum", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
         ("no Python", NO_PYTHON),
     ],
     "llm_budget_waterfill": [
@@ -978,6 +981,7 @@ AUDITS.update({
 # (file, function, name); a new hint fails until its grain is reviewed.
 BROADCAST_HINT_ALLOWLIST = {
     ("coverage.py", "f12_quantile_bins", "bnd"),
+    ("coverage.py", "wh_abc_analysis", "tot_df"),
     ("coverage.py", "tpch_q10", "n"),
     ("coverage.py", "tpch_q7", "cust_n"),
     ("coverage.py", "tpch_q7", "supp_n"),
@@ -1086,6 +1090,7 @@ BROADCAST_HINT_ALLOWLIST = {
     ("statsq.py", "stat_spearman", "rx"),
     ("statsq.py", "stat_spearman", "ry"),
     ("statsq.py", "stat_survival_lifetable", "horizon"),
+    ("textq.py", "llm_kl_drift", "totals"),
     ("textq.py", "llm_mix_temperature", "tot"),
     ("textq.py", "llm_oov_rate", "vocab"),
     ("textq.py", "txt_bm25", "stats"),
@@ -1144,7 +1149,13 @@ def audit_broadcast_hints() -> int:
                     break
             sites.append((f.name, d, mm.group(1)))
     bad = sorted(set(sites) - BROADCAST_HINT_ALLOWLIST)
+    # the allowlist must mirror the live sites EXACTLY: a stale entry
+    # lets a future forced broadcast sneak back in under a previously
+    # reviewed (file, function, varname) triple with no re-review
+    stale = sorted(BROADCAST_HINT_ALLOWLIST - set(sites))
+    failures = 0
     if bad:
+        failures += len(bad)
         for fname, fn, nm in bad:
             print(
                 f"FAIL {fname}:{fn}: broadcast hint on {nm!r} not in the"
@@ -1152,72 +1163,168 @@ def audit_broadcast_hints() -> int:
                 " SF-grown tables OOM at 100 TB — review the grain, then"
                 " allowlist or drop the hint)"
             )
-        return len(bad)
+    if stale:
+        failures += len(stale)
+        for fname, fn, nm in stale:
+            print(
+                f"FAIL {fname}:{fn}: allowlist entry {nm!r} no longer has a"
+                " matching F.broadcast site — remove the stale entry so the"
+                " allowlist stays an exact mirror of reviewed sites"
+            )
+    if failures:
+        return failures
     print(
         f"ok   broadcast hints: {len(sites)} sites package-wide, all on"
-        " reviewed bounded-grain tables"
+        " reviewed bounded-grain tables, allowlist exact"
     )
     return 0
 
 
 # --- zero-partition window audit -------------------------------------------
-# ``Window.partitionBy()`` plans as Exchange SinglePartition: the whole
-# window input funnels through ONE task. That is fine over a BOUNDED
-# grain (score bands, contingency cells, a 16-shard census) and fatal
-# over anything that grows with the data. Every zero-partition window
-# site in the plans package must be registered here with its reviewed
-# grain; a new site fails the audit until its input grain is reviewed.
-# (The same review retired the unbounded ones: evt_seasonal_anomaly's
-# hour-grain moments and tpch_q15's supplier-grain max both became
-# one-row aggregates broadcast back.)
+# ANY window spec without a partitionBy — ``Window.partitionBy()``,
+# ``Window.orderBy(...)``, ``Window.orderBy(...).rowsBetween(...)`` —
+# plans as Exchange SinglePartition: the whole window input funnels
+# through ONE task. That is fine over a BOUNDED grain (score bands,
+# contingency cells, a 16-shard census) and fatal over anything that
+# grows with the data. The audit is an AST scan of the entire package
+# (not a literal-string match — round 9's literal scan missed every
+# ``Window.orderBy`` spelling), so every construction site of a
+# no-partitionBy WindowSpec must be registered here with its reviewed
+# grain; a new site fails until its input grain is reviewed. The
+# round-10 sweep converted the six SF-grown offenders this rule
+# surfaced (wh_rfm_segments, stat_qini_uplift, stat_gini_lorenz,
+# ml_calibration_bins, llm_perplexity_buckets, llm_kl_drift) to
+# range_rank / range_ntile / agg+broadcast shapes.
 ZERO_PARTITION_WINDOW_ALLOWLIST = {
+    ("coverage.py", "o7_skyline_pareto"),      # distinct (price, size) catalog pairs
+    ("coverage.py", "o8_range_partition_sort"),  # #partitions grain (pid census)
+    ("events.py", "evt_changepoint"),          # day grain (time-span-bounded)
+    ("events.py", "evt_entropy_rate"),         # ≤k² transition cells
     ("events.py", "evt_interarrival_stats"),   # gap-seconds histogram (bounded domain)
+    ("events.py", "evt_peak_concurrency"),     # day grain (time-span-bounded)
+    ("events.py", "evt_retention_halflife"),   # week-offset (age) grain
+    ("events.py", "evt_seasonal_decompose"),   # hour_id grain (time-span-bounded)
+    ("events.py", "w13_rising_streaks"),       # day grain (time-span-bounded)
+    ("events.py", "w15_cumulative_distinct"),  # day grain (time-span-bounded)
+    ("extended.py", "approx_kmv_distinct"),    # merged KMV sketch (k-bounded per group)
     ("extended.py", "approx_quantile_hist"),   # fixed bucket grid
-    ("mlq.py", "ml_roc_auc"),                  # score-band grain
-    ("mlq.py", "ml_pr_auc"),                   # score-band grain
+    ("extended.py", "approx_theta_ops"),       # theta sketch (k-bounded)
+    ("extended.py", "j14_relational_division"),  # divisor grain (nations in region)
+    ("graphq.py", "graph_eccentricity"),       # landmark-root grain (capped BFS roots)
     ("mlq.py", "ml_gain_lift_deciles"),        # 10 deciles
     ("mlq.py", "ml_ks_separation"),            # score-band grain
+    ("mlq.py", "ml_mutual_info"),              # ≤15 contingency cells
+    ("mlq.py", "ml_pr_auc"),                   # score-band grain
+    ("mlq.py", "ml_roc_auc"),                  # score-band grain
+    ("mlq.py", "ml_woe_iv"),                   # score-bucket grain
     ("qualityq.py", "dq_drift_psi"),           # PSI bucket grid (2 sites)
     ("qualityq.py", "dq_fairness_ratios"),     # demographic-group grain
+    ("ranking.py", "range_cumsum"),            # #partitions offset table (the operator's own bounded pass)
+    ("ranking.py", "range_rank"),              # #partitions offset table (the operator's own bounded pass)
+    ("samplingq.py", "p7_pps_systematic"),     # stratum/offset grain
     ("samplingq.py", "p9_neyman_allocation"),  # stratum grain
+    ("statsq.py", "ml_adversarial_validation"),  # quantity value-domain (≤50 distinct)
+    ("statsq.py", "ml_auc_delong"),            # score value-domain bands
+    ("statsq.py", "stat_acf"),                 # day grain (time-span-bounded)
+    ("statsq.py", "stat_anova_twoway"),        # ≤15 cells
+    ("statsq.py", "stat_bh_fdr"),              # hypothesis grain (etype × dow)
     ("statsq.py", "stat_chi2_independence"),   # contingency cells
-    ("statsq.py", "stat_theil_sen"),           # month-pair grain (time-span-bounded)
     ("statsq.py", "stat_control_chart"),       # month grain (time-span-bounded)
-    ("statsq.py", "stat_friedman"),            # 5-treatment grain
     ("statsq.py", "stat_cramers_v"),           # contingency cells
+    ("statsq.py", "stat_eb_shrinkage"),        # nation grain (25)
+    ("statsq.py", "stat_ewma"),                # month grain (time-span-bounded)
+    ("statsq.py", "stat_friedman"),            # 5-treatment grain
+    ("statsq.py", "stat_hodges_lehmann"),      # Walsh-sum value domain (bounded)
+    ("statsq.py", "stat_ks_test"),             # quantity value-domain (≤50 distinct)
     ("statsq.py", "stat_levene_bf"),           # 5-group grain
+    ("statsq.py", "stat_ljung_box"),           # day grain (time-span-bounded)
+    ("statsq.py", "stat_mannwhitney"),         # value-domain rank table
+    ("statsq.py", "stat_mood_median"),         # bucket grid + selected-bucket value domain
+    ("statsq.py", "stat_nelson_aalen"),        # lifetime-days grain (time-span-bounded)
+    ("statsq.py", "stat_qini_uplift"),         # 10-decile cumulative window
+    ("statsq.py", "stat_runs_test"),           # day grain (time-span-bounded)
+    ("statsq.py", "stat_spearman"),            # value-domain rank table
+    ("statsq.py", "stat_sprt"),                # day grain (time-span-bounded)
+    ("statsq.py", "stat_theil_sen"),           # month-pair grain (time-span-bounded)
+    ("statsq.py", "stat_wilcoxon_signed"),     # |diff| value-domain (bounded)
+    ("textq.py", "llm_budget_waterfill"),      # source grain (~20 rows)
     ("textq.py", "llm_shard_assign"),          # 16-shard census
+    ("textq.py", "txt_zipf_fit"),              # post-LIMIT top-k ranks
 }
+
+
+def _no_partition_window_sites(root) -> list[tuple[str, str]]:
+    """AST scan: every construction site of a WindowSpec whose builder
+    chain starts at ``Window`` and never calls ``partitionBy`` with at
+    least one argument. Returns (file, enclosing function) pairs."""
+    import ast
+    import pathlib
+
+    sites: list[tuple[str, str]] = []
+    for f in sorted(pathlib.Path(root).rglob("*.py")):
+        tree = ast.parse(f.read_text())
+        # map every node to its enclosing top-level function name
+        parents: dict[int, str] = {}
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                for child in ast.walk(node):
+                    parents.setdefault(id(child), node.name)
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call):
+                continue
+            # unwind the method chain: Window.a(...).b(...).c(...)
+            cur, chain = node, []
+            while isinstance(cur, ast.Call) and isinstance(
+                cur.func, ast.Attribute
+            ):
+                chain.append((cur.func.attr, len(cur.args) + len(cur.keywords)))
+                cur = cur.func.value
+            if not (isinstance(cur, ast.Name) and cur.id == "Window"):
+                continue
+            if any(m == "partitionBy" and n > 0 for m, n in chain):
+                continue
+            # only count the OUTERMOST call of each chain: an inner
+            # Call re-visited by ast.walk reports the same site
+            sites.append(
+                (f.name, parents.get(id(node), "<module>"), node.lineno)
+            )
+    # a chain's inner calls share the file+function; dedup on the
+    # outermost line only (inner calls have distinct linenos but the
+    # same root — collapse per (file, fn) below at compare time)
+    return sorted({(fname, fn) for fname, fn, _ in sites})
 
 
 def audit_zero_partition_windows() -> int:
     import pathlib
 
-    plans = pathlib.Path(__file__).resolve().parent.parent.joinpath(
-        "bigdata_spark/plans"
-    )
-    sites: list[tuple[str, str]] = []
-    for f in sorted(plans.glob("*.py")):
-        curdef = None
-        for ln in f.read_text().splitlines():
-            m = re.match(r"def (\w+)", ln)
-            if m:
-                curdef = m.group(1)
-            if "Window.partitionBy()" in ln:
-                sites.append((f.name, curdef))
-    bad = sorted(set(sites) - ZERO_PARTITION_WINDOW_ALLOWLIST)
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "bigdata_spark"
+    sites = set(_no_partition_window_sites(pkg))
+    bad = sorted(sites - ZERO_PARTITION_WINDOW_ALLOWLIST)
+    stale = sorted(ZERO_PARTITION_WINDOW_ALLOWLIST - sites)
+    failures = 0
     if bad:
+        failures += len(bad)
         for fname, fn in bad:
             print(
-                f"FAIL {fname}:{fn}: zero-partition window not in the"
+                f"FAIL {fname}:{fn}: no-partitionBy window spec not in the"
                 " reviewed bounded-grain allowlist (single-partition"
                 " exchange — review the input grain; if it grows with"
-                " the data, fold it as agg + crossJoin(broadcast))"
+                " the data, use operators/ranking.range_rank/range_ntile"
+                " or fold it as agg + crossJoin(broadcast))"
             )
-        return len(bad)
+    if stale:
+        failures += len(stale)
+        for fname, fn in stale:
+            print(
+                f"FAIL {fname}:{fn}: stale zero-partition-window allowlist"
+                " entry (no matching site) — remove it so the allowlist"
+                " stays an exact mirror of reviewed sites"
+            )
+    if failures:
+        return failures
     print(
-        f"ok   zero-partition windows: {len(sites)} sites, all on"
-        " reviewed bounded grains"
+        f"ok   zero-partition windows: {len(sites)} reviewed"
+        " bounded-grain sites package-wide, allowlist exact"
     )
     return 0
 
