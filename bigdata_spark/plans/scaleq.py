@@ -2703,6 +2703,285 @@ ORDER BY est_intermediate_rows, join_order
 """
 
 
+# ---------------------------------------------------------------------------
+# s42/s43 — row-level DELETE/UPDATE via deletion vectors (no file rewrite)
+# ---------------------------------------------------------------------------
+
+_DV_CENTS = (
+    "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+_DV_DELETE_PRED = "o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 3"
+_DV_UPDATE_PRED = "o_orderpriority = '2-HIGH' AND o_orderkey % 10 = 7"
+
+
+def _stage_dv_table(spark: SparkSession, sf_dir: str, scratch: str):
+    """Stage orders as a flat 8-file manifest table (v1 — deletion
+    vectors are POSITIONAL, so no bucket/partition alignment is
+    needed), then commit a MERGE as snapshot v2 WITHOUT rewriting any
+    data file: rows hit by the DELETE predicate get (file_key, pos)
+    entries in a parquet deletion-vector sidecar; rows hit by the
+    UPDATE predicate get a DV entry for the OLD position plus their
+    new image in ONE appended file (update = DV + append — the Delta
+    deletion-vector commit shape). Returns
+    (base, v1_files, appended_files, dv_files)."""
+    import shutil
+
+    from ..sources.manifest import (
+        commit_snapshot,
+        file_key_col,
+        list_data_files,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = os.path.join(scratch, "table")
+    o.repartition(_S37_BUCKETS).write.mode("overwrite").parquet(base)
+    v1_files = list_data_files(base)
+    commit_snapshot(base, 1, v1_files)
+
+    v1 = spark.read.option("basePath", base).parquet(*v1_files)
+    touched = F.expr(f"({_DV_DELETE_PRED}) OR ({_DV_UPDATE_PRED})")
+    dv_dir = os.path.join(scratch, "dv_v2")
+    (
+        v1.filter(touched)
+        .select(
+            file_key_col().alias("file_key"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .repartition(1)
+        .write.mode("overwrite")
+        .parquet(dv_dir)
+    )
+    dv_files = []
+    for i, src in enumerate(sorted(list_data_files(dv_dir))):
+        dst = os.path.join(base, f"dv-v2-{i}-{os.path.basename(src)}")
+        shutil.move(src, dst)
+        dv_files.append(dst)
+    app_dir = os.path.join(scratch, "staged_append")
+    (
+        v1.filter(F.expr(_DV_UPDATE_PRED))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("o_totalprice") * F.lit(2.0)).alias("o_totalprice"),
+        )
+        .repartition(1)
+        .write.mode("overwrite")
+        .parquet(app_dir)
+    )
+    appended = []
+    for i, src in enumerate(sorted(list_data_files(app_dir))):
+        dst = os.path.join(base, f"v2a-{i}-{os.path.basename(src)}")
+        shutil.move(src, dst)
+        appended.append(dst)
+    commit_snapshot(base, 2, v1_files + appended, delete_files=dv_files)
+    return base, v1_files, appended, dv_files
+
+
+def s42_deletion_vector_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE + UPDATE committed as DELETION VECTORS — the
+    Delta-DV / Iceberg-positional-delete MERGE path that s38's
+    copy-on-write entry deliberately avoids: the v2 commit REWRITES
+    ZERO data files. Deleted rows (o_orderpriority 1-URGENT, key%10=3)
+    and the old images of updated rows (2-HIGH, key%10=7, price
+    doubled) become (file_key, row_index) pairs in a parquet sidecar —
+    Spark's ``_metadata.row_index`` supplies the physical positions —
+    and the new images land in one appended file; the manifest
+    registers both. ``read_snapshot_with_deletes`` then serves v2 by
+    anti-joining the DV onto position-annotated scans.
+
+    Oracle contract: the per-priority census (row count + exact cents)
+    of the DV-applied snapshot must equal the relational MERGE result
+    computed by DuckDB directly from orders, and the counters pin the
+    mechanism — n_files_rewritten is literally 0 (every v1 file is
+    byte-identical in v2), one appended file, and the DV entry count
+    equals the rows the two predicates touch.
+
+    Scale: a MERGE touching p% of rows commits O(p) sidecar bytes
+    instead of rewriting every hit file — at 100 TB with point deletes
+    this is the difference between kilobytes and terabytes of write
+    amplification; the read-side cost is one churn-sized anti join
+    that AQE broadcasts in the common case."""
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import read_snapshot_with_deletes
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_dv_")
+    try:
+        base, v1_files, appended, dv_files = _stage_dv_table(
+            spark, sf_dir, scratch
+        )
+        dv_entries = spark.read.parquet(*dv_files).count()
+        snap2 = read_snapshot_with_deletes(spark, base, 2)
+        census = (
+            snap2.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.expr(_DV_CENTS)).cast("long").alias("revenue_cents"),
+            )
+            .select(
+                "o_orderpriority",
+                "n_rows",
+                "revenue_cents",
+                F.lit(dv_entries).cast("long").alias("n_dv_entries"),
+                F.lit(len(v1_files)).cast("long").alias("n_files_v1"),
+                F.lit(len(v1_files) + len(appended))
+                .cast("long")
+                .alias("n_files_v2"),
+                F.lit(0).cast("long").alias("n_files_rewritten"),
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+        return census
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S42_DV_SQL = f"""
+WITH merged AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+  WHERE NOT ({_DV_DELETE_PRED}) AND NOT ({_DV_UPDATE_PRED})
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_totalprice * 2.0 AS o_totalprice
+  FROM orders WHERE {_DV_UPDATE_PRED}
+), counters AS (
+  SELECT COUNT(*) AS n_dv FROM orders
+  WHERE ({_DV_DELETE_PRED}) OR ({_DV_UPDATE_PRED})
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM({_DV_CENTS}) AS BIGINT) AS revenue_cents,
+       CAST(counters.n_dv AS BIGINT) AS n_dv_entries,
+       CAST({_S37_BUCKETS} AS BIGINT) AS n_files_v1,
+       CAST({_S37_BUCKETS + 1} AS BIGINT) AS n_files_v2,
+       CAST(0 AS BIGINT) AS n_files_rewritten
+FROM merged, counters
+GROUP BY o_orderpriority, counters.n_dv
+ORDER BY o_orderpriority
+"""
+
+
+def s43_dv_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED derived from a deletion-vector commit — the
+    consumer side of s42, composing with s39's file-diff CDF: under
+    DVs the v1→v2 diff is not (removed files, added files) but
+    (DV positions, appended files), and the feed reads ONLY the
+    DV-named data files plus the appended file. Deleted positions join
+    back to their rows (position-annotated scan of the affected files
+    only); a deleted row whose key reappears in the appended file is
+    an update (pre/post pair), otherwise a delete; appended rows with
+    no DV partner would be inserts (s39 pins that path — this commit
+    appends updates only).
+
+    Output is the same per-priority change census as s39 — change
+    type × priority × exact signed cents delta — exactly what the
+    incremental MV (s38) would apply. Scale: the feed costs O(churn):
+    DV sidecar + touched files + appended file, never the table."""
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import file_key_col
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_dvcdf_")
+    try:
+        base, v1_files, appended, dv_files = _stage_dv_table(
+            spark, sf_dir, scratch
+        )
+        dv = spark.read.parquet(*dv_files)
+        touched_keys = {
+            r["file_key"] for r in dv.select("file_key").distinct().collect()
+        }  # file grain — bounded by the file count
+        touched_files = [
+            f
+            for f in v1_files
+            if "/".join(f.rsplit("/", 2)[-2:]) in touched_keys
+        ]
+        old_rows = (
+            spark.read.option("basePath", base)
+            .parquet(*touched_files)
+            .withColumn("_fk", file_key_col())
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .join(
+                dv,
+                on=[
+                    F.col("_fk") == dv.file_key,
+                    F.col("_pos") == dv.pos,
+                ],
+            )
+            .select(
+                F.col("o_orderkey").alias("old_key"),
+                F.col("o_orderpriority").alias("old_prio"),
+                F.expr(_DV_CENTS).alias("old_cents"),
+            )
+        )
+        new_rows = (
+            spark.read.option("basePath", base)
+            .parquet(*appended)
+            .select(
+                F.col("o_orderkey").alias("new_key"),
+                F.col("o_orderpriority").alias("new_prio"),
+                F.expr(_DV_CENTS).alias("new_cents"),
+            )
+        )
+        changes = old_rows.join(
+            new_rows, old_rows.old_key == new_rows.new_key, "full_outer"
+        ).selectExpr(
+            "CASE WHEN new_key IS NULL THEN array('delete')"
+            " WHEN old_key IS NULL THEN array('insert')"
+            " ELSE array('update_pre', 'update_post') END AS kinds",
+            "coalesce(old_prio, new_prio) AS o_orderpriority",
+            "old_cents",
+            "new_cents",
+        )
+        feed = changes.select(
+            F.explode("kinds").alias("change_type"),
+            "o_orderpriority",
+            F.expr(
+                "CASE WHEN change_type IN ('delete', 'update_pre')"
+                " THEN -old_cents ELSE new_cents END"
+            ).alias("delta_cents"),
+        )
+        return (
+            feed.groupBy("change_type", "o_orderpriority")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("delta_cents").cast("long").alias("delta_cents"),
+            )
+            .orderBy("change_type", "o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S43_DVCDF_SQL = f"""
+WITH feed AS (
+  SELECT 'delete' AS change_type, o_orderpriority,
+         -{_DV_CENTS} AS delta_cents
+  FROM orders WHERE {_DV_DELETE_PRED}
+  UNION ALL
+  SELECT 'update_pre' AS change_type, o_orderpriority,
+         -{_DV_CENTS} AS delta_cents
+  FROM orders WHERE {_DV_UPDATE_PRED}
+  UNION ALL
+  SELECT 'update_post' AS change_type, o_orderpriority,
+         CAST(FLOOR((o_totalprice * 2.0) * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS delta_cents
+  FROM orders WHERE {_DV_UPDATE_PRED}
+)
+SELECT change_type, o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM(delta_cents) AS BIGINT) AS delta_cents
+FROM feed
+GROUP BY change_type, o_orderpriority
+ORDER BY change_type, o_orderpriority
+"""
+
+
 QUERIES = {
     "s37_incremental_mv": (s37_incremental_mv, S37_IMV_SQL),
     "opt_join_order_cost": (opt_join_order_cost, OPT_JOIN_ORDER_SQL),
@@ -2712,6 +2991,8 @@ QUERIES = {
     ),
     "s38_mv_retraction": (s38_mv_retraction, S38_MVR_SQL),
     "s39_change_data_feed": (s39_change_data_feed, S39_CDF_SQL),
+    "s42_deletion_vector_merge": (s42_deletion_vector_merge, S42_DV_SQL),
+    "s43_dv_change_data_feed": (s43_dv_change_data_feed, S43_DVCDF_SQL),
     "s40_schema_evolution": (s40_schema_evolution, S40_SEV_SQL),
     "s41_metadata_only_count": (s41_metadata_only_count, S41_MOC_SQL),
     "s34_manifest_time_travel": (s34_manifest_time_travel, S34_TTRAVEL_SQL),

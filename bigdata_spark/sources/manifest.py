@@ -99,11 +99,18 @@ def commit_snapshot(
     version: int,
     files: list[str],
     stats: dict[str, dict] | None = None,
+    delete_files: list[str] | None = None,
 ) -> str:
     """Atomically publish ``files`` as snapshot ``version`` (one JSON
     write + rename; the data files themselves are already immutable).
     ``stats`` (from :func:`collect_file_stats`) rides along keyed by
-    the same relative paths and powers predicate file-pruning."""
+    the same relative paths and powers predicate file-pruning.
+    ``delete_files`` registers DELETION-VECTOR sidecars (parquet files
+    of (file_key, pos) rows — see :func:`read_snapshot_with_deletes`)
+    that logically remove individual rows from the listed data files
+    without rewriting them — the Delta deletion-vector / Iceberg
+    positional-delete commit shape. Older readers that ignore the key
+    see the pre-delete rows (the format is forward-compatible)."""
     mdir = _manifest_dir(table_path)
     os.makedirs(mdir, exist_ok=True)
     rel = sorted(os.path.relpath(f, table_path) for f in files)
@@ -112,6 +119,10 @@ def commit_snapshot(
         doc["stats"] = {
             os.path.relpath(f, table_path): s for f, s in stats.items()
         }
+    if delete_files:
+        doc["deletes"] = sorted(
+            os.path.relpath(f, table_path) for f in delete_files
+        )
     tmp = os.path.join(mdir, f".v{version}.json.tmp")
     final = os.path.join(mdir, f"v{version}.json")
     with open(tmp, "w") as fh:
@@ -179,6 +190,63 @@ def read_snapshot_pruned(
         *(os.path.join(table_path, f) for f in keep)
     )
     return df, len(m["files"]), len(keep)
+
+
+def snapshot_delete_files(table_path: str, version: int) -> list[str]:
+    """Deletion-vector sidecars registered by snapshot ``version``
+    (empty for snapshots committed without row-level deletes)."""
+    with open(os.path.join(_manifest_dir(table_path), f"v{version}.json")) as fh:
+        m = json.load(fh)
+    return [
+        os.path.normpath(os.path.join(table_path, f))
+        for f in m.get("deletes", [])
+    ]
+
+
+def file_key_col():
+    """Stable per-row file identity for positional deletes: the last
+    two path components of the scanned file (partition dir + part
+    file — part filenames embed task UUIDs, so the key is unique
+    within a table while staying relocation-safe, unlike the absolute
+    ``file://`` URI Spark reports)."""
+    from pyspark.sql import functions as F
+
+    return F.substring_index(F.col("_metadata.file_path"), "/", -2)
+
+
+def read_snapshot_with_deletes(
+    spark: SparkSession, table_path: str, version: int
+) -> DataFrame:
+    """Plan a scan over snapshot ``version`` with its deletion vectors
+    APPLIED: each data row carries its physical position
+    (``_metadata.row_index``) and file key; the DV sidecars hold the
+    (file_key, pos) pairs a row-level DELETE/UPDATE logically removed,
+    and a LEFT ANTI join masks them out. No data file is rewritten —
+    the 100 TB point-delete shape: a MERGE touching 0.01% of rows
+    commits kilobyte sidecars instead of rewriting terabytes. The anti
+    join is left unhinted: DV size is commit-churn-sized, so AQE
+    broadcasts the usual tiny case by stats and degrades to a shuffle
+    join only when a commit really deleted a data-sized row set.
+    Snapshots without DVs read exactly like :func:`read_snapshot`."""
+    from pyspark.sql import functions as F
+
+    files = snapshot_files(table_path, version)
+    df = spark.read.option("basePath", table_path).parquet(*files)
+    dvs = snapshot_delete_files(table_path, version)
+    if not dvs:
+        return df
+    dv = spark.read.parquet(*dvs)  # (file_key string, pos long)
+    data_cols = df.columns
+    return (
+        df.withColumn("_fk", file_key_col())
+        .withColumn("_pos", F.col("_metadata.row_index"))
+        .join(
+            dv,
+            on=[F.col("_fk") == dv.file_key, F.col("_pos") == dv.pos],
+            how="left_anti",
+        )
+        .select(*data_cols)
+    )
 
 
 def versions(table_path: str) -> list[int]:
