@@ -2982,6 +2982,127 @@ ORDER BY change_type, o_orderpriority
 """
 
 
+def s44_dv_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector COMPACTION — the maintenance step that closes
+    the DV lifecycle (s42 writes DVs, s43 feeds changes, this folds
+    them back): every data file carrying DV entries is rewritten
+    WITHOUT its masked rows (one position-annotated anti-join over the
+    touched files only), snapshot v3 lists the rewritten + untouched +
+    appended files with NO delete sidecars, and old snapshots stay
+    readable (time travel to v2 still applies the DVs). This is the
+    Delta `REORG ... APPLY (PURGE)` / Iceberg rewrite-data-files job:
+    DVs trade write amplification for read-side anti-joins, and
+    compaction pays the rewrite back once the masked fraction makes
+    the anti-join the expensive side.
+
+    Oracle contract: the v3 census (per-priority rows + exact cents)
+    must STILL equal the relational MERGE result — compaction is
+    required to be a physical no-op — and the counters pin the
+    lifecycle: rows_purged equals the DV entry count, v3 registers
+    zero DV sidecars.
+
+    Scale: cost is O(touched files), chosen by a file-grain census
+    (bounded); untouched and appended files carry over by manifest
+    reference without a byte moving."""
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import (
+        commit_snapshot,
+        file_key_col,
+        list_data_files,
+        read_snapshot_with_deletes,
+        snapshot_delete_files,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_dvc_")
+    try:
+        base, v1_files, appended, dv_files = _stage_dv_table(
+            spark, sf_dir, scratch
+        )
+        dv = spark.read.parquet(*dv_files)
+        n_dv = dv.count()
+        touched_keys = {
+            r["file_key"] for r in dv.select("file_key").distinct().collect()
+        }  # file grain — bounded
+        touched = [
+            f
+            for f in v1_files
+            if "/".join(f.rsplit("/", 2)[-2:]) in touched_keys
+        ]
+        untouched = [
+            f
+            for f in v1_files
+            if "/".join(f.rsplit("/", 2)[-2:]) not in touched_keys
+        ]
+        live = (
+            spark.read.option("basePath", base)
+            .parquet(*touched)
+            .withColumn("_fk", file_key_col())
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .join(
+                dv,
+                on=[F.col("_fk") == dv.file_key, F.col("_pos") == dv.pos],
+                how="left_anti",
+            )
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        )
+        comp_dir = os.path.join(scratch, "compacted")
+        live.repartition(len(touched)).write.mode("overwrite").parquet(
+            comp_dir
+        )
+        compacted = []
+        for i, src in enumerate(sorted(list_data_files(comp_dir))):
+            dst = os.path.join(base, f"c3-{i}-{os.path.basename(src)}")
+            shutil.move(src, dst)
+            compacted.append(dst)
+        commit_snapshot(base, 3, untouched + appended + compacted)
+
+        snap3 = read_snapshot_with_deletes(spark, base, 3)
+        return (
+            snap3.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.expr(_DV_CENTS)).cast("long").alias("revenue_cents"),
+            )
+            .select(
+                "o_orderpriority",
+                "n_rows",
+                "revenue_cents",
+                F.lit(n_dv).cast("long").alias("rows_purged"),
+                F.lit(len(snapshot_delete_files(base, 3)))
+                .cast("long")
+                .alias("n_dv_files_after"),
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S44_DVC_SQL = f"""
+WITH merged AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+  WHERE NOT ({_DV_DELETE_PRED}) AND NOT ({_DV_UPDATE_PRED})
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_totalprice * 2.0 AS o_totalprice
+  FROM orders WHERE {_DV_UPDATE_PRED}
+), counters AS (
+  SELECT COUNT(*) AS n_dv FROM orders
+  WHERE ({_DV_DELETE_PRED}) OR ({_DV_UPDATE_PRED})
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM({_DV_CENTS}) AS BIGINT) AS revenue_cents,
+       CAST(counters.n_dv AS BIGINT) AS rows_purged,
+       CAST(0 AS BIGINT) AS n_dv_files_after
+FROM merged, counters
+GROUP BY o_orderpriority, counters.n_dv
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "s37_incremental_mv": (s37_incremental_mv, S37_IMV_SQL),
     "opt_join_order_cost": (opt_join_order_cost, OPT_JOIN_ORDER_SQL),
@@ -2993,6 +3114,7 @@ QUERIES = {
     "s39_change_data_feed": (s39_change_data_feed, S39_CDF_SQL),
     "s42_deletion_vector_merge": (s42_deletion_vector_merge, S42_DV_SQL),
     "s43_dv_change_data_feed": (s43_dv_change_data_feed, S43_DVCDF_SQL),
+    "s44_dv_compaction": (s44_dv_compaction, S44_DVC_SQL),
     "s40_schema_evolution": (s40_schema_evolution, S40_SEV_SQL),
     "s41_metadata_only_count": (s41_metadata_only_count, S41_MOC_SQL),
     "s34_manifest_time_travel": (s34_manifest_time_travel, S34_TTRAVEL_SQL),
