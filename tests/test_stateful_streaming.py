@@ -170,3 +170,55 @@ def test_event_time_sessionize_both_eviction_paths(spark, tmp_path):
         ("B", mins(5), mins(5), 1, 7),    # timeout-path close
     }
     assert got == want
+
+
+def test_event_time_sessionize_clamps_late_events(spark, tmp_path):
+    """A later micro-batch delivering an event OLDER than the session's
+    last timestamp (late but within the watermark) must merge by
+    clamping — start=min, last=max — never move the session end
+    backward, and never corrupt the gap test or the armed timeout."""
+    from bigdata_spark.streaming.stateful import event_time_sessionize
+
+    src = str(tmp_path / "ets_src")
+    schema = "user_id long, ts timestamp, vm long"
+
+    def stage(rows, name):
+        spark.createDataFrame(
+            [(u, t, v) for u, t, v in rows], "user_id long, sec long, vm long"
+        ).select(
+            "user_id", F.timestamp_seconds("sec").alias("ts"), "vm"
+        ).coalesce(1).write.parquet(src + "/" + name)
+
+    # batch 1: u1 opens a session spanning 1000..2000 s; u2 at 1000 s
+    stage([(1, 1000, 10), (1, 2000, 20), (2, 1000, 5)], "p1")
+    # batch 2: u1's LATE event at 1500 s (inside the open session's
+    # span); u2 jumps far ahead — closes its old session by data and
+    # advances the watermark so u1's idle session times out
+    stage([(1, 1500, 7), (2, 50000, 9)], "p2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/p*")
+        .withWatermark("ts", "10 hours")
+    )
+    out = event_time_sessionize(
+        stream, "user_id", "ts", "vm", gap_us=3600 * 1_000_000
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ets_clamp")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["start_us"], r["end_us"], r["n_events"], r["v_micros"])
+        for r in spark.table("ets_clamp").collect()
+    }
+    # u1: one session, late event ABSORBED — end stays 2000 s, count 3
+    assert got[1] == (1000 * 1_000_000, 2000 * 1_000_000, 3, 37)
+    # u2: first session closed by the 50000 s event (data path); the
+    # new session stays in state (horizon above the final watermark)
+    assert got[2] == (1000 * 1_000_000, 1000 * 1_000_000, 1, 5)
