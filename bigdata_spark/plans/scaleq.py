@@ -3103,6 +3103,335 @@ ORDER BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# s45/s46/s47 — snapshot expiry + vacuum, optimistic concurrency, AS OF reads
+# ---------------------------------------------------------------------------
+
+
+def _stage_flat_orders(spark: SparkSession, sf_dir: str, base: str):
+    """Orders as _S37_BUCKETS flat immutable files + manifest v1."""
+    from ..sources.manifest import commit_snapshot, list_data_files
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    o.repartition(_S37_BUCKETS).write.mode("overwrite").parquet(base)
+    files = list_data_files(base)
+    commit_snapshot(base, 1, files)
+    return files
+
+
+def _write_slice(spark, base, scratch, name, pred, mult, src_files):
+    """One appended immutable file: the rows of ``src_files`` matching
+    ``pred`` with o_totalprice scaled by ``mult`` (an exact IEEE
+    double product both engines reproduce). Returns the final path."""
+    from ..sources.manifest import list_data_files
+
+    stage = os.path.join(scratch, f"staged_{name}")
+    (
+        spark.read.option("basePath", base)
+        .parquet(*src_files)
+        .filter(F.expr(pred))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("o_totalprice") * F.lit(float(mult))).alias(
+                "o_totalprice"
+            ),
+        )
+        .repartition(1)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    import shutil
+
+    src = list_data_files(stage)[0]
+    dst = os.path.join(base, f"{name}-{os.path.basename(src)}")
+    shutil.move(src, dst)
+    return dst
+
+
+_S46_A_PRED = "o_orderpriority = '1-URGENT'"
+_S46_B_PRED = "o_orderpriority = '3-MEDIUM'"
+
+
+def s45_snapshot_expiry_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot EXPIRY + VACUUM — the retention/garbage-collection half
+    of the manifest format (Delta VACUUM / Iceberg expire_snapshots):
+    v2 rewrites the whole table without its '1-URGENT' rows (the GDPR
+    purge shape — a rewrite commit, so v1's files become historical),
+    the retention policy expires every manifest but the newest, and
+    vacuum deletes exactly the files no surviving manifest references.
+    Safety is structural, pinned by the gate: the reachable set is the
+    union of surviving manifests' files+deletes, so the post-vacuum
+    census must still equal the logical v2 content — a vacuum that
+    ever deleted a live file would break the value hash, not just a
+    counter.
+
+    Scale: expiry is pure metadata; vacuum is one listing diffed
+    against the manifest union — O(files), no data read. Counters pin
+    the lifecycle: 16 files before (8 original + 8 rewritten), 8
+    deleted, 8 live, 1 manifest surviving."""
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import (
+        commit_snapshot,
+        expire_snapshots,
+        list_data_files,
+        read_snapshot,
+        vacuum,
+        versions,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_vac_")
+    try:
+        base = os.path.join(scratch, "table")
+        _stage_flat_orders(spark, sf_dir, base)
+        # v2: full rewrite dropping the purged rows (new immutable files)
+        stage = os.path.join(scratch, "rewrite")
+        (
+            read_snapshot(spark, base, 1)
+            .filter(~F.expr(_S46_A_PRED))
+            .repartition(_S37_BUCKETS)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        c2 = []
+        for i, src in enumerate(sorted(list_data_files(stage))):
+            dst = os.path.join(base, f"c2-{i}-{os.path.basename(src)}")
+            shutil.move(src, dst)
+            c2.append(dst)
+        commit_snapshot(base, 2, c2)
+
+        n_before = len(list_data_files(base))
+        expired = expire_snapshots(base, keep_latest=1)
+        deleted, n_ref = vacuum(base)
+        census = (
+            read_snapshot(spark, base, 2)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.expr(_DV_CENTS)).cast("long").alias("revenue_cents"),
+            )
+            .select(
+                "o_orderpriority",
+                "n_rows",
+                "revenue_cents",
+                F.lit(n_before).cast("long").alias("n_files_before"),
+                F.lit(len(deleted)).cast("long").alias("n_files_vacuumed"),
+                F.lit(n_ref).cast("long").alias("n_files_live"),
+                F.lit(len(expired)).cast("long").alias("n_snapshots_expired"),
+                F.lit(len(versions(base))).cast("long").alias(
+                    "n_snapshots_live"
+                ),
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+        return census
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S45_VAC_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM({_DV_CENTS}) AS BIGINT) AS revenue_cents,
+       CAST({2 * _S37_BUCKETS} AS BIGINT) AS n_files_before,
+       CAST({_S37_BUCKETS} AS BIGINT) AS n_files_vacuumed,
+       CAST({_S37_BUCKETS} AS BIGINT) AS n_files_live,
+       CAST(1 AS BIGINT) AS n_snapshots_expired,
+       CAST(1 AS BIGINT) AS n_snapshots_live
+FROM orders
+WHERE NOT ({_S46_A_PRED})
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def s46_write_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMISTIC-CONCURRENCY commit protocol — two writers race from
+    the same base snapshot; the manifest CAS (create-exclusive link in
+    sources/manifest.try_commit_snapshot) admits exactly one v2, and
+    the loser RETRIES the lakehouse way: re-read the new current
+    version, verify its own base files still stand (both commits here
+    are append-only, so the rebase is conflict-free by rule — a
+    rewrite that removed the loser's base files would abort instead),
+    and commit the SAME staged file as v3. Nothing re-stages and
+    nothing is written twice — conflict resolution is metadata-only.
+
+    The gate pins the protocol's outcome: exactly one CAS failure,
+    final version 3, and the v3 census equals base ∪ both appended
+    slices — a lost or double-applied append breaks the value hash.
+
+    Scale: the CAS is one atomic metadata op regardless of table
+    size; retry cost is a manifest read + subset check over file
+    lists (manifest cardinality), never a data operation."""
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import (
+        read_snapshot,
+        snapshot_files,
+        try_commit_snapshot,
+        versions,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_occ_")
+    try:
+        base = os.path.join(scratch, "table")
+        v1_files = _stage_flat_orders(spark, sf_dir, base)
+        # both writers stage from v1 BEFORE either commits
+        fa = _write_slice(spark, base, scratch, "a2", _S46_A_PRED, 2.0, v1_files)
+        fb = _write_slice(spark, base, scratch, "b2", _S46_B_PRED, 3.0, v1_files)
+        ok_a = try_commit_snapshot(base, 2, v1_files + [fa])
+        ok_b = try_commit_snapshot(base, 2, v1_files + [fb])  # loses
+        n_conflicts = int(not ok_a) + int(not ok_b)
+        retried = False
+        if not ok_b:
+            cur = max(versions(base))
+            cur_files = snapshot_files(base, cur)
+            if not set(v1_files).issubset(cur_files):
+                raise RuntimeError("rebase conflict: base files rewritten")
+            retried = try_commit_snapshot(base, cur + 1, cur_files + [fb])
+        final_v = max(versions(base))
+        return (
+            read_snapshot(spark, base, final_v)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.expr(_DV_CENTS)).cast("long").alias("revenue_cents"),
+            )
+            .select(
+                "o_orderpriority",
+                "n_rows",
+                "revenue_cents",
+                F.lit(n_conflicts).cast("long").alias("n_conflicts"),
+                F.lit(int(retried)).cast("long").alias("n_retries_ok"),
+                F.lit(final_v).cast("long").alias("final_version"),
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S46_OCC_SQL = f"""
+WITH merged AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_totalprice * 2.0 FROM orders
+  WHERE {_S46_A_PRED}
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_totalprice * 3.0 FROM orders
+  WHERE {_S46_B_PRED}
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM({_DV_CENTS}) AS BIGINT) AS revenue_cents,
+       CAST(1 AS BIGINT) AS n_conflicts,
+       CAST(1 AS BIGINT) AS n_retries_ok,
+       CAST(3 AS BIGINT) AS final_version
+FROM merged
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def s47_time_travel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF-TIMESTAMP time travel — version-number travel
+    (s18/read_snapshot) is the mechanism, but consumers ask for "the
+    table as of T": each commit carries a logical commit timestamp in
+    its manifest, and ``resolve_asof`` binary-resolves the largest
+    version committed at or before the asked time. Three commits at
+    t=100/200/300 (base, +doubled-URGENT slice, +tripled-MEDIUM
+    slice); reads AS OF t=150/250/350 must see exactly the first one,
+    two, then three states — pinned by scalar censuses.
+
+    Scale: resolution is one manifest-directory metadata pass (no
+    data); the read plans from the resolved manifest exactly like any
+    snapshot read."""
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import (
+        read_snapshot,
+        resolve_asof,
+        snapshot_files,
+        try_commit_snapshot,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_asof_")
+    try:
+        base = os.path.join(scratch, "table")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        o.repartition(_S37_BUCKETS).write.mode("overwrite").parquet(base)
+        from ..sources.manifest import list_data_files
+
+        v1_files = list_data_files(base)
+        assert try_commit_snapshot(base, 1, v1_files, committed_at=100)
+        fa = _write_slice(spark, base, scratch, "a2", _S46_A_PRED, 2.0, v1_files)
+        assert try_commit_snapshot(
+            base, 2, v1_files + [fa], committed_at=200
+        )
+        fb = _write_slice(spark, base, scratch, "b3", _S46_B_PRED, 3.0, v1_files)
+        assert try_commit_snapshot(
+            base, 3, snapshot_files(base, 2) + [fb], committed_at=300
+        )
+        out = None
+        for ts in (150, 250, 350):
+            v = resolve_asof(base, ts)
+            row = (
+                read_snapshot(spark, base, v)
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.sum(F.expr(_DV_CENTS))
+                    .cast("long")
+                    .alias("revenue_cents"),
+                )
+                .select(
+                    F.lit(ts).cast("long").alias("asof_ts"),
+                    F.lit(v).cast("long").alias("version"),
+                    "n_rows",
+                    "revenue_cents",
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+        return out.orderBy("asof_ts").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S47_ASOF_SQL = f"""
+WITH base AS (
+  SELECT COUNT(*) AS n, CAST(SUM({_DV_CENTS}) AS BIGINT) AS c FROM orders
+), sa AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR((o_totalprice * 2.0) * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS c
+  FROM orders WHERE {_S46_A_PRED}
+), sb AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR((o_totalprice * 3.0) * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS c
+  FROM orders WHERE {_S46_B_PRED}
+)
+SELECT CAST(150 AS BIGINT) AS asof_ts, CAST(1 AS BIGINT) AS version,
+       base.n AS n_rows, base.c AS revenue_cents FROM base
+UNION ALL
+SELECT CAST(250 AS BIGINT), CAST(2 AS BIGINT),
+       base.n + sa.n, base.c + sa.c FROM base, sa
+UNION ALL
+SELECT CAST(350 AS BIGINT), CAST(3 AS BIGINT),
+       base.n + sa.n + sb.n, base.c + sa.c + sb.c FROM base, sa, sb
+ORDER BY asof_ts
+"""
+
+
 QUERIES = {
     "s37_incremental_mv": (s37_incremental_mv, S37_IMV_SQL),
     "opt_join_order_cost": (opt_join_order_cost, OPT_JOIN_ORDER_SQL),
@@ -3115,6 +3444,9 @@ QUERIES = {
     "s42_deletion_vector_merge": (s42_deletion_vector_merge, S42_DV_SQL),
     "s43_dv_change_data_feed": (s43_dv_change_data_feed, S43_DVCDF_SQL),
     "s44_dv_compaction": (s44_dv_compaction, S44_DVC_SQL),
+    "s45_snapshot_expiry_vacuum": (s45_snapshot_expiry_vacuum, S45_VAC_SQL),
+    "s46_write_conflict_retry": (s46_write_conflict_retry, S46_OCC_SQL),
+    "s47_time_travel_asof": (s47_time_travel_asof, S47_ASOF_SQL),
     "s40_schema_evolution": (s40_schema_evolution, S40_SEV_SQL),
     "s41_metadata_only_count": (s41_metadata_only_count, S41_MOC_SQL),
     "s34_manifest_time_travel": (s34_manifest_time_travel, S34_TTRAVEL_SQL),

@@ -192,6 +192,99 @@ def read_snapshot_pruned(
     return df, len(m["files"]), len(keep)
 
 
+def try_commit_snapshot(
+    table_path: str,
+    version: int,
+    files: list[str],
+    delete_files: list[str] | None = None,
+    committed_at: int | None = None,
+) -> bool:
+    """OPTIMISTIC-CONCURRENCY commit: atomically publish ``version``
+    ONLY if no committer got there first — the create-exclusive link
+    (``os.link`` onto an existing name raises) is the single-winner
+    compare-and-swap every table format builds its transaction model
+    on. Returns False on conflict; the loser re-reads the new current
+    version, checks its base files still stand, and retries on the
+    next version number (the caller's rebase loop).
+    ``committed_at`` is a logical commit timestamp enabling
+    AS-OF-time reads (:func:`resolve_asof`)."""
+    mdir = _manifest_dir(table_path)
+    os.makedirs(mdir, exist_ok=True)
+    rel = sorted(os.path.relpath(f, table_path) for f in files)
+    doc: dict = {"version": version, "files": rel}
+    if delete_files:
+        doc["deletes"] = sorted(
+            os.path.relpath(f, table_path) for f in delete_files
+        )
+    if committed_at is not None:
+        doc["committed_at"] = int(committed_at)
+    tmp = os.path.join(mdir, f".v{version}.{os.getpid()}.json.tmp")
+    final = os.path.join(mdir, f"v{version}.json")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    try:
+        os.link(tmp, final)  # fails iff the version already exists
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
+def resolve_asof(table_path: str, ts: int) -> int:
+    """Largest committed version whose ``committed_at`` ≤ ``ts`` —
+    AS-OF-timestamp time travel over the manifest log (one metadata
+    directory listing; versions without a timestamp are ignored)."""
+    best = None
+    mdir = _manifest_dir(table_path)
+    for f in os.listdir(mdir):
+        if not (f.startswith("v") and f.endswith(".json")):
+            continue
+        with open(os.path.join(mdir, f)) as fh:
+            m = json.load(fh)
+        at = m.get("committed_at")
+        if at is not None and at <= ts:
+            if best is None or m["version"] > best:
+                best = m["version"]
+    if best is None:
+        raise LookupError(f"no snapshot committed at or before ts={ts}")
+    return best
+
+
+def expire_snapshots(table_path: str, keep_latest: int) -> list[int]:
+    """Drop all but the newest ``keep_latest`` manifests (the
+    retention policy step that makes :func:`vacuum` able to reclaim
+    anything). Data files are untouched — expiry is pure metadata."""
+    vs = versions(table_path)
+    drop = vs[:-keep_latest] if keep_latest > 0 else vs
+    for v in drop:
+        os.remove(os.path.join(_manifest_dir(table_path), f"v{v}.json"))
+    return drop
+
+
+def vacuum(table_path: str) -> tuple[list[str], int]:
+    """Delete every data/DV file under the table root that NO
+    surviving manifest references — the garbage-collection half of
+    snapshot expiry. Safety is structural: the reachable set is the
+    union over every remaining manifest's ``files`` + ``deletes``, so
+    a file any live snapshot can still plan stays on disk. Returns
+    (deleted paths, n files kept)."""
+    referenced: set[str] = set()
+    for v in versions(table_path):
+        with open(
+            os.path.join(_manifest_dir(table_path), f"v{v}.json")
+        ) as fh:
+            m = json.load(fh)
+        for f in m["files"] + m.get("deletes", []):
+            referenced.add(os.path.normpath(os.path.join(table_path, f)))
+    deleted = []
+    for f in list_data_files(table_path):
+        if os.path.normpath(f) not in referenced:
+            os.remove(f)
+            deleted.append(f)
+    return deleted, len(referenced)
+
+
 def snapshot_delete_files(table_path: str, version: int) -> list[str]:
     """Deletion-vector sidecars registered by snapshot ``version``
     (empty for snapshots committed without row-level deletes)."""
