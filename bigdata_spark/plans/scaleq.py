@@ -2750,6 +2750,9 @@ def _stage_dv_table(spark: SparkSession, sf_dir: str, scratch: str):
             file_key_col().alias("file_key"),
             F.col("_metadata.row_index").alias("pos"),
         )
+        # one sidecar file pins the gate's counters; DV volume is
+        # per-COMMIT churn (bounded by the merge batch, not the
+        # table) — a production writer splits by maxRecordsPerFile
         .repartition(1)
         .write.mode("overwrite")
         .parquet(dv_dir)
@@ -2767,6 +2770,8 @@ def _stage_dv_table(spark: SparkSession, sf_dir: str, scratch: str):
             "o_orderpriority",
             (F.col("o_totalprice") * F.lit(2.0)).alias("o_totalprice"),
         )
+        # the appended update-image file is merge-batch-sized (churn,
+        # not table); one file pins the v2 file-count counter
         .repartition(1)
         .write.mode("overwrite")
         .parquet(app_dir)
@@ -3139,6 +3144,8 @@ def _write_slice(spark, base, scratch, name, pred, mult, src_files):
                 "o_totalprice"
             ),
         )
+        # one commit-batch-sized file per writer keeps the committed
+        # file lists deterministic; production sizes by churn
         .repartition(1)
         .write.mode("overwrite")
         .parquet(stage)
