@@ -3108,6 +3108,149 @@ ORDER BY o_orderpriority
 """
 
 
+def s48_stream_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CONSUMPTION of a change data feed — the Delta
+    "stream from a table's changes" composition that ties the DV
+    family to the MV family: an MV seeds from the v1 snapshot census
+    (the initial load), the v1→v2 change feed (derived from the
+    deletion-vector commit exactly as in s43) streams in as signed
+    deltas across three micro-batches, and each foreachBatch refresh
+    folds its partial into the versioned MV. The gated invariant is
+    the CDC contract itself: INITIAL LOAD + CHANGE FEED = NEXT
+    SNAPSHOT — the final MV must equal the v2 census bit-for-bit
+    (same relational oracle as s42), with delete/update_pre carrying
+    (−1 row, −cents) and update_post/insert (+1 row, +cents), all
+    order-free signed integers so batch boundaries cannot matter.
+
+    Scale: the consumer never rescans either snapshot — per refresh
+    it reads the MV (view grain) plus one churn-sized delta batch;
+    this is the production path for keeping downstream aggregates
+    fresh off a lakehouse table's feed without reprocessing
+    history."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources.manifest import file_key_col, read_snapshot
+    from ..streaming.upsert_sink import VersionedParquetTable
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_scdf_")
+    try:
+        base, v1_files, appended, dv_files = _stage_dv_table(
+            spark, sf_dir, scratch
+        )
+        dv = spark.read.parquet(*dv_files)
+        old_rows = (
+            spark.read.option("basePath", base)
+            .parquet(*v1_files)
+            .withColumn("_fk", file_key_col())
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .join(
+                dv,
+                on=[F.col("_fk") == dv.file_key, F.col("_pos") == dv.pos],
+            )
+            .select(
+                F.col("o_orderpriority").alias("prio"),
+                F.lit(-1).cast("long").alias("d_rows"),
+                (-F.expr(_DV_CENTS)).alias("d_cents"),
+            )
+        )
+        new_rows = (
+            spark.read.option("basePath", base)
+            .parquet(*appended)
+            .select(
+                F.col("o_orderpriority").alias("prio"),
+                F.lit(1).cast("long").alias("d_rows"),
+                F.expr(_DV_CENTS).alias("d_cents"),
+            )
+        )
+        feed_dir = os.path.join(scratch, "feed")
+        old_rows.unionByName(new_rows).repartition(3).write.parquet(feed_dir)
+
+        mv_root = os.path.join(scratch, "mv")
+        table = VersionedParquetTable(spark, mv_root)
+        table.publish(
+            read_snapshot(spark, base, 1)
+            .groupBy(F.col("o_orderpriority").alias("prio"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.expr(_DV_CENTS)).alias("revenue_cents"),
+            )
+        )
+
+        def refresh(batch: DataFrame, batch_id: int) -> None:
+            if batch.isEmpty():
+                return
+            t = VersionedParquetTable(batch.sparkSession, mv_root)
+            partial = batch.groupBy("prio").agg(
+                F.sum("d_rows").alias("n_rows"),
+                F.sum("d_cents").alias("revenue_cents"),
+            )
+            t.publish(
+                t.read()
+                .unionByName(partial)
+                .groupBy("prio")
+                .agg(
+                    F.sum("n_rows").alias("n_rows"),
+                    F.sum("revenue_cents").alias("revenue_cents"),
+                )
+            )
+
+        stream = (
+            spark.readStream.schema("prio string, d_rows long, d_cents long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(refresh)
+            .option(
+                "checkpointLocation",
+                os.path.join(scratch, f"ckpt_{uuid.uuid4().hex[:8]}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("s48_stream_cdf_apply did not finish in 300s")
+        final = VersionedParquetTable(spark, mv_root)
+        n_stream_refreshes = int(final.current_version())  # seed was v0
+        out = (
+            final.read()
+            .select(
+                F.col("prio").alias("o_orderpriority"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("revenue_cents").cast("long").alias("revenue_cents"),
+                F.lit(n_stream_refreshes)
+                .cast("long")
+                .alias("n_stream_refreshes"),
+            )
+            .orderBy("o_orderpriority")
+            .toPandas()
+        )
+        return spark.createDataFrame(out)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S48_SCDF_SQL = f"""
+WITH merged AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+  WHERE NOT ({_DV_DELETE_PRED}) AND NOT ({_DV_UPDATE_PRED})
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_totalprice * 2.0 AS o_totalprice
+  FROM orders WHERE {_DV_UPDATE_PRED}
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM({_DV_CENTS}) AS BIGINT) AS revenue_cents,
+       CAST(3 AS BIGINT) AS n_stream_refreshes
+FROM merged
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # s45/s46/s47 — snapshot expiry + vacuum, optimistic concurrency, AS OF reads
 # ---------------------------------------------------------------------------
@@ -3454,6 +3597,7 @@ QUERIES = {
     "s45_snapshot_expiry_vacuum": (s45_snapshot_expiry_vacuum, S45_VAC_SQL),
     "s46_write_conflict_retry": (s46_write_conflict_retry, S46_OCC_SQL),
     "s47_time_travel_asof": (s47_time_travel_asof, S47_ASOF_SQL),
+    "s48_stream_cdf_apply": (s48_stream_cdf_apply, S48_SCDF_SQL),
     "s40_schema_evolution": (s40_schema_evolution, S40_SEV_SQL),
     "s41_metadata_only_count": (s41_metadata_only_count, S41_MOC_SQL),
     "s34_manifest_time_travel": (s34_manifest_time_travel, S34_TTRAVEL_SQL),

@@ -113,3 +113,42 @@ def test_range_cumsum_matches_global_window(spark):
         for r in df.withColumn("cum", F.sum("x").over(w)).collect()
     }
     assert got == want
+
+
+def test_range_ntile_property_random_shapes(spark):
+    """Hypothesis-driven: for random (n, k, value-skew) shapes the
+    bucket SIZES must match ANSI NTILE exactly — first n%k buckets get
+    ceil(n/k), the rest floor(n/k) — and bucket assignment must be
+    monotone in the order key."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_spark.operators.ranking import range_ntile
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=400),
+        k=st.integers(min_value=1, max_value=17),
+        mod=st.integers(min_value=1, max_value=50),
+    )
+    def check(n, k, mod):
+        df = spark.range(0, n).select(
+            (F.col("id") * 7 % mod).alias("v"), F.col("id").alias("tie")
+        )
+        rows = range_ntile(df, ["v", "tie"], k, num_partitions=4).collect()
+        sizes = Counter(r["bucket"] for r in rows)
+        q, rem = divmod(n, k)
+        want = {
+            b: (q + 1 if b <= rem else q)
+            for b in range(1, min(n, k) + 1)
+            if (q + 1 if b <= rem else q) > 0
+        }
+        assert dict(sizes) == want, (n, k, dict(sizes))
+        # monotone: sorting by the order key never decreases the bucket
+        ordered = sorted(rows, key=lambda r: (r["v"], r["tie"]))
+        buckets = [r["bucket"] for r in ordered]
+        assert buckets == sorted(buckets)
+
+    check()
