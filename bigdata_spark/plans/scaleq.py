@@ -3108,6 +3108,110 @@ ORDER BY o_orderpriority
 """
 
 
+def s49_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER file skipping — the pruning mode that completes
+    the trio next to min/max range stats (s41/read_snapshot_pruned)
+    and Z-order spatial clustering: on a hash/round-robin file layout
+    every file's [min, max] spans the whole key domain, so a POINT
+    lookup on a high-cardinality key scans all files unless the
+    manifest carries per-file blooms. Here each of the 8 flat order
+    files commits a 32 KiB bloom over o_orderkey; three probes — the
+    live MIN key, the live MAX key, and a key that does not exist —
+    read only each probe's candidate files. Correctness is structural
+    (build and probe share the hash, so no false negatives — the
+    lookup censuses must equal DuckDB's relational answer regardless
+    of false positives), and the gate also pins that skipping
+    actually HAPPENED (`bloom_skips_files`: total candidate reads
+    strictly below probes × files; a bloom that stopped pruning
+    fails the gate, not just a benchmark).
+
+    Scale: bloom build is one column-only task per file (stats-pass
+    cardinality); a probe is one manifest read + O(candidate) file
+    scans — at 100 TB a needle lookup costs 1-2 file reads instead of
+    the full table."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..sources.manifest import (
+        bloom_candidate_files,
+        collect_file_blooms,
+        commit_snapshot,
+        list_data_files,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_bloom_")
+    try:
+        base = os.path.join(scratch, "table")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        o.repartition(_S37_BUCKETS).write.mode("overwrite").parquet(base)
+        files = list_data_files(base)
+        blooms = collect_file_blooms(spark, files, "o_orderkey")
+        commit_snapshot(
+            base,
+            1,
+            files,
+            stats={f: {"bloom": {"o_orderkey": b}} for f, b in blooms.items()},
+        )
+        lo, hi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+        probes = [("absent", int(hi) + 1), ("k_max", int(hi)), ("k_min", int(lo))]
+        rows, n_cand_total, n_files = [], 0, len(files)
+        for tag, key in probes:
+            cand, total = bloom_candidate_files(base, 1, "o_orderkey", key)
+            n_cand_total += len(cand)
+            if cand:
+                got = (
+                    spark.read.option("basePath", base)
+                    .parquet(*cand)
+                    .filter(F.col("o_orderkey") == key)
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.coalesce(F.sum(F.expr(_DV_CENTS)), F.lit(0)).alias(
+                            "c"
+                        ),
+                    )
+                    .first()
+                )
+                rows.append((tag, int(got["n"]), int(got["c"])))
+            else:
+                rows.append((tag, 0, 0))
+        skipped = n_cand_total < len(probes) * n_files
+        pdf = pd.DataFrame(
+            rows, columns=["probe", "n_rows", "revenue_cents"]
+        )
+        return (
+            spark.createDataFrame(pdf)
+            .select(
+                "probe",
+                F.col("n_rows").cast("long"),
+                F.col("revenue_cents").cast("long"),
+                F.lit(bool(skipped)).alias("bloom_skips_files"),
+            )
+            .orderBy("probe")
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S49_BLOOM_SQL = f"""
+WITH k AS (SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders)
+SELECT 'absent' AS probe, CAST(0 AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS revenue_cents, TRUE AS bloom_skips_files
+UNION ALL
+SELECT 'k_max', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM({_DV_CENTS}), 0) AS BIGINT), TRUE
+FROM orders, k WHERE o_orderkey = k.hi
+UNION ALL
+SELECT 'k_min', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM({_DV_CENTS}), 0) AS BIGINT), TRUE
+FROM orders, k WHERE o_orderkey = k.lo
+ORDER BY probe
+"""
+
+
 def s48_stream_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING CONSUMPTION of a change data feed — the Delta
     "stream from a table's changes" composition that ties the DV
@@ -3598,6 +3702,7 @@ QUERIES = {
     "s46_write_conflict_retry": (s46_write_conflict_retry, S46_OCC_SQL),
     "s47_time_travel_asof": (s47_time_travel_asof, S47_ASOF_SQL),
     "s48_stream_cdf_apply": (s48_stream_cdf_apply, S48_SCDF_SQL),
+    "s49_bloom_point_lookup": (s49_bloom_point_lookup, S49_BLOOM_SQL),
     "s40_schema_evolution": (s40_schema_evolution, S40_SEV_SQL),
     "s41_metadata_only_count": (s41_metadata_only_count, S41_MOC_SQL),
     "s34_manifest_time_travel": (s34_manifest_time_travel, S34_TTRAVEL_SQL),

@@ -192,6 +192,92 @@ def read_snapshot_pruned(
     return df, len(m["files"]), len(keep)
 
 
+_BLOOM_BITS = 1 << 18  # 32 KiB/file — sized for ~20k keys at ~0.4% FP
+_BLOOM_K = 4
+
+
+def _bloom_positions(keys, m_bits: int = _BLOOM_BITS, k: int = _BLOOM_K):
+    """k bit positions per int64 key — vectorized splitmix-style double
+    hashing (build and probe MUST share this function: the bloom's
+    no-false-negative guarantee is structural, nothing else about the
+    hash needs to be portable — result correctness never depends on
+    the filter, only the candidate set does)."""
+    import numpy as np
+
+    x = np.asarray(keys, dtype=np.uint64)
+    h = (x + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(31)
+    h2 = (h ^ (x * np.uint64(0x94D049BB133111EB))) | np.uint64(1)
+    return [
+        ((h + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.int64)
+        for i in range(k)
+    ]
+
+
+def collect_file_blooms(
+    spark: SparkSession, files: list[str], column: str
+) -> dict[str, str]:
+    """Per-file BLOOM filters over an int64 key column — the pruning
+    mode min/max stats cannot provide: on a hash/round-robin layout
+    every file's [min, max] spans the whole key domain, but a point
+    lookup probes each file's bloom and reads only the (usually one)
+    file that can contain the key. One Spark task per file chunk reads
+    just the key column; only file-count-sized hex bitmaps return to
+    the driver (manifest cardinality, like collect_file_stats)."""
+
+    def _blooms(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for path in pdf["path"]:
+                keys = (
+                    pq.read_table(path, columns=[column])
+                    .column(column)
+                    .to_numpy()
+                )
+                bits = np.zeros(_BLOOM_BITS, dtype=bool)
+                for pos in _bloom_positions(keys):
+                    bits[pos] = True
+                out.append((path, np.packbits(bits).tobytes().hex()))
+            yield pd.DataFrame(out, columns=["path", "bloom"])
+
+    df = spark.createDataFrame([(f,) for f in files], "path string")
+    rows = (
+        df.repartition(max(1, min(len(files), 64)))
+        .mapInPandas(_blooms, "path string, bloom string")
+        .collect()
+    )
+    return {r["path"]: r["bloom"] for r in rows}
+
+
+def bloom_candidate_files(
+    table_path: str, version: int, column: str, key: int
+) -> tuple[list[str], int]:
+    """Files of ``version`` whose committed bloom for ``column`` may
+    contain ``key`` (files without a bloom are kept — pruning is safe,
+    never lossy). Returns (candidates, n_files_total). One manifest
+    read, no data touched."""
+    import numpy as np
+
+    with open(
+        os.path.join(_manifest_dir(table_path), f"v{version}.json")
+    ) as fh:
+        m = json.load(fh)
+    probes = [int(p[0]) for p in _bloom_positions(np.array([key]))]
+    keep = []
+    for rel in m["files"]:
+        bl = m.get("stats", {}).get(rel, {}).get("bloom", {}).get(column)
+        if bl is not None:
+            raw = bytes.fromhex(bl)
+            if not all(raw[p // 8] & (0x80 >> (p % 8)) for p in probes):
+                continue  # definitely absent from this file
+        keep.append(os.path.join(table_path, rel))
+    return keep, len(m["files"])
+
+
 def try_commit_snapshot(
     table_path: str,
     version: int,

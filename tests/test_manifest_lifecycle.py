@@ -69,3 +69,33 @@ def test_expiry_then_vacuum_keeps_reachable_files(spark, tmp_path):
     # the surviving snapshot still reads every row of its files
     want = spark.read.parquet(*keep).count()
     assert read_snapshot(spark, base, 2).count() == want
+
+
+def test_bloom_candidates_no_false_negatives(spark, tmp_path):
+    from bigdata_spark.sources.manifest import (
+        bloom_candidate_files,
+        collect_file_blooms,
+    )
+
+    base, data = _stage(spark, tmp_path, n=200, files=5)
+    blooms = collect_file_blooms(spark, data, "id")
+    commit_snapshot(
+        base, 1, data, stats={f: {"bloom": {"id": b}} for f, b in blooms.items()}
+    )
+    # every live key's true file must be among its candidates
+    truth = {
+        r["id"]: r["f"]
+        for r in spark.read.parquet(*data)
+        .select("id", F.input_file_name().alias("f"))
+        .collect()
+    }
+    import urllib.parse
+
+    for key in range(0, 200, 17):
+        cand, total = bloom_candidate_files(base, 1, "id", key)
+        assert total == 5
+        true_file = urllib.parse.unquote(truth[key]).replace("file://", "")
+        assert any(os.path.normpath(c) == os.path.normpath(true_file) for c in cand)
+    # an absent key should prune at least one file (FP rate ~0.4%)
+    cand, _ = bloom_candidate_files(base, 1, "id", 10**9)
+    assert len(cand) < 5
