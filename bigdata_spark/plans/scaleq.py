@@ -3108,6 +3108,153 @@ ORDER BY o_orderpriority
 """
 
 
+def s50_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION EVOLUTION — changing a table's partition layout
+    WITHOUT rewriting history (the Iceberg capability hidden
+    partitioning exists to enable): orders before 1999 were committed
+    FLAT under the old spec (8 round-robin files, only footer min/max
+    stats); the spec then evolved, and 1999+ data commits under
+    month directories. One manifest lists both vintages; the reader
+    plans each file by ITS OWN spec — month files prune by path, flat
+    files prune by committed min/max — so a one-month query reads
+    exactly one file, while the legacy files stay untouched forever
+    (no backfill rewrite, the whole point).
+
+    The gate pins the pruning arithmetic, not just the census: total
+    files = 8 legacy + one per live month of the new vintage (the
+    oracle counts the months relationally), and the 2000-03 probe
+    reads exactly 1 file — every legacy file's [min, max] ends before
+    1999 (stats pruning), every other month file's path mismatches.
+
+    Scale: planning is one manifest read + per-file spec dispatch
+    (file-list cardinality); the probe's data cost is one month
+    partition regardless of table size or how many times the spec
+    evolved."""
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import (
+        collect_file_stats,
+        commit_snapshot,
+        list_data_files,
+    )
+
+    _SPLIT = "1999-01-01"
+    _PROBE = "2000-03"
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_pevo_")
+    try:
+        base = os.path.join(scratch, "table")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+        )
+        # old spec: flat files, stats-only pruning
+        (
+            o.filter(F.col("o_orderdate") < _SPLIT)
+            .repartition(_S37_BUCKETS)
+            .write.mode("overwrite")
+            .parquet(base)
+        )
+        legacy = list_data_files(base)
+        # evolved spec: month directories for the new vintage
+        stage = os.path.join(scratch, "staged_months")
+        (
+            o.filter(F.col("o_orderdate") >= _SPLIT)
+            .withColumn("om", F.date_format("o_orderdate", "yyyy-MM"))
+            .repartition("om")
+            .write.partitionBy("om")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        monthly = []
+        for src in list_data_files(stage):
+            rel = os.path.relpath(src, stage)  # om=YYYY-MM/part-...
+            dst = os.path.join(base, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(src, dst)
+            monthly.append(dst)
+        stats = collect_file_stats(spark, legacy, ["o_orderdate"])
+        commit_snapshot(base, 1, legacy + monthly, stats=stats)
+
+        # reader: dispatch each committed file by its spec
+        import json as _json
+
+        with open(os.path.join(base, "_manifests", "v1.json")) as fh:
+            man = _json.load(fh)
+        lo, hi = f"{_PROBE}-01", f"{_PROBE}-31"
+        keep = []
+        for rel in man["files"]:
+            if rel.startswith("om="):
+                if rel.split("/", 1)[0] == f"om={_PROBE}":
+                    keep.append(rel)  # path (spec-B) pruning
+                continue
+            st = man.get("stats", {}).get(rel, {}).get("cols", {}).get(
+                "o_orderdate"
+            )
+            if st is not None and (st[1] < lo or st[0] > hi):
+                continue  # stats (spec-A) pruning
+            keep.append(rel)
+        got = (
+            spark.read.parquet(*(os.path.join(base, f) for f in keep))
+            .filter(F.date_format("o_orderdate", "yyyy-MM") == _PROBE)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.coalesce(F.sum(F.expr(_DV_CENTS)), F.lit(0)).alias(
+                    "revenue_cents"
+                ),
+            )
+            .first()
+        )
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            [
+                (
+                    _PROBE,
+                    int(got["n_rows"]),
+                    int(got["revenue_cents"]),
+                    len(man["files"]),
+                    len(legacy),
+                    len(keep),
+                )
+            ],
+            columns=[
+                "probe_month",
+                "n_rows",
+                "revenue_cents",
+                "n_files_total",
+                "n_files_legacy",
+                "n_files_read",
+            ],
+        )
+        return spark.createDataFrame(pdf).select(
+            "probe_month",
+            F.col("n_rows").cast("long"),
+            F.col("revenue_cents").cast("long"),
+            F.col("n_files_total").cast("long"),
+            F.col("n_files_legacy").cast("long"),
+            F.col("n_files_read").cast("long"),
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S50_PEVO_SQL = f"""
+WITH months AS (
+  SELECT COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS m
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+)
+SELECT '2000-03' AS probe_month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM({_DV_CENTS}), 0) AS BIGINT) AS revenue_cents,
+       CAST({_S37_BUCKETS} + months.m AS BIGINT) AS n_files_total,
+       CAST({_S37_BUCKETS} AS BIGINT) AS n_files_legacy,
+       CAST(1 AS BIGINT) AS n_files_read
+FROM orders, months
+WHERE strftime(o_orderdate, '%Y-%m') = '2000-03'
+GROUP BY months.m
+"""
+
+
 def s49_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLOOM-FILTER file skipping — the pruning mode that completes
     the trio next to min/max range stats (s41/read_snapshot_pruned)
@@ -3703,6 +3850,7 @@ QUERIES = {
     "s47_time_travel_asof": (s47_time_travel_asof, S47_ASOF_SQL),
     "s48_stream_cdf_apply": (s48_stream_cdf_apply, S48_SCDF_SQL),
     "s49_bloom_point_lookup": (s49_bloom_point_lookup, S49_BLOOM_SQL),
+    "s50_partition_evolution": (s50_partition_evolution, S50_PEVO_SQL),
     "s40_schema_evolution": (s40_schema_evolution, S40_SEV_SQL),
     "s41_metadata_only_count": (s41_metadata_only_count, S41_MOC_SQL),
     "s34_manifest_time_travel": (s34_manifest_time_travel, S34_TTRAVEL_SQL),
