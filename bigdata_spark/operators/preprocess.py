@@ -7,7 +7,7 @@ repartitioning (reference code/src/preprocessing.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -65,21 +65,35 @@ def balanced_stratified_repartition(
     """W1+O3 — force exactly ``num_partitions`` balanced, label-stratified
     partitions (reference preprocessing.py:57-86).
 
-    row_number() OVER (PARTITION BY label ORDER BY content-hash(seed))
-    then ``(rn-1) % n`` spreads each class round-robin across
-    partitions; hash-repartition on the computed id materializes the
-    placement. Costs two shuffles — the documented price of partition-
-    quality-sensitive local models (SURVEY §7 hard-point 4). Skew-safe:
-    the modulo distributes any label skew evenly by construction. The
-    order key hashes row CONTENT (not partition-seeded rand) so the
-    assignment is identical on any cluster layout or retry.
+    Per-label row_number over a seeded content-hash order, then
+    ``(rn-1) % n`` spreads each class round-robin across partitions;
+    hash-repartition on the computed id materializes the placement.
+    Skew-safe: the modulo distributes any label skew evenly by
+    construction. The order key hashes row CONTENT (not
+    partition-seeded rand) so the assignment is identical on any
+    cluster layout or retry.
+
+    The per-label rank is operators/ranking.grouped_range_rank, NOT a
+    ``Window.partitionBy(label)`` — with a handful of labels over an
+    SF-grown input, a label-partitioned window sorts 1/|labels| of the
+    data in ONE task at any scale; the range-partitioned two-pass rank
+    keeps parallelism at #partitions. Costs three shuffles (range
+    exchange, offset agg, placement repartition) — the documented
+    price of partition-quality-sensitive local models (SURVEY §7
+    hard-point 4).
     """
-    w = Window.partitionBy(label_col).orderBy(
-        F.xxhash64(F.lit(seed), *[F.col(c) for c in df.columns])
+    from .ranking import grouped_range_rank
+
+    hashed = df.withColumn(
+        "_ord", F.xxhash64(F.lit(seed), *[F.col(c) for c in df.columns])
     )
-    with_pid = df.withColumn(
-        "_partition_id",
-        ((F.row_number().over(w) - F.lit(1)) % F.lit(num_partitions)).cast("int"),
+    with_pid = (
+        grouped_range_rank(hashed, [label_col], ["_ord"], "_rn")
+        .withColumn(
+            "_partition_id",
+            ((F.col("_rn") - F.lit(1)) % F.lit(num_partitions)).cast("int"),
+        )
+        .drop("_ord", "_rn")
     )
     out = with_pid.repartition(num_partitions, F.col("_partition_id"))
     if not keep_partition_col:

@@ -400,17 +400,41 @@ def w5_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank / ntile / percent_rank / cume_dist over parts
     by brand — the analytic-frame surface the reference lacks (SURVEY
     §2.6 'frames come free'). Deterministic ordering via unique
-    p_partkey tie-break."""
-    p = load_table(spark, sf_dir, "part")
-    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
-    return p.select(
+    p_partkey tie-break — which also means NO ties, so rank =
+    dense_rank = row_number and percent_rank/cume_dist/ntile are pure
+    integer arithmetic on (rank, group count). The rank itself is
+    grouped_range_rank: a window partitioned by the 25-value brand
+    sorts part/25 rows per task at any scale; the range-partitioned
+    two-pass rank keeps parallelism at #partitions (DESC price via
+    exact double negation)."""
+    from ..operators.ranking import grouped_range_rank, ntile_from_rank
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    ranked = grouped_range_rank(
+        p.withColumn("_negprice", -F.col("p_retailprice")),
+        ["p_brand"],
+        ["_negprice", "p_partkey"],
+        "_rn",
+        count_col="_n",
+    )
+    return ranked.select(
         "p_partkey",
         "p_brand",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.col("_rn").cast("int").alias("rnk"),
+        F.col("_rn").cast("int").alias("drnk"),
+        ntile_from_rank("_rn", "_n", 4).cast("int").alias("quartile"),
+        F.round(
+            F.expr(
+                "IF(_n = 1, CAST(0 AS DOUBLE),"
+                " CAST(_rn - 1 AS DOUBLE) / CAST(_n - 1 AS DOUBLE))"
+            ),
+            9,
+        ).alias("pct_rank"),
+        F.round(
+            F.expr("CAST(_rn AS DOUBLE) / CAST(_n AS DOUBLE)"), 9
+        ).alias("cume"),
     )
 
 
@@ -617,30 +641,44 @@ P6_SQL = "SELECT TRUE AS at_most_k_per_partition, TRUE AS bounded_partitions"
 # --- W6: exact per-group median by rank selection ---------------------------
 
 def w6_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT per-group median via deterministic rank selection (the
-    sketch-free companion to approx_sketches): order each return-flag
-    group on (quantity, orderkey, linenumber) — a total order, so the
-    lower-median row is unique in every engine — and pick row (n+1)/2.
-    One shuffle: the count rides the same window partitioning as the
-    rank."""
+    """EXACT per-group median via order-statistic selection (the
+    sketch-free companion to approx_sketches): the lower median is the
+    smallest quantity whose per-group cumulative count reaches
+    (n+1)/2 — identical to ranking each group on (quantity, orderkey,
+    linenumber) and picking row (n+1)/2, since only the VALUE at that
+    rank is emitted and ties share a value.
+
+    Scale shape: the fact table collapses once to the (flag, quantity)
+    histogram — quantity is a ~50-value DOMAIN-bounded column, so the
+    histogram is ≤ flags×50 rows at any SF — and the cumulative-count
+    selection windows over that bounded table only. No task ever sorts
+    an SF-grown window partition (the old per-flag rank capped sort
+    parallelism at 3 tasks: sf1 soak 6.0× for 10× data)."""
     from pyspark.sql import Window
 
     l = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_quantity", "l_orderkey", "l_linenumber"
+    hist = l.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("c")
+    )
+    # bounded grain: quantity value-domain (≤50 distinct per flag)
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     wc = Window.partitionBy("l_returnflag")
+    sel = hist.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(wc).alias("n"),
+    )
     return (
-        l.select(
-            "l_returnflag", "l_quantity",
-            F.row_number().over(w).alias("rn"),
-            F.count("*").over(wc).alias("n"),
-        )
-        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-        .select(
-            "l_returnflag",
-            F.col("l_quantity").alias("median_qty"),
-            F.col("n").alias("group_n"),
+        sel.filter(F.expr("cum >= (n + 1) div 2"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").alias("median_qty"),
+            F.min("n").alias("group_n"),
         )
     )
 
@@ -776,35 +814,56 @@ ORDER BY p_retailprice, p_size
 def f12_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-bucket feature discretization (the QuantileDiscretizer
     workload, EXACT): per return-flag group, the quartile boundaries
-    are the values at ranks ceil(q·n) under a total order (the
-    w6_exact_median rank-selection pattern — one exchange carries both
-    rank and count), then every row bins against its group's broadcast
-    boundaries and the bins roll up. Sketch-free and deterministic in
-    any engine; at 100 TB the boundary table is O(groups) rows."""
-    from pyspark.sql import Window
+    are the values at ranks ceil(q·n) — order statistics of the price,
+    selected by operators/quantiles.grouped_order_statistics (the
+    two-pass bucketed-histogram shape: histogram grain is the cents
+    DOMAIN, the coarse rollup locates each boundary's $1000 bucket,
+    the exact value selects within that one bucket). Then every row
+    bins against its group's broadcast boundaries and the bins roll
+    up. Sketch-free and deterministic in any engine; no task ever
+    sorts an SF-grown window partition (the old per-flag rank capped
+    sort parallelism at 3 tasks: sf1 soak 3.7× for 10× data); at
+    100 TB the boundary table is O(groups) rows."""
+    from ..operators.quantiles import grouped_order_statistics
 
     l = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+        "l_returnflag", "l_extendedprice"
     )
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    hist = (
+        l.groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()  # coarse + fine pass read the same histogram
     )
-    wc = Window.partitionBy("l_returnflag")
-    ranked = l.select(
-        "l_returnflag",
+    n_df = hist.groupBy("l_returnflag").agg(F.sum("c").alias("n"))
+    targets = None
+    for tgt_id, rank_expr in (
+        ("q1", "(n + 3) div 4"),
+        ("q2", "(n + 1) div 2"),
+        ("q3", "(3 * n + 3) div 4"),
+    ):
+        t = n_df.select(
+            "l_returnflag",
+            F.lit(tgt_id).alias("tgt_id"),
+            F.expr(rank_expr).alias("tgt_rank"),
+        )
+        targets = t if targets is None else targets.unionByName(t)
+    vals = grouped_order_statistics(
+        hist,
+        ["l_returnflag"],
         "l_extendedprice",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wc).alias("n"),
+        "c",
+        targets,
+        F.floor(F.col("l_extendedprice") / F.lit(1000.0)).cast("bigint"),
     )
-    bnd = ranked.groupBy("l_returnflag").agg(
+    bnd = vals.groupBy("l_returnflag").agg(
         F.min(
-            F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("l_extendedprice"))
+            F.when(F.col("tgt_id") == "q1", F.col("l_extendedprice"))
         ).alias("q1"),
         F.min(
-            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("l_extendedprice"))
+            F.when(F.col("tgt_id") == "q2", F.col("l_extendedprice"))
         ).alias("q2"),
         F.min(
-            F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("l_extendedprice"))
+            F.when(F.col("tgt_id") == "q3", F.col("l_extendedprice"))
         ).alias("q3"),
     )
     binned = l.join(F.broadcast(bnd), "l_returnflag").withColumn(
@@ -999,36 +1058,74 @@ def w9_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     .25, .5, .75}), so the only float step is one shared-text
     interpolation over exact decimal-derived doubles — never an
     engine's own percentile implementation, whose tie-breaking and
-    rounding differ. One ranked pass per group (the w6 exchange-
-    sharing shape), then a 6-row conditional aggregation."""
+    rounding differ.
+
+    Scale shape: the six bracketing order statistics (lo/hi × 3
+    quantiles per flag) come from operators/quantiles.
+    grouped_order_statistics — the fact table collapses once to the
+    (flag, price) histogram (grain = the CENTS DOMAIN, ≤ ~1e7 distinct,
+    not the row count), a ~110-bucket/$1000 coarse rollup locates each
+    target's bucket, and the exact value selects within that one
+    bucket (≤ 1e5 distinct cents). The old per-flag rank sorted a
+    third of lineitem in ONE task (sf1 soak 7.2× for 10× data)."""
+    from ..operators.quantiles import grouped_order_statistics
+
     l = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    hist = (
+        l.select(
+            "l_returnflag",
+            F.col("l_extendedprice")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("v"),
+        )
+        .groupBy("l_returnflag", "v")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()  # coarse + fine pass read the same histogram
     )
-    wc = Window.partitionBy("l_returnflag")
-    ranked = l.select(
+    n_df = hist.groupBy("l_returnflag").agg(F.sum("c").alias("n"))
+    ks = n_df.select(
         "l_returnflag",
-        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("v"),
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wc).alias("n"),
+        "n",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+    )
+    lo_t = ks.select(
+        "l_returnflag",
+        F.concat(F.lit("lo"), F.col("k")).alias("tgt_id"),
+        F.expr("((n - 1) * k) div 4 + 1").alias("tgt_rank"),
+    )
+    hi_t = ks.select(
+        "l_returnflag",
+        F.concat(F.lit("hi"), F.col("k")).alias("tgt_id"),
+        F.expr("least(((n - 1) * k) div 4 + 2, n)").alias("tgt_rank"),
+    )
+    vals = grouped_order_statistics(
+        hist,
+        ["l_returnflag"],
+        "v",
+        "c",
+        lo_t.unionByName(hi_t),
+        F.floor(F.col("v") / F.lit(1000.0)).cast("bigint"),
     )
     aggs = []
     for k in (1, 2, 3):
-        lo = f"((n - 1) * {k}) div 4 + 1"
         aggs += [
-            F.min(F.when(F.expr(f"rn = {lo}"), F.col("v"))).alias(f"lo{k}"),
-            F.min(
-                F.when(F.expr(f"rn = least({lo} + 1, n)"), F.col("v"))
-            ).alias(f"hi{k}"),
-            F.min(F.expr(f"((n - 1) * {k}) % 4")).alias(f"rem{k}"),
+            F.min(F.when(F.col("tgt_id") == f"lo{k}", F.col("v"))).alias(
+                f"lo{k}"
+            ),
+            F.min(F.when(F.col("tgt_id") == f"hi{k}", F.col("v"))).alias(
+                f"hi{k}"
+            ),
         ]
-    agg = ranked.groupBy("l_returnflag").agg(*aggs)
+    agg = vals.groupBy("l_returnflag").agg(*aggs).join(
+        F.broadcast(n_df), "l_returnflag"
+    )
     outs = [F.col("l_returnflag")]
     for k, name in ((1, "p25"), (2, "p50"), (3, "p75")):
         outs.append(
             F.expr(
-                f"lo{k} + (CAST(rem{k} AS DOUBLE) / CAST(4 AS DOUBLE))"
-                f" * (hi{k} - lo{k})"
+                f"lo{k} + (CAST(((n - 1) * {k}) % 4 AS DOUBLE)"
+                f" / CAST(4 AS DOUBLE)) * (hi{k} - lo{k})"
             ).alias(name)
         )
     return agg.select(*outs).orderBy("l_returnflag")

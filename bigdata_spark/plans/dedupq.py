@@ -1130,13 +1130,19 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("tok") != "")
     )
-    w_tok = Window.partitionBy("lang", "tok")
-    idx = (
-        base.withColumn("_df", F.count(F.lit(1)).over(w_tok))
+    # shared-token filter as an agg + semi-join, NOT a count window: a
+    # (lang, tok) window gathers each posting list in one task, and
+    # hot-shingle lists grow with the corpus; the semi-join shape is
+    # partial-aggregated and AQE-skew-tolerant
+    shared = (
+        base.groupBy("lang", "tok")
+        .agg(F.count("*").alias("_df"))
         .filter(F.col("_df") >= 2)
-        .drop("_df")
-        .persist()
+        .select("lang", "tok")
     )
+    idx = base.join(
+        shared.hint("shuffle_hash"), ["lang", "tok"], "left_semi"
+    ).persist()
     a = idx.select(
         F.col("doc_id").alias("sub_id"), "lang", "tok", F.col("sz").alias("sub_sz")
     )

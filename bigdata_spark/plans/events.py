@@ -1005,22 +1005,36 @@ def evt_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     lead() over (ts, event_id) — a deterministic total order — and the
     value·duration products stay DECIMAL until the final ratio.
 
-    Scale note: the window partitions by event_type; a production
-    deployment over years of ticks partitions by (series, day) and
-    stitches the one boundary row per shard — same plan shape."""
+    Scale note: the per-series lead is grouped_range_lead — every task
+    holds a contiguous (series, time) range and the one boundary row
+    per range partition stitches through a #partitions-grain broadcast,
+    so parallelism is #partitions regardless of series cardinality."""
     # ts may load as TIMESTAMP_NTZ; with the session pinned to UTC the
     # cast to TIMESTAMP is value-preserving (same branch as _events_stream)
-    e = load_table(spark, sf_dir, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    iv = e.select(
+    # the event_type key has bounded cardinality while each series
+    # grows with the data — a type-partitioned lead window would sort a
+    # whole series in ONE task; grouped_range_lead stitches per-range-
+    # partition leads through the tiny per-(partition, type) first-row
+    # table instead
+    from ..operators.ranking import grouped_range_lead
+
+    e = load_table(spark, sf_dir, "events").select(
         "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         F.col("value").cast("decimal(18,2)").alias("v"),
-        (
-            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
-        ).alias("dt_us"),
-    ).filter(F.col("dt_us").isNotNull())
+    )
+    iv = (
+        grouped_range_lead(
+            e, ["event_type"], ["ts_us", "event_id"], "ts_us", "next_us"
+        )
+        .select(
+            "event_type",
+            "v",
+            (F.col("next_us") - F.col("ts_us")).alias("dt_us"),
+        )
+        .filter(F.col("dt_us").isNotNull())
+    )
     return (
         iv.groupBy("event_type")
         .agg(
@@ -1351,12 +1365,10 @@ def evt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum is the answer.
 
     The naive sweep is a GLOBAL ordered cumsum — a one-task sort at
-    100 TB. Here it is two-level: deltas cumsum WITHIN their day
-    partition, and day-level prefix offsets (a tiny per-day table)
-    lift each day's running sum to the global value — the same
-    carry-propagation that llm_seq_pack uses for running offsets, so
-    parallelism = number of days while the result is exactly the
-    global sweep. Ties order (t, delta) so ends free slots before
+    100 TB. Here it is operators/ranking.range_cumsum: deltas cumsum
+    within range partitions of (t, d) and per-partition prefix totals
+    broadcast back, so parallelism = #partitions (not #days, which is
+    time-span-bounded) while the result is exactly the global sweep. Ties order (t, delta) so ends free slots before
     same-instant starts (end-exclusive intervals)."""
     gap_us = 600_000_000
     e = load_table(spark, sf_dir, "events").select(
@@ -1385,23 +1397,16 @@ def evt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = sess.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
         sess.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
     )
-    day = F.expr("t div 86400000000")
-    wd = (
-        Window.partitionBy("day")
-        .orderBy("t", "d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    in_day = deltas.withColumn("day", day).withColumn(
-        "cum_in_day", F.sum("d").over(wd)
-    )
-    day_tot = in_day.groupBy("day").agg(F.sum("d").alias("day_sum"))
-    wdays = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = day_tot.withColumn(
-        "offset", F.coalesce(F.sum("day_sum").over(wdays), F.lit(0))
-    ).select("day", "offset")
-    conc = in_day.join(F.broadcast(offsets), "day").withColumn(
-        "concurrency", F.col("offset") + F.col("cum_in_day")
-    )
+    # global sweep-line running sum via range_cumsum: every task holds
+    # a contiguous (t, d) range (ends sort before starts at the same
+    # instant: −1 < +1) and per-partition prefix totals broadcast — no
+    # day-bucketed carry chain, parallelism = #partitions at any scale.
+    # (t, d) is not a total key, but tied rows carry IDENTICAL deltas,
+    # so the multiset of running values — hence the peak and its first
+    # timestamp — is order-independent within a tie group.
+    from ..operators.ranking import range_cumsum
+
+    conc = range_cumsum(deltas, ["t", "d"], "d", "concurrency")
     peak = conc.agg(F.max("concurrency").alias("peak_concurrency"))
     return (
         peak.crossJoin(
@@ -1464,27 +1469,32 @@ def evt_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer (value in exact millis), and the drift range
     (max T − min T)/(n·scale) divides only at the end. A series whose
     mean shifts mid-stream shows a large range; a stable series stays
-    near zero. One window per event_type (the same sort the other
-    per-series analytics share); the final statistic is a projection."""
+    near zero. The per-series rank/cumsum/total come from ONE
+    grouped_range_rank pass (range-partitioned — no task ever sorts a
+    whole series); the final statistic is a projection."""
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         (F.col("value").cast("decimal(18,3)") * 1000).cast("long").alias("v_mill"),
     )
-    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
-    wc = Window.partitionBy("event_type")
-    t = (
-        e.withColumn(
-            "cum",
-            F.sum("v_mill").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count("*").over(wc))
-        .withColumn("total", F.sum("v_mill").over(wc))
-        .withColumn("t_stat", F.col("n") * F.col("cum") - F.col("rn") * F.col("total"))
+    # the event_type key has bounded cardinality while each series grows
+    # with the data — a type-partitioned window would sort one series in
+    # ONE task at any scale; grouped_range_rank fuses the per-series
+    # rank, running sum, count and total into one range-partitioned pass
+    from ..operators.ranking import grouped_range_rank
+
+    t = grouped_range_rank(
+        e,
+        ["event_type"],
+        ["ts_us", "event_id"],
+        "rn",
+        count_col="n",
+        sum_col="v_mill",
+        cumsum_col="cum",
+        total_col="total",
+    ).withColumn(
+        "t_stat", F.col("n") * F.col("cum") - F.col("rn") * F.col("total")
     )
     return (
         t.groupBy("event_type")

@@ -18,6 +18,7 @@ from ..ml.dtw import dtw_pairwise_udf
 from ..ml.evaluation import classification_metrics
 from ..ml.global_tree import GlobalProximityTree
 from ..ml.local_forest import LocalProximityForest
+from ..operators.ranking import grouped_range_rank
 from ..operators.sampling import stratified_split
 from ..sources.catalog import load_table
 
@@ -1872,15 +1873,19 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = l.join(F.broadcast(fit), "l_returnflag").withColumn(
         "r", F.expr("abs(CAST(y AS DOUBLE) - (slope * CAST(x AS DOUBLE) + intercept))")
     )
-    cal = scored.filter(F.col("arm") == 0)
-    w = Window.partitionBy("l_returnflag").orderBy("r", "l_orderkey", "l_linenumber")
-    wc = Window.partitionBy("l_returnflag")
+    # the calibration split grows with the data and the flag key has 3
+    # values: a per-flag rank window would sort a third of it in ONE
+    # task — grouped_range_rank keeps the sort range-partitioned
+    cal = scored.filter(F.col("arm") == 0).select(
+        "l_returnflag", "r", "l_orderkey", "l_linenumber"
+    )
     qhat = (
-        cal.select(
-            "l_returnflag",
-            "r",
-            F.row_number().over(w).alias("rn"),
-            F.count("*").over(wc).alias("n_cal"),
+        grouped_range_rank(
+            cal,
+            ["l_returnflag"],
+            ["r", "l_orderkey", "l_linenumber"],
+            "rn",
+            count_col="n_cal",
         )
         .filter(
             F.expr(

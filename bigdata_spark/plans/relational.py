@@ -410,13 +410,22 @@ FROM orders GROUP BY 1, 2
 def w1_ranked_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """row_number per label (deterministic order for the oracle) →
     modulo partition id → per-(label, pid) counts. The production
-    operator (operators/preprocess.py) uses seeded rand order; here the
-    order key is the unique (l_orderkey, l_linenumber) so DuckDB agrees."""
-    l = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
+    operator (operators/preprocess.py) uses seeded content-hash order;
+    here the order key is the unique (l_orderkey, l_linenumber) so
+    DuckDB agrees. The per-label rank is grouped_range_rank — a window
+    partitioned by the 3-value return flag would sort a third of
+    lineitem in ONE task at any scale; the range-partitioned two-pass
+    rank keeps parallelism at #partitions."""
+    from ..operators.ranking import grouped_range_rank
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber"
+    )
+    ranked = grouped_range_rank(
+        l, ["l_returnflag"], ["l_orderkey", "l_linenumber"], "rn"
+    )
     return (
-        l.withColumn("rn", F.row_number().over(w))
-        .withColumn("pid", ((F.col("rn") - 1) % 8).cast("long"))
+        ranked.withColumn("pid", ((F.col("rn") - 1) % 8).cast("long"))
         .groupBy("l_returnflag", "pid")
         .agg(F.count("*").alias("n"))
     )

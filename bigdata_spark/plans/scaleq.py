@@ -2747,7 +2747,7 @@ def _stage_dv_table(spark: SparkSession, sf_dir: str, scratch: str):
     (
         v1.filter(touched)
         .select(
-            file_key_col().alias("file_key"),
+            file_key_col(base).alias("file_key"),
             F.col("_metadata.row_index").alias("pos"),
         )
         # one sidecar file pins the gate's counters; DV volume is
@@ -2903,12 +2903,12 @@ def s43_dv_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         touched_files = [
             f
             for f in v1_files
-            if "/".join(f.rsplit("/", 2)[-2:]) in touched_keys
+            if os.path.relpath(f, base) in touched_keys
         ]
         old_rows = (
             spark.read.option("basePath", base)
             .parquet(*touched_files)
-            .withColumn("_fk", file_key_col())
+            .withColumn("_fk", file_key_col(base))
             .withColumn("_pos", F.col("_metadata.row_index"))
             .join(
                 dv,
@@ -3033,17 +3033,17 @@ def s44_dv_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         touched = [
             f
             for f in v1_files
-            if "/".join(f.rsplit("/", 2)[-2:]) in touched_keys
+            if os.path.relpath(f, base) in touched_keys
         ]
         untouched = [
             f
             for f in v1_files
-            if "/".join(f.rsplit("/", 2)[-2:]) not in touched_keys
+            if os.path.relpath(f, base) not in touched_keys
         ]
         live = (
             spark.read.option("basePath", base)
             .parquet(*touched)
-            .withColumn("_fk", file_key_col())
+            .withColumn("_fk", file_key_col(base))
             .withColumn("_pos", F.col("_metadata.row_index"))
             .join(
                 dv,
@@ -3394,7 +3394,7 @@ def s48_stream_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         old_rows = (
             spark.read.option("basePath", base)
             .parquet(*v1_files)
-            .withColumn("_fk", file_key_col())
+            .withColumn("_fk", file_key_col(base))
             .withColumn("_pos", F.col("_metadata.row_index"))
             .join(
                 dv,
@@ -3607,7 +3607,7 @@ def s45_snapshot_expiry_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         n_before = len(list_data_files(base))
         expired = expire_snapshots(base, keep_latest=1)
-        deleted, n_ref = vacuum(base)
+        deleted, n_ref = vacuum(base, retention_secs=0.0)
         census = (
             read_snapshot(spark, base, 2)
             .groupBy("o_orderpriority")

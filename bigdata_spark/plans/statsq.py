@@ -2399,24 +2399,25 @@ def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     average the rest from exact cent sums. Emitted next to the
     untrimmed mean so the tail influence is visible.
 
-    Scale: the rank is ONE window shuffle keyed on the group — the
-    same cost as any per-group sort — and everything after is a
-    map-side-combinable aggregate. At 100 TB with heavy groups you'd
-    pre-bucket (approx_quantile_hist) to find the trim boundaries and
-    filter in a scan-local pass instead; this is the exact form."""
+    Scale: the per-group rank is operators/ranking.grouped_range_rank —
+    a window partitioned by the 5-value priority would sort a fifth of
+    orders in ONE task at any scale; the range-partitioned two-pass
+    rank keeps parallelism at #partitions — and everything after is a
+    map-side-combinable aggregate."""
+    from ..operators.ranking import grouped_range_rank
+
     o = load_table(spark, sf_dir, "orders")
     cents = F.expr(
         "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
         " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
     )
-    w_rank = Window.partitionBy("o_orderpriority").orderBy("c", "o_orderkey")
-    w_grp = Window.partitionBy("o_orderpriority")
-    ranked = (
-        o.select("o_orderpriority", "o_orderkey", cents.alias("c"))
-        .withColumn("r", F.row_number().over(w_rank))
-        .withColumn("n", F.count("*").over(w_grp))
-        .withColumn("k", F.expr(f"(n * {_TRIM_PCT}) div 100"))
-    )
+    ranked = grouped_range_rank(
+        o.select("o_orderpriority", "o_orderkey", cents.alias("c")),
+        ["o_orderpriority"],
+        ["c", "o_orderkey"],
+        "r",
+        count_col="n",
+    ).withColumn("k", F.expr(f"(n * {_TRIM_PCT}) div 100"))
     return (
         ranked.groupBy("o_orderpriority")
         .agg(
@@ -4183,32 +4184,45 @@ def stat_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact cents end-to-end: ranks break ties on o_orderkey so the
     clamp set is identical in both engines; the boundary values are
-    window maxima at two fixed ranks; the winsorized sum is an exact
-    BIGINT. One ranking window keyed on the group, then a map-side
-    aggregate (same scale note as stat_trimmed_mean: at heavy-group
-    100 TB you would pre-bucket for the boundaries)."""
+    values selected at two fixed ranks and broadcast back by group;
+    the winsorized sum is an exact BIGINT. The per-group rank is
+    grouped_range_rank (a priority-partitioned window would sort a
+    fifth of orders in ONE task at any scale), then a map-side
+    aggregate."""
+    from ..operators.ranking import grouped_range_rank
+
     o = load_table(spark, sf_dir, "orders")
     cents = F.expr(
         "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
         " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
     )
-    w_rank = Window.partitionBy("g").orderBy("v", "o_orderkey")
-    w_g = Window.partitionBy("g")
-    ranked = (
+    ranked = grouped_range_rank(
         o.select(
             F.col("o_orderpriority").alias("g"),
             cents.alias("v"),
             "o_orderkey",
+        ),
+        ["g"],
+        ["v", "o_orderkey"],
+        "r",
+        count_col="n",
+    ).withColumn("k", F.expr(f"n * {_WINSOR_PCT} div 100"))
+    clamp = (
+        ranked.filter(
+            (F.col("r") == F.col("k") + 1)
+            | (F.col("r") == F.col("n") - F.col("k"))
         )
-        .withColumn("r", F.row_number().over(w_rank))
-        .withColumn("n", F.count("*").over(w_g))
-        .withColumn("k", F.expr(f"n * {_WINSOR_PCT} div 100"))
+        .groupBy("g")
+        .agg(
+            F.max(
+                F.when(F.col("r") == F.col("k") + 1, F.col("v"))
+            ).alias("lo"),
+            F.max(
+                F.when(F.col("r") == F.col("n") - F.col("k"), F.col("v"))
+            ).alias("hi"),
+        )
     )
-    bounds = ranked.withColumn(
-        "lo", F.max(F.when(F.col("r") == F.col("k") + 1, F.col("v"))).over(w_g)
-    ).withColumn(
-        "hi", F.max(F.when(F.col("r") == F.col("n") - F.col("k"), F.col("v"))).over(w_g)
-    )
+    bounds = ranked.join(F.broadcast(clamp), "g")
     wins = bounds.select(
         "g",
         "n",
@@ -4568,33 +4582,48 @@ def ml_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection (type-1, ties on orderkey — identical row in both
     engines); the loss keeps exactness by scaling ×100: each term is
     q·(y−ŷ) or (100−q)·(ŷ−y) in integer cents, so group sums and the
-    integer-ppm means are hash-exact. One ranking window keyed on the
-    group, then one aggregate."""
+    integer-ppm means are hash-exact. The per-group rank is
+    grouped_range_rank (a priority-partitioned window would sort a
+    fifth of orders in ONE task at any scale); the two selected
+    quantile rows broadcast back by group; then one aggregate."""
+    from ..operators.ranking import grouped_range_rank
+
     o = load_table(spark, sf_dir, "orders")
     cents = F.expr(
         "CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)"
         " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
     )
-    w_rank = Window.partitionBy("g").orderBy("v", "o_orderkey")
-    w_g = Window.partitionBy("g")
-    ranked = (
+    ranked = grouped_range_rank(
         o.select(
             F.col("o_orderpriority").alias("g"), cents.alias("v"), "o_orderkey"
+        ),
+        ["g"],
+        ["v", "o_orderkey"],
+        "rn",
+        count_col="n",
+    )
+    qsel = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(n - 1) * 50 div 100 + 1"))
+            | (F.col("rn") == F.expr("(n - 1) * 90 div 100 + 1"))
         )
-        .withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("n", F.count("*").over(w_g))
+        .groupBy("g")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n - 1) * 50 div 100 + 1"),
+                    F.col("v"),
+                )
+            ).alias("q50"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n - 1) * 90 div 100 + 1"),
+                    F.col("v"),
+                )
+            ).alias("q90"),
+        )
     )
-    preds = ranked.withColumn(
-        "q50",
-        F.max(
-            F.when(F.col("rn") == F.expr("(n - 1) * 50 div 100 + 1"), F.col("v"))
-        ).over(w_g),
-    ).withColumn(
-        "q90",
-        F.max(
-            F.when(F.col("rn") == F.expr("(n - 1) * 90 div 100 + 1"), F.col("v"))
-        ).over(w_g),
-    )
+    preds = ranked.join(F.broadcast(qsel), "g")
     losses = preds.select(
         "g",
         F.expr(

@@ -246,22 +246,31 @@ def llm_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     token interval touches. Reports per-(shard, block) document count,
     token count, and fullness.
 
-    Scale shape: the running-offset window partitions BY SHARD — there
-    is no global ordering anywhere, so shards pack independently and
-    the plan parallelizes to the shard count (at 100 TB the shard key
-    is a hash bucket, not lang). All arithmetic is integer-exact."""
+    Scale shape: the per-shard running offset is grouped_range_rank's
+    fused cumsum — every task holds a contiguous (shard, doc_id) range
+    and prefix totals broadcast, so parallelism is #partitions even
+    when one shard dominates (shards still pack independently; there
+    is no global ordering anywhere). All arithmetic is integer-exact."""
     from ..operators.parallelism import ensure_parallelism
-    from pyspark.sql import Window
 
     block = 512
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     nt = d.select(
         "lang", "doc_id", token_count("text").alias("nt")
     ).filter(F.col("nt") > 0)
-    w = Window.partitionBy("lang").orderBy("doc_id")
+    # a shard's doc list grows with the corpus while the shard key has
+    # bounded cardinality — a lang-partitioned window would sort one
+    # shard's docs in ONE task; the running offset rides
+    # grouped_range_rank's fused cumsum (range-partitioned) instead
+    from ..operators.ranking import grouped_range_rank
+
     spans = (
-        nt.withColumn("end_off", F.sum("nt").over(w))
+        grouped_range_rank(
+            nt, ["lang"], ["doc_id"], "_rn", sum_col="nt",
+            cumsum_col="end_off",
+        )
         .withColumn("start_off", F.col("end_off") - F.col("nt"))
+        .drop("_rn", "total")
     )
     expl = spans.select(
         "lang",

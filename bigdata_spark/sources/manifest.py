@@ -192,8 +192,20 @@ def read_snapshot_pruned(
     return df, len(m["files"]), len(keep)
 
 
-_BLOOM_BITS = 1 << 18  # 32 KiB/file — sized for ~20k keys at ~0.4% FP
+_BLOOM_BITS = 1 << 18  # legacy default (pre-sized filters only)
 _BLOOM_K = 4
+_BLOOM_BITS_PER_KEY = 10  # ~1% FP at k=4; m rounds up to a power of two
+_BLOOM_MIN_BITS = 1 << 12
+
+
+def _bloom_size_bits(n_keys: int) -> int:
+    """Per-file filter size: ≥10 bits/key rounded up to a power of two
+    (floored at 4 KiB). Fixed-size filters saturate as files grow —
+    at ~187k keys a 2^18 filter hits ~94% bit fill and ~79% FP per
+    probe, destroying pruning; sizing from the actual key count keeps
+    FP ~1% at every scale factor."""
+    need = max(_BLOOM_MIN_BITS, n_keys * _BLOOM_BITS_PER_KEY)
+    return 1 << (need - 1).bit_length()
 
 
 def _bloom_positions(keys, m_bits: int = _BLOOM_BITS, k: int = _BLOOM_K):
@@ -216,14 +228,21 @@ def _bloom_positions(keys, m_bits: int = _BLOOM_BITS, k: int = _BLOOM_K):
 
 def collect_file_blooms(
     spark: SparkSession, files: list[str], column: str
-) -> dict[str, str]:
+) -> dict[str, dict]:
     """Per-file BLOOM filters over an int64 key column — the pruning
     mode min/max stats cannot provide: on a hash/round-robin layout
     every file's [min, max] spans the whole key domain, but a point
     lookup probes each file's bloom and reads only the (usually one)
     file that can contain the key. One Spark task per file chunk reads
     just the key column; only file-count-sized hex bitmaps return to
-    the driver (manifest cardinality, like collect_file_stats)."""
+    the driver (manifest cardinality, like collect_file_stats).
+
+    Each filter is SIZED FROM ITS FILE's key count
+    (:func:`_bloom_size_bits`) and the manifest entry records (m, k)
+    beside the bitmap so probes always use the matching parameters —
+    a fixed-size filter silently saturates as per-file rows grow with
+    the scale factor. Returns {path: {"m": bits, "k": hashes,
+    "bits": hex}}."""
 
     def _blooms(batches):
         import numpy as np
@@ -238,19 +257,25 @@ def collect_file_blooms(
                     .column(column)
                     .to_numpy()
                 )
-                bits = np.zeros(_BLOOM_BITS, dtype=bool)
-                for pos in _bloom_positions(keys):
+                m = _bloom_size_bits(len(keys))
+                bits = np.zeros(m, dtype=bool)
+                for pos in _bloom_positions(keys, m_bits=m):
                     bits[pos] = True
-                out.append((path, np.packbits(bits).tobytes().hex()))
-            yield pd.DataFrame(out, columns=["path", "bloom"])
+                out.append(
+                    (path, m, _BLOOM_K, np.packbits(bits).tobytes().hex())
+                )
+            yield pd.DataFrame(out, columns=["path", "m", "k", "bits"])
 
     df = spark.createDataFrame([(f,) for f in files], "path string")
     rows = (
         df.repartition(max(1, min(len(files), 64)))
-        .mapInPandas(_blooms, "path string, bloom string")
+        .mapInPandas(_blooms, "path string, m long, k long, bits string")
         .collect()
     )
-    return {r["path"]: r["bloom"] for r in rows}
+    return {
+        r["path"]: {"m": int(r["m"]), "k": int(r["k"]), "bits": r["bits"]}
+        for r in rows
+    }
 
 
 def bloom_candidate_files(
@@ -258,20 +283,32 @@ def bloom_candidate_files(
 ) -> tuple[list[str], int]:
     """Files of ``version`` whose committed bloom for ``column`` may
     contain ``key`` (files without a bloom are kept — pruning is safe,
-    never lossy). Returns (candidates, n_files_total). One manifest
-    read, no data touched."""
+    never lossy). Each probe uses the (m, k) the manifest recorded
+    NEXT TO that file's bitmap (filters are sized per file; a probe
+    with the wrong m would be garbage). Legacy plain-hex entries probe
+    with the legacy fixed parameters. Returns (candidates,
+    n_files_total). One manifest read, no data touched."""
     import numpy as np
 
     with open(
         os.path.join(_manifest_dir(table_path), f"v{version}.json")
     ) as fh:
         m = json.load(fh)
-    probes = [int(p[0]) for p in _bloom_positions(np.array([key]))]
     keep = []
     for rel in m["files"]:
         bl = m.get("stats", {}).get(rel, {}).get("bloom", {}).get(column)
         if bl is not None:
-            raw = bytes.fromhex(bl)
+            if isinstance(bl, dict):
+                m_bits, k, hexbits = bl["m"], bl["k"], bl["bits"]
+            else:  # legacy fixed-size entry
+                m_bits, k, hexbits = _BLOOM_BITS, _BLOOM_K, bl
+            probes = [
+                int(p[0])
+                for p in _bloom_positions(
+                    np.array([key]), m_bits=m_bits, k=k
+                )
+            ]
+            raw = bytes.fromhex(hexbits)
             if not all(raw[p // 8] & (0x80 >> (p % 8)) for p in probes):
                 continue  # definitely absent from this file
         keep.append(os.path.join(table_path, rel))
@@ -304,7 +341,15 @@ def try_commit_snapshot(
         )
     if committed_at is not None:
         doc["committed_at"] = int(committed_at)
-    tmp = os.path.join(mdir, f".v{version}.{os.getpid()}.json.tmp")
+    # tmp name unique PER CALL (not just per pid): two threads in one
+    # process racing the same version must not share a staging path, or
+    # the second open() truncates the first writer's staged manifest
+    # before its os.link and the CAS winner publishes the loser's doc
+    import uuid
+
+    tmp = os.path.join(
+        mdir, f".v{version}.{os.getpid()}.{uuid.uuid4().hex}.json.tmp"
+    )
     final = os.path.join(mdir, f"v{version}.json")
     with open(tmp, "w") as fh:
         json.dump(doc, fh)
@@ -337,10 +382,21 @@ def resolve_asof(table_path: str, ts: int) -> int:
     return best
 
 
-def expire_snapshots(table_path: str, keep_latest: int) -> list[int]:
+def expire_snapshots(
+    table_path: str, keep_latest: int, expire_all: bool = False
+) -> list[int]:
     """Drop all but the newest ``keep_latest`` manifests (the
     retention policy step that makes :func:`vacuum` able to reclaim
-    anything). Data files are untouched — expiry is pure metadata."""
+    anything). Data files are untouched — expiry is pure metadata.
+    ``keep_latest <= 0`` would drop EVERY manifest, after which a
+    vacuum erases the whole table — rejected unless the caller
+    explicitly passes ``expire_all=True`` (the drop-table intent)."""
+    if keep_latest <= 0 and not expire_all:
+        raise ValueError(
+            "keep_latest <= 0 expires every snapshot (a subsequent"
+            " vacuum would erase the table); pass expire_all=True to"
+            " confirm"
+        )
     vs = versions(table_path)
     drop = vs[:-keep_latest] if keep_latest > 0 else vs
     for v in drop:
@@ -348,13 +404,24 @@ def expire_snapshots(table_path: str, keep_latest: int) -> list[int]:
     return drop
 
 
-def vacuum(table_path: str) -> tuple[list[str], int]:
+def vacuum(
+    table_path: str, retention_secs: float = 86400.0
+) -> tuple[list[str], int]:
     """Delete every data/DV file under the table root that NO
     surviving manifest references — the garbage-collection half of
-    snapshot expiry. Safety is structural: the reachable set is the
-    union over every remaining manifest's ``files`` + ``deletes``, so
-    a file any live snapshot can still plan stays on disk. Returns
-    (deleted paths, n files kept)."""
+    snapshot expiry. Safety is structural in two ways: (1) the
+    reachable set is the union over every remaining manifest's
+    ``files`` + ``deletes``, so a file any live snapshot can still
+    plan stays on disk; (2) unreferenced files YOUNGER than
+    ``retention_secs`` are kept (the Delta
+    ``deletedFileRetentionDuration`` shape) — a writer stages its data
+    file into the table directory BEFORE its CAS commit
+    (:func:`try_commit_snapshot`), so a concurrent vacuum with no age
+    guard would delete an in-flight commit's file. Tests/benchmarks
+    that own the table exclusively pass ``retention_secs=0.0``
+    explicitly. Returns (deleted paths, n files referenced)."""
+    import time
+
     referenced: set[str] = set()
     for v in versions(table_path):
         with open(
@@ -364,10 +431,14 @@ def vacuum(table_path: str) -> tuple[list[str], int]:
         for f in m["files"] + m.get("deletes", []):
             referenced.add(os.path.normpath(os.path.join(table_path, f)))
     deleted = []
+    horizon = time.time() - retention_secs
     for f in list_data_files(table_path):
-        if os.path.normpath(f) not in referenced:
-            os.remove(f)
-            deleted.append(f)
+        if os.path.normpath(f) in referenced:
+            continue
+        if os.path.getmtime(f) > horizon:
+            continue  # younger than the retention window — maybe staged
+        os.remove(f)
+        deleted.append(f)
     return deleted, len(referenced)
 
 
@@ -382,15 +453,34 @@ def snapshot_delete_files(table_path: str, version: int) -> list[str]:
     ]
 
 
-def file_key_col():
-    """Stable per-row file identity for positional deletes: the last
-    two path components of the scanned file (partition dir + part
-    file — part filenames embed task UUIDs, so the key is unique
-    within a table while staying relocation-safe, unlike the absolute
-    ``file://`` URI Spark reports)."""
+def file_key_col(table_path: str | None = None):
+    """Stable per-row file identity for positional deletes.
+
+    With ``table_path`` (the committed table root): the file's path
+    RELATIVE to that root — matching how the manifest itself records
+    files — so deletion-vector keys survive ANY rename/move of the
+    table directory (readers always resolve keys against the root they
+    are scanning, never against an absolute URI). Writers and readers
+    of one table must use the same form; the DV plans pass the root.
+
+    Without ``table_path`` (legacy): the last two path components
+    (partition dir + part file). Unique within a table — part names
+    embed task UUIDs — but for a FLAT table the 'partition dir' is the
+    table directory's own name, so renaming the root silently orphans
+    every DV key (the anti-join stops matching and deleted rows
+    REAPPEAR rather than erroring). Kept only for pre-existing
+    sidecars; new code should pass the root."""
     from pyspark.sql import functions as F
 
-    return F.substring_index(F.col("_metadata.file_path"), "/", -2)
+    if table_path is None:
+        return F.substring_index(F.col("_metadata.file_path"), "/", -2)
+    root = os.path.abspath(table_path).rstrip("/") + "/"
+    # _metadata.file_path is a URI (file:///...); locate the absolute
+    # root inside it and take everything after — scheme-independent
+    return F.expr(
+        "substring(_metadata.file_path,"
+        f" instr(_metadata.file_path, '{root}') + {len(root)})"
+    )
 
 
 def read_snapshot_with_deletes(
@@ -417,7 +507,7 @@ def read_snapshot_with_deletes(
     dv = spark.read.parquet(*dvs)  # (file_key string, pos long)
     data_cols = df.columns
     return (
-        df.withColumn("_fk", file_key_col())
+        df.withColumn("_fk", file_key_col(table_path))
         .withColumn("_pos", F.col("_metadata.row_index"))
         .join(
             dv,

@@ -289,15 +289,24 @@ def event_time_sessionize(
                 # clamped merge: a late (u ≤ la) in-watermark event may
                 # extend the session start backward but never its end
                 st, la, n, vm = min(st, u), max(la, u), n + 1, vm + int(v)
-        state.update((st, la, n, vm))
         # arm the event-time clock at the CEILING millisecond of the
         # microsecond horizon (truncation would fire a session one ms
-        # early relative to the µs contract), and never at or below
-        # the current watermark — Spark throws on that, and a late-key
-        # update could otherwise compute such a horizon
+        # early relative to the µs contract). If the horizon is already
+        # at or below the current watermark — reachable only via a late
+        # in-watermark event on a non-chronological input — the session
+        # is CLOSED by definition (any future in-watermark event has
+        # ts > wm ≥ la + gap, so it starts a new session): emit it now
+        # instead of arming a wm+1 clock that only fires if the
+        # watermark later advances and would strand the session should
+        # the stream end first.
         horizon_ms = (la + gap_us + 999) // 1000
         wm_ms = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(horizon_ms, wm_ms + 1))
+        if horizon_ms <= wm_ms:
+            state.remove()
+            closed.append(row(st, la, n, vm))
+        else:
+            state.update((st, la, n, vm))
+            state.setTimeoutTimestamp(horizon_ms)
         if closed:
             yield pd.DataFrame(closed)
 

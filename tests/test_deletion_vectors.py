@@ -37,7 +37,7 @@ def test_dv_masks_exact_positions(spark, tmp_path):
     (
         v1.filter(F.col("id") % 10 == 3)
         .select(
-            file_key_col().alias("file_key"),
+            file_key_col(base).alias("file_key"),
             F.col("_metadata.row_index").alias("pos"),
         )
         .repartition(1)

@@ -60,10 +60,10 @@ def test_expiry_then_vacuum_keeps_reachable_files(spark, tmp_path):
     keep = data[:2]
     commit_snapshot(base, 2, keep)
     # nothing is reclaimable while v1 survives
-    deleted, n_ref = vacuum(base)
+    deleted, n_ref = vacuum(base, retention_secs=0.0)
     assert deleted == [] and n_ref == len(data)
     assert expire_snapshots(base, keep_latest=1) == [1]
-    deleted, n_ref = vacuum(base)
+    deleted, n_ref = vacuum(base, retention_secs=0.0)
     assert sorted(deleted) == sorted(set(data) - set(keep))
     assert n_ref == len(keep)
     # the surviving snapshot still reads every row of its files

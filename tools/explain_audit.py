@@ -349,8 +349,15 @@ AUDITS.update({
         ("query-side filter pushed", r"PushedFilters: \[.*LessThan\(vec_id,5\)"),
     ],
     "w6_exact_median": [
-        ("rank + group count share ONE exchange", r"Window \(6\)[\s\S]*Window \(4\)[\s\S]*Exchange \(2\)"),
-        ("scan pruned to the ordering columns", r"ReadSchema: struct<l_orderkey:bigint,l_linenumber:(int|bigint),l_quantity:double,l_returnflag:string>"),
+        ("fact collapses via map-side partial agg (histogram, no fact-row window)", r"partial_count"),
+        ("scan pruned to (returnflag, quantity)", r"ReadSchema: struct<l_quantity:double,l_returnflag:string>"),
+    ],
+    "w9_percentile_cont": [
+        # the histogram's eager localCheckpoint cuts lineage; pin the
+        # selection shape over the checkpointed domain table instead
+        ("target/bucket tables broadcast, never shuffled", r"BroadcastHashJoin"),
+        ("fine pass windows on (group, target), never one partition", r"hashpartitioning\(l_returnflag[^\)]*tgt_id"),
+        ("no single-partition exchange anywhere", r"^(?:(?!Exchange SinglePartition)[\s\S])*$"),
     ],
     "evt_anomaly_zscore": [
         ("per-type stats broadcast onto buckets", r"BroadcastHashJoin"),
@@ -398,8 +405,8 @@ AUDITS.update({
         ("no Python evaluation", NO_PYTHON),
     ],
     "evt_peak_concurrency": [
-        ("sweep cumsum partitions by day, not global", r"hashpartitioning\(day"),
-        ("day offsets broadcast back", r"BroadcastHashJoin"),
+        ("no single-partition exchange after the range cumsum", r"^(?:(?!Exchange SinglePartition)[\s\S])*$"),
+        ("prefix offsets broadcast back", r"BroadcastHashJoin"),
         ("all-native expressions", NO_PYTHON),
     ],
     "evt_rolling_wau": [
@@ -772,12 +779,10 @@ AUDITS.update({
         ("integer distortion ratios native, no Python", NO_PYTHON),
     ],
     "stat_trimmed_mean": [
-        (
-            "scan pruned to the three needed columns",
-            r"ReadSchema: struct<o_orderkey:bigint,o_totalprice:double,o_orderpriority:string"
-            r"|ReadSchema: struct<o_orderkey:bigint,o_orderpriority:string,o_totalprice:double",
-        ),
-        ("one rank window keyed on the group", r"Window"),
+        # grouped_range_rank's eager localCheckpoint cuts lineage, so
+        # the pruned scan is invisible here; pin the post-rank shape
+        ("no single-partition exchange after the grouped rank", r"^(?:(?!Exchange SinglePartition)[\s\S])*$"),
+        ("broadcast offset join from the grouped rank", r"BroadcastHashJoin"),
         ("trimmed sums partial-aggregate, no Python", NO_PYTHON),
     ],
     "w13_rising_streaks": [
@@ -981,6 +986,7 @@ AUDITS.update({
 # (file, function, name); a new hint fails until its grain is reviewed.
 BROADCAST_HINT_ALLOWLIST = {
     ("coverage.py", "f12_quantile_bins", "bnd"),
+    ("coverage.py", "w9_percentile_cont", "n_df"),
     ("coverage.py", "wh_abc_analysis", "tot_df"),
     ("coverage.py", "tpch_q10", "n"),
     ("coverage.py", "tpch_q7", "cust_n"),
@@ -998,7 +1004,6 @@ BROADCAST_HINT_ALLOWLIST = {
     ("events.py", "evt_growth_accounting", "maxw"),
     ("events.py", "evt_markov_absorption", "tot"),
     ("events.py", "evt_markov_stationary", "totals"),
-    ("events.py", "evt_peak_concurrency", "offsets"),
     ("events.py", "evt_peak_concurrency", "peak"),
     ("events.py", "evt_rolling_wau", "bounds"),
     ("events.py", "evt_seasonal_anomaly", "moments"),
@@ -1084,10 +1089,12 @@ BROADCAST_HINT_ALLOWLIST = {
     ("statsq.py", "stat_mad_outliers", "mad"),
     ("statsq.py", "stat_mad_outliers", "med"),
     ("statsq.py", "stat_mann_kendall", "ties"),
+    ("statsq.py", "ml_pinball_eval", "qsel"),
     ("statsq.py", "stat_mood_median", "gmed_row"),
     ("statsq.py", "stat_mood_median", "sel"),
     ("statsq.py", "stat_mood_median", "tot"),
     ("statsq.py", "stat_spearman", "rx"),
+    ("statsq.py", "stat_winsorized_mean", "clamp"),
     ("statsq.py", "stat_spearman", "ry"),
     ("statsq.py", "stat_survival_lifetable", "horizon"),
     ("textq.py", "llm_kl_drift", "totals"),
@@ -1201,7 +1208,6 @@ ZERO_PARTITION_WINDOW_ALLOWLIST = {
     ("events.py", "evt_changepoint"),          # day grain (time-span-bounded)
     ("events.py", "evt_entropy_rate"),         # ≤k² transition cells
     ("events.py", "evt_interarrival_stats"),   # gap-seconds histogram (bounded domain)
-    ("events.py", "evt_peak_concurrency"),     # day grain (time-span-bounded)
     ("events.py", "evt_retention_halflife"),   # week-offset (age) grain
     ("events.py", "evt_seasonal_decompose"),   # hour_id grain (time-span-bounded)
     ("events.py", "w13_rising_streaks"),       # day grain (time-span-bounded)
@@ -1329,6 +1335,205 @@ def audit_zero_partition_windows() -> int:
     return 0
 
 
+# ---------------------------------------------------------------------------
+# Window partition-KEY grain audit (the r10 verdict's third rung): a
+# window with partitionBy on a BOUNDED-cardinality key (returnflag,
+# brand, priority) has fixed partition COUNT while partition SIZE grows
+# with the data — at 100 TB one task sorts a constant fraction of the
+# fact table, exactly like a zero-partition window divided by a
+# constant. Every Window.partitionBy site in the package must appear
+# below with a reviewed grain note, classified as one of:
+#   data-grown  — the key's cardinality grows with the data, so each
+#                 group stays bounded (user_id, doc_id, query_id, ...);
+#   bounded-input — the key is bounded BUT the window input is itself a
+#                 bounded-grain table (value-domain histogram,
+#                 contingency cells, per-day rollup, sketch rows);
+#   group-limit — a rank<=k filter immediately follows, so Spark's
+#                 WindowGroupLimit keeps per-partition heaps and never
+#                 sorts a whole group;
+#   operator-internal — the bounded pass inside a range-partitioned
+#                 operator (per-(pid, group) locals, offset tables).
+# Exact-mirror rule: a new site OR a stale entry fails the audit until
+# the grain is re-reviewed. SF-grown bounded-key windows over fact rows
+# are NOT allowlistable — convert to operators/ranking.
+# grouped_range_rank / grouped_range_lead or operators/quantiles.
+# grouped_order_statistics (see w6/w9/f12/w1/w5/ml_conformal/evt_twap/
+# evt_cusum/llm_seq_pack conversions, r10 verdict task #1).
+WINDOW_PARTITION_GRAIN_ALLOWLIST = {
+    ("ann.py", "brute_force_topk", "query_id"),  # data-grown: per-query candidate set
+    ("ann.py", "ivf_topk", "query_id"),          # data-grown: probed-list candidates per query
+    ("ann.py", "lsh_bucketed_topk", "query_id"),  # data-grown: bucket-joined candidates per query
+    ("coverage.py", "f13_locf_impute", "user_id"),  # data-grown: events per user
+    ("coverage.py", "o8_range_partition_sort", "pid"),  # data-grown: partition id — group size bounded by the range partitioner (#partitions grows with data)
+    ("coverage.py", "w6_exact_median", "l_returnflag"),  # bounded-input: (flag, quantity) value-domain histogram, ≤50 rows/flag
+    ("dedupq.py", "dedup_keep_one", "content_key"),  # data-grown: duplicate group per content digest
+    ("dedupq.py", "dedup_minhash_error_audit", "band_id,band_hash"),  # data-grown: salted LSH bucket
+    ("dedupq.py", "dedup_stream_firstseen", "key"),  # data-grown: per-key stream state
+    ("dedupq.py", "llm_source_dedup_priority", "content_key"),  # data-grown: cross-source duplicate group
+    ("erq.py", "er_blocked_linkage", "c_custkey"),  # data-grown: block-bounded candidate matches per record
+    ("events.py", "evt_attribution", "p_eid"),   # data-grown: touches per conversion (1h lookback)
+    ("events.py", "evt_bot_detection", "user_id"),  # data-grown
+    ("events.py", "evt_cohort_ltv", "cohort_w"),  # bounded-input: (cohort_week, age_weeks) cell table
+    ("events.py", "evt_entropy_rate", "prev_type"),  # bounded-input: ≤k² transition cells
+    ("events.py", "evt_entropy_rate", "user_id"),  # data-grown
+    ("events.py", "evt_interarrival_stats", "user_id"),  # data-grown
+    ("events.py", "evt_markov_absorption", "user_id"),  # data-grown
+    ("events.py", "evt_markov_stationary", "user_id"),  # data-grown
+    ("events.py", "evt_peak_concurrency", "user_id"),  # data-grown: sessionize per user
+    ("events.py", "evt_transitions", "user_id"),  # data-grown
+    ("events.py", "j7_interval_overlap", "user_id,event_type"),  # data-grown
+    ("events.py", "w7_range_frame", "user_id"),  # data-grown
+    ("events.py", "w8_islands_rle", "user_id"),  # data-grown
+    ("exact.py", "exact_dedup", "_content_key(...)"),  # data-grown: duplicate group per digest
+    ("extended.py", "approx_kmv_distinct", "event_type"),  # bounded-input: merged KMV sketch rows (k-bounded)
+    ("extended.py", "approx_theta_ops", "lbl"),  # bounded-input: theta sketch rows (k-bounded)
+    ("extended.py", "asof_forward_tolerance", "user_id"),  # data-grown
+    ("extended.py", "asof_join_orders_events", "user_id"),  # data-grown
+    ("extended.py", "j10_pit_embargo_join", "user_id"),  # data-grown
+    ("global_tree.py", "fit", "*part"),          # data-grown: partition id (spread bounded by partitioner)
+    ("global_tree.py", "fit", "node_id,label"),  # data-grown: node count doubles per level; per-node rows shrink
+    ("graph.py", "_cc_star_loop", "a"),          # data-grown: adjacency per vertex (star-contraction bounds it)
+    ("graphq.py", "rec_item_item", "item"),      # group-limit: rank<=3 filter → WindowGroupLimit
+    ("minhash.py", "minhash_dup_pairs", "band_id,band_hash"),  # data-grown: salted LSH bucket
+    ("mlq.py", "ml_als_factorize", "user_id"),   # data-grown: ratings per user
+    ("mlq.py", "ml_cv_kfold", "vec_id"),         # data-grown: per-vector fold tag
+    ("mlq.py", "ml_gain_lift_deciles", "cents"),  # data-grown: same-cents tie group (value-domain spread)
+    ("mlq.py", "ml_kmeans_fixed", "vec_id"),     # data-grown: per-vector assignment
+    ("mlq.py", "ml_mutual_info", "x"),           # bounded-input: contingency cells
+    ("mlq.py", "ml_mutual_info", "y"),           # bounded-input: contingency cells
+    ("mlq.py", "ml_naive_bayes", "qb,db,tb,truth"),  # bounded-input: likelihood cells
+    ("multimodalq.py", "mm_audio_silence", "media_id"),  # data-grown: frames per clip (duration-bounded)
+    ("multimodalq.py", "mm_scene_cut", "media_id"),  # data-grown: frames per clip (duration-bounded)
+    ("ngram.py", "ngram_jaccard_pairs", "_bucket,tok"),  # data-grown: salted token bucket
+    ("pq.py", "pq_topk", "query_id"),            # data-grown: ADC candidates per query
+    ("quantiles.py", "grouped_order_statistics", "*group_cols"),  # operator-internal: coarse-bucket census per group
+    ("quantiles.py", "grouped_order_statistics", "*group_cols,tgt_id"),  # operator-internal: one selected bucket's value domain
+    ("ranking.py", "grouped_range_lead", "*group_cols"),  # operator-internal: per-(pid, group) firsts stitch table
+    ("ranking.py", "grouped_range_lead", "_pid,*group_cols"),  # operator-internal: local lead within one range partition
+    ("ranking.py", "grouped_range_rank", "*group_cols"),  # operator-internal: per-(pid, group) offset table
+    ("ranking.py", "grouped_range_rank", "_pid,*group_cols"),  # operator-internal: local rank within one range partition
+    ("ranking.py", "range_cumsum", "_pid"),      # operator-internal: local cumsum within one range partition
+    ("ranking.py", "range_rank", "_pid"),        # operator-internal: local rank within one range partition
+    ("relational.py", "w2_group_topk", "o_orderpriority"),  # group-limit: rank<=3 filter → WindowGroupLimit
+    ("relational.py", "w3_lag_delta", "user_id"),  # data-grown
+    ("relational.py", "w4_moving_avg", "user_id"),  # data-grown
+    ("sampling.py", "group_topk_random_sample", "*group_cols"),  # group-limit: rank<=k filter → WindowGroupLimit
+    ("samplingq.py", "p7_pps_systematic", "bucket"),  # bounded-input: stratum offset table
+    ("scd.py", "scd2_from_changes", "*key_cols"),  # data-grown: change history per entity
+    ("simq.py", "ml_ranking_metrics", "query_id"),  # data-grown: ranked list per query
+    ("simq.py", "sim_contrastive_pairs", "query_id"),  # data-grown
+    ("simq.py", "sim_knn_classify", "query_id"),  # data-grown
+    ("simq.py", "sim_maxsim_multivector", "query_id"),  # data-grown
+    ("simq.py", "sim_quantized_recall", "query_id"),  # data-grown
+    ("simq.py", "sim_topk_pq", "query_id"),      # data-grown
+    ("statsq.py", "_domain_median", "grp"),      # bounded-input: (grp, value, count) domain table
+    ("statsq.py", "stat_chi2_independence", "o_orderpriority"),  # bounded-input: contingency cells
+    ("statsq.py", "stat_chi2_independence", "o_orderstatus"),  # bounded-input: contingency cells
+    ("statsq.py", "stat_cramers_v", "o_orderpriority"),  # bounded-input: contingency cells
+    ("statsq.py", "stat_cramers_v", "o_orderstatus"),  # bounded-input: contingency cells
+    ("statsq.py", "stat_friedman", "day"),       # bounded-input: (block, 5 treatments) rollup
+    ("statsq.py", "stat_jonckheere", "g"),       # bounded-input: quantity value-domain pair table
+    ("statsq.py", "stat_levene_bf", "g"),        # bounded-input: cents histogram
+    ("statsq.py", "stat_survival_lifetable", "event_type"),  # bounded-input: (stratum, dur_days) life table
+    ("statsq.py", "stat_weighted_median", "flag"),  # bounded-input: (flag, quantity) grain, ≤3×50 rows
+    ("textq.py", "llm_cdc_chunk_dedup", "doc_id"),  # data-grown: chunks per doc
+    ("textq.py", "txt_rake_keyphrases", "doc_id"),  # data-grown: words per doc
+    ("textq.py", "txt_rake_keyphrases", "doc_id,g"),  # data-grown: phrase runs per doc
+    ("textq.py", "txt_tfidf", "doc_id"),         # data-grown: terms per doc
+    ("timeseries.py", "resample_gapfill", "*key_cols"),  # data-grown: series per key
+    ("upsert_sink.py", "keyed_upsert_batch", "*key_cols"),  # data-grown: versions per key
+}
+
+
+def _partition_window_sites(root) -> list[tuple[str, str, str]]:
+    """AST scan: every WindowSpec construction whose chain starts at
+    ``Window`` and calls ``partitionBy`` with ≥1 argument. Returns
+    (file, enclosing function, comma-joined key spelling) triples —
+    string-literal keys verbatim, ``f(name)`` for single-literal-arg
+    calls, ``*name`` for starred args, source text otherwise."""
+    import ast
+    import pathlib
+
+    def key_repr(arg):
+        if isinstance(arg, ast.Constant) and isinstance(arg.value, str):
+            return arg.value
+        if isinstance(arg, ast.Call):
+            f = arg.func
+            name = f.attr if isinstance(f, ast.Attribute) else getattr(f, "id", "?")
+            if arg.args and isinstance(arg.args[0], ast.Constant):
+                return f"{name}({arg.args[0].value})"
+            return f"{name}(...)"
+        if isinstance(arg, ast.Starred):
+            return "*" + ast.unparse(arg.value)
+        return ast.unparse(arg)
+
+    sites: set[tuple[str, str, str]] = set()
+    for f in sorted(pathlib.Path(root).rglob("*.py")):
+        tree = ast.parse(f.read_text())
+        parents: dict[int, str] = {}
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                for child in ast.walk(node):
+                    parents.setdefault(id(child), node.name)
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call):
+                continue
+            cur, found = node, None
+            while isinstance(cur, ast.Call) and isinstance(
+                cur.func, ast.Attribute
+            ):
+                if cur.func.attr == "partitionBy" and (
+                    cur.args or cur.keywords
+                ):
+                    found = cur
+                cur = cur.func.value
+            if (
+                not (isinstance(cur, ast.Name) and cur.id == "Window")
+                or found is None
+            ):
+                continue
+            keys = ",".join(key_repr(a) for a in found.args)
+            sites.add((f.name, parents.get(id(node), "<module>"), keys))
+    return sorted(sites)
+
+
+def audit_window_partition_grains() -> int:
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "bigdata_spark"
+    sites = set(_partition_window_sites(pkg))
+    bad = sorted(sites - WINDOW_PARTITION_GRAIN_ALLOWLIST)
+    stale = sorted(WINDOW_PARTITION_GRAIN_ALLOWLIST - sites)
+    failures = 0
+    if bad:
+        failures += len(bad)
+        for fname, fn, keys in bad:
+            print(
+                f"FAIL {fname}:{fn}: Window.partitionBy({keys}) not in the"
+                " reviewed partition-grain allowlist — classify the key:"
+                " data-grown group size is fine; a bounded-cardinality key"
+                " over an SF-grown input sorts a constant fraction of the"
+                " data in ONE task — convert to grouped_range_rank/"
+                "grouped_range_lead/grouped_order_statistics instead"
+            )
+    if stale:
+        failures += len(stale)
+        for fname, fn, keys in stale:
+            print(
+                f"FAIL {fname}:{fn}: stale partition-grain allowlist entry"
+                f" partitionBy({keys}) (no matching site) — remove it so the"
+                " allowlist stays an exact mirror of reviewed sites"
+            )
+    if failures:
+        return failures
+    print(
+        f"ok   window partition grains: {len(sites)} reviewed sites"
+        " package-wide (data-grown / bounded-input / group-limit /"
+        " operator-internal), allowlist exact"
+    )
+    return 0
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bigdata_spark.plans import all_queries
@@ -1339,6 +1544,7 @@ def main() -> int:
     registry = all_queries()
     failures = audit_broadcast_hints()
     failures += audit_zero_partition_windows()
+    failures += audit_window_partition_grains()
     for name, checks in AUDITS.items():
         fn, _ = registry[name]
         df = fn(spark, sf_dir)
