@@ -3833,7 +3833,162 @@ ORDER BY asof_ts
 """
 
 
+# ---------------------------------------------------------------------------
+# s51 — EQUALITY deletes: row-level delete by key predicate, no positions
+# ---------------------------------------------------------------------------
+
+_S51_CHURN_PRED = "o_custkey % 50 = 3"  # churned customers (non-unique key)
+
+
+def s51_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style EQUALITY deletes — the other half of production
+    row-level deletes beside the positional DV family (s42-s44): a
+    churn feed deletes every order of a set of customers by writing a
+    sidecar of KEY VALUES (distinct o_custkey), registered in the
+    manifest with its key-column list and applied merge-on-read as an
+    anti-join on the key. The delete writer never opens a data file —
+    no read-modify-write to find row positions — which is why equality
+    deletes are the cheap-under-churn shape: one key row logically
+    removes every matching data row across every file.
+
+    Staged as a real manifest lifecycle: orders commit as an 8-file v1;
+    the churned-key sidecar commits as v2 over the SAME data files
+    (zero rewrites, pinned structurally); the gated rows prove census
+    invariance (v2 read == v1 read minus the churned customers' rows,
+    counts and exact cents) plus the s43-style change-data-feed census
+    of exactly the removed rows.
+
+    Scale: the sidecar is key-cardinality-sized (churn-batch), the
+    anti-join hash-partitions on the key (AQE broadcasts the usual
+    tiny sidecar), and no data file is opened at delete time — at
+    100 TB a churn delete commits kilobytes.
+
+    Reference parity: the reference rewrites whole artifacts on any
+    mutation (model_manager.py save path); this is the Spark-first
+    row-level shape."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import (
+        commit_snapshot,
+        list_data_files,
+        read_snapshot,
+        read_snapshot_with_deletes,
+        snapshot_files,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_eqdel_")
+    try:
+        base = os.path.join(scratch, "table")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+        )
+        o.repartition(8).write.parquet(base)
+        v1_files = list_data_files(base)
+        commit_snapshot(base, 1, v1_files)
+
+        # the churn feed supplies keys — the writer reads NO data file
+        keys = (
+            o.filter(F.expr(_S51_CHURN_PRED))
+            .select("o_custkey")
+            .distinct()
+        )
+        eq_dir = os.path.join(base, "eqdel_v2")
+        keys.repartition(1).write.parquet(eq_dir)
+        eq_files = [
+            f for f in list_data_files(base) if f not in set(v1_files)
+        ]
+        commit_snapshot(
+            base,
+            2,
+            v1_files,
+            equality_deletes=(eq_files, ["o_custkey"]),
+        )
+
+        v1 = read_snapshot(spark, base, 1)
+        v2 = read_snapshot_with_deletes(spark, base, 2)
+        removed = v1.join(
+            F.broadcast(keys), "o_custkey", "left_semi"
+        )  # the change-data-feed of the delete — key-churn-sized census
+        zero_rewrite = set(snapshot_files(base, 2)) == set(v1_files)
+
+        cents = F.expr(_DV_CENTS)
+        stats = (
+            v1.agg(
+                F.count("*").alias("n_before"),
+                F.sum(cents).cast("long").alias("cents_before"),
+            )
+            .crossJoin(
+                keys.agg(F.count("*").alias("n_deleted_keys"))
+            )
+            .crossJoin(
+                removed.agg(
+                    F.count("*").alias("n_removed_rows"),
+                    F.coalesce(F.sum(cents), F.lit(0))
+                    .cast("long")
+                    .alias("cents_removed"),
+                )
+            )
+            .crossJoin(
+                v2.agg(
+                    F.count("*").alias("n_after"),
+                    F.coalesce(F.sum(cents), F.lit(0))
+                    .cast("long")
+                    .alias("cents_after"),
+                )
+            )
+            .select(
+                "n_before",
+                "n_deleted_keys",
+                "n_removed_rows",
+                "n_after",
+                "cents_before",
+                "cents_removed",
+                "cents_after",
+                (
+                    (F.col("n_after") == F.col("n_before") - F.col("n_removed_rows"))
+                    & (
+                        F.col("cents_after")
+                        == F.col("cents_before") - F.col("cents_removed")
+                    )
+                ).alias("census_invariant"),
+                F.lit(bool(zero_rewrite)).alias("zero_data_file_rewrite"),
+            )
+            .localCheckpoint()
+        )
+        return stats
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S51_EQDEL_SQL = f"""
+WITH cents AS (
+  SELECT o_custkey,
+         CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+  FROM orders
+),
+removed AS (SELECT * FROM cents WHERE {_S51_CHURN_PRED})
+SELECT
+  CAST((SELECT COUNT(*) FROM cents) AS BIGINT) AS n_before,
+  CAST((SELECT COUNT(DISTINCT o_custkey) FROM removed) AS BIGINT)
+    AS n_deleted_keys,
+  CAST((SELECT COUNT(*) FROM removed) AS BIGINT) AS n_removed_rows,
+  CAST((SELECT COUNT(*) FROM cents) - (SELECT COUNT(*) FROM removed)
+       AS BIGINT) AS n_after,
+  CAST((SELECT SUM(c) FROM cents) AS BIGINT) AS cents_before,
+  CAST((SELECT COALESCE(SUM(c), 0) FROM removed) AS BIGINT)
+    AS cents_removed,
+  CAST((SELECT SUM(c) FROM cents)
+    - (SELECT COALESCE(SUM(c), 0) FROM removed) AS BIGINT) AS cents_after,
+  TRUE AS census_invariant,
+  TRUE AS zero_data_file_rewrite
+"""
+
+
 QUERIES = {
+    "s51_equality_deletes": (s51_equality_deletes, S51_EQDEL_SQL),
     "s37_incremental_mv": (s37_incremental_mv, S37_IMV_SQL),
     "opt_join_order_cost": (opt_join_order_cost, OPT_JOIN_ORDER_SQL),
     "opt_join_order_cost_approx": (

@@ -1403,7 +1403,278 @@ ORDER BY p.query_id
 """
 
 
+# --- persisted ANN index with incremental admission ------------------------
+
+_ANN_DUP_COS = 0.35  # admission near-duplicate threshold (corpus-tuned)
+
+
+def sim_ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run ANN against a PERSISTED hyperplane-LSH index — the
+    embedding-space twin of ``dedup_minhash_incremental`` and the
+    production retrieval-corpus admission shape: an admitted corpus
+    owns an on-disk bucketed vector index; each new batch is bucketed
+    with the SAME deterministic hyperplanes (no training, nothing to
+    rebuild), probed against the index READ BACK FROM PARQUET, scored
+    exactly within matching buckets only, near-duplicates (top
+    candidate cosine ≥ 0.35) rejected, and the admitted vectors
+    APPENDED as new files under a new manifest version — zero index
+    rewrites, the s42-family commit shape rather than a full republish.
+
+    Gates: recall@5 of the index probe vs the exact brute-force top-5
+    over the same base corpus (integer ppm — the quality the bucket
+    pruning trades), admission counts + id-sums, index row counts
+    before/after, and two structural booleans — the second manifest
+    version REUSES every v1 file (append-only) and the probe read
+    exactly the v1 file set (no rebuild).
+
+    Scale: probing is one hash join on bucket (batch × index, never
+    corpus × corpus); the exact-verify side here scores the full probe
+    set for the recall AUDIT — production keeps only the bucketed
+    probe, which is candidates-sized. The append is admitted-batch-
+    sized parquet plus one manifest write.
+
+    Reference parity: scales the nearest-exemplar ops (U1-U3,
+    reference global_model_manager.py:271-280) to a corpus that
+    outlives one session."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..similarity.ann import _hyperplane, brute_force_topk
+    from ..functions.distances import dot_product
+    from ..sources.manifest import (
+        commit_snapshot,
+        list_data_files,
+        read_snapshot,
+        snapshot_files,
+    )
+
+    def bucket_of(vec):
+        out = F.lit(0)
+        for p in range(_LSH_PLANES):
+            plane = F.array(
+                *[F.lit(x) for x in _hyperplane(_LSH_DIM, p)]
+            )
+            out = out + F.when(
+                dot_product(vec, plane) >= 0, F.lit(1 << p)
+            ).otherwise(F.lit(0))
+        return out
+
+    e = _vecs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("bucket", bucket_of(F.col("v")))
+    is_new = F.pmod(F.col("vec_id"), F.lit(5)) == 0
+    base = e.filter(~is_new)
+    batch = e.filter(is_new).persist()
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_annidx_")
+    try:
+        table = os.path.join(scratch, "annidx")
+        # run 1: build + persist index v1 (bucket, corpus_id, vector)
+        (
+            base.select(
+                "bucket",
+                F.col("vec_id").alias("corpus_id"),
+                F.col("v").alias("c_vec"),
+            )
+            .repartition(4)
+            .write.parquet(table)
+        )
+        v1_files = list_data_files(table)
+        commit_snapshot(table, 1, v1_files)
+
+        # run 2: probe the index read back from the PERSISTED bytes
+        idx = read_snapshot(spark, table, 1)
+        rows_before = idx.count()
+        probed_files = {
+            r["f"]
+            for r in idx.select(
+                F.col("_metadata.file_path").alias("f")
+            )
+            .distinct()
+            .collect()
+        }  # file grain — bounded by the index file count
+        cand = (
+            idx.join(
+                batch.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("q_vec"),
+                    "bucket",
+                ),
+                "bucket",
+            )
+            .select(
+                "query_id",
+                "corpus_id",
+                cosine_similarity(
+                    F.col("q_vec"), F.col("c_vec")
+                ).alias("cosine"),
+            )
+        ).persist()
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("corpus_id")
+        )
+        approx = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "corpus_id")
+        )
+        exact = brute_force_topk(
+            batch.select(F.col("vec_id"), F.col("v").alias("embedding")),
+            base.select(F.col("vec_id"), F.col("v").alias("embedding")),
+            k=5,
+            id_col="vec_id",
+            vec_col="embedding",
+        ).select("query_id", "corpus_id")
+        hits = approx.join(
+            exact, ["query_id", "corpus_id"], "left_semi"
+        ).count()
+        n_exact = exact.count()
+
+        rejected = (
+            cand.filter(F.col("cosine") >= F.lit(_ANN_DUP_COS))
+            .select("query_id")
+            .distinct()
+        )
+        admitted = batch.join(
+            rejected.select(F.col("query_id").alias("vec_id")),
+            "vec_id",
+            "left_anti",
+        )
+        # append-only publish: admitted rows land as NEW files; v2 =
+        # v1 files + appended files, no data file rewritten
+        app_dir = os.path.join(table, "a2")
+        (
+            admitted.select(
+                "bucket",
+                F.col("vec_id").alias("corpus_id"),
+                F.col("v").alias("c_vec"),
+            )
+            .repartition(1)
+            .write.parquet(app_dir)
+        )
+        appended = [
+            f for f in list_data_files(table) if f not in set(v1_files)
+        ]
+        commit_snapshot(table, 2, v1_files + appended)
+        rows_after = read_snapshot(spark, table, 2).count()
+        append_only = set(snapshot_files(table, 2)) >= set(v1_files)
+        probe_no_rebuild = {
+            f.removeprefix("file://").removeprefix("file:")
+            for f in probed_files
+        } == set(v1_files)
+
+        stats = (
+            base.agg(F.count("*").alias("n_base"))
+            .crossJoin(
+                batch.agg(
+                    F.count("*").alias("n_incoming"),
+                    F.coalesce(F.sum("vec_id"), F.lit(0)).alias(
+                        "sum_incoming_ids"
+                    ),
+                )
+            )
+            .crossJoin(cand.agg(F.count("*").alias("n_candidate_pairs")))
+            .crossJoin(
+                rejected.agg(
+                    F.count("*").alias("n_rejected"),
+                    F.coalesce(F.sum("query_id"), F.lit(0)).alias(
+                        "sum_rejected_ids"
+                    ),
+                )
+            )
+            .select(
+                "n_base",
+                "n_incoming",
+                "n_candidate_pairs",
+                "n_rejected",
+                (F.col("n_incoming") - F.col("n_rejected")).alias(
+                    "n_admitted"
+                ),
+                "sum_incoming_ids",
+                "sum_rejected_ids",
+                F.lit(rows_before).cast("long").alias("index_rows_before"),
+                F.lit(rows_after).cast("long").alias("index_rows_after"),
+                F.expr(f"(1000000L * {hits}) div {n_exact}").alias(
+                    "recall_ppm"
+                ),
+                F.lit(bool(append_only)).alias("append_only"),
+                F.lit(bool(probe_no_rebuild)).alias("probe_read_v1_only"),
+            )
+            .localCheckpoint()
+        )
+        return stats
+    finally:
+        batch.unpersist()
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _ann_incremental_sql() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding AS v, {_duck_bucket_expr('embedding')} AS bucket
+  FROM embeddings
+),
+base AS (SELECT * FROM v WHERE vec_id % 5 <> 0),
+batch AS (SELECT vec_id AS query_id, v AS q, bucket FROM v WHERE vec_id % 5 = 0),
+cand AS (
+  SELECT b.query_id, c.vec_id AS corpus_id,
+    CASE WHEN ({_duck_l2('b.q')} * {_duck_l2('c.v')}) != 0.0
+         THEN {_duck_dot('b.q', 'c.v')} / ({_duck_l2('b.q')} * {_duck_l2('c.v')})
+         ELSE 0.0 END AS cosine
+  FROM base c JOIN batch b ON c.bucket = b.bucket
+),
+approx AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, corpus_id) AS r
+    FROM cand) WHERE r <= 5
+),
+exact AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT b.query_id, c.vec_id AS corpus_id,
+           ROW_NUMBER() OVER (PARTITION BY b.query_id ORDER BY
+             CASE WHEN ({_duck_l2('b.q')} * {_duck_l2('c.v')}) != 0.0
+                  THEN {_duck_dot('b.q', 'c.v')} / ({_duck_l2('b.q')} * {_duck_l2('c.v')})
+                  ELSE 0.0 END DESC, c.vec_id) AS r
+    FROM base c CROSS JOIN batch b) WHERE r <= 5
+),
+rej AS (SELECT DISTINCT query_id FROM cand WHERE cosine >= {_ANN_DUP_COS}),
+hits AS (
+  SELECT COUNT(*) AS h FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_base,
+  CAST((SELECT COUNT(*) FROM batch) AS BIGINT) AS n_incoming,
+  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidate_pairs,
+  CAST((SELECT COUNT(*) FROM rej) AS BIGINT) AS n_rejected,
+  CAST((SELECT COUNT(*) FROM batch) - (SELECT COUNT(*) FROM rej)
+       AS BIGINT) AS n_admitted,
+  CAST((SELECT COALESCE(SUM(query_id), 0) FROM batch) AS BIGINT)
+    AS sum_incoming_ids,
+  CAST((SELECT COALESCE(SUM(query_id), 0) FROM rej) AS BIGINT)
+    AS sum_rejected_ids,
+  CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS index_rows_before,
+  CAST((SELECT COUNT(*) FROM base)
+    + (SELECT COUNT(*) FROM batch) - (SELECT COUNT(*) FROM rej)
+    AS BIGINT) AS index_rows_after,
+  CAST((1000000 * (SELECT h FROM hits)) // (SELECT COUNT(*) FROM exact)
+    AS BIGINT) AS recall_ppm,
+  TRUE AS append_only,
+  TRUE AS probe_read_v1_only
+"""
+
+
+SIM_ANN_INC_SQL = _ann_incremental_sql()
+
+
 QUERIES = {
+    "sim_ann_index_incremental": (
+        sim_ann_index_incremental,
+        SIM_ANN_INC_SQL,
+    ),
     "sim_contrastive_pairs": (sim_contrastive_pairs, SIM_CONTRAST_SQL),
     "ml_silhouette": (ml_silhouette, ML_SILHOUETTE_SQL),
     "ml_ranking_metrics": (ml_ranking_metrics, ML_RANKING_SQL),

@@ -100,17 +100,27 @@ def commit_snapshot(
     files: list[str],
     stats: dict[str, dict] | None = None,
     delete_files: list[str] | None = None,
+    equality_deletes: tuple[list[str], list[str]] | None = None,
 ) -> str:
     """Atomically publish ``files`` as snapshot ``version`` (one JSON
     write + rename; the data files themselves are already immutable).
     ``stats`` (from :func:`collect_file_stats`) rides along keyed by
     the same relative paths and powers predicate file-pruning.
-    ``delete_files`` registers DELETION-VECTOR sidecars (parquet files
-    of (file_key, pos) rows — see :func:`read_snapshot_with_deletes`)
-    that logically remove individual rows from the listed data files
-    without rewriting them — the Delta deletion-vector / Iceberg
-    positional-delete commit shape. Older readers that ignore the key
-    see the pre-delete rows (the format is forward-compatible)."""
+    ``delete_files`` registers POSITIONAL deletion-vector sidecars
+    (parquet files of (file_key, pos) rows — see
+    :func:`read_snapshot_with_deletes`) that logically remove
+    individual rows from the listed data files without rewriting them
+    — the Delta deletion-vector / Iceberg positional-delete commit
+    shape. ``equality_deletes`` is the OTHER half of production
+    row-level deletes, the Iceberg equality-delete shape: a
+    ``(sidecar_files, key_columns)`` pair where each sidecar holds
+    key-column VALUES whose matching rows are logically removed —
+    cheaper to write under churn (no read-modify-write to find
+    positions; the writer never opens a data file) and applied
+    merge-on-read as an anti-join on the key
+    (:func:`read_snapshot_with_deletes` applies both kinds). Older
+    readers that ignore the keys see the pre-delete rows (the format
+    is forward-compatible)."""
     mdir = _manifest_dir(table_path)
     os.makedirs(mdir, exist_ok=True)
     rel = sorted(os.path.relpath(f, table_path) for f in files)
@@ -123,6 +133,14 @@ def commit_snapshot(
         doc["deletes"] = sorted(
             os.path.relpath(f, table_path) for f in delete_files
         )
+    if equality_deletes:
+        eq_files, eq_keys = equality_deletes
+        doc["eq_deletes"] = {
+            "files": sorted(
+                os.path.relpath(f, table_path) for f in eq_files
+            ),
+            "keys": list(eq_keys),
+        }
     tmp = os.path.join(mdir, f".v{version}.json.tmp")
     final = os.path.join(mdir, f"v{version}.json")
     with open(tmp, "w") as fh:
@@ -428,7 +446,11 @@ def vacuum(
             os.path.join(_manifest_dir(table_path), f"v{v}.json")
         ) as fh:
             m = json.load(fh)
-        for f in m["files"] + m.get("deletes", []):
+        for f in (
+            m["files"]
+            + m.get("deletes", [])
+            + m.get("eq_deletes", {}).get("files", [])
+        ):
             referenced.add(os.path.normpath(os.path.join(table_path, f)))
     deleted = []
     horizon = time.time() - retention_secs
@@ -440,6 +462,27 @@ def vacuum(
         os.remove(f)
         deleted.append(f)
     return deleted, len(referenced)
+
+
+def snapshot_equality_deletes(
+    table_path: str, version: int
+) -> tuple[list[str], list[str]]:
+    """(sidecar paths, key columns) of the equality deletes registered
+    by snapshot ``version`` (([], []) when none)."""
+    with open(
+        os.path.join(_manifest_dir(table_path), f"v{version}.json")
+    ) as fh:
+        m = json.load(fh)
+    eq = m.get("eq_deletes")
+    if not eq:
+        return [], []
+    return (
+        [
+            os.path.normpath(os.path.join(table_path, f))
+            for f in eq["files"]
+        ],
+        list(eq["keys"]),
+    )
 
 
 def snapshot_delete_files(table_path: str, version: int) -> list[str]:
@@ -501,21 +544,30 @@ def read_snapshot_with_deletes(
 
     files = snapshot_files(table_path, version)
     df = spark.read.option("basePath", table_path).parquet(*files)
-    dvs = snapshot_delete_files(table_path, version)
-    if not dvs:
-        return df
-    dv = spark.read.parquet(*dvs)  # (file_key string, pos long)
     data_cols = df.columns
-    return (
-        df.withColumn("_fk", file_key_col(table_path))
-        .withColumn("_pos", F.col("_metadata.row_index"))
-        .join(
-            dv,
-            on=[F.col("_fk") == dv.file_key, F.col("_pos") == dv.pos],
-            how="left_anti",
+    dvs = snapshot_delete_files(table_path, version)
+    if dvs:
+        dv = spark.read.parquet(*dvs)  # (file_key string, pos long)
+        df = (
+            df.withColumn("_fk", file_key_col(table_path))
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .join(
+                dv,
+                on=[F.col("_fk") == dv.file_key, F.col("_pos") == dv.pos],
+                how="left_anti",
+            )
+            .select(*data_cols)
         )
-        .select(*data_cols)
-    )
+    eq_files, eq_keys = snapshot_equality_deletes(table_path, version)
+    if eq_files:
+        # equality deletes: anti-join on the KEY columns — merge-on-read
+        # with no positions, so the delete writer never opened a data
+        # file. Unhinted for the same AQE reason as the positional path.
+        eq = spark.read.parquet(*eq_files).select(*eq_keys).dropDuplicates()
+        df = df.join(eq, on=list(eq_keys), how="left_anti").select(
+            *data_cols
+        )
+    return df
 
 
 def versions(table_path: str) -> list[int]:

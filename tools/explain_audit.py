@@ -1421,6 +1421,7 @@ WINDOW_PARTITION_GRAIN_ALLOWLIST = {
     ("samplingq.py", "p7_pps_systematic", "bucket"),  # bounded-input: stratum offset table
     ("scd.py", "scd2_from_changes", "*key_cols"),  # data-grown: change history per entity
     ("simq.py", "ml_ranking_metrics", "query_id"),  # data-grown: ranked list per query
+    ("simq.py", "sim_ann_index_incremental", "query_id"),  # group-limit: rank<=5 filter → WindowGroupLimit
     ("simq.py", "sim_contrastive_pairs", "query_id"),  # data-grown
     ("simq.py", "sim_knn_classify", "query_id"),  # data-grown
     ("simq.py", "sim_maxsim_multivector", "query_id"),  # data-grown
