@@ -3987,7 +3987,185 @@ SELECT
 """
 
 
+# ---------------------------------------------------------------------------
+# s52 — multi-table transactional commit: fact + derived MV in ONE CAS
+# ---------------------------------------------------------------------------
+
+
+def s52_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TABLE transaction — one CAS commit covering a fact table
+    AND its derived per-priority summary MV (sources/manifest.
+    try_commit_transaction): each table stages its own snapshot, then
+    a single create-exclusive transaction doc makes BOTH current, so a
+    reader resolving through the txn log can never see the fact at v2
+    with the MV still summarizing v1 — the cross-table atomicity
+    Delta/Iceberg single-table commits cannot give you.
+
+    Two writers race from txn 1: each stages a fact append AND its
+    matching MV rebuild. Writer A wins the fact-level CAS; writer B's
+    conflict forces the full transactional rebase — and because the MV
+    DERIVES from the fact, B's rebase is NOT metadata-only: it
+    re-derives the MV over the post-A fact before committing txn 3
+    (the part single-table OCC (s46) never exercises).
+
+    Gates: per-priority census of the final fact (base ∪ both slices —
+    a lost/doubled append breaks the hash), exactly one conflict, one
+    recompute-rebase, final txn 3, and `mv_consistent_all_txns` — at
+    EVERY committed transaction the MV read back from disk equals the
+    aggregate of the fact at that transaction's version (the atomicity
+    invariant itself, checked bit-for-bit on exact cents).
+
+    Scale: the txn CAS is one metadata op regardless of table count or
+    size; the rebase recompute is MV-sized (here summary-grain; in
+    production an incremental s37-style refresh)."""
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import (
+        commit_snapshot,
+        list_data_files,
+        read_snapshot,
+        resolve_transaction,
+        snapshot_files,
+        transaction_ids,
+        try_commit_snapshot,
+        try_commit_transaction,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bigdata_spark_txn_")
+    try:
+        root = os.path.join(scratch, "db")
+        fact = os.path.join(root, "fact")
+        mv = os.path.join(root, "mv")
+        os.makedirs(mv, exist_ok=True)
+        v1_files = _stage_flat_orders(spark, sf_dir, fact)
+
+        def write_mv(tag: str, fact_files: list[str]) -> str:
+            stage = os.path.join(scratch, f"mv_{tag}")
+            (
+                spark.read.option("basePath", fact)
+                .parquet(*fact_files)
+                .groupBy("o_orderpriority")
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.sum(F.expr(_DV_CENTS))
+                    .cast("long")
+                    .alias("revenue_cents"),
+                )
+                .repartition(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            src = list_data_files(stage)[0]
+            dst = os.path.join(mv, f"{tag}-{os.path.basename(src)}")
+            shutil.move(src, dst)
+            return dst
+
+        commit_snapshot(mv, 1, [write_mv("m1", v1_files)])
+        assert try_commit_transaction(root, 1, {"fact": 1, "mv": 1})
+
+        # both writers stage fact append + matching MV rebuild from txn 1
+        fa = _write_slice(spark, fact, scratch, "a2", _S46_A_PRED, 2.0, v1_files)
+        fb = _write_slice(spark, fact, scratch, "b2", _S46_B_PRED, 3.0, v1_files)
+        mva = write_mv("m2a", v1_files + [fa])
+        mvb = write_mv("m2b", v1_files + [fb])  # B's pre-rebase MV
+
+        ok_fa = try_commit_snapshot(fact, 2, v1_files + [fa])
+        ok_ma = try_commit_snapshot(mv, 2, [mva])
+        ok_ta = try_commit_transaction(root, 2, {"fact": 2, "mv": 2})
+        ok_fb = try_commit_snapshot(fact, 2, v1_files + [fb])  # loses
+        n_conflicts = int(not ok_fb)
+        rebased_recompute = False
+        if not ok_fb:
+            cur = resolve_transaction(root)  # {"fact": 2, "mv": 2}
+            cur_files = snapshot_files(fact, cur["fact"])
+            if not set(v1_files).issubset(cur_files):
+                raise RuntimeError("rebase conflict: base files rewritten")
+            assert try_commit_snapshot(
+                fact, cur["fact"] + 1, cur_files + [fb]
+            )
+            # the MV derives from the fact: the rebase RE-DERIVES it on
+            # the post-A state — B's staged m2b is stale and unreferenced
+            mvb = write_mv("m3", cur_files + [fb])
+            rebased_recompute = True
+            assert try_commit_snapshot(mv, cur["mv"] + 1, [mvb])
+            assert try_commit_transaction(
+                root, 3, {"fact": cur["fact"] + 1, "mv": cur["mv"] + 1}
+            )
+
+        # atomicity audit: at EVERY committed txn, MV == fact aggregate
+        consistent = True
+        for t in transaction_ids(root):
+            tv = resolve_transaction(root, t)
+            fact_agg = (
+                read_snapshot(spark, fact, tv["fact"])
+                .groupBy("o_orderpriority")
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.sum(F.expr(_DV_CENTS))
+                    .cast("long")
+                    .alias("revenue_cents"),
+                )
+            )
+            mv_read = read_snapshot(spark, mv, tv["mv"])
+            diff = fact_agg.exceptAll(mv_read).count() + mv_read.exceptAll(
+                fact_agg
+            ).count()
+            consistent = consistent and diff == 0
+
+        final = resolve_transaction(root)
+        return (
+            read_snapshot(spark, fact, final["fact"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.expr(_DV_CENTS)).cast("long").alias("revenue_cents"),
+            )
+            .select(
+                "o_orderpriority",
+                "n_rows",
+                "revenue_cents",
+                F.lit(n_conflicts).cast("long").alias("n_conflicts"),
+                F.lit(int(rebased_recompute)).cast("long").alias(
+                    "n_rebase_recomputes"
+                ),
+                F.lit(max(transaction_ids(root))).cast("long").alias(
+                    "final_txn"
+                ),
+                F.lit(bool(consistent)).alias("mv_consistent_all_txns"),
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+S52_TXN_SQL = f"""
+WITH merged AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_totalprice * 2.0 FROM orders
+  WHERE {_S46_A_PRED}
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_totalprice * 3.0 FROM orders
+  WHERE {_S46_B_PRED}
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM({_DV_CENTS}) AS BIGINT) AS revenue_cents,
+       CAST(1 AS BIGINT) AS n_conflicts,
+       CAST(1 AS BIGINT) AS n_rebase_recomputes,
+       CAST(3 AS BIGINT) AS final_txn,
+       TRUE AS mv_consistent_all_txns
+FROM merged
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "s52_multi_table_txn": (s52_multi_table_txn, S52_TXN_SQL),
     "s51_equality_deletes": (s51_equality_deletes, S51_EQDEL_SQL),
     "s37_incremental_mv": (s37_incremental_mv, S37_IMV_SQL),
     "opt_join_order_cost": (opt_join_order_cost, OPT_JOIN_ORDER_SQL),

@@ -380,6 +380,74 @@ def try_commit_snapshot(
         os.remove(tmp)
 
 
+def _txn_dir(root: str) -> str:
+    return os.path.join(root, "_txns")
+
+
+def try_commit_transaction(
+    root: str, txn_id: int, table_versions: dict[str, int]
+) -> bool:
+    """MULTI-TABLE atomic commit: one CAS (the same create-exclusive
+    link as :func:`try_commit_snapshot`) publishes a transaction doc
+    mapping each participating table (path relative to ``root``) to
+    the snapshot version this transaction makes current. Readers that
+    resolve EVERY table through the latest transaction
+    (:func:`resolve_transaction`) can never observe table A at the new
+    version with table B at the old one — cross-table consistency
+    (fact + derived MV, double-entry pairs) rides one metadata op.
+
+    Each table's own snapshot manifest must already be staged via its
+    per-table commit; a staged snapshot referenced by no committed
+    transaction is unreachable metadata (harmless, vacuumable). A
+    loser re-resolves the current transaction, re-derives anything
+    that depends on the other tables' new state (a derived table's
+    rebase is a recompute, not metadata-only), re-stages, and retries
+    on the next txn id. Returns False on conflict."""
+    import uuid
+
+    tdir = _txn_dir(root)
+    os.makedirs(tdir, exist_ok=True)
+    doc = {"txn": txn_id, "tables": dict(table_versions)}
+    tmp = os.path.join(
+        tdir, f".t{txn_id}.{os.getpid()}.{uuid.uuid4().hex}.json.tmp"
+    )
+    final = os.path.join(tdir, f"t{txn_id}.json")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    try:
+        os.link(tmp, final)  # fails iff the txn id already exists
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
+def transaction_ids(root: str) -> list[int]:
+    tdir = _txn_dir(root)
+    if not os.path.isdir(tdir):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(tdir)
+        if f.startswith("t") and f.endswith(".json")
+    )
+
+
+def resolve_transaction(
+    root: str, txn_id: int | None = None
+) -> dict[str, int]:
+    """The {table: version} map of transaction ``txn_id`` (default:
+    the latest committed transaction)."""
+    if txn_id is None:
+        ids = transaction_ids(root)
+        if not ids:
+            raise LookupError(f"no committed transaction under {root}")
+        txn_id = ids[-1]
+    with open(os.path.join(_txn_dir(root), f"t{txn_id}.json")) as fh:
+        return json.load(fh)["tables"]
+
+
 def resolve_asof(table_path: str, ts: int) -> int:
     """Largest committed version whose ``committed_at`` ≤ ``ts`` —
     AS-OF-timestamp time travel over the manifest log (one metadata

@@ -223,3 +223,27 @@ def test_dv_keys_survive_table_rename(spark, tmp_path):
     got = read_snapshot_with_deletes(spark, new_base, 1)
     ids = sorted(r["id"] for r in got.collect())
     assert ids == [i for i in range(40) if i % 4 != 0]
+
+
+def test_multi_table_transaction_cas_and_resolution(spark, tmp_path):
+    from bigdata_spark.sources.manifest import (
+        resolve_transaction,
+        transaction_ids,
+        try_commit_transaction,
+    )
+
+    root = os.path.join(str(tmp_path), "db")
+    fact = os.path.join(root, "fact")
+    spark.range(0, 10).write.parquet(fact)
+    f = list_data_files(fact)
+    commit_snapshot(fact, 1, f)
+    assert try_commit_transaction(root, 1, {"fact": 1, "mv": 1})
+    # same txn id: single winner, loser's doc is NOT published
+    assert not try_commit_transaction(root, 1, {"fact": 99, "mv": 99})
+    assert resolve_transaction(root) == {"fact": 1, "mv": 1}
+    assert try_commit_transaction(root, 2, {"fact": 2, "mv": 2})
+    assert transaction_ids(root) == [1, 2]
+    assert resolve_transaction(root) == {"fact": 2, "mv": 2}
+    assert resolve_transaction(root, 1) == {"fact": 1, "mv": 1}
+    with pytest.raises(LookupError):
+        resolve_transaction(os.path.join(str(tmp_path), "empty"))
