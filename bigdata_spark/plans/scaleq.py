@@ -3908,9 +3908,11 @@ def s51_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         v1 = read_snapshot(spark, base, 1)
         v2 = read_snapshot_with_deletes(spark, base, 2)
-        removed = v1.join(
-            F.broadcast(keys), "o_custkey", "left_semi"
-        )  # the change-data-feed of the delete — key-churn-sized census
+        # the change-data-feed of the delete — key-churn-sized census;
+        # unhinted like read_snapshot_with_deletes: AQE broadcasts the
+        # usual tiny churn batch by stats, degrades to shuffle if a
+        # commit really deleted a data-sized key set
+        removed = v1.join(keys, "o_custkey", "left_semi")
         zero_rewrite = set(snapshot_files(base, 2)) == set(v1_files)
 
         cents = F.expr(_DV_CENTS)
