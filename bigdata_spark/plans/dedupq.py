@@ -455,7 +455,10 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
-        rejected = verified.select("new_id").distinct()
+        # rejected is doc-id-grain tiny, but its lineage is the band
+        # probe + exact verify — persist so the v1 publish and the
+        # stats aggregate don't each re-run the candidate join
+        rejected = verified.select("new_id").distinct().persist()
         incoming_ids = sigs.filter(is_new).select(
             F.col("doc_id").alias("new_id")
         )
@@ -507,6 +510,10 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return stats
     finally:
         sigs.unpersist()
+        try:
+            rejected.unpersist()
+        except NameError:
+            pass
         shutil.rmtree(scratch, ignore_errors=True)
 
 

@@ -4095,8 +4095,11 @@ def s52_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 root, 3, {"fact": cur["fact"] + 1, "mv": cur["mv"] + 1}
             )
 
-        # atomicity audit: at EVERY committed txn, MV == fact aggregate
-        consistent = True
+        # atomicity audit: at EVERY committed txn, MV == fact aggregate.
+        # All per-txn symmetric differences are unioned and counted in
+        # ONE action (formerly two exceptAll counts per txn = six jobs;
+        # sum of non-negative per-txn diffs == 0 is the same boolean).
+        diff_parts = []
         for t in transaction_ids(root):
             tv = resolve_transaction(root, t)
             fact_agg = (
@@ -4110,10 +4113,13 @@ def s52_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             mv_read = read_snapshot(spark, mv, tv["mv"])
-            diff = fact_agg.exceptAll(mv_read).count() + mv_read.exceptAll(
-                fact_agg
-            ).count()
-            consistent = consistent and diff == 0
+            diff_parts.append(fact_agg.exceptAll(mv_read))
+            diff_parts.append(mv_read.exceptAll(fact_agg))
+        from functools import reduce
+
+        consistent = (
+            reduce(DataFrame.unionAll, diff_parts).count() == 0
+        )
 
         final = resolve_transaction(root)
         return (
