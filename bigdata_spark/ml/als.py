@@ -150,13 +150,18 @@ def als_train(
     q = init_item_factors(ratings, item_col)
     p: DataFrame | None = None
     for _ in range(n_iter):
-        # localCheckpoint(eager) truncates the lineage after each
-        # half-step: without it, step t re-runs every prior Arrow
-        # stage (exponential re-execution), and the final factor
-        # tables would drag four nested Python stages into every
-        # downstream join
-        p = _solve_side(ratings, user_col, item_col, q).localCheckpoint(eager=True)
-        q = _solve_side(ratings, item_col, user_col, p).localCheckpoint(eager=True)
+        # localCheckpoint truncates the lineage after each half-step:
+        # without it, step t re-runs every prior Arrow stage
+        # (exponential re-execution), and the final factor tables would
+        # drag four nested Python stages into every downstream join.
+        # Lazy: each half-step RDD still computes exactly once (the
+        # checkpoint persists it), but all half-steps pipeline into the
+        # caller's first action instead of paying one eager
+        # scheduler round-trip per half-step. The physical plan (and
+        # any caller conf such as shuffle partitions) is baked in here
+        # at RDD-creation time, not at the deferred action.
+        p = _solve_side(ratings, user_col, item_col, q).localCheckpoint(eager=False)
+        q = _solve_side(ratings, item_col, user_col, p).localCheckpoint(eager=False)
     return p, q
 
 

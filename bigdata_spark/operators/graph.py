@@ -60,10 +60,12 @@ def connected_components(
     # join, cosine verify) is the expensive part and must not re-execute
     # on every propagation round. Null endpoints are dropped up front so
     # both paths agree (the distributed equi-join would drop them too).
+    # Lazy: the count below is the first action and materializes the
+    # checkpoint as it runs — one job instead of two.
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_edges = e.count()
     last_run_info.clear()
@@ -128,11 +130,16 @@ def _cc_star_loop(e: DataFrame, max_iter: int) -> DataFrame:
     # Invariant maintained between rounds: ``cur`` is an ORIENTED edge
     # set (a > b, no duplicates). At the fixed point it is a star
     # forest: every non-root vertex has exactly one edge (v, root).
+    # Lazy checkpoints: ``cur`` materializes under the first signature
+    # aggregate (round _CC_MIN_CHECK), ``all_vertices`` under the final
+    # join's action — two dedicated materialization jobs removed; the
+    # edge RDD they both read is already materialized by the caller's
+    # count, so neither recomputes pair generation.
     all_vertices = (
         e.select(F.col("a").alias("vertex"))
         .unionAll(e.select(F.col("b").alias("vertex")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cur = (
         e.filter(F.col("a") != F.col("b"))
@@ -140,7 +147,7 @@ def _cc_star_loop(e: DataFrame, max_iter: int) -> DataFrame:
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _signature(df: DataFrame) -> tuple:
@@ -300,7 +307,9 @@ def pagerank_fixed_point(
     integer arithmetic, same per-round plan; the only change is a
     per-node base column (seed·base) carried on the node table."""
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    e = edges.join(out_w, "src").localCheckpoint()
+    # lazy: the RDD materializes once under the caller's first action
+    # and is reused by all ``iterations`` round joins (RDD-level cache)
+    e = edges.join(out_w, "src").localCheckpoint(eager=False)
     base = scale * (damping_den - damping_num) // damping_den
     if seeds is None:
         nodes_b = nodes.select("node", F.lit(base).cast("long").alias("base"))
@@ -312,7 +321,7 @@ def pagerank_fixed_point(
                 "node",
                 (F.coalesce("_s", F.lit(0)) * F.lit(base)).cast("long").alias("base"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     ranks = nodes_b.select(
         "node",
@@ -338,11 +347,12 @@ def pagerank_fixed_point(
             (F.col("base") + F.coalesce("in_mass", F.lit(0))).alias("mass"),
         )
         # truncate lineage every third round (and before returning):
-        # per-round EAGER checkpoints cost one scheduler round-trip
-        # each — a 3-round stride keeps the plan shallow at a third of
-        # the job count
+        # the 3-round stride keeps the plan shallow, and LAZY
+        # checkpoints chain the strides' RDDs so all rounds pipeline
+        # into the caller's single action — zero per-stride scheduler
+        # round-trips (the RDD chain still materializes exactly once)
         if i % 3 == 2 or i == iterations - 1:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -365,7 +375,11 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    settled = seeds.select("node", F.lit(0).alias("dist")).distinct().localCheckpoint()
+    settled = (
+        seeds.select("node", F.lit(0).alias("dist"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     frontier = settled.select("node")
     for h in range(1, max_hops + 1):
         neighbors = (
@@ -373,14 +387,19 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
         )
+        # lazy checkpoints: the frontier count is the round's ONE job
+        # and materializes the checkpoint as it runs (the eager
+        # checkpoint + isEmpty + eager settled-union shape was three
+        # jobs per hop); the settled union materializes under the next
+        # round's anti-join
         new = (
             neighbors.join(settled.select("node"), "node", "left_anti")
             .select("node", F.lit(h).alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if new.isEmpty():
+        if new.count() == 0:
             break
-        settled = settled.unionAll(new).localCheckpoint()
+        settled = settled.unionAll(new).localCheckpoint(eager=False)
         frontier = new.select("node")
     return settled
 
@@ -403,6 +422,11 @@ def ancestor_closure(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     closure = edges.select(
         F.col("node"), F.col("parent").alias("anc"), F.lit(1).alias("dist")
     ).localCheckpoint()
+    # one job per round: the previous round's size carries over (the
+    # old shape recounted the prior closure every round), and the
+    # checkpoint is lazy so the count action materializes it — no
+    # dedicated materialization job
+    n_before = closure.count()
     for _ in range(max_rounds):
         a = closure.alias("a")
         b = closure.alias("b")
@@ -411,10 +435,12 @@ def ancestor_closure(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
             F.col("b.anc").alias("anc"),
             (F.col("a.dist") + F.col("b.dist")).alias("dist"),
         )
-        grown = closure.unionAll(composed).distinct().localCheckpoint()
-        n_before = closure.count()
+        grown = (
+            closure.unionAll(composed).distinct().localCheckpoint(eager=False)
+        )
         n_after = grown.count()
         closure = grown
         if n_after == n_before:
             break
+        n_before = n_after
     return closure

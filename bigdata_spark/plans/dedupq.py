@@ -1288,13 +1288,16 @@ def dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # checkpoint both captures: each feeds its own count AND the
     # overlap join — without this the two heaviest dedup plans in the
-    # module would execute twice
+    # module would execute twice. Lazy: the broadcast-subquery jobs of
+    # the final action materialize each RDD exactly once (n2 runs over
+    # b, m over a⋈b reusing b, n1 reuses a) — no dedicated
+    # materialization jobs.
     a = minhash_dup_pairs(
         d, num_perm=_NUM_PERM, bands=4, shingle_n=3, jaccard_threshold=0.2
-    ).select("id_a", "id_b").localCheckpoint()
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
     b = ngram_jaccard_pairs(
         d, bucket_col="lang", shingle_n=3, threshold=0.15
-    ).select("id_a", "id_b").localCheckpoint()
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
     both = a.join(b, ["id_a", "id_b"])
     return (
         a.agg(F.count("*").alias("n1"))

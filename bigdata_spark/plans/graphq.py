@@ -308,7 +308,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the edge table is support-thresholded (small); checkpoint it so
     # the basket-expansion subtree isn't recomputed for each of the
     # degree/orientation/wedge/closure consumers below
-    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint(eager=False)
     deg = (
         e.select(F.col("pa").alias("node"))
         .unionAll(e.select(F.col("pb").alias("node")))
@@ -410,7 +410,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.graph import bfs_hops
 
-    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint(eager=False)
     sym = e.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(e.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
@@ -471,7 +471,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts the fixpoint is reached before the cap (round 10 ≡ round
     9), so the cap is a proof obligation, not a hidden approximation.
     Output: the core's node/edge census."""
-    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint(eager=False)
     sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
@@ -486,7 +486,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= _KCORE_K)
             .select(F.col("src").alias("node"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     core_edges = (
         e.join(kept.withColumnRenamed("node", "pa"), "pa", "left_semi")
@@ -641,7 +641,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE frontier-free aggregation over (dst, neighbor_label) and an
     argmax, both map-side combinable, labels table checkpointed so
     lineage stays flat. Output: community size census."""
-    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint(eager=False)
     sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
@@ -658,7 +658,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             votes.groupBy("dst")
             .agg(F.min(F.struct(-F.col("cnt"), F.col("label"))).alias("best"))
             .select(F.col("dst").alias("node"), F.col("best.label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return (
         lbl.groupBy("label")
@@ -799,7 +799,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats/AQE (it grows with the graph). All integers until
     the one shared-text Jaccard projection. Top-20 by (jaccard, pair)
     keeps the output stable."""
-    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint(eager=False)
     sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
@@ -955,7 +955,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-score a move from these aggregates alone — the standard
     delta-modularity trick at cluster scale.
     """
-    edges = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    edges = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint(eager=False)
     bmap = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     m_df = edges.agg(F.count("*").alias("m"))
     deg = (
@@ -1078,7 +1078,11 @@ def _sssp_frontier_relax(
                     "_improved"
                 ),
             )
-            .localCheckpoint()
+            # lazy: dist and frontier both read this round's RDD, which
+            # materializes ONCE under the final action (or the
+            # track_sizes count) — the eager variant paid one scheduler
+            # round-trip per relaxation round
+            .localCheckpoint(eager=False)
         )
         dist = merged.select("node", "dist")
         frontier = merged.filter(F.col("_improved")).select("node", "dist")
@@ -1111,12 +1115,12 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ec = edges.select(
         "src", "dst",
         (F.lit(1) + F.expr(f"{_SSSP_COST_NUM} div w")).alias("cost"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     dist = nodes.select(
         "node",
         F.when(F.col("node") == _SSSP_SEED, F.lit(0))
         .otherwise(F.lit(_SSSP_INF)).cast("long").alias("dist"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     dist, _sizes = _sssp_frontier_relax(dist, ec, _SSSP_ROUNDS)
     n = load_table(spark, sf_dir, "nation")
     return (
@@ -1203,7 +1207,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     as graph_pagerank.
     """
     nodes, edges = _trade_edges(spark, sf_dir)
-    e = edges.localCheckpoint()
+    e = edges.localCheckpoint(eager=False)
 
     def _propagate(mass: DataFrame, forward: bool) -> DataFrame:
         src, dst = ("src", "dst") if forward else ("dst", "src")
@@ -1217,8 +1221,11 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("node", F.coalesce("raw", F.lit(0)).alias("raw"))
             # raw feeds BOTH the norm total and the rescale — checkpoint
-            # so the edge join runs once per half-round, not twice
-            .localCheckpoint()
+            # so the edge join runs once per half-round, not twice.
+            # Lazy: the shared RDD still computes once (RDD-level
+            # dedup), but all 2×rounds half-steps now pipeline into the
+            # single action job instead of one eager job each
+            .localCheckpoint(eager=False)
         )
         total = raw.agg(F.sum("raw").alias("_tot"))
         return raw.crossJoin(F.broadcast(total)).select(
@@ -1229,8 +1236,8 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub = nodes.select("node", F.lit(_HITS_SCALE).cast("long").alias("mass"))
     auth = None
     for _ in range(_HITS_ROUNDS):
-        auth = _propagate(hub, forward=True).localCheckpoint()
-        hub = _propagate(auth, forward=False).localCheckpoint()
+        auth = _propagate(hub, forward=True).localCheckpoint(eager=False)
+        hub = _propagate(auth, forward=False).localCheckpoint(eager=False)
     n = load_table(spark, sf_dir, "nation")
     joined = (
         auth.withColumnRenamed("mass", "authority")
@@ -1326,7 +1333,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-side-combinable aggregate — no quadratic structure, no
     windows. Output carries the exact sums so the gate pins more than
     the one float."""
-    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint(eager=False)
     sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
@@ -1409,7 +1416,7 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialize, the midpoint's degree rides along via one keyed
     join, existing edges drop with an anti-join. Top-20 by
     (ra_ppm, pair) keeps the output stable."""
-    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint(eager=False)
     sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
@@ -1486,7 +1493,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: wedge fan-out is Σ deg(v)², the standard triangle-counting
     bound; the closing probe is an equi-join on the oriented pair key.
     Output is node-sized, keyed by part, deterministic."""
-    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint(eager=False)
     sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
@@ -1572,7 +1579,7 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     by stats/AQE — node grain grows with the graph), anti-
     join drops existing edges. Top-20 by (j_ppm, pair) is a bounded
     TakeOrdered, not a global sort."""
-    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint(eager=False)
     sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
@@ -1671,11 +1678,11 @@ def _all_pairs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     settled = nodes.select(
         F.col("node").alias("root"), "node", F.lit(0).alias("dist")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     frontier = settled.select("root", "node")
     for h in range(1, _CLOSE_MAX_HOPS + 1):
         nbr = (
@@ -1683,14 +1690,16 @@ def _all_pairs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("root", F.col("dst").alias("node"))
             .distinct()
         )
+        # lazy checkpoints: the frontier count is the round's one job
+        # (same shape as operators/graph.bfs_hops)
         new = (
             nbr.join(settled.select("root", "node"), ["root", "node"], "left_anti")
             .select("root", "node", F.lit(h).alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if new.isEmpty():
+        if new.count() == 0:
             break
-        settled = settled.unionAll(new).localCheckpoint()
+        settled = settled.unionAll(new).localCheckpoint(eager=False)
         frontier = new.select("root", "node")
     return settled
 
@@ -1797,9 +1806,9 @@ def graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     node at scale), localCheckpointed so lineage stays flat.
     """
     _, edges_w = _trade_edges(spark, sf_dir)
-    edges = edges_w.select("src", "dst").distinct().localCheckpoint()
+    edges = edges_w.select("src", "dst").distinct().localCheckpoint(eager=False)
     n = load_table(spark, sf_dir, "nation")
-    nodes = n.select(F.col("n_nationkey").alias("node")).localCheckpoint()
+    nodes = n.select(F.col("n_nationkey").alias("node")).localCheckpoint(eager=False)
     mass = nodes.select("node", F.lit(_KATZ_SCALE).alias("mass"))
     for _ in range(_KATZ_ITERS):
         contrib = (
@@ -1817,7 +1826,7 @@ def graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "mass"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return (
         mass.join(F.broadcast(n), mass.node == n.n_nationkey)
@@ -1880,7 +1889,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge join, the midpoint degree rides along on one keyed
     join, existing edges drop with an anti-join.
     """
-    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint(eager=False)
     sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
@@ -2042,7 +2051,7 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges_w.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     recip = e.join(rev, ["src", "dst"], "left_semi")
@@ -2092,7 +2101,7 @@ def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     per degree); the regression runs over the ≤max-degree histogram
     rows (round 6 absorbs libm/summation ulps). Output: fit + the
     histogram mass so the tail is auditable."""
-    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint(eager=False)
     sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
@@ -2180,7 +2189,7 @@ def graph_rectangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the same endpoint-pair aggregation as link
     prediction — only 2-hop pairs materialize, never triples; the
     combinatorics fold map-side. All exact BIGINTs."""
-    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint()
+    e = _copurchase_pairs(spark, sf_dir).select("pa", "pb").localCheckpoint(eager=False)
     sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )

@@ -158,9 +158,16 @@ def ml_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = f"{scratch}/forest.json"
         forest.save(path)
         reloaded = LocalProximityForest.load(path)
-        p1 = forest.predict(test).select("prediction")
-        p2 = reloaded.predict(test).select("prediction")
-        same = p1.exceptAll(p2).count() == 0 and p2.exceptAll(p1).count() == 0
+        # persist both prediction tables: each exceptAll side references
+        # both, so unpersisted they'd re-run the applyInPandas forest
+        # predict per diff (up to 4 predict passes); with the cache +
+        # one unioned count it is exactly 2, and the boolean
+        # (both symmetric differences empty) is unchanged
+        p1 = forest.predict(test).select("prediction").persist()
+        p2 = reloaded.predict(test).select("prediction").persist()
+        same = p1.exceptAll(p2).unionAll(p2.exceptAll(p1)).count() == 0
+        p1.unpersist()
+        p2.unpersist()
         return spark.createDataFrame(
             [(bool(len(reloaded.trees) == len(forest.trees)), bool(same))],
             "trees_preserved boolean, predictions_identical boolean",
@@ -648,8 +655,15 @@ def ml_perceptron_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
         w = [w[i] + int(upd[f"u{i + 1}"] or 0) for i in range(_PC_DIMS)]
         b = b + int(upd["ub"] or 0)
-    final_mis = data.filter(F.expr(_pc_margin(w, b, True) + " <= 0")).count()
-    n = data.count()
+    # one aggregate instead of two full-pass actions: the misclassified
+    # count rides the row count as a conditional sum (same values)
+    final_row = data.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.expr(f"IF({_pc_margin(w, b, True)} <= 0, 1, 0)")
+        ).alias("mis"),
+    ).first()
+    n, final_mis = int(final_row["n"]), int(final_row["mis"] or 0)
     return spark.createDataFrame(
         [(n, final_mis, sum(w), b)],
         "n_rows long, n_misclassified long, weight_mass long, bias long",

@@ -264,13 +264,27 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("orders.o_custkey -> customer", o.select(F.col("o_custkey").alias("k")), c.select(F.col("c_custkey").alias("k"))),
         ("customer.c_nationkey -> nation", c.select(F.col("c_nationkey").alias("k")), n.select(F.col("n_nationkey").alias("k"))),
     ]
-    rows = []
+    # one lazy job instead of 10 sequential driver actions (an
+    # anti-join count + a child count per FK edge): each edge's counts
+    # become 1-row aggregates crossJoined into a labeled row, all five
+    # unioned — the scheduler runs the per-edge subtrees concurrently
+    # and the values are the same counts
+    from functools import reduce
+
+    parts = []
     for name, child, parent in checks:
-        orphans = child.join(parent, "k", "left_anti").count()
-        rows.append((name, child.count(), orphans))
-    return spark.createDataFrame(
-        rows, "fk_edge string, n_child_rows long, n_orphans long"
-    ).orderBy("fk_edge")
+        orphans = child.join(parent, "k", "left_anti").agg(
+            F.count("*").alias("n_orphans")
+        )
+        row = (
+            child.agg(F.count("*").alias("n_child_rows"))
+            .crossJoin(orphans)
+            .select(
+                F.lit(name).alias("fk_edge"), "n_child_rows", "n_orphans"
+            )
+        )
+        parts.append(row)
+    return reduce(DataFrame.unionAll, parts).orderBy("fk_edge")
 
 
 DQ_REFINT_SQL = """

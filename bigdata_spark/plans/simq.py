@@ -236,12 +236,30 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5)
     approx = ivf_topk(q, e, k=5, n_lists=16, n_probe=4, seed=42).persist()
     exact = brute_force_topk(q, e, k=5)
-    hits = approx.join(exact, ["query_id", "corpus_id"], "left_semi").count()
+    # ONE brute-force pass: flag exact pairs the IVF probe also
+    # surfaced and aggregate both counters in a single action (the
+    # former semi-join count + exact count ran the windowed cross-join
+    # twice). |exact ⟕ approx| counts match the old approx⋉exact count
+    # because both sides carry unique (query_id, corpus_id) pairs.
+    audit = (
+        exact.join(
+            approx.select("query_id", "corpus_id").withColumn(
+                "hit", F.lit(1)
+            ),
+            ["query_id", "corpus_id"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("hits"),
+        )
+        .first()
+    )
+    hits, n_exact = audit["hits"], audit["n_exact"]
     stats = approx.agg(
         F.count("*").alias("n"), F.max("rank").alias("m")
     ).first()
     n_approx, max_rank = stats["n"], stats["m"]
-    n_exact = exact.count()
     approx.unpersist()
     recall = hits / n_exact if n_exact else 0.0
     return spark.createDataFrame(
@@ -287,20 +305,31 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "corpus_id")
     )
-    # one lazy row: scalar aggregates crossJoined, invariants as
-    # expressions — a single Spark job at action time
-    hits = (
-        approx.join(exact, ["query_id", "corpus_id"], "left_semi")
-        .agg(F.count("*").alias("hits"))
+    # ONE evaluation of the windowed exact cross-join: flag exact pairs
+    # the PQ probe also surfaced and aggregate hits + n_exact in a
+    # single subtree (the former semi-join-count + exact-count pair ran
+    # the exact audit twice — the sim_topk_ivf fix, same shape).
+    # |exact ⟕ approx| counts match the old approx⋉exact count because
+    # both sides carry unique (query_id, corpus_id) pairs.
+    audit = (
+        exact.join(
+            approx.select("query_id", "corpus_id").withColumn(
+                "hit", F.lit(1)
+            ),
+            ["query_id", "corpus_id"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("hits"),
+        )
     )
     stats = approx.agg(
         F.count("*").alias("n"), F.max("rank").alias("m"),
         F.min("adc_dist").alias("dmin"),
     )
-    nex = exact.agg(F.count("*").alias("n_exact"))
     return (
-        hits.crossJoin(stats)
-        .crossJoin(nex)
+        audit.crossJoin(stats)
         .select(
             F.when(
                 F.col("n_exact") > 0,
@@ -477,7 +506,14 @@ def ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE."""
     from ..operators.graph import connected_components
 
-    pairs = _radius_pairs(spark, sf_dir).select("id_a", "id_b").localCheckpoint()
+    # lazy: the radius-pair generation materializes once under the
+    # first downstream action (connected_components' edge count) and is
+    # reused by sym/core/border — no dedicated materialization job
+    pairs = (
+        _radius_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
     sym = pairs.unionAll(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
