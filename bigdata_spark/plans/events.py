@@ -2662,15 +2662,19 @@ FROM cum
 
 # α = 1/5 (level), β = 1/10 (trend) — integer micro recurrence, both
 # engines truncate div toward zero, so every step is bit-identical
+_HOLT_DAILY = """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t, day, vm
+FROM (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * CAST(1000000 AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS vm
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+"""
+
 _HOLT_BODY = """
 WITH RECURSIVE daily AS (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t, day, vm
-  FROM (
-    SELECT CAST(ts AS DATE) AS day,
-           CAST(SUM(CAST(FLOOR(value * CAST(1000000 AS DOUBLE)
-                + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS vm
-    FROM events WHERE event_type = 'purchase' GROUP BY 1
-  )
+  {daily}
 ),
 holt AS (
   SELECT t, day, vm, CAST(vm AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
@@ -2706,13 +2710,25 @@ def evt_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     below); the recursion is day-count-bounded — each level is one
     tiny join over the ≤days-sized table, so the post-shuffle side is
     scoped to one partition (30 rows across 32 reducers is pure
-    scheduling overhead, ~35% of this query's wall at bench scale)."""
+    scheduling overhead, ~35% of this query's wall at bench scale).
+
+    The day rollup is MATERIALIZED before the recursion starts:
+    UnionLoop re-executes the whole step plan every iteration, so an
+    inline ``daily`` CTE re-runs the fact-table aggregate once per day
+    (measured ~40% of this query's wall at bench scale; at 100 TB it
+    would be days × full-scan — quadratic-by-constant). Recursing over
+    the checkpointed ≤days-sized table makes each iteration a tiny
+    join, identical values."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     with _stream_state_partitions(spark, n=1):
-        return spark.sql(_HOLT_BODY.format(div="div")).localCheckpoint()
+        daily = spark.sql(_HOLT_DAILY).localCheckpoint(eager=False)
+        daily.createOrReplaceTempView("holt_daily_mat")
+        return spark.sql(
+            _HOLT_BODY.format(daily="SELECT * FROM holt_daily_mat", div="div")
+        ).localCheckpoint()
 
 
-EVT_HOLT_SQL = _HOLT_BODY.format(div="//")
+EVT_HOLT_SQL = _HOLT_BODY.format(daily=_HOLT_DAILY, div="//")
 
 
 # ---------------------------------------------------------------------------

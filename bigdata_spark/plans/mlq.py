@@ -1861,7 +1861,13 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(conv(substring(md5(concat('cf|', CAST(l_orderkey AS STRING),"
         " '#', CAST(l_linenumber AS STRING))), 1, 15), 16, 10) AS BIGINT) % 4"
     )
-    l = l.withColumn("arm", F.expr(arm))
+    # The md5 arm-split and the residual expression feed THREE
+    # consumers (fit, calibration rank, test coverage); unchecked, the
+    # optimizer evaluates the 600k-row md5+conv subtree once per branch
+    # (measured 3× = ~55% of this query's wall). Lazy checkpoints pin
+    # each to ONE evaluation; both tables are slim projections of
+    # lineitem, so the materialization is linear and cluster-resident.
+    l = l.withColumn("arm", F.expr(arm)).localCheckpoint(eager=False)
     fit = (
         l.filter(F.col("arm") >= 2)
         .groupBy("l_returnflag")
@@ -1884,8 +1890,15 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("intercept"),
         )
     )
-    scored = l.join(F.broadcast(fit), "l_returnflag").withColumn(
-        "r", F.expr("abs(CAST(y AS DOUBLE) - (slope * CAST(x AS DOUBLE) + intercept))")
+    scored = (
+        l.join(F.broadcast(fit), "l_returnflag")
+        .withColumn(
+            "r",
+            F.expr(
+                "abs(CAST(y AS DOUBLE) - (slope * CAST(x AS DOUBLE) + intercept))"
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
     # the calibration split grows with the data and the flag key has 3
     # values: a per-flag rank window would sort a third of it in ONE
