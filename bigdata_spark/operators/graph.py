@@ -106,18 +106,26 @@ def connected_components(
     # and 32 near-empty reducers per round is pure scheduling overhead
     # at bench scale. Only ever SHRINK (≈50k edges/partition, floor 8)
     # — at real scale the session's setting wins untouched.
-    # (AQE stays ON: measured A/B — its per-stage jobs look noisy in the
-    # job counter but its broadcast conversions win ~25% wall over plain
-    # sort-merge rounds here.)
+    # AQE is disabled for the loop: each round is windows + distinct
+    # (no join for AQE to re-plan into a broadcast), so its per-stage
+    # re-optimization round-trips are pure overhead once the rounds
+    # pipeline through lazy checkpoints (re-measured r11: AQE off is
+    # 5.1 s vs 6.5-7.8 s on the 168k-edge bench graph; the pre-lazy
+    # "AQE wins 25%" measurement no longer holds). The loop's shuffle
+    # partitioning is already sized explicitly above, which is the one
+    # thing AQE coalescing would otherwise contribute.
     sess = e.sparkSession
     orig_parts = sess.conf.get("spark.sql.shuffle.partitions")
+    orig_aqe = sess.conf.get("spark.sql.adaptive.enabled")
     target_parts = max(8, min(int(orig_parts), n_edges // 50_000 + 1))
     if target_parts < int(orig_parts):
         sess.conf.set("spark.sql.shuffle.partitions", str(target_parts))
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         return _cc_star_loop(e, max_iter)
     finally:
         sess.conf.set("spark.sql.shuffle.partitions", orig_parts)
+        sess.conf.set("spark.sql.adaptive.enabled", orig_aqe)
 
 
 # Rounds before the star loop starts paying for convergence checks —

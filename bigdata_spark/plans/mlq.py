@@ -1170,6 +1170,12 @@ def ml_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "item_id")
         .agg((F.sum("v").cast("double") / F.count(F.lit(1))).alias("rating"))
     )
+    # the bounded ratings table (users × items) feeds the mu aggregate,
+    # 4 half-steps and the RMSE pass — persist the RATINGS (so the mu
+    # aggregate is the one job that scans the raw event log; persisting
+    # ``centered`` instead re-scanned events a second time under the
+    # first half-step) and derive ``centered`` as a map over the cache
+    ratings = ratings.persist()
     # center on the exact-decimal global mean (the usual bias term):
     # factors then model residuals and unseen-item scores stay on the
     # rating scale instead of extrapolating past it; the one-row agg
@@ -1178,10 +1184,7 @@ def ml_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("rating").cast("decimal(28,10)")).cast("double") / F.count(F.lit(1))).alias("mu")
     ).first()
     mu = float(mu_row["mu"])
-    # the bounded ratings table (users × items) feeds 4 half-steps +
-    # the RMSE pass — materialize once instead of re-aggregating the
-    # raw event log each time
-    centered = ratings.withColumn("rating", F.col("rating") - F.lit(mu)).persist()
+    centered = ratings.withColumn("rating", F.col("rating") - F.lit(mu))
     # each half-step is a tiny-shuffle Python-UDF stage: 32 shuffle
     # partitions means 32 worker spin-ups per stage for a bounded
     # (users × items) table — 8 partitions cuts the fixed overhead
@@ -1236,7 +1239,7 @@ def ml_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # localCheckpointed factor tables; the returned plan re-derives
         # only the small ratings aggregate, so releasing the cache here
         # costs one extra events scan and leaves nothing pinned behind
-        centered.unpersist()
+        ratings.unpersist()
     return out
 
 

@@ -369,11 +369,15 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly 1 late one (which must be l1's, since l1 is late). One
     lineitem shuffle for the census, one for the probe join; supplier
     and nation broadcast."""
+    # li feeds two plan branches (census + probe); unchecked, each
+    # re-evaluates the derived-date hash columns over the full fact
+    # table. The lazy checkpoint pins the slim 3-column projection to
+    # one evaluation shared by both sides.
     li = _lineitem_ext(spark, sf_dir).select(
         "l_orderkey",
         "l_suppkey",
         (F.col("l_receiptdate") > F.col("l_commitdate")).alias("late"),
-    )
+    ).localCheckpoint(eager=False)
     census = li.groupBy(F.col("l_orderkey").alias("g_okey")).agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
