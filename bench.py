@@ -71,6 +71,22 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # Silence the known-harmless "Failed to update accumulator" ERROR
+    # spam (VERDICT r11 #4): the 1-min periodic ContextCleaner GC
+    # unregisters accumulators of already-finished queries while late
+    # task-completion events still reference them. Results are never
+    # affected (a real failure surfaces as a driver exception and a
+    # non-zero exit), but hundreds of stack traces nearly drown the
+    # one-line JSON contract in the driver's tail capture. Scoped to
+    # the bench session only; dev/driver runs keep full logging.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception:
+        pass  # logging backend not log4j2 — spam is cosmetic anyway
     registry = all_queries()
 
     # warm the JVM + parquet footers with a trivial action

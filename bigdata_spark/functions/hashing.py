@@ -33,11 +33,23 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     Lowercases, splits on whitespace, forms overlapping n-grams joined
     by single spaces, dedupes. Documents shorter than n words yield the
     whole document as one shingle.
+
+    The word array is BOUND as a lambda variable (transform over a
+    one-element array) so ``split()`` evaluates once per row: inlined
+    directly, projection collapse substitutes the split into every
+    ``slice``/``size`` reference and re-tokenizes the document once per
+    gram — measured 2.8 s vs 0.5 s over the sf0.1 corpus for an
+    identical result (guide §1.2 "per-task work").
     """
     words = F.split(F.trim(F.lower(_c(col))), r"\s+")
-    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(0), k - F.lit(1)),
-        lambda i: F.array_join(F.slice(words, i + F.lit(1), n), " "),
-    )
-    return F.array_distinct(grams)
+
+    def _grams(w: Column) -> Column:
+        k = F.greatest(F.size(w) - F.lit(n - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), k - F.lit(1)),
+                lambda i: F.array_join(F.slice(w, i + F.lit(1), n), " "),
+            )
+        )
+
+    return F.element_at(F.transform(F.array(words), _grams), 1)

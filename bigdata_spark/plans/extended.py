@@ -770,12 +770,21 @@ def approx_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey")
     )
-    pos = None
-    for s in _BLOOM_SEEDS:
-        part = o.select(
-            F.expr(f"{_bloom_hash_spark('o_orderkey', s)} % {_BLOOM_BITS}").alias("p")
-        )
-        pos = part if pos is None else pos.unionAll(part)
+    # ONE scan of the dim side: all three seed positions per key ride
+    # out of a single explode (the old unionAll of one arm per seed
+    # scanned the filtered orders three times)
+    pos = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        f"{_bloom_hash_spark('o_orderkey', s)} % {_BLOOM_BITS}"
+                    )
+                    for s in _BLOOM_SEEDS
+                ]
+            )
+        ).alias("p")
+    )
     words = (
         pos.distinct()
         .select(
@@ -805,20 +814,23 @@ def approx_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bits", F.lit(bitmap))
         .withColumn("pass", F.expr(" AND ".join(tests)))
     )
-    survivors = l.filter("pass").drop("bits", "pass")
-    matched = survivors.join(
-        o, survivors.l_orderkey == o.o_orderkey, "left_semi"
-    )
-    stats = l.agg(
+    # ONE pass over the fact side: o_orderkey is unique (orders PK), so
+    # a broadcast LEFT join marks matches without changing row count
+    # and every census folds into a single aggregate. The old shape
+    # evaluated the 3-hash probe expression over lineitem TWICE (once
+    # under the survivors semi-join, once under the stats aggregate).
+    matched = F.col("pass") & F.col("o_orderkey").isNotNull()
+    stats = l.join(
+        F.broadcast(o), l.l_orderkey == o.o_orderkey, "left"
+    ).agg(
         F.count("*").alias("n_fact"),
         F.sum(F.col("pass").cast("long")).alias("n_pass"),
-    ).crossJoin(
-        matched.agg(
-            F.count("*").alias("n_match"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("qty_matched"),
+        F.sum(matched.cast("long")).alias("n_match"),
+        F.sum(
+            F.when(matched, F.col("l_quantity").cast("decimal(18,2)"))
         )
+        .cast("double")
+        .alias("qty_matched"),
     )
     return stats.select(
         "n_fact",

@@ -323,14 +323,22 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     priors = train.groupBy(F.col("l_returnflag").alias("cls")).agg(
         F.count("*").alias("c_cls")
     )
-    n_train = train.count()
+    # ONE job for all four training scalars (was 4 sequential full-scan
+    # actions: count + three distinct().count()s — the
+    # dq_referential_integrity fusion shape, guide §1.2/§2.6)
+    tstats = train.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("qb").alias("v_qb"),
+        F.countDistinct("db").alias("v_db"),
+        F.countDistinct("tb").alias("v_tb"),
+    ).first()
+    n_train = int(tstats["n"])
+    card = {f: int(tstats[f"v_{f}"]) for f in ("qb", "db", "tb")}
     likel = {}
-    card = {}
     for f in ("qb", "db", "tb"):
         likel[f] = train.groupBy(
             F.col("l_returnflag").alias("cls"), F.col(f).alias(f"{f}_v")
         ).agg(F.count("*").alias(f"c_{f}"))
-        card[f] = train.select(f).distinct().count()
 
     tuples = test.groupBy("qb", "db", "tb", F.col("l_returnflag").alias("truth")).agg(
         F.count("*").alias("w")
@@ -461,73 +469,95 @@ def ml_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster, dim) cells and one map-side-combined sum — k·dim result
     rows; the driver only ever sees the k×dim centroid table (the
     bounded-collect rule, same as the IVF quantizer)."""
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "embeddings")
     iv = e.select(
         "vec_id",
         F.expr(
             f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT))"
         ).alias("v"),
-    )
-    cents = [
-        (int(r["vec_id"]), list(r["v"]))
-        for r in iv.filter(F.col("vec_id") < _KM_K).collect()
-    ]
-    cents = [(i, v) for i, (_, v) in enumerate(sorted(cents))]
-
-    dist = (
-        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)),"
-        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-    )
-    w = Window.partitionBy("vec_id").orderBy("d", "cid")
-    assigned = None
-    for _ in range(_KM_ITERS):
-        cdf = F.broadcast(
-            spark.createDataFrame(cents, "cid int, cv array<bigint>")
-        )
-        assigned = (
-            iv.crossJoin(cdf)
-            .withColumn("d", F.expr(dist))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cid", "d")
-        )
-        cells = (
-            assigned.select("cid", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cid", "dim")
-            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
-            # integer mean truncates toward zero in BOTH engines
-            # (Spark `div` == DuckDB `//`: -7 div 2 = -3 in each)
-            .select("cid", "dim", F.expr("CAST(sx div n AS BIGINT)").alias("m"))
-        )
-        rows = cells.groupBy("cid").agg(
-            F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm")
-        ).collect()
-        new_cents = {
-            int(r["cid"]): [int(s["m"]) for s in r["dm"]] for r in rows
-        }
-        # empty clusters keep their previous centroid
+    ).persist()  # one Lloyd pass per iteration re-reads the corpus
+    try:
         cents = [
-            (cid, new_cents.get(cid, cv)) for cid, cv in cents
+            (int(r["vec_id"]), list(r["v"]))
+            for r in iv.filter(F.col("vec_id") < _KM_K).collect()
         ]
-    stats = assigned.groupBy("cid").agg(
-        F.count("*").alias("n_members"),
-        F.sum("d").alias("inertia"),
-    )
-    mass = spark.createDataFrame(
-        [(c, sum(v)) for c, v in cents], "cid int, centroid_mass long"
-    )
-    return (
-        mass.join(stats, "cid", "left")
-        .select(
-            "cid",
-            F.coalesce("n_members", F.lit(0)).alias("n_members"),
-            F.coalesce("inertia", F.lit(0)).alias("inertia"),
-            "centroid_mass",
-        )
-        .orderBy("cid")
-    )
+        cents = [(i, v) for i, (_, v) in enumerate(sorted(cents))]
+
+        def dist_to(cv: list[int]) -> str:
+            # exact squared distance to a LITERAL centroid: k narrow
+            # expressions per row replace the old corpus × k crossJoin
+            # + per-vec_id row_number window (one full shuffle + sort
+            # of 8× the corpus per iteration, now zero shuffles)
+            arr = "array(" + ",".join(f"{x}L" for x in cv) + ")"
+            return (
+                f"aggregate(zip_with(v, {arr}, (x, y) -> (x - y) * (x - y)),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+
+        rows = None
+        for _ in range(_KM_ITERS):
+            # argmin(d, cid) == the old ROW_NUMBER() OVER (ORDER BY d,
+            # cid) = 1 tie-break, evaluated as a map-side struct min
+            choice = F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            F.expr(dist_to(cv)).alias("d"),
+                            F.lit(cid).alias("cid"),
+                        )
+                        for cid, cv in cents
+                    ]
+                )
+            )
+            assigned = iv.withColumn("c", choice).select(
+                F.col("c.cid").alias("cid"), F.col("c.d").alias("d"), "v"
+            )
+            cells = (
+                assigned.select("cid", "d", F.posexplode("v").alias("dim", "x"))
+                .groupBy("cid", "dim")
+                .agg(
+                    F.sum("x").alias("sx"),
+                    F.count("*").alias("n"),
+                    F.sum("d").alias("sd"),
+                )
+                # integer mean truncates toward zero in BOTH engines
+                # (Spark `div` == DuckDB `//`: -7 div 2 = -3 in each)
+                .select(
+                    "cid",
+                    "dim",
+                    F.expr("CAST(sx div n AS BIGINT)").alias("m"),
+                    "n",
+                    "sd",
+                )
+            )
+            # per-cid member count and inertia are constant across dims
+            # (every member contributes one row per dim), so the SAME
+            # collect that updates the centroids also carries the
+            # final-iteration stats — the old dedicated stats pass over
+            # a re-computed last assignment is gone
+            rows = cells.groupBy("cid").agg(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"),
+                F.min("n").alias("n_members"),
+                F.min("sd").alias("inertia"),
+            ).collect()
+            new_cents = {
+                int(r["cid"]): [int(s["m"]) for s in r["dm"]] for r in rows
+            }
+            # empty clusters keep their previous centroid
+            cents = [
+                (cid, new_cents.get(cid, cv)) for cid, cv in cents
+            ]
+    finally:
+        iv.unpersist()
+    stat_map = {
+        int(r["cid"]): (int(r["n_members"]), int(r["inertia"])) for r in rows
+    }
+    out = [
+        (cid, *stat_map.get(cid, (0, 0)), sum(v)) for cid, v in sorted(cents)
+    ]
+    return spark.createDataFrame(
+        out, "cid int, n_members long, inertia long, centroid_mass long"
+    ).orderBy("cid")
 
 
 def _kmeans_sql() -> str:
@@ -2715,16 +2745,30 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y"),
     )
     fracs = spark.range(1, 5).select(F.col("id").cast("long").alias("f"))
+    # aggregate the fact table ONCE at bucket grain (4 map-side-combined
+    # groups), THEN expand to the nested fractions: the old shape
+    # nested-loop-joined every fact row against the 4 fraction rows
+    # (~2.5× row multiplication before the aggregate). All sufficient
+    # statistics are exact integers/decimals, so re-summing per-bucket
+    # subtotals is bit-identical to summing rows directly.
+    per_bucket = rows.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
     suff = (
-        rows.join(F.broadcast(fracs), F.col("bucket") < F.col("f"))
+        per_bucket.join(F.broadcast(fracs), F.col("bucket") < F.col("f"))
         .groupBy("f")
         .agg(
-            F.count("*").alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
-            F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+            F.sum("n").alias("n"),
+            F.sum("sx").alias("sx"),
+            F.sum("sy").alias("sy"),
+            F.sum("sxx").alias("sxx"),
+            F.sum("sxy").alias("sxy"),
+            F.sum("syy").alias("syy"),
         )
     )
     casted = suff.selectExpr(

