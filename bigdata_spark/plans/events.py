@@ -588,22 +588,82 @@ GROUP BY 1, 2
 """
 
 
+def _events_ts_bounds_us(sf_dir: str) -> tuple[int, int] | None:
+    """Exact (min, max) of events.ts in epoch microseconds from the
+    parquet FOOTER statistics — a driver-side metadata read replacing
+    one full-scan min/max job per staged-stream query (guide §6;
+    min/max are row-group-stat exact, and ns→µs floor-division commutes
+    with min/max because it is monotone). Returns None when any
+    row group lacks stats — callers fall back to the aggregate."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, "events.parquet")
+        files = (
+            sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+            if os.path.isdir(path)
+            else [path]
+        )
+        lo = hi = None
+        for fp in files:
+            pf = pq.ParquetFile(fp)
+            idx = pf.schema_arrow.get_field_index("ts")
+            unit = getattr(pf.schema_arrow.field(idx).type, "unit", None)
+            md = pf.metadata
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn, mx = int(st.min_raw), int(st.max_raw)
+                if unit == "ns" or unit is None:
+                    # NANOS vintage ships as int64 nanos (see
+                    # sources/catalog.py) — truncate exactly like the
+                    # load path's `ts div 1000`
+                    mn, mx = mn // 1000, mx // 1000
+                elif unit == "ms":
+                    mn, mx = mn * 1000, mx * 1000
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+        if lo is None:
+            return None
+        return lo, hi
+    except Exception:
+        return None
+
+
 def _stage_quarter_files(
-    spark: SparkSession, e: DataFrame, scratch: str, n_parts: int = 4
+    spark: SparkSession,
+    e: DataFrame,
+    scratch: str,
+    n_parts: int = 4,
+    bounds_us: tuple[int, int] | None = None,
 ) -> list[list[str]]:
     """Write a batch frame as ``n_parts`` chronological parquet file
     groups (ONE partitionBy pass) and return the staged file paths per
     quarter. Quarter boundaries are exact integer microseconds —
     quarter(ts) = least(n-1, (us(ts) - lo) div max(1, (hi - lo) div n))
-    — so an oracle can replicate the per-quarter row assignment."""
+    — so an oracle can replicate the per-quarter row assignment.
+
+    ``bounds_us``: exact (min, max) epoch-µs of e.ts when the caller
+    already knows them (footer stats via _events_ts_bounds_us — valid
+    ONLY for an unfiltered projection of the events table); None runs
+    the min/max aggregate."""
     import glob
     import os
 
-    bounds = e.agg(
-        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("lo"),
-        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("hi"),
-    ).first()
-    lo_us, hi_us = int(bounds["lo"]), int(bounds["hi"])
+    if bounds_us is None:
+        row = e.agg(
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("lo"),
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("hi"),
+        ).first()
+        bounds_us = (int(row["lo"]), int(row["hi"]))
+    lo_us, hi_us = bounds_us
     span_us = max(1, (hi_us - lo_us) // n_parts)
     q_col = F.least(
         F.lit(n_parts - 1),
@@ -649,17 +709,26 @@ def _stream_state_partitions(spark: SparkSession, n: int = 4):
 
 
 def _stage_chronological_stream(
-    spark: SparkSession, e: DataFrame, scratch: str, n_parts: int = 4
+    spark: SparkSession,
+    e: DataFrame,
+    scratch: str,
+    n_parts: int = 4,
+    sf_dir: str | None = None,
 ) -> DataFrame:
     """Re-stage a batch frame as ``n_parts`` chronological parquet
     files and return a ``readStream`` over them with
     ``maxFilesPerTrigger=1`` — the harness that forces REAL multi-
     micro-batch execution (and genuine watermark advancement) out of a
-    static table."""
+    static table.
+
+    ``sf_dir``: when e is an UNFILTERED projection of the events table,
+    passing its directory lets the quarter bounds come from the parquet
+    footer stats instead of a full-scan min/max job."""
     import os
     import shutil
 
-    groups = _stage_quarter_files(spark, e, scratch, n_parts)
+    bounds = _events_ts_bounds_us(sf_dir) if sf_dir else None
+    groups = _stage_quarter_files(spark, e, scratch, n_parts, bounds_us=bounds)
     indir = os.path.join(scratch, "in")
     os.makedirs(indir, exist_ok=True)
     for i, parts in enumerate(groups):
@@ -697,7 +766,7 @@ def evt_stream_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="bigdata_spark_mb_")
     try:
         with _stream_state_partitions(spark):
-            stream = _stage_chronological_stream(spark, e, scratch, n_parts=4)
+            stream = _stage_chronological_stream(spark, e, scratch, n_parts=4, sf_dir=sf_dir)
             windowed = (
                 stream.withWatermark("ts", "30 minutes")
                 .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -1091,7 +1160,7 @@ def evt_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="bigdata_spark_upd_")
     try:
         with _stream_state_partitions(spark):
-            stream = _stage_chronological_stream(spark, e, scratch, n_parts=3)
+            stream = _stage_chronological_stream(spark, e, scratch, n_parts=3, sf_dir=sf_dir)
             windowed = (
                 stream.withWatermark("ts", "30 minutes")
                 .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -2034,7 +2103,7 @@ def evt_stream_ckpt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("ts", "event_type")
     scratch = tempfile.mkdtemp(prefix="bigdata_spark_ckpt_")
     try:
-        groups = _stage_quarter_files(spark, e, scratch, n_parts=4)
+        groups = _stage_quarter_files(spark, e, scratch, n_parts=4, bounds_us=_events_ts_bounds_us(sf_dir))
         indir = os.path.join(scratch, "in")
         os.makedirs(indir, exist_ok=True)
         ckpt = os.path.join(scratch, "ckpt_" + uuid.uuid4().hex[:8])
@@ -2414,7 +2483,7 @@ def evt_stream_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("ts", "event_type")
     scratch = tempfile.mkdtemp(prefix="bigdata_spark_ooo_")
     try:
-        groups = _stage_quarter_files(spark, e, scratch, n_parts=4)
+        groups = _stage_quarter_files(spark, e, scratch, n_parts=4, bounds_us=_events_ts_bounds_us(sf_dir))
         indir = os.path.join(scratch, "in")
         os.makedirs(indir, exist_ok=True)
         for arrival, qtr in enumerate([0, 2, 1, 3]):
@@ -2767,7 +2836,7 @@ def evt_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="bigdata_spark_soj_")
     try:
         with _stream_state_partitions(spark):
-            stream = _stage_chronological_stream(spark, e, scratch, n_parts=4)
+            stream = _stage_chronological_stream(spark, e, scratch, n_parts=4, sf_dir=sf_dir)
             clicks = (
                 stream.filter(F.col("event_type") == "click")
                 .select(
@@ -3007,7 +3076,7 @@ def evt_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="bigdata_spark_foj_")
     try:
         with _stream_state_partitions(spark):
-            stream = _stage_chronological_stream(spark, e, scratch, n_parts=4)
+            stream = _stage_chronological_stream(spark, e, scratch, n_parts=4, sf_dir=sf_dir)
             clicks = (
                 stream.filter(F.col("event_type") == "click")
                 .select(
@@ -3158,7 +3227,7 @@ def evt_stream_state_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         # workers per trigger instead of 4 — state hash-partitioning is
         # result-invariant and MORE partitions is the production shape
         with _stream_state_partitions(spark, n=16):
-            stream = _stage_chronological_stream(spark, e, scratch, n_parts=2)
+            stream = _stage_chronological_stream(spark, e, scratch, n_parts=2, sf_dir=sf_dir)
             out = timeout_evicted_rollup(
                 stream, "user_id", "day", value_col="vm", timeout_ms=1
             )
@@ -3256,7 +3325,7 @@ def evt_stream_event_time_timeout(spark: SparkSession, sf_dir: str) -> DataFrame
     scratch = tempfile.mkdtemp(prefix="bigdata_spark_ets_")
     try:
         with _stream_state_partitions(spark, n=16):
-            stream = _stage_chronological_stream(spark, e, scratch, n_parts=2)
+            stream = _stage_chronological_stream(spark, e, scratch, n_parts=2, sf_dir=sf_dir)
             out = event_time_sessionize(
                 stream.withWatermark("ts", _ETS_DELAY),
                 "user_id",
@@ -3404,7 +3473,7 @@ def evt_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFram
             )
 
     try:
-        groups = _stage_quarter_files(spark, e, scratch, n_parts=2)
+        groups = _stage_quarter_files(spark, e, scratch, n_parts=2, bounds_us=_events_ts_bounds_us(sf_dir))
         with _stream_state_partitions(spark, n=16):
             # run 1: only the first chronological group is visible
             for j, src in enumerate(groups[0]):
