@@ -16,6 +16,7 @@ frames can interleave with the JSON line.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -123,6 +124,16 @@ def main() -> None:
         # and the eventual under-pressure eviction/GC lands inside some
         # LATER query's measured pass (the r3 position-~110 storm).
         spark.catalog.clearCache()
+        # clearCache() does NOT free localCheckpoint() RDD blocks —
+        # those are only unpersisted when the JVM object is GC'd
+        # (ContextCleaner weak refs), which in turn waits on the Python
+        # py4j proxy being collected. Dropping the Python refs promptly
+        # keeps ~30 checkpointing queries' executor blocks from pinning
+        # memory into later queries' measured passes (the r11 "+29 s on
+        # untouched queries" give-back: conf A/B exonerated
+        # openCostInBytes — the regressions were session-position
+        # interference, not plan changes).
+        gc.collect()
 
     # Outlier retry: a host-contention spike can hit every pass of a
     # query (observed 2s-standalone queries recording 20-50s when a
@@ -136,6 +147,7 @@ def main() -> None:
         fn, _sql = registry[name]
         samples[name].append(run_once(fn))
         spark.catalog.clearCache()
+        gc.collect()
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)

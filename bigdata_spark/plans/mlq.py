@@ -1900,6 +1900,13 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 3× = ~55% of this query's wall). Lazy checkpoints pin
     # each to ONE evaluation; both tables are slim projections of
     # lineitem, so the materialization is linear and cluster-resident.
+    # SCALE CONTRACT (r12, measured): l + scored checkpoint to
+    # ~310 B/lineitem row — 187 MB at sf0.1, 1.87 GB at sf1, linear.
+    # MEMORY_AND_DISK (spills; bound is cluster disk), not
+    # fault-tolerant (a lost executor re-fails the query) — the
+    # accepted trade against re-running the md5 arm-split per branch
+    # (~55% wall); blocks are reclaimed when the frame's reference is
+    # GC'd (the bench forces that between queries).
     l = l.withColumn("arm", F.expr(arm)).localCheckpoint(eager=False)
     fit = (
         l.filter(F.col("arm") >= 2)

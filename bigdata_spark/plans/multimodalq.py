@@ -135,7 +135,10 @@ def mm_resize_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.media import resize_images
 
     media = synthetic_media_df(spark, n=64).filter(F.col("meta.kind") == "image")
-    small = resize_images(media, 32, 24)
+    # small feeds TWO consumers (dims + the re-decode); unchecked, the
+    # full Python decode→resample→re-encode runs once per branch — the
+    # lazy checkpoint pins one evaluation (bounded: 21 thumbnails)
+    small = resize_images(media, 32, 24).localCheckpoint(eager=False)
     dims = small.select(
         "media_id",
         F.col("meta.width").alias("w"),

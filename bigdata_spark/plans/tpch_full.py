@@ -373,6 +373,14 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-evaluates the derived-date hash columns over the full fact
     # table. The lazy checkpoint pins the slim 3-column projection to
     # one evaluation shared by both sides.
+    # SCALE CONTRACT (r12, measured): the checkpointed projection is
+    # ~92 B/lineitem row — 55 MB at sf0.1, 552 MB at sf1, linear.
+    # localCheckpoint stores MEMORY_AND_DISK on executors (spills, so
+    # the bound is cluster disk, not heap), is NOT fault-tolerant (one
+    # lost executor re-fails the query — an availability trade against
+    # re-evaluating the derived-date md5 columns twice, which measured
+    # ~2× this query's scan CPU), and is reclaimed when the frame's
+    # reference is GC'd (the bench forces that between queries).
     li = _lineitem_ext(spark, sf_dir).select(
         "l_orderkey",
         "l_suppkey",
